@@ -1,0 +1,189 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+import graft.sources.Tables
+
+/** Benchmarking engine — the Spark-native re-expression of the reference's
+  * building-energy benchmarking surface:
+  *   - per-entity intensity metric + threshold rating
+  *     (reference: benchmarking/model.py:15 `benchmark_building`,
+  *      generate_sample_data.py:50 `transform_data`)
+  *   - per-type summary statistics (generate_sample_data.py:115 `load_data`)
+  *   - portfolio roll-up KPIs (src/export_demo_json.py:110
+  *      `compute_portfolio_summary`)
+  *   - percentile ranks + CO₂ bands (src/export_json.py:25)
+  *
+  * Entity mapping: building → customer; annual energy → order spend;
+  * building_type → c_mktsegment; EUI → avg order value ("intensity").
+  *
+  * Determinism contract (shared with the DuckDB oracle): money aggregates
+  * run through DECIMAL(18,2) (exact, accumulation-order-independent); every
+  * derived double is produced by the same deterministic IEEE scalar-op
+  * chain in both engines, so values hash-match bit-for-bit with no rounding.
+  * Median is the exact middle-element form (not interpolated percentile,
+  * whose interpolation formula differs across engines); stddev uses the
+  * exact decimal sum/sum-of-squares identity.
+  *
+  * Scale: one shuffle per aggregate on its natural key. The summary window
+  * and the follow-up groupBy share hash-partitioning on c_mktsegment, so
+  * Catalyst plans a single exchange. Ratings/bands/percentiles are pure
+  * window/CASE logic inside whole-stage codegen.
+  */
+object Benchmarking {
+
+  private val dec = DecimalType(18, 2)
+
+  /** Threshold rating bands on the intensity metric
+    * (reference: benchmarking/model.py:63-67 Good/Average/Poor and
+    * src/export_json.py:126-135 Excellent/Good/Average/Poor EUI bands,
+    * rescaled to the spend-intensity domain of the test corpus). */
+  def rating(intensity: Column, nOrders: Column): Column =
+    when(nOrders === 0, "NoData")
+      .when(intensity < 200000, "Excellent")
+      .when(intensity < 250000, "Good")
+      .when(intensity < 300000, "Average")
+      .otherwise("Poor")
+
+  /** Per-entity metrics: activity count, exact total spend, intensity
+    * (spend/activity) and its rating. Left join keeps zero-activity
+    * entities (the reference keeps buildings with defaults). */
+  def entityMetrics(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer
+      .join(orders, customer("c_custkey") === orders("o_custkey"), "left")
+      .groupBy(customer("c_custkey"), customer("c_mktsegment"))
+      .agg(
+        count(orders("o_orderkey")).as("n_orders"),
+        coalesce(sum(orders("o_totalprice").cast(dec)), lit(0).cast(dec)).as("spend_dec"))
+      .withColumn("total_spend", col("spend_dec").cast("double"))
+      .withColumn("intensity", col("total_spend") / greatest(col("n_orders"), lit(1L)))
+      .withColumn("rating", rating(col("intensity"), col("n_orders")))
+      .select("c_custkey", "c_mktsegment", "n_orders", "total_spend", "intensity", "rating")
+
+  /** Rating distribution (reference: generate_sample_data.py:160
+    * `value_counts` of performance_category). */
+  def ratingDistribution(metrics: DataFrame): DataFrame =
+    metrics.groupBy("rating").agg(count(lit(1)).as("n")).orderBy("rating")
+
+  /** Per-type summary statistics over total spend: count / total / mean /
+    * exact median / stddev (reference: generate_sample_data.py:115-121
+    * groupby building_type agg mean/median/std/sum/count). */
+  def groupSummary(metrics: DataFrame): DataFrame = {
+    val wOrd = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("total_spend"), col("c_custkey"))
+    val wAll = Window.partitionBy(col("c_mktsegment"))
+    val ranked = metrics
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("cnt", count(lit(1)).over(wAll))
+    ranked
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_entities"),
+        sum(col("total_spend").cast(dec)).as("s1"),
+        sum(col("total_spend").cast(dec) * col("total_spend").cast(dec)).as("s2"),
+        min(when(col("rn") === expr("(cnt + 1) div 2"), col("total_spend"))).as("med_lo"),
+        min(when(col("rn") === expr("cnt div 2 + 1"), col("total_spend"))).as("med_hi"))
+      .select(
+        col("c_mktsegment"),
+        col("n_entities"),
+        col("s1").cast("double").as("total_spend"),
+        (col("s1").cast("double") / col("n_entities")).as("avg_spend"),
+        ((col("med_lo") + col("med_hi")) / lit(2.0)).as("median_spend"),
+        // The (38,4) sum-of-squares exceeds 2^53 unscaled, so its →double
+        // cast can differ by 1 ulp between engines; snapping the final std
+        // to 2 decimals makes both sides agree deterministically.
+        sqrt(greatest(
+          (col("s2").cast("double")
+            - col("s1").cast("double") * col("s1").cast("double") / col("n_entities"))
+            / expr("nullif(n_entities - 1, 0)"),
+          lit(0.0))).cast(dec).cast("double").as("std_spend"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Portfolio roll-up KPIs (reference: src/export_demo_json.py:110):
+    * activity-weighted average intensity, derived CO₂ total, share of top
+    * performers and of entities needing improvement. */
+  def portfolioSummary(metrics: DataFrame): DataFrame =
+    metrics.agg(
+      count(lit(1)).as("total_entities"),
+      sum(col("n_orders")).as("total_activity"),
+      sum(col("total_spend").cast(dec)).as("spend_dec"),
+      sum(when(col("rating").isin("Excellent", "Good"), 1L).otherwise(0L)).as("n_top"),
+      sum(when(col("rating") === "Poor", 1L).otherwise(0L)).as("n_poor"))
+    .select(
+      col("total_entities"),
+      col("total_activity"),
+      col("spend_dec").cast("double").as("total_spend"),
+      (col("spend_dec").cast("double") / col("total_activity"))
+        .as("weighted_avg_intensity"),
+      // CO₂ analog: intensity × 0.22 kg/unit summed over activity ≡
+      // 0.22 × total spend, /1000 → tons (export_demo_json.py:136-140).
+      (col("spend_dec").cast("double") * 0.00022).as("portfolio_co2_tons"),
+      (col("n_top").cast("double") * 100.0 / col("total_entities"))
+        .as("top_performer_pct"),
+      (col("n_poor").cast("double") * 100.0 / col("total_entities"))
+        .as("needs_improvement_pct"))
+
+  /** Percentile rank of each entity's intensity within its type
+    * (reference: src/export_json.py:99 `energy_percentile`). */
+  def percentiles(metrics: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("intensity"))
+    metrics
+      .withColumn("pct_rank", percent_rank().over(w))
+      .select("c_custkey", "c_mktsegment", "intensity", "pct_rank")
+      .orderBy("c_custkey")
+  }
+
+  /** Derived CO₂ intensity + band classification
+    * (reference: src/export_json.py:60-67 co2_intensity bands,
+    * src/export_json.py:119 `co2 = eui * 0.22`). */
+  def co2Bands(metrics: DataFrame): DataFrame =
+    metrics
+      .withColumn("co2_intensity", col("intensity") * 0.22)
+      .withColumn("co2_band",
+        when(col("co2_intensity") < 44000, "excellent")
+          .when(col("co2_intensity") < 55000, "good")
+          .when(col("co2_intensity") < 66000, "average")
+          .otherwise("poor"))
+      .select("c_custkey", "intensity", "co2_intensity", "co2_band")
+      .orderBy("c_custkey")
+
+  /** Rating-driven recommendation expansion (reference:
+    * benchmarking/model.py:69-75 static recommendation list; here made
+    * rating-dependent and exploded to rows like the API response). */
+  def recommendations(metrics: DataFrame): DataFrame = {
+    val recs = when(col("rating") === "Poor",
+        array(lit("Consider LED lighting upgrades"),
+              lit("Review HVAC system efficiency"),
+              lit("Implement building automation system")))
+      .when(col("rating") === "Average",
+        array(lit("Review HVAC system efficiency"),
+              lit("Implement building automation system")))
+      .when(col("rating") === "Good", array(lit("Consider LED lighting upgrades")))
+      .otherwise(array().cast("array<string>"))
+    metrics
+      .select(col("c_custkey"), col("rating"), explode(recs).as("recommendation"))
+      .orderBy("c_custkey", "recommendation")
+  }
+
+  /** Top-N entities per type by intensity (reference:
+    * src/export_demo_json.py:162 `select_representative_buildings`,
+    * re-expressed as a deterministic per-group top-k). */
+  def topEntitiesPerGroup(metrics: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("intensity").desc, col("c_custkey"))
+    metrics
+      .withColumn("rank_in_segment", row_number().over(w))
+      .filter(col("rank_in_segment") <= k)
+      .select("c_mktsegment", "rank_in_segment", "c_custkey", "intensity", "rating")
+      .orderBy("c_mktsegment", "rank_in_segment")
+  }
+
+  // ---- wiring onto the test corpus --------------------------------------
+
+  def metricsFor(spark: SparkSession, dir: String): DataFrame =
+    entityMetrics(Tables.customer(spark, dir), Tables.orders(spark, dir))
+}

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.sources.Tables
+
+/** Headline analytics — the wide-scan summary reports the reference's ETL
+  * produces (reference: generate_sample_data.py:115 summary statistics,
+  * scripts/export_gold_parquet.py:138 gold-table roll-ups), expressed as
+  * bench-anchor queries over the fact tables.
+  *
+  * Scale: `pricingSummary` is a single map-side-combinable hash aggregate
+  * over the biggest fact table (the canonical TPC-H Q1 shape — partial
+  * aggregation means the shuffle carries only (group × partition) rows).
+  * `topNationRevenue` broadcasts the two tiny dims and shuffles the fact
+  * once on the join key.
+  */
+object Headline {
+
+  private val dec  = DecimalType(18, 2)
+  private val dec2 = DecimalType(12, 2)
+  private val dec4 = DecimalType(4, 2)
+
+  /** Pricing summary report: exact decimal sums/averages per flag/status
+    * over shipped lineitems. All money math stays in exact decimals
+    * (12,2)×(4,2)×(4,2) → (22,6), which both Spark and DuckDB compute
+    * losslessly, then converts to double for the final scalars. */
+  def pricingSummary(lineitem: DataFrame): DataFrame = {
+    val price    = col("l_extendedprice").cast(dec2)
+    val oneMinus = (lit(1).cast(dec4) - col("l_discount").cast(dec4)).cast(dec4)
+    val onePlus  = (lit(1).cast(dec4) + col("l_tax").cast(dec4)).cast(dec4)
+    lineitem
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast(dec)).as("qty_dec"),
+        sum(price).as("base_dec"),
+        sum((price * oneMinus).cast(DecimalType(17, 4))).as("disc_dec"),
+        sum(((price * oneMinus).cast(DecimalType(17, 4)) * onePlus)
+          .cast(DecimalType(22, 6))).as("charge_dec"),
+        count(lit(1)).as("count_order"))
+      .select(
+        col("l_returnflag"), col("l_linestatus"),
+        col("qty_dec").cast("double").as("sum_qty"),
+        col("base_dec").cast("double").as("sum_base_price"),
+        col("disc_dec").cast("double").as("sum_disc_price"),
+        col("charge_dec").cast("double").as("sum_charge"),
+        (col("qty_dec").cast("double") / col("count_order")).as("avg_qty"),
+        (col("base_dec").cast("double") / col("count_order")).as("avg_price"),
+        col("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** Revenue by nation/region: multi-join + agg + deterministic top-N
+    * (the portfolio-report analog). Dims are broadcast — no shuffle for
+    * nation/region; orders⋈customer co-shuffles on custkey once. */
+  def topNationRevenue(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val orders   = Tables.orders(spark, dir)
+    val customer = Tables.customer(spark, dir)
+    val nation   = broadcast(Tables.nation(spark, dir))
+    val region   = broadcast(Tables.region(spark, dir))
+    orders
+      .join(customer, orders("o_custkey") === customer("c_custkey"))
+      .join(nation, customer("c_nationkey") === nation("n_nationkey"))
+      .join(region, nation("n_regionkey") === region("r_regionkey"))
+      .groupBy(col("n_name"), col("r_name"))
+      .agg(
+        sum(col("o_totalprice").cast(dec)).as("rev_dec"),
+        count(lit(1)).as("n_orders"))
+      .select(col("n_name"), col("r_name"),
+        col("rev_dec").cast("double").as("revenue"), col("n_orders"))
+      .orderBy(col("revenue").desc, col("n_name"))
+      .limit(k)
+  }
+}

@@ -1,0 +1,82 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate (NOT part of the library).
+
+Usage: python3 tools/check.py <sfDir> <outDir>
+  - <outDir> is what `sbt "runMain graft.Verify <sfDir> <outDir>"` wrote.
+  - Registers the sf tables as DuckDB views, runs each oracle_sql.json
+    entry, and compares against the Spark parquet dump: columns sorted by
+    name, rows sorted, exact value + dtype equality.
+"""
+import json
+import sys
+
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    if len(df):
+        df = df.sort_values(by=list(df.columns), ignore_index=True,
+                            key=lambda s: s.astype(str))
+    return df
+
+
+def main(sf_dir: str, out_dir: str) -> int:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    failures = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            want = con.execute(sql).df()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}")
+            failures += 1
+            continue
+        try:
+            got = duckdb.connect().execute(
+                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").df()
+        except Exception as e:
+            print(f"FAIL {name}: spark result missing: {e}")
+            failures += 1
+            continue
+        w, g = norm(want), norm(got)
+        if list(w.columns) != list(g.columns):
+            print(f"FAIL {name}: columns {list(g.columns)} != {list(w.columns)}")
+            failures += 1
+            continue
+        if len(w) != len(g):
+            print(f"FAIL {name}: rows {len(g)} != {len(w)}")
+            failures += 1
+            continue
+        dt_mismatch = [(c, str(g[c].dtype), str(w[c].dtype))
+                       for c in w.columns if str(g[c].dtype) != str(w[c].dtype)]
+        try:
+            pd.testing.assert_frame_equal(g, w, check_dtype=False, check_exact=True)
+            status = "OK" if not dt_mismatch else f"OK (dtype warn: {dt_mismatch})"
+            print(f"{status:4s} {name}: {len(g)} rows")
+        except AssertionError as e:
+            failures += 1
+            print(f"FAIL {name}: value mismatch")
+            diffcols = []
+            for c in w.columns:
+                if not g[c].equals(w[c]):
+                    diffcols.append(c)
+            print(f"  differing columns: {diffcols}")
+            for c in diffcols[:3]:
+                neq = g[c] != w[c]
+                idx = neq[neq].index[:3]
+                for i in idx:
+                    print(f"    {c}[{i}]: spark={g[c][i]!r} oracle={w[c][i]!r}")
+    print(f"\n{'ALL GREEN' if failures == 0 else f'{failures} FAILURES'}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
