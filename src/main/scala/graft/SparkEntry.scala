@@ -35,6 +35,33 @@ object SparkEntry {
     "q_pricing_summary" -> ((s, dir) =>
       Headline.pricingSummary(Tables.lineitem(s, dir))),
     "q_top_nations" -> ((s, dir) => Headline.topNationRevenue(s, dir, 10)),
+    // --- time-series ETL (SURVEY §2: ts_*) ---
+    "ts_clean" -> ((s, dir) => TimeSeries.clean(TimeSeries.base(s, dir))),
+    "ts_rolling" -> ((s, dir) => TimeSeries.rollingFeatures(TimeSeries.base(s, dir))),
+    "ts_lag_delta" -> ((s, dir) => TimeSeries.lagDelta(TimeSeries.base(s, dir))),
+    "ts_resample" -> ((s, dir) => TimeSeries.resampleHourly(TimeSeries.base(s, dir))),
+    "ts_sessionize" -> ((s, dir) => TimeSeries.sessionize(TimeSeries.base(s, dir))),
+    // --- anomaly detection (SURVEY §2: ad_*) ---
+    "ad_threshold" -> ((s, dir) =>
+      AnomalyRules.thresholdAlerts(TimeSeries.rollingFeatures(TimeSeries.base(s, dir)))),
+    "ad_consecutive" -> ((s, dir) => AnomalyRules.consecutiveRuns(TimeSeries.base(s, dir))),
+    "ad_oscillation" -> ((s, dir) => AnomalyRules.oscillation(TimeSeries.base(s, dir))),
+    "ad_zscore" -> ((s, dir) => AnomalyRules.zscoreAlerts(TimeSeries.base(s, dir))),
+    // --- alert store / query surface (SURVEY §2: al_*) ---
+    "al_filter" -> ((s, dir) =>
+      Alerts.filterAlerts(
+        AnomalyRules.thresholdAlerts(TimeSeries.rollingFeatures(TimeSeries.base(s, dir))),
+        1704844800000000L, 1705708800000000L, "high", 100)),
+    "al_summary" -> ((s, dir) =>
+      Alerts.summary(
+        AnomalyRules.thresholdAlerts(TimeSeries.rollingFeatures(TimeSeries.base(s, dir))))),
+    "al_daily" -> ((s, dir) =>
+      Alerts.daily(
+        AnomalyRules.thresholdAlerts(TimeSeries.rollingFeatures(TimeSeries.base(s, dir))))),
+    "al_join_features" -> ((s, dir) => {
+      val features = TimeSeries.rollingFeatures(TimeSeries.base(s, dir))
+      Alerts.joinFeatures(AnomalyRules.thresholdAlerts(features), features)
+    }),
   )
 
   /** Shared DuckDB CTE mirroring Benchmarking.entityMetrics — the SQL twin
@@ -55,9 +82,196 @@ object SparkEntry {
       |    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
       |    GROUP BY 1, 2))""".stripMargin
 
+  /** Events base: µs event time (matches Spark's ns→µs truncation). */
+  private val eventsCte: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+      |         event_type, value
+      |  FROM events)""".stripMargin
+
+  /** SQL twin of TimeSeries.rollingFeatures (subquery named f). */
+  private val rollingCte: String =
+    """f AS (
+      |  SELECT event_id, user_id, ts_us, event_type, value,
+      |         CAST(sum(vdec) OVER w3 AS DOUBLE) / count(1) OVER w3 AS mean_3,
+      |         coalesce(sqrt(greatest(
+      |           (CAST(sum(vdec * vdec) OVER w3 AS DOUBLE)
+      |             - CAST(sum(vdec) OVER w3 AS DOUBLE)
+      |               * CAST(sum(vdec) OVER w3 AS DOUBLE) / count(1) OVER w3)
+      |           / (CASE WHEN count(1) OVER w3 > 1 THEN count(1) OVER w3 - 1 END),
+      |           0.0)), 0.0) AS std_3,
+      |         CAST(sum(vdec) OVER w12 AS DOUBLE) / count(1) OVER w12 AS mean_12,
+      |         coalesce(sqrt(greatest(
+      |           (CAST(sum(vdec * vdec) OVER w12 AS DOUBLE)
+      |             - CAST(sum(vdec) OVER w12 AS DOUBLE)
+      |               * CAST(sum(vdec) OVER w12 AS DOUBLE) / count(1) OVER w12)
+      |           / (CASE WHEN count(1) OVER w12 > 1 THEN count(1) OVER w12 - 1 END),
+      |           0.0)), 0.0) AS std_12
+      |  FROM (SELECT e.*, CAST(value AS DECIMAL(18,2)) AS vdec FROM e)
+      |  WINDOW w3 AS (PARTITION BY user_id ORDER BY ts_us, event_id
+      |                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+      |         w12 AS (PARTITION BY user_id ORDER BY ts_us, event_id
+      |                 ROWS BETWEEN 11 PRECEDING AND CURRENT ROW))""".stripMargin
+
+  /** SQL twin of AnomalyRules.thresholdAlerts over f (named a). */
+  private val alertsCte: String =
+    """a AS (
+      |  SELECT event_id, user_id, ts_us, event_type, value,
+      |         'value' AS metric,
+      |         value / 150.0 AS score,
+      |         'threshold_high' AS rule_name,
+      |         CASE WHEN value > 250 THEN 'high' ELSE 'medium' END AS severity
+      |  FROM f WHERE value > 150 AND mean_3 > 100)""".stripMargin
+
   /** For each key in queries, equivalent SQL runnable by DuckDB on the
     * same parquet tables. Omitted keys → driver records rows-only check. */
   def oracleSql: Map[String, String] = Map(
+    "ts_clean" ->
+      s"""$eventsCte
+         |SELECT event_id, user_id, ts_us, value_filled FROM (
+         |  SELECT event_id, user_id, ts_us,
+         |         last_value(CASE WHEN event_type = 'error' THEN NULL ELSE value END
+         |                    IGNORE NULLS)
+         |           OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled
+         |  FROM e)
+         |WHERE value_filled IS NOT NULL
+         |ORDER BY user_id, ts_us, event_id""".stripMargin,
+
+    "ts_rolling" ->
+      s"""$eventsCte,
+         |$rollingCte
+         |SELECT * FROM f ORDER BY user_id, ts_us, event_id""".stripMargin,
+
+    "ts_lag_delta" ->
+      s"""$eventsCte
+         |SELECT event_id, user_id, ts_us, value,
+         |       lag(value) OVER wu AS value_lag1,
+         |       value - lag(value) OVER wu AS delta
+         |FROM e
+         |WINDOW wu AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+         |ORDER BY user_id, ts_us, event_id""".stripMargin,
+
+    "ts_resample" ->
+      s"""$eventsCte
+         |SELECT bucket_us, event_type,
+         |       CAST(count(*) AS BIGINT) AS n_events,
+         |       CAST(sum(vdec) AS DOUBLE) AS total_value,
+         |       CAST(sum(vdec) AS DOUBLE) / count(*) AS avg_value,
+         |       min(value) AS min_value,
+         |       max(value) AS max_value
+         |FROM (SELECT ts_us - (ts_us % 3600000000) AS bucket_us, event_type, value,
+         |             CAST(value AS DECIMAL(18,2)) AS vdec
+         |      FROM e)
+         |GROUP BY bucket_us, event_type
+         |ORDER BY bucket_us, event_type""".stripMargin,
+
+    "ts_sessionize" ->
+      s"""$eventsCte,
+         |l AS (SELECT e.*, lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_us FROM e),
+         |fl AS (SELECT l.*, CASE WHEN prev_us IS NULL OR ts_us - prev_us > 43200000000 THEN 1 ELSE 0 END AS new_sess FROM l),
+         |s AS (SELECT fl.*,
+         |             CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+         |                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+         |      FROM fl)
+         |SELECT user_id, session_id,
+         |       min(ts_us) AS session_start_us,
+         |       max(ts_us) AS session_end_us,
+         |       CAST(count(*) AS BIGINT) AS n_events,
+         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         |FROM s GROUP BY user_id, session_id
+         |ORDER BY user_id, session_id""".stripMargin,
+
+    "ad_threshold" ->
+      s"""$eventsCte,
+         |$rollingCte,
+         |$alertsCte
+         |SELECT * FROM a ORDER BY user_id, ts_us, event_id""".stripMargin,
+
+    "ad_consecutive" ->
+      s"""$eventsCte,
+         |c AS (SELECT e.*, CASE WHEN value > 100 THEN 1 ELSE 0 END AS exceeds FROM e),
+         |r AS (SELECT c.*,
+         |             row_number() OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+         |               - row_number() OVER (PARTITION BY user_id, exceeds ORDER BY ts_us, event_id) AS grp
+         |      FROM c),
+         |k AS (SELECT r.*, CAST(count(*) OVER (PARTITION BY user_id, grp) AS BIGINT) AS run_len
+         |      FROM r WHERE exceeds = 1)
+         |SELECT event_id, user_id, ts_us, value, run_len,
+         |       'consecutive_drift' AS rule_name,
+         |       CASE WHEN value > 200 THEN 'high' ELSE 'medium' END AS severity
+         |FROM k WHERE run_len >= 3
+         |ORDER BY user_id, ts_us, event_id""".stripMargin,
+
+    "ad_oscillation" ->
+      s"""$eventsCte,
+         |d AS (SELECT e.*, value - lag(value) OVER wu AS delta FROM e
+         |      WINDOW wu AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+         |s AS (SELECT d.*, CASE WHEN sign(delta) <> sign(lag(delta) OVER wu) THEN 1 ELSE 0 END AS chg FROM d
+         |      WINDOW wu AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+         |o AS (SELECT s.*,
+         |             CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+         |                                 ROWS BETWEEN 11 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_changes
+         |      FROM s)
+         |SELECT event_id, user_id, ts_us, value, n_changes,
+         |       'oscillating_control' AS rule_name, 'medium' AS severity
+         |FROM o WHERE n_changes > 8
+         |ORDER BY user_id, ts_us, event_id""".stripMargin,
+
+    "ad_zscore" ->
+      s"""$eventsCte,
+         |st AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+         |              sum(CAST(value AS DECIMAL(18,2))) AS s1,
+         |              sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS s2
+         |       FROM e GROUP BY user_id),
+         |z AS (SELECT user_id, CAST(s1 AS DOUBLE) / n AS mean_v,
+         |             sqrt(greatest(
+         |               (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+         |               / (CASE WHEN n > 1 THEN n - 1 END), 0.0)) AS std_v
+         |      FROM st)
+         |SELECT event_id, e.user_id, ts_us, value,
+         |       (value - mean_v) / (CASE WHEN std_v > 0 THEN std_v END) AS zscore,
+         |       'zscore' AS rule_name,
+         |       CASE WHEN abs((value - mean_v) / (CASE WHEN std_v > 0 THEN std_v END)) > 3.5
+         |            THEN 'high' ELSE 'medium' END AS severity
+         |FROM e JOIN z ON e.user_id = z.user_id
+         |WHERE abs((value - mean_v) / (CASE WHEN std_v > 0 THEN std_v END)) > 2.5
+         |ORDER BY e.user_id, ts_us, event_id""".stripMargin,
+
+    "al_filter" ->
+      s"""$eventsCte,
+         |$rollingCte,
+         |$alertsCte
+         |SELECT * FROM a
+         |WHERE ts_us >= 1704844800000000 AND ts_us < 1705708800000000
+         |  AND severity = 'high'
+         |ORDER BY ts_us DESC, event_id
+         |LIMIT 100""".stripMargin,
+
+    "al_summary" ->
+      s"""$eventsCte,
+         |$rollingCte,
+         |$alertsCte
+         |SELECT severity, event_type, user_id, CAST(count(*) AS BIGINT) AS n
+         |FROM a
+         |GROUP BY GROUPING SETS ((severity), (event_type), (user_id))
+         |ORDER BY severity NULLS FIRST, event_type NULLS FIRST, user_id NULLS FIRST""".stripMargin,
+
+    "al_daily" ->
+      s"""$eventsCte,
+         |$rollingCte,
+         |$alertsCte
+         |SELECT ts_us // 86400000000 AS epoch_day, CAST(count(*) AS BIGINT) AS n
+         |FROM a GROUP BY 1 ORDER BY epoch_day""".stripMargin,
+
+    "al_join_features" ->
+      s"""$eventsCte,
+         |$rollingCte,
+         |$alertsCte
+         |SELECT a.event_id, a.user_id, f.ts_us, f.value, f.mean_12, f.std_12,
+         |       a.severity, a.score
+         |FROM a JOIN f ON a.event_id = f.event_id AND a.user_id = f.user_id
+         |ORDER BY a.event_id""".stripMargin,
     "bm_entity_metrics" ->
       s"""$metricsCte
          |SELECT c_custkey, c_mktsegment, n_orders, total_spend, intensity, rating

@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Alert store / query surface — the Spark-native form of the reference's
+  * PostgreSQL alert API (reference: src/db.py, src/api.py,
+  * src/dashboard_app.py):
+  *   - filtered scans with time range / severity predicates + ORDER BY
+  *     ts DESC + LIMIT (db.py:113 `query_anomalies`, api.py:106 `get_alerts`)
+  *   - multi-dimension count summaries (db.py:171 `get_anomaly_summary`:
+  *     counts by severity / rule / zone) — one GROUPING SETS pass instead
+  *     of the reference's three sequential GROUP BY queries
+  *   - daily trend counts (dashboard_app.py:408)
+  *   - alerts ⋈ source time-series overlay join (dashboard_app.py:147)
+  *
+  * Scale: the summary is a single expand+aggregate over the alert stream
+  * (3 grouped dimensions ⇒ 3× expand, map-side combined); the overlay join
+  * keys on (user_id, event_id) and co-partitions with the feature stream.
+  */
+object Alerts {
+
+  /** Filtered alert scan: [startUs, endUs) × severity, newest first,
+    * bounded. Pushdown-friendly: the predicates sit directly above the
+    * scan, the sort+limit collapses to a TakeOrderedAndProject. */
+  def filterAlerts(alerts: DataFrame, startUs: Long, endUs: Long,
+      severity: String, limit: Int): DataFrame =
+    alerts
+      .filter(col("ts_us") >= startUs && col("ts_us") < endUs
+        && col("severity") === severity)
+      .orderBy(col("ts_us").desc, col("event_id"))
+      .limit(limit)
+
+  /** Counts by severity / event type / key in one GROUPING SETS pass
+    * (reference runs three separate GROUP BY queries, db.py:203-226). */
+  def summary(alerts: DataFrame): DataFrame =
+    alerts
+      .groupingSets(
+        Seq(Seq(col("severity")), Seq(col("event_type")), Seq(col("user_id"))),
+        col("severity"), col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("severity", "event_type", "user_id")
+
+  /** Daily alert counts (epoch-day index; pure integer µs arithmetic). */
+  def daily(alerts: DataFrame): DataFrame =
+    alerts
+      .groupBy(expr("ts_us div 86400000000").as("epoch_day"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("epoch_day")
+
+  /** Overlay join: alerts back onto the rolling-feature stream
+    * (dashboard_app.py:147 pd.merge on timestamp). */
+  def joinFeatures(alerts: DataFrame, features: DataFrame): DataFrame =
+    alerts
+      .select("event_id", "user_id", "severity", "score")
+      .join(features, Seq("event_id", "user_id"))
+      .select("event_id", "user_id", "ts_us", "value", "mean_12", "std_12",
+        "severity", "score")
+      .orderBy("event_id")
+}

@@ -1,0 +1,147 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
+import org.apache.spark.sql.types.DecimalType
+
+import graft.sources.Tables
+
+/** Time-series ETL — the Spark-native form of the reference's HVAC sensor
+  * pipeline (reference: src/pipeline_batch.py): cleaning with per-zone
+  * forward-fill (clean_data:36), rolling mean/std features over 3- and
+  * 12-row windows (engineer_features:70), lag + rate-of-change features
+  * (engineer_features:131-140), plus time-bucket resampling and gap-based
+  * sessionization (the general form of the reference's episode logic).
+  *
+  * Zone analog: `events.user_id`; reading analog: `events.value`.
+  *
+  * The reference loops over zones in driver Python
+  * (pipeline_batch.py:100 `for zone in df['zone_id'].unique()`); here every
+  * per-zone computation is a single window spec partitioned by the key, so
+  * the work distributes across executors and scales with key cardinality —
+  * no driver-side iteration.
+  *
+  * Determinism: event time is carried as epoch microseconds (`ts_us`,
+  * BIGINT — DuckDB's ns-timestamps and Spark's µs-timestamps agree after
+  * truncation); window order is always (ts_us, event_id); windowed
+  * means/stds go through exact DECIMAL window sums (a DuckDB segment tree
+  * and Spark's streaming frame evaluation may add doubles in different
+  * orders, decimals are order-free).
+  */
+object TimeSeries {
+
+  private val dec = DecimalType(18, 2)
+
+  /** Events with comparable µs event time. */
+  def base(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .select("event_id", "user_id", "ts_us", "event_type", "value")
+
+  private def keyOrder: WindowSpec =
+    Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+
+  /** Cleaning: simulate sensor dropouts (readings on 'error' events are
+    * null) then per-key forward-fill in time order, dropping leading nulls
+    * (reference: pipeline_batch.py:57 groupby-ffill + dropna). */
+  def clean(events: DataFrame): DataFrame = {
+    val filled = last(
+      when(col("event_type") === "error", lit(null).cast("double"))
+        .otherwise(col("value")),
+      ignoreNulls = true)
+      .over(keyOrder.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    events
+      .withColumn("value_filled", filled)
+      .filter(col("value_filled").isNotNull)
+      .select("event_id", "user_id", "ts_us", "value_filled")
+      .orderBy("user_id", "ts_us", "event_id")
+  }
+
+  /** Exact windowed mean over a trailing N-row frame (min_periods=1). */
+  private def rollMean(n: Int): org.apache.spark.sql.Column = {
+    val w = keyOrder.rowsBetween(-(n - 1), Window.currentRow)
+    sum(col("value").cast(dec)).over(w).cast("double") /
+      count(lit(1)).over(w)
+  }
+
+  /** Exact windowed sample-std via the decimal sum/sum-of-squares identity;
+    * single-row frames yield 0 (reference fills std NaN with 0,
+    * pipeline_batch.py:107). */
+  private def rollStd(n: Int): org.apache.spark.sql.Column = {
+    val w   = keyOrder.rowsBetween(-(n - 1), Window.currentRow)
+    val s1  = sum(col("value").cast(dec)).over(w).cast("double")
+    val s2  = sum((col("value").cast(dec) * col("value").cast(dec))).over(w).cast("double")
+    val cnt = count(lit(1)).over(w)
+    coalesce(
+      sqrt(greatest(
+        (s2 - s1 * s1 / cnt) / when(cnt > 1, cnt - 1),
+        lit(0.0))),
+      lit(0.0))
+  }
+
+  /** Rolling features: trailing 3-row and 12-row mean/std per key
+    * (reference: pipeline_batch.py:103-127 rolling 15-min/60-min stats). */
+  def rollingFeatures(events: DataFrame): DataFrame =
+    events
+      .withColumn("mean_3", rollMean(3))
+      .withColumn("std_3", rollStd(3))
+      .withColumn("mean_12", rollMean(12))
+      .withColumn("std_12", rollStd(12))
+      .select("event_id", "user_id", "ts_us", "event_type", "value",
+        "mean_3", "std_3", "mean_12", "std_12")
+      .orderBy("user_id", "ts_us", "event_id")
+
+  /** Lag-1 and rate-of-change features
+    * (reference: pipeline_batch.py:131-140 shift(1) + diff()). */
+  def lagDelta(events: DataFrame): DataFrame =
+    events
+      .withColumn("value_lag1", lag(col("value"), 1).over(keyOrder))
+      .withColumn("delta", col("value") - lag(col("value"), 1).over(keyOrder))
+      .select("event_id", "user_id", "ts_us", "value", "value_lag1", "delta")
+      .orderBy("user_id", "ts_us", "event_id")
+
+  /** Hourly resample per event type: count / exact total / min / max / mean
+    * (reference: dashboard_app.py:408 daily counts; pandas resample analog).
+    * Bucketing is pure integer µs arithmetic — engine-agnostic. */
+  def resampleHourly(events: DataFrame): DataFrame = {
+    val bucket = (col("ts_us") - (col("ts_us") % lit(3600000000L))).as("bucket_us")
+    events
+      .groupBy(bucket, col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(dec)).as("v_dec"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+      .select(
+        col("bucket_us"), col("event_type"), col("n_events"),
+        col("v_dec").cast("double").as("total_value"),
+        (col("v_dec").cast("double") / col("n_events")).as("avg_value"),
+        col("min_value"), col("max_value"))
+      .orderBy("bucket_us", "event_type")
+  }
+
+  /** Gap-based sessionization: a >12h silence starts a new session; one
+    * output row per (key, session) with span + exact value total. The
+    * general form of the reference's fault-episode segmentation
+    * (generate_hvac_data.py:115 episode windows). */
+  def sessionize(events: DataFrame, gapUs: Long = 43200000000L): DataFrame = {
+    val prev = lag(col("ts_us"), 1).over(keyOrder)
+    val newSess = when(prev.isNull || (col("ts_us") - prev) > gapUs, 1).otherwise(0)
+    events
+      .withColumn("new_sess", newSess)
+      .withColumn("session_id",
+        sum(col("new_sess"))
+          .over(keyOrder.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        min(col("ts_us")).as("session_start_us"),
+        max(col("ts_us")).as("session_end_us"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(dec)).as("v_dec"))
+      .select(col("user_id"), col("session_id"), col("session_start_us"),
+        col("session_end_us"), col("n_events"),
+        col("v_dec").cast("double").as("total_value"))
+      .orderBy("user_id", "session_id")
+  }
+}

@@ -1,0 +1,85 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Alerts, AnomalyRules, TimeSeries}
+
+class TimeSeriesSpec extends AnyFunSuite {
+  import TestSpark.{sf, spark}
+
+  lazy val events = TimeSeries.base(spark, sf).cache()
+
+  test("clean forward-fills error readings and drops leading nulls") {
+    val cleaned = TimeSeries.clean(events)
+    assert(cleaned.filter(col("value_filled").isNull).count() === 0)
+    // rows only drop when a key's first reading(s) are error events
+    assert(cleaned.count() <= events.count())
+    assert(cleaned.count() > events.count() * 9 / 10)
+  }
+
+  test("rolling mean equals value on each key's first row") {
+    val feats = TimeSeries.rollingFeatures(events)
+    val firsts = feats
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("ts_us", "event_id")))
+      .filter(col("rn") === 1)
+    assert(firsts.filter(abs(col("mean_3") - col("value")) > 1e-9).count() === 0)
+    assert(firsts.filter(col("std_3") =!= 0.0).count() === 0)
+  }
+
+  test("lagDelta: delta equals value - lag") {
+    val ld = TimeSeries.lagDelta(events)
+    val bad = ld.filter(col("value_lag1").isNotNull)
+      .filter(abs(col("delta") - (col("value") - col("value_lag1"))) > 1e-12)
+    assert(bad.count() === 0)
+  }
+
+  test("resample buckets partition all events") {
+    val rs = TimeSeries.resampleHourly(events)
+    assert(rs.agg(sum("n_events")).collect().head.getLong(0) === events.count())
+  }
+
+  test("sessionize covers all events with positive-length sessions") {
+    val sess = TimeSeries.sessionize(events)
+    assert(sess.agg(sum("n_events")).collect().head.getLong(0) === events.count())
+    assert(sess.filter(col("session_end_us") < col("session_start_us")).count() === 0)
+  }
+
+  test("threshold alerts respect both conjuncts") {
+    val alerts = AnomalyRules.thresholdAlerts(TimeSeries.rollingFeatures(events))
+    assert(alerts.filter(col("value") <= 150 || col("score") <= 1.0).count() === 0)
+  }
+
+  test("consecutive runs are all above threshold with run_len >= 3") {
+    val runs = AnomalyRules.consecutiveRuns(events)
+    assert(runs.filter(col("value") <= 100 || col("run_len") < 3).count() === 0)
+  }
+
+  test("zscore alerts are beyond the cut") {
+    val z = AnomalyRules.zscoreAlerts(events)
+    assert(z.filter(abs(col("zscore")) <= 2.5).count() === 0)
+  }
+
+  test("alert summary counts each dimension fully") {
+    val alerts = AnomalyRules.thresholdAlerts(TimeSeries.rollingFeatures(events)).cache()
+    val total = alerts.count()
+    val s = Alerts.summary(alerts).cache()
+    val bySev = s.filter(col("severity").isNotNull)
+      .agg(sum("n")).collect().head.getLong(0)
+    val byType = s.filter(col("event_type").isNotNull)
+      .agg(sum("n")).collect().head.getLong(0)
+    assert(bySev === total && byType === total)
+  }
+
+  test("filterAlerts honors range, severity, limit and descending order") {
+    val alerts = AnomalyRules.thresholdAlerts(TimeSeries.rollingFeatures(events))
+    val f = Alerts.filterAlerts(alerts, 1704844800000000L, 1705708800000000L, "high", 5)
+    val rows = f.collect()
+    assert(rows.length <= 5)
+    assert(rows.forall(r => r.getAs[String]("severity") == "high"))
+    val ts = rows.map(_.getAs[Long]("ts_us"))
+    assert(ts.sameElements(ts.sorted.reverse))
+  }
+}
