@@ -62,7 +62,22 @@ object SparkEntry {
       val features = TimeSeries.rollingFeatures(TimeSeries.base(s, dir))
       Alerts.joinFeatures(AnomalyRules.thresholdAlerts(features), features)
     }),
+    // --- dedup / similarity / text / multimodal (SURVEY §2: dd_/sim_/tx_/mm_) ---
+    "dd_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir))),
+    "dd_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(Tables.documents(s, dir))),
+    "dd_embedding" -> ((s, dir) => Dedup.embeddingNearDup(Tables.embeddings(s, dir))),
+    "sim_topk" -> ((s, dir) => Similarity.bruteForceTopK(Tables.embeddings(s, dir), 0L, 20)),
+    "tx_tokens" -> ((s, dir) => TextAnalysis.tokenStats(Tables.documents(s, dir))),
+    "tx_quality" -> ((s, dir) => TextAnalysis.qualityScore(Tables.documents(s, dir))),
+    "tx_langid" -> ((s, dir) => TextAnalysis.languageId(Tables.documents(s, dir))),
+    "tx_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(Tables.documents(s, dir))),
+    "mm_binary" -> ((s, dir) => Multimodal.binaryColumns(Tables.documents(s, dir))),
   )
+
+  /** DuckDB twin of VectorMath.dotDec over two array columns. */
+  private def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(generate_series(1, len($a)), " +
+      s"i -> CAST(CAST($a[i] AS DOUBLE) AS DECIMAL(9,7)) * CAST(CAST($b[i] AS DOUBLE) AS DECIMAL(9,7))))"
 
   /** Shared DuckDB CTE mirroring Benchmarking.entityMetrics — the SQL twin
     * of the Spark plan, op-for-op, so doubles match bit-for-bit. */
@@ -272,6 +287,99 @@ object SparkEntry {
          |       a.severity, a.score
          |FROM a JOIN f ON a.event_id = f.event_id AND a.user_id = f.user_id
          |ORDER BY a.event_id""".stripMargin,
+
+    "dd_exact" ->
+      """WITH d AS (
+        |  SELECT doc_id, md5(text) AS content_hash,
+        |         md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS norm_hash
+        |  FROM documents)
+        |SELECT doc_id, content_hash, norm_hash,
+        |       min(doc_id) OVER (PARTITION BY norm_hash) AS canonical_id,
+        |       CAST(count(*) OVER (PARTITION BY norm_hash) AS BIGINT) AS n_copies,
+        |       doc_id <> min(doc_id) OVER (PARTITION BY norm_hash) AS is_duplicate
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    "dd_ngram_jaccard" ->
+      """WITH t AS (SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS toks FROM documents),
+        |ts AS (SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n, toks FROM t),
+        |x AS (SELECT doc_id, source, n, unnest(toks) AS tok FROM ts),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb,
+        |             CAST(count(*) AS BIGINT) AS inter
+        |      FROM x a JOIN x b ON a.source = b.source AND a.tok = b.tok
+        |                        AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2, 3, 4)
+        |SELECT doc_a, doc_b, CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
+        |FROM p WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.9
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dd_embedding" ->
+      s"""WITH n AS (
+         |  SELECT vec_id, label, embedding,
+         |         ${dotSql("embedding", "embedding")} AS nrm
+         |  FROM embeddings),
+         |p AS (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+         |         CAST(${dotSql("a.embedding", "b.embedding")} AS DOUBLE)
+         |           / (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))) AS cosine
+         |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
+         |SELECT vec_a, vec_b, label, cosine FROM p
+         |WHERE cosine >= 0.3
+         |ORDER BY vec_a, vec_b""".stripMargin,
+
+    "sim_topk" ->
+      s"""WITH q AS (
+         |  SELECT embedding AS q_emb, ${dotSql("embedding", "embedding")} AS q_nrm
+         |  FROM embeddings WHERE vec_id = 0)
+         |SELECT vec_id, label,
+         |       CAST(${dotSql("embedding", "q_emb")} AS DOUBLE)
+         |         / (sqrt(CAST(${dotSql("embedding", "embedding")} AS DOUBLE))
+         |            * sqrt(CAST(q_nrm AS DOUBLE))) AS cosine
+         |FROM embeddings CROSS JOIN q
+         |WHERE vec_id <> 0
+         |ORDER BY cosine DESC, vec_id
+         |LIMIT 20""".stripMargin,
+
+    "tx_tokens" ->
+      """SELECT doc_id, n_chars,
+        |       CAST(length(text) AS BIGINT) AS n_chars_calc,
+        |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |       CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens,
+        |       CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+        |         / len(string_split(text, ' ')) AS avg_token_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "tx_quality" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |         CAST(length(text) AS BIGINT) AS n_chars_calc,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |         CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT) AS alpha,
+        |         CAST(len(list_filter(string_split(text, ' '),
+        |                  t -> t IN ('the','a','of','to','and','in'))) AS BIGINT) AS n_stop
+        |  FROM documents)
+        |SELECT doc_id, n_tokens,
+        |       CAST(alpha AS DOUBLE) / n_chars_calc AS alpha_ratio,
+        |       CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+        |       0.5 * (CAST(alpha AS DOUBLE) / n_chars_calc)
+        |         + 0.3 * (1.0 - CAST(n_stop AS DOUBLE) / n_tokens)
+        |         + 0.2 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) AS score,
+        |       CASE WHEN 0.5 * (CAST(alpha AS DOUBLE) / n_chars_calc)
+        |                 + 0.3 * (1.0 - CAST(n_stop AS DOUBLE) / n_tokens)
+        |                 + 0.2 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) >= 0.8 THEN 'high'
+        |            WHEN 0.5 * (CAST(alpha AS DOUBLE) / n_chars_calc)
+        |                 + 0.3 * (1.0 - CAST(n_stop AS DOUBLE) / n_tokens)
+        |                 + 0.2 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) >= 0.6 THEN 'medium'
+        |            ELSE 'low' END AS quality_band
+        |FROM b ORDER BY doc_id""".stripMargin,
+
+    "mm_binary" ->
+      """SELECT doc_id,
+        |       encode(text) AS payload,
+        |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |       upper(hex(encode(substring(text, 1, 8)))) AS header_hex,
+        |       'text/utf-8' AS modality,
+        |       CAST(CAST(octet_length(encode(text)) AS BIGINT) % 7 AS DOUBLE) / 7.0 AS fake_feature
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "bm_entity_metrics" ->
       s"""$metricsCte
          |SELECT c_custkey, c_mktsegment, n_orders, total_spend, intensity, rating

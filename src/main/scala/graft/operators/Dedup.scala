@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.functions.VectorMath
+
+/** Deduplication operators for document/embedding corpora — the
+  * training-data-pipeline extension mandated alongside the reference's own
+  * surface (SURVEY.md §2 dd_*). The reference's ETL dedups implicitly via
+  * pandas groupby uniqueness (generate_sample_data.py builds keyed frames);
+  * here dedup is a first-class scalable operator family.
+  *
+  * Scale design:
+  *   - exact/normalized dedup: one hash-aggregate / window over a content
+  *     key — shuffles only on the 16-byte hash, never on the text.
+  *   - pairwise Jaccard is NEVER run unblocked: candidates are restricted
+  *     to a blocking key (here `source`; MinHash-LSH banding is the
+  *     unsupervised blocking path, see MinHashLsh). Within-block pair
+  *     generation is a token-equality self-join, so cost tracks shared-token
+  *     density, not corpus².
+  *   - embedding near-dup blocks on `label` (IVF-style coarse partition).
+  */
+object Dedup {
+
+  /** Exact + normalized content dedup: md5 of the raw text and of the
+    * sorted distinct token set; canonical id = min doc over the normalized
+    * key (so re-ordered/repeated-word copies collapse too). */
+  def exact(documents: DataFrame): DataFrame = {
+    val normKey = md5(
+      concat_ws(" ", array_sort(array_distinct(split(col("text"), " "))))
+        .cast("binary"))
+    val w = Window.partitionBy(col("norm_hash"))
+    documents
+      .withColumn("content_hash", md5(col("text").cast("binary")))
+      .withColumn("norm_hash", normKey)
+      .withColumn("canonical_id", min(col("doc_id")).over(w))
+      .withColumn("n_copies", count(lit(1)).over(w))
+      .withColumn("is_duplicate", col("doc_id") =!= col("canonical_id"))
+      .select("doc_id", "content_hash", "norm_hash", "canonical_id",
+        "n_copies", "is_duplicate")
+      .orderBy("doc_id")
+  }
+
+  /** Blocked token-set Jaccard near-dup pairs: within each `source` block,
+    * docs sharing tokens are paired and scored |A∩B| / |A∪B|; pairs at or
+    * above `threshold` survive. Set sizes ride along the explode-join so
+    * the union size needs no second join. */
+  def ngramJaccard(documents: DataFrame, threshold: Double = 0.9): DataFrame = {
+    val toks = documents.select(
+      col("doc_id"), col("source"),
+      array_distinct(split(col("text"), " ")).as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+    val x = toks.select(col("doc_id"), col("source"), col("n"),
+      explode(col("toks")).as("tok"))
+    val a = x.as("a")
+    val b = x.as("b")
+    a.join(b,
+        col("a.source") === col("b.source") && col("a.tok") === col("b.tok")
+          && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n").as("na"), col("b.n").as("nb"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Embedding-cosine near-dup pairs, blocked on `label` (coarse IVF-style
+    * partition so the pairwise work is per-block, not corpus²). Exact
+    * decimal dot products keep the result oracle-comparable. */
+  def embeddingNearDup(embeddings: DataFrame, threshold: Double = 0.3): DataFrame = {
+    val e = embeddings.select(
+      col("vec_id"), col("label"), col("embedding"),
+      VectorMath.normSqDec(col("embedding")).as("nrm"))
+    val a = e.as("a")
+    val b = e.as("b")
+    a.join(b, col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .select(
+        col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        col("a.label").as("label"),
+        VectorMath.cosineFromDec(
+          VectorMath.dotDec(col("a.embedding"), col("b.embedding")),
+          col("a.nrm"), col("b.nrm")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .select("vec_a", "vec_b", "label", "cosine")
+      .orderBy("vec_a", "vec_b")
+  }
+}

@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text analysis operators over the document corpus (SURVEY.md §2 tx_*):
+  * token statistics, quality scoring, language identification and
+  * fingerprinting — the text half of the training-data-pipeline surface.
+  *
+  * Everything here is per-row expression work (whole-stage codegen, no
+  * shuffle); the operators scale linearly with the scan.
+  */
+object TextAnalysis {
+
+  private val stopwords = Seq("the", "a", "of", "to", "and", "in")
+
+  /** Token/char counting: whitespace tokens, distinct tokens, average
+    * token length (derived from char math so both engines agree). */
+  def tokenStats(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("n_chars_calc", length(col("text")).cast("long"))
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn("n_distinct_tokens",
+        size(array_distinct(split(col("text"), " "))).cast("long"))
+      .withColumn("avg_token_len",
+        (col("n_chars_calc") - (col("n_tokens") - 1)).cast("double") / col("n_tokens"))
+      .select("doc_id", "n_chars", "n_chars_calc", "n_tokens",
+        "n_distinct_tokens", "avg_token_len")
+      .orderBy("doc_id")
+
+  /** Quality scoring: alphabetic ratio, stopword ratio, length saturation →
+    * composite score + band. The weighted formula is written in one fixed
+    * associativity shape shared with the oracle SQL. */
+  def qualityScore(documents: DataFrame): DataFrame = {
+    val nChars  = length(col("text")).cast("long")
+    val toks    = split(col("text"), " ")
+    val nTokens = size(toks).cast("long")
+    val alpha   = length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("long")
+    val nStop   = size(filter(toks, t => t.isin(stopwords.map(lit(_)): _*))).cast("long")
+    documents
+      .withColumn("n_tokens", nTokens)
+      .withColumn("alpha_ratio", alpha.cast("double") / nChars)
+      .withColumn("stop_ratio", nStop.cast("double") / nTokens)
+      .withColumn("score",
+        lit(0.5) * col("alpha_ratio")
+          + lit(0.3) * (lit(1.0) - col("stop_ratio"))
+          + lit(0.2) * least(col("n_tokens").cast("double") / 100.0, lit(1.0)))
+      .withColumn("quality_band",
+        when(col("score") >= 0.8, "high")
+          .when(col("score") >= 0.6, "medium")
+          .otherwise("low"))
+      .select("doc_id", "n_tokens", "alpha_ratio", "stop_ratio", "score",
+        "quality_band")
+      .orderBy("doc_id")
+  }
+
+  /** Language ID by character-n-gram profile scoring: each candidate
+    * language has a small trigram/stopword profile; the doc is scored per
+    * language as (profile hits / tokens) and argmax wins. A heuristic
+    * n-gram identifier in the spirit of compact LID models — per-row
+    * expressions only, so it distributes trivially.
+    *
+    * NOTE: the corpus's `lang` labels are random w.r.t. its shared
+    * vocabulary (all languages draw the same 31 words), so accuracy is
+    * validated on synthetic multilingual text in LlmOpsSpec instead.
+    */
+  def languageId(documents: DataFrame): DataFrame = {
+    val profiles: Map[String, Seq[String]] = Map(
+      "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it"),
+      "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "zu"),
+      "es" -> Seq("el", "la", "que", "de", "los", "es", "una", "por"),
+      "fr" -> Seq("le", "la", "les", "et", "est", "une", "que", "des"),
+      "zh" -> Seq("的", "是", "了", "在", "我", "有", "他", "不"))
+    val toks = split(col("text"), " ")
+    val scores = profiles.map { case (lang, words) =>
+      val hits = size(filter(toks, t => t.isin(words.map(lit(_)): _*)))
+      struct((hits.cast("double") / size(toks)).as("score"), lit(lang).as("lang"))
+    }.toSeq
+    // argmax via greatest over (score, lang) structs; ties break on the
+    // lexicographically-largest language code — deterministic.
+    val best = greatest(scores: _*)
+    documents
+      .withColumn("predicted_lang", best.getField("lang"))
+      .withColumn("lang_score", best.getField("score"))
+      .select("doc_id", "lang", "predicted_lang", "lang_score")
+      .orderBy("doc_id")
+  }
+
+  /** Winnowing-style document fingerprint: rolling hashes of token
+    * 3-shingles, keep each window's minimum → a compact, shift-tolerant
+    * signature (rows-only; cross-checked behaviorally in LlmOpsSpec). */
+  def fingerprint(documents: DataFrame, k: Int = 3, window: Int = 4): DataFrame = {
+    val toks = split(col("text"), " ")
+    val shingles = transform(
+      sequence(lit(0), greatest(size(toks) - k, lit(0))),
+      i => hash(concat_ws(" ", slice(toks, i + lit(1), lit(k)))))
+    val fp = array_distinct(transform(
+      sequence(lit(0), greatest(size(col("shingle_hashes")) - window, lit(0))),
+      i => array_min(slice(col("shingle_hashes"), i + lit(1), lit(window)))))
+    documents
+      .withColumn("shingle_hashes", shingles)
+      .withColumn("fingerprint", fp)
+      .withColumn("fp_size", size(col("fingerprint")).cast("long"))
+      .select("doc_id", "fingerprint", "fp_size")
+      .orderBy("doc_id")
+  }
+}

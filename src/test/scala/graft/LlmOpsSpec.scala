@@ -1,0 +1,116 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.sources.Tables
+
+class LlmOpsSpec extends AnyFunSuite {
+  import TestSpark.{sf, spark}
+  import spark.implicits._
+
+  lazy val docs = Tables.documents(spark, sf).cache()
+
+  test("exact dedup collapses injected duplicates to one canonical id") {
+    val base = Seq(
+      (1L, "alpha beta gamma", "s1"),
+      (2L, "alpha beta gamma", "s1"),     // exact dup of 1
+      (3L, "gamma beta alpha alpha", "s1"), // token-set dup of 1
+      (4L, "totally different words", "s2"))
+      .toDF("doc_id", "text", "source")
+    val out = Dedup.exact(base).collect().sortBy(_.getLong(0))
+    assert(out(0).getAs[Long]("canonical_id") === 1L)
+    assert(out(1).getAs[Long]("canonical_id") === 1L)
+    assert(out(2).getAs[Long]("canonical_id") === 1L) // normalized dup
+    assert(out(3).getAs[Long]("canonical_id") === 4L)
+    assert(out(1).getAs[Boolean]("is_duplicate"))
+    assert(!out(0).getAs[Boolean]("is_duplicate"))
+  }
+
+  test("jaccard pairs are symmetric-free, thresholded, within source") {
+    val pairs = Dedup.ngramJaccard(docs, 0.5).collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall(r => r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b")))
+    assert(pairs.forall(_.getAs[Double]("jaccard") >= 0.5))
+  }
+
+  test("jaccard of identical token sets is 1.0") {
+    val two = Seq((1L, "x y z", "s"), (2L, "z y x", "s")).toDF("doc_id", "text", "source")
+    val p = Dedup.ngramJaccard(two, 0.9).collect()
+    assert(p.length === 1 && p.head.getAs[Double]("jaccard") === 1.0)
+  }
+
+  test("brute-force top-k is sorted descending and excludes the query") {
+    val top = Similarity.bruteForceTopK(Tables.embeddings(spark, sf), 0L, 10).collect()
+    assert(top.length === 10)
+    assert(!top.exists(_.getAs[Long]("vec_id") == 0L))
+    val cos = top.map(_.getAs[Double]("cosine"))
+    assert(cos.sameElements(cos.sorted.reverse))
+  }
+
+  test("token stats: n_chars matches metadata column") {
+    val ts = TextAnalysis.tokenStats(docs)
+    assert(ts.filter(col("n_chars") =!= col("n_chars_calc")).count() === 0)
+    assert(ts.filter(col("n_distinct_tokens") > col("n_tokens")).count() === 0)
+  }
+
+  test("quality score is in [0,1] and bands are consistent") {
+    val q = TextAnalysis.qualityScore(docs)
+    assert(q.filter(col("score") < 0 || col("score") > 1).count() === 0)
+    assert(q.filter(col("quality_band") === "high" && col("score") < 0.8).count() === 0)
+  }
+
+  test("langid identifies synthetic multilingual samples") {
+    val samples = Seq(
+      (1L, "the cat sat and the dog is in the house of it", "en"),
+      (2L, "der hund ist nicht in das haus und die katze", "de"),
+      (3L, "el perro es una mascota que vive por la casa de los gatos", "es"),
+      (4L, "le chien est une bete et les chats sont des amis", "fr"),
+      (5L, "我 是 他 的 朋友 他 有 不 在 了", "zh"))
+      .toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.languageId(samples).collect()
+    out.foreach { r =>
+      assert(r.getAs[String]("predicted_lang") === r.getAs[String]("lang"),
+        s"doc ${r.getAs[Long]("doc_id")}")
+    }
+  }
+
+  test("fingerprint is identical for identical docs, differs for different docs") {
+    val three = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "a b c d e f g h i j"),
+      (3L, "q r s t u v w x y z"))
+      .toDF("doc_id", "text")
+    val fp = TextAnalysis.fingerprint(three).collect().sortBy(_.getLong(0))
+    assert(fp(0).getAs[scala.collection.Seq[Int]]("fingerprint") === fp(1).getAs[scala.collection.Seq[Int]]("fingerprint"))
+    assert(fp(0).getAs[scala.collection.Seq[Int]]("fingerprint") !== fp(2).getAs[scala.collection.Seq[Int]]("fingerprint"))
+  }
+
+  test("fingerprint shares hashes under content shift (winnowing property)") {
+    val shifted = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "zz a b c d e f g h i j"))  // same content, one-token prefix
+      .toDF("doc_id", "text")
+    val fp = TextAnalysis.fingerprint(shifted).collect().sortBy(_.getLong(0))
+    val s1 = fp(0).getAs[scala.collection.Seq[Int]]("fingerprint").toSet
+    val s2 = fp(1).getAs[scala.collection.Seq[Int]]("fingerprint").toSet
+    assert(s1.intersect(s2).nonEmpty)
+  }
+
+  test("multimodal: binary payload round-trips and features are normalized") {
+    val mm = Multimodal.binaryColumns(docs)
+    assert(mm.filter(col("n_bytes") =!= length(col("payload"))).count() === 0)
+    val feats = Multimodal.extractFeatures(mm).collect()
+    assert(feats.length === docs.count())
+    feats.foreach { f =>
+      assert(f.features.length === 16)
+      assert(math.abs(f.features.sum - 1.0f) < 1e-3) // histogram normalized
+    }
+  }
+
+  test("stub decode is deterministic") {
+    val bytes = "hello world".getBytes("UTF-8")
+    assert(Multimodal.stubDecode(bytes, 8).toSeq === Multimodal.stubDecode(bytes, 8).toSeq)
+  }
+}

@@ -32,6 +32,20 @@ def main(sf_dir: str, out_dir: str) -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     failures = 0
+    import os
+    dumped = {d for d in os.listdir(out_dir)
+              if os.path.isdir(os.path.join(out_dir, d))}
+    for name in sorted(dumped - set(oracle)):
+        try:
+            n = duckdb.connect().execute(
+                f"SELECT count(*) FROM read_parquet('{out_dir}/{name}/*.parquet')"
+            ).fetchone()[0]
+            print(f"ROWS {name}: {n} rows (no oracle)")
+            if n == 0:
+                print(f"  WARNING: {name} returned 0 rows")
+        except Exception as e:
+            print(f"FAIL {name}: rows-only read error: {e}")
+            failures += 1
     for name, sql in sorted(oracle.items()):
         try:
             want = con.execute(sql).df()
