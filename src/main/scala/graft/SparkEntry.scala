@@ -72,6 +72,15 @@ object SparkEntry {
     "tx_langid" -> ((s, dir) => TextAnalysis.languageId(Tables.documents(s, dir))),
     "tx_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(Tables.documents(s, dir))),
     "mm_binary" -> ((s, dir) => Multimodal.binaryColumns(Tables.documents(s, dir))),
+    // --- scale-path approximate ops + forest + streaming (rows-only
+    //     except st_window_agg; cross-checked behaviorally in specs) ---
+    "dd_minhash_lsh" -> ((s, dir) =>
+      MinHashLsh.candidatePairs(Tables.documents(s, dir), threshold = 0.85)),
+    "dd_simhash" -> ((s, dir) => SimHash.nearDupPairs(Tables.documents(s, dir))),
+    "sim_ann_lsh" -> ((s, dir) => AnnLsh.topK(Tables.embeddings(s, dir), 0L, 10)),
+    "ad_isolation_forest" -> ((s, dir) => IsolationForest.detect(s, dir)),
+    "st_window_agg" -> ((s, dir) =>
+      graft.streaming.StreamingAlerts.windowedCountsBatch(s, dir)),
   )
 
   /** DuckDB twin of VectorMath.dotDec over two array columns. */
@@ -371,6 +380,14 @@ object SparkEntry {
         |                 + 0.2 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) >= 0.6 THEN 'medium'
         |            ELSE 'low' END AS quality_band
         |FROM b ORDER BY doc_id""".stripMargin,
+
+    "st_window_agg" ->
+      s"""$eventsCte
+         |SELECT ts_us - (ts_us % 600000000) AS window_start_us, event_type,
+         |       CAST(count(*) AS BIGINT) AS n_events,
+         |       max(value) AS max_value
+         |FROM e GROUP BY 1, 2
+         |ORDER BY window_start_us, event_type""".stripMargin,
 
     "mm_binary" ->
       """SELECT doc_id,

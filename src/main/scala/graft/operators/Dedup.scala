@@ -76,10 +76,16 @@ object Dedup {
   def embeddingNearDup(embeddings: DataFrame, threshold: Double = 0.3): DataFrame = {
     val e = embeddings.select(
       col("vec_id"), col("label"), col("embedding"),
-      VectorMath.normSqDec(col("embedding")).as("nrm"))
+      VectorMath.normSqDec(col("embedding")).as("nrm"),
+      sqrt(VectorMath.dotDouble(col("embedding"), col("embedding"))).as("nrm_d"))
     val a = e.as("a")
     val b = e.as("b")
     a.join(b, col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      // cheap double prefilter (one dot per pair; norms precomputed) with
+      // a conservative margin — the exact-decimal cosine differs by <1e-6,
+      // so the expensive decimal pass only touches the surviving pairs
+      .filter(VectorMath.dotDouble(col("a.embedding"), col("b.embedding"))
+        / (col("a.nrm_d") * col("b.nrm_d")) >= threshold - 1e-4)
       .select(
         col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         col("a.label").as("label"),

@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed Isolation Forest — the ML half of the reference's detector
+  * pair (reference: src/models.py:253 `MLBasedDetector`: StandardScaler +
+  * sklearn IsolationForest(n_estimators=100, contamination≈0.02), trained
+  * on normal rows, scored over all rows).
+  *
+  * Spark-shaped training/scoring split:
+  *   - TRAIN on a bounded deterministic sample: rows are tagged with a
+  *     uniform pseudo-random value derived from murmur3(event_id) — no RNG
+  *     state, so the sample is reproducible on any cluster — and the first
+  *     `sampleSize` in hash order are collected. Model size is
+  *     O(trees · leaves), independent of data volume.
+  *   - SCORE with the fitted forest broadcast to executors; scoring is a
+  *     narrow map over the feature columns (no shuffle). The per-row cost
+  *     is trees × depth ≤ 100·8 node hops.
+  *
+  * The forest itself follows Liu/Ting/Zhou (ICDM 2008): random split
+  * feature + uniform split point, subsample of 256/tree, score
+  * 2^(−E[pathLen]/c(n)).
+  */
+object IsolationForest {
+
+  /** Binary tree node: either a split or a leaf holding its sample count. */
+  sealed trait Node extends Serializable
+  final case class Split(feature: Int, value: Double, lo: Node, hi: Node) extends Node
+  final case class Leaf(size: Int) extends Node
+
+  final case class Model(trees: Array[Node], subsample: Int,
+      means: Array[Double], stds: Array[Double]) extends Serializable
+
+  /** Average unsuccessful-search path length in a BST of n nodes —
+    * the normalizer c(n) from the paper. */
+  def avgPathLength(n: Int): Double =
+    if (n <= 1) 0.0
+    else 2.0 * (math.log(n - 1.0) + 0.5772156649) - 2.0 * (n - 1.0) / n
+
+  private def buildTree(rows: Array[Array[Double]], depth: Int, maxDepth: Int,
+      rng: scala.util.Random): Node = {
+    if (rows.length <= 1 || depth >= maxDepth) Leaf(math.max(rows.length, 1))
+    else {
+      val f = rng.nextInt(rows.head.length)
+      val vals = rows.map(_(f))
+      val (mn, mx) = (vals.min, vals.max)
+      if (mn == mx) Leaf(rows.length)
+      else {
+        val split = mn + rng.nextDouble() * (mx - mn)
+        val (lo, hi) = rows.partition(_(f) < split)
+        Split(f, split,
+          buildTree(lo, depth + 1, maxDepth, rng),
+          buildTree(hi, depth + 1, maxDepth, rng))
+      }
+    }
+  }
+
+  private def pathLength(x: Array[Double], node: Node, depth: Int): Double =
+    node match {
+      case Leaf(size) => depth + avgPathLength(size)
+      case Split(f, v, lo, hi) =>
+        if (x(f) < v) pathLength(x, lo, depth + 1) else pathLength(x, hi, depth + 1)
+    }
+
+  /** Fit on a deterministic hash-ordered sample of the feature frame.
+    * Features are standardized with exact-sample mean/std (the
+    * StandardScaler analog, models.py:262). */
+  def fit(features: DataFrame, featureCols: Seq[String], trees: Int = 100,
+      subsample: Int = 256, sampleSize: Int = 4096, seed: Int = 42): Model = {
+    val cols = featureCols.map(col)
+    val sample: Array[Array[Double]] = features
+      .select(cols: _*)
+      .withColumn("rnd", pmod(hash(featureCols.map(col) :+ lit(seed): _*), lit(1000003)))
+      .orderBy(col("rnd"))
+      .limit(sampleSize)
+      .drop("rnd")
+      .collect()
+      .map(r => featureCols.indices.map(i => r.getDouble(i)).toArray)
+    val d = featureCols.length
+    val means = Array.tabulate(d)(i => sample.map(_(i)).sum / sample.length)
+    val stds = Array.tabulate(d) { i =>
+      val m = means(i)
+      val v = sample.map(x => (x(i) - m) * (x(i) - m)).sum / math.max(sample.length - 1, 1)
+      val s = math.sqrt(v); if (s > 0) s else 1.0
+    }
+    val scaled = sample.map(x => Array.tabulate(d)(i => (x(i) - means(i)) / stds(i)))
+    val maxDepth = math.ceil(math.log(subsample.toDouble) / math.log(2.0)).toInt
+    val forest = Array.tabulate(trees) { t =>
+      val rng = new scala.util.Random(seed.toLong * 7919 + t)
+      val sub = Array.fill(subsample)(scaled(rng.nextInt(scaled.length)))
+      buildTree(sub, 0, maxDepth, rng)
+    }
+    Model(forest, subsample, means, stds)
+  }
+
+  /** Score every row: anomaly score in (0,1], flag above `cut`
+    * (models.py:297's score threshold + severity bands). The broadcast
+    * forest makes this a shuffle-free narrow map. */
+  def score(spark: SparkSession, features: DataFrame, featureCols: Seq[String],
+      model: Model, cut: Double = 0.58): DataFrame = {
+    val bc = spark.sparkContext.broadcast(model)
+    val cN = avgPathLength(model.subsample)
+    val scoreUdf = udf { xs: Seq[Double] =>
+      val m = bc.value
+      val z = Array.tabulate(xs.length)(i => (xs(i) - m.means(i)) / m.stds(i))
+      val avg = m.trees.map(t => pathLength(z, t, 0)).sum / m.trees.length
+      math.pow(2.0, -avg / cN)
+    }
+    features
+      .withColumn("if_score", scoreUdf(array(featureCols.map(col): _*)))
+      .withColumn("is_anomaly", col("if_score") > cut)
+      .withColumn("severity",
+        when(col("if_score") > cut + 0.07, "high")
+          .when(col("if_score") > cut, "medium")
+          .otherwise("none"))
+  }
+
+  /** End-to-end detector over the events rolling features (the pipeline
+    * models.py:377 `run_anomaly_detection` runs: features → train → score
+    * → anomaly records). */
+  def detect(spark: SparkSession, dir: String, cut: Double = 0.58): DataFrame = {
+    val featureCols = Seq("value", "mean_3", "std_3", "mean_12", "std_12")
+    val features = TimeSeries.rollingFeatures(TimeSeries.base(spark, dir))
+    val model = fit(features, featureCols)
+    score(spark, features, featureCols, model, cut)
+      .filter(col("is_anomaly"))
+      .select("event_id", "user_id", "ts_us", "value", "if_score", "severity")
+      .orderBy("user_id", "ts_us", "event_id")
+  }
+}

@@ -1,0 +1,84 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured-Streaming form of the alerting pipeline — the real-time
+  * analog of the reference's batch detector + dashboard feed
+  * (reference: src/models.py rules over a growing table,
+  * src/dashboard_app.py:408 trend counts; re-expressed as
+  * readStream → watermark → window aggregation / stateless rules).
+  *
+  * The batch and streaming plans share the same expressions, so
+  * `windowedCounts` on a static frame equals the streaming result after
+  * `processAllAvailable` — asserted in StreamingSpec, which drives the
+  * parquet file through a real streaming query with a memory sink.
+  *
+  * Scale: the windowed aggregate is keyed on (window, event_type); with a
+  * watermark the state store evicts closed windows, so state is bounded by
+  * (open windows × types) regardless of stream length.
+  */
+object StreamingAlerts {
+
+  /** Schema of the events stream (ns timestamps arrive as longs —
+    * the same `nanosAsLong` contract as the batch loader). */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  private def withEventTime(df: DataFrame): DataFrame =
+    df.withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+
+  /** Open a streaming source over an events parquet directory. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the file source wants a directory; pathGlobFilter pins it to the
+    // events table inside the shared sf directory
+    withEventTime(
+      spark.readStream.schema(eventsSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
+  }
+
+  /** 10-minute tumbling-window counts/sums per event type with a 1-hour
+    * watermark (append-mode compatible). */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("event_time", "1 hour")
+      .groupBy(window(col("event_time"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), max(col("value")).as("max_value"))
+      .select(
+        unix_micros(col("window.start")).as("window_start_us"),
+        col("event_type"), col("n_events"), col("max_value"))
+
+  /** Stateless streaming rule: per-record threshold alerts (the streaming
+    * twin of AnomalyRules.thresholdAlerts' raw-value conjunct). */
+  def thresholdAlerts(events: DataFrame, threshold: Double = 150.0): DataFrame =
+    events
+      .filter(col("value") > threshold)
+      .select(col("event_id"), col("user_id"), col("event_time"),
+        col("value"),
+        lit("threshold_high").as("rule_name"),
+        when(col("value") > 250, "high").otherwise("medium").as("severity"))
+
+  /** Batch equivalent of `windowedCounts` on the same data — the
+    * oracle-checkable query surface (st_window_agg). */
+  def windowedCountsBatch(spark: SparkSession, dir: String): DataFrame = {
+    val events = withEventTime(
+      graft.sources.Tables.table(spark, {
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true"); dir
+      }, "events"))
+    events
+      .groupBy(window(col("event_time"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), max(col("value")).as("max_value"))
+      .select(
+        unix_micros(col("window.start")).as("window_start_us"),
+        col("event_type"), col("n_events"), col("max_value"))
+      .orderBy("window_start_us", "event_type")
+  }
+}

@@ -1,0 +1,112 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.operators._
+import graft.sources.Tables
+import graft.streaming.StreamingAlerts
+
+class ScalePathSpec extends AnyFunSuite {
+  import TestSpark.{sf, spark}
+
+  test("minhash-LSH recovers most exact-Jaccard near-dup pairs (recall)") {
+    val docs = Tables.documents(spark, sf)
+    val exact = Dedup.ngramJaccard(docs, 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = MinHashLsh.candidatePairs(docs, threshold = 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    val recall = exact.count(approx.contains).toDouble / exact.size
+    assert(recall >= 0.7, s"recall $recall over ${exact.size} exact pairs")
+  }
+
+  test("minhash estimate tracks exact jaccard on identical-set docs") {
+    import spark.implicits._
+    val two = Seq((1L, "x y z w v", "s"), (2L, "v w z y x", "s"))
+      .toDF("doc_id", "text", "source")
+    val p = MinHashLsh.candidatePairs(two, threshold = 0.99).collect()
+    assert(p.length === 1 && p.head.getAs[Double]("jaccard_est") === 1.0)
+  }
+
+  test("simhash: identical token sets give hamming 0; corpus has such pairs") {
+    val pairs = SimHash.nearDupPairs(Tables.documents(spark, sf)).collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall(_.getAs[Long]("hamming") <= 6))
+    assert(pairs.exists(_.getAs[Long]("hamming") === 0L))
+  }
+
+  test("simhash fingerprints differ for disjoint-vocabulary docs") {
+    import spark.implicits._
+    val two = Seq((1L, "aa bb cc dd ee", "s"), (2L, "vv ww xx yy zz", "s"))
+      .toDF("doc_id", "text", "source")
+    assert(SimHash.nearDupPairs(two, maxDist = 6).count() === 0)
+  }
+
+  test("ANN top-k overlaps brute-force top-k and never beats its best") {
+    val emb = Tables.embeddings(spark, sf)
+    val brute = Similarity.bruteForceTopK(emb, 0L, 10).collect()
+    val ann = AnnLsh.topK(emb, 0L, 10).collect()
+    assert(ann.nonEmpty)
+    val bruteBest = brute.head.getAs[Double]("cosine")
+    assert(ann.forall(_.getAs[Double]("cosine") <= bruteBest + 1e-9))
+    val bruteIds = brute.map(_.getAs[Long]("vec_id")).toSet
+    val annIds = ann.map(_.getAs[Long]("vec_id")).toSet
+    assert(bruteIds.intersect(annIds).nonEmpty, "no overlap with brute force")
+  }
+
+  test("isolation forest flags a small fraction, biased to extreme readings") {
+    val det = IsolationForest.detect(spark, sf).cache()
+    val n = det.count()
+    val total = TimeSeries.base(spark, sf).count()
+    assert(n > 0, "no anomalies flagged")
+    assert(n < total / 5, s"flagged $n of $total — too loose")
+    // flagged rows should deviate from their rolling mean far more than avg
+    val feats = TimeSeries.rollingFeatures(TimeSeries.base(spark, sf))
+    val overallDev = feats.agg(avg(abs(col("value") - col("mean_12"))))
+      .collect().head.getDouble(0)
+    val flaggedDev = det.join(feats.select("event_id", "mean_12"), "event_id")
+      .agg(avg(abs(col("value") - col("mean_12")))).collect().head.getDouble(0)
+    assert(flaggedDev > overallDev, s"flagged dev $flaggedDev <= overall $overallDev")
+  }
+
+  test("isolation forest is deterministic across fits") {
+    val a = IsolationForest.detect(spark, sf).collect().map(_.getLong(0))
+    val b = IsolationForest.detect(spark, sf).collect().map(_.getLong(0))
+    assert(a.sameElements(b))
+  }
+
+  test("streaming windowed counts equal the batch plan") {
+    val stream = StreamingAlerts.readEvents(spark, sf)
+    val q = StreamingAlerts.windowedCounts(stream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("st_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.table("st_out")
+      .orderBy("window_start_us", "event_type").collect()
+    val want = StreamingAlerts.windowedCountsBatch(spark, sf).collect()
+    assert(got.length === want.length)
+    got.zip(want).foreach { case (g, w) =>
+      assert(g.getLong(0) === w.getLong(0))
+      assert(g.getString(1) === w.getString(1))
+      assert(g.getLong(2) === w.getLong(2))
+      assert(g.getDouble(3) === w.getDouble(3))
+    }
+  }
+
+  test("streaming threshold alerts fire only above threshold") {
+    val stream = StreamingAlerts.readEvents(spark, sf)
+    val q = StreamingAlerts.thresholdAlerts(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("st_alerts")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val alerts = spark.table("st_alerts")
+    assert(alerts.count() > 0)
+    assert(alerts.filter(col("value") <= 150).count() === 0)
+  }
+}
