@@ -75,7 +75,7 @@ object SparkEntry {
     // --- scale-path approximate ops + forest + streaming (rows-only
     //     except st_window_agg; cross-checked behaviorally in specs) ---
     "dd_minhash_lsh" -> ((s, dir) =>
-      MinHashLsh.candidatePairs(Tables.documents(s, dir), threshold = 0.85)),
+      MinHashLsh.candidatePairs(Tables.documents(s, dir), threshold = 0.95)),
     "dd_simhash" -> ((s, dir) => SimHash.nearDupPairs(Tables.documents(s, dir))),
     "sim_ann_lsh" -> ((s, dir) => AnnLsh.topK(Tables.embeddings(s, dir), 0L, 10)),
     "ad_isolation_forest" -> ((s, dir) => IsolationForest.detect(s, dir)),
@@ -309,16 +309,15 @@ object SparkEntry {
         |FROM d ORDER BY doc_id""".stripMargin,
 
     "dd_ngram_jaccard" ->
-      """WITH t AS (SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS toks FROM documents),
-        |ts AS (SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n, toks FROM t),
-        |x AS (SELECT doc_id, source, n, unnest(toks) AS tok FROM ts),
+      """WITH t AS (SELECT doc_id, source,
+        |                  list_sort(list_distinct(string_split(text, ' '))) AS toks,
+        |                  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n
+        |           FROM documents),
         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb,
-        |             CAST(count(*) AS BIGINT) AS inter
-        |      FROM x a JOIN x b ON a.source = b.source AND a.tok = b.tok
-        |                        AND a.doc_id < b.doc_id
-        |      GROUP BY 1, 2, 3, 4)
+        |             CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS inter
+        |      FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id)
         |SELECT doc_a, doc_b, CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
-        |FROM p WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.9
+        |FROM p WHERE inter * 190 >= 90 * (na + nb)
         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "dd_embedding" ->

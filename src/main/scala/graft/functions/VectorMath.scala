@@ -45,12 +45,10 @@ object VectorMath {
   def cosineFromDec(dot: Column, normSqA: Column, normSqB: Column): Column =
     dot.cast("double") / (sqrt(normSqA.cast("double")) * sqrt(normSqB.cast("double")))
 
-  /** Fast double dot product (codegen-friendly; not oracle-exact). */
+  /** Fast double dot product — the native codegen expression
+    * (org.apache.spark.sql.graft.FloatDotProduct); not oracle-exact across engines. */
   def dotDouble(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, x) => acc + x)
+    org.apache.spark.sql.graft.ColumnBridge.floatDot(a, b)
 
   /** Fast double cosine. */
   def cosineDouble(a: Column, b: Column): Column =

@@ -50,22 +50,31 @@ object Dedup {
   def ngramJaccard(documents: DataFrame, threshold: Double = 0.9): DataFrame = {
     val toks = documents.select(
       col("doc_id"), col("source"),
-      array_distinct(split(col("text"), " ")).as("toks"))
+      array_sort(array_distinct(split(col("text"), " "))).as("toks"))
       .withColumn("n", size(col("toks")).cast("long"))
-    val x = toks.select(col("doc_id"), col("source"), col("n"),
-      explode(col("toks")).as("tok"))
-    val a = x.as("a")
-    val b = x.as("b")
+    // block self-join on `source` only; the intersection runs in-place on
+    // the sorted token arrays (native O(n+m) merge kernel) — no token
+    // explode, so the shuffle carries one row per doc per block instead
+    // of one per (doc, token)
+    val a = toks.as("a")
+    val b = toks.as("b")
     a.join(b,
-        col("a.source") === col("b.source") && col("a.tok") === col("b.tok")
-          && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(
+        col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
+      .select(
         col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.n").as("na"), col("b.n").as("nb"))
-      .agg(count(lit(1)).as("inter"))
+        col("a.n").as("na"), col("b.n").as("nb"),
+        org.apache.spark.sql.graft.ColumnBridge
+          .sortedIntersectCount(col("a.toks"), col("b.toks"))
+          .cast("long").as("inter"))
+      // threshold in the single-reference form inter·(100+θ₁₀₀) ≥
+      // θ₁₀₀·(na+nb) — algebraically j ≥ θ, but in exact integer math so
+      // boundary pairs (j = θ precisely) are included in both engines.
+      // Catalyst pushes this into the join condition, and with one `inter`
+      // reference the native intersect kernel runs once per pair, not twice
+      .filter(col("inter") * lit(100L + math.round(threshold * 100))
+        >= lit(math.round(threshold * 100)) * (col("na") + col("nb")))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
-      .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
       .orderBy("doc_a", "doc_b")
   }

@@ -19,23 +19,21 @@ object SimHash {
   /** Per-doc 64-bit simhash as an array of 64 sign bits (0/1). */
   def fingerprints(documents: DataFrame): DataFrame = {
     val toks = array_distinct(split(col("text"), " "))
-    // votes[j] = Σ_tokens (bit j of xxhash64(token) ? +1 : -1)
-    val votes = aggregate(
-      toks,
-      array_repeat(lit(0), 64),
-      (acc, t) => zip_with(acc,
-        transform(sequence(lit(0), lit(63)),
-          j => when(call_function("shiftright", xxhash64(t), j).bitwiseAND(1) === 1, 1).otherwise(-1)),
-        (a, v) => a + v))
+    // votes[j] = Σ_tokens (bit j of xxhash64(token) ? +1 : -1), computed by
+    // the native codegen kernel (org.apache.spark.sql.graft.SimHashBits)
     documents
       .withColumn("bits",
-        transform(votes, v => when(v > 0, 1).otherwise(0)))
-      .withColumn("prefix16", slice(col("bits"), 1, 16))
+        org.apache.spark.sql.graft.ColumnBridge.simhashBits(
+          transform(toks, t => xxhash64(t))))
+      // prefix packed to a scalar so the blocking join keys on a long,
+      // not on array equality
+      .withColumn("prefix16",
+        aggregate(slice(col("bits"), 1, 16), lit(0L), (acc, x) => acc * 2 + x))
       .select("doc_id", "source", "bits", "prefix16")
   }
 
   /** Near-dup pairs: same 16-bit prefix block, Hamming distance ≤ maxDist
-    * over the full 64 bits. */
+    * over the full 64 bits (64 − native match count). */
   def nearDupPairs(documents: DataFrame, maxDist: Int = 6): DataFrame = {
     val fps = fingerprints(documents)
     val a = fps.as("a")
@@ -44,8 +42,8 @@ object SimHash {
         col("a.prefix16") === col("b.prefix16")
           && col("a.doc_id") < col("b.doc_id"))
       .withColumn("hamming",
-        size(filter(zip_with(col("a.bits"), col("b.bits"), (x, y) => x =!= y),
-          idx => idx)).cast("long"))
+        (lit(64) - org.apache.spark.sql.graft.ColumnBridge
+          .matchCount(col("a.bits"), col("b.bits"))).cast("long"))
       .filter(col("hamming") <= maxDist)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("hamming"))

@@ -1,0 +1,335 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType}
+
+/** Native Catalyst expression: dot product of two `array<float>` columns,
+  * accumulated in double.
+  *
+  * This is the hot kernel of every similarity/ANN/near-dup operator. The
+  * built-in route (`aggregate(zip_with(...))`) allocates a lambda frame and
+  * boxes per element and falls out of whole-stage codegen; this expression
+  * generates a tight primitive loop (`getFloat` on the unsafe array, no
+  * boxing) inside the enclosing WholeStageCodegen stage, which is the
+  * preference-order step (b) — a custom `Expression` before reaching for a
+  * custom physical operator.
+  *
+  * Null contract: null array → null result (BinaryExpression's default
+  * null-intolerant path); null *elements* are treated as 0 contribution.
+  */
+case class FloatDotProduct(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "float_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i) && !y.isNullAt(i)) {
+        s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      }
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |    $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  }
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): FloatDotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Bridge into Spark 4's sealed Column API (Column↔Expression became
+  * private[sql] in 4.x; hosting this object in a sql subpackage is the
+  * standard extension-library shim). */
+object ColumnBridge {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.classic.ExpressionUtils
+
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** float_dot(a, b) as a Column. */
+  def floatDot(a: Column, b: Column): Column =
+    column(FloatDotProduct(expression(a), expression(b)))
+
+  /** long_array_match_count(a, b) as a Column. */
+  def matchCount(a: Column, b: Column): Column =
+    column(LongArrayMatchCount(expression(a), expression(b)))
+
+  /** sorted_intersect_count(a, b) as a Column. */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    column(SortedStringArrayIntersectCount(expression(a), expression(b)))
+
+  /** simhash_bits(hs) as a Column. */
+  def simhashBits(hs: Column): Column =
+    column(SimHashBits(expression(hs)))
+
+  /** minhash_signature(hs) as a Column. */
+  def minhashSig(hs: Column, as: Array[Long], bs: Array[Long], p: Long): Column =
+    column(MinHashSignature(expression(hs), as, bs, p))
+}
+
+/** Native codegen expression: number of positions where two `array<long>`
+  * columns hold equal values — the MinHash signature-agreement kernel.
+  * The built-in form (`size(filter(zip_with(...)))`) allocates three
+  * intermediate arrays per row in interpreted lambdas; on a self-similar
+  * corpus the candidate-pair volume is millions, so this loop is the
+  * difference between seconds and minutes. */
+case class LongArrayMatchCount(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  import org.apache.spark.sql.catalyst.util.ArrayData
+  import org.apache.spark.sql.types._
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+
+  override def dataType: DataType = IntegerType
+
+  override def prettyName: String = "long_array_match_count"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i) && !y.isNullAt(i) && x.getLong(i) == y.getLong(i)) c += 1
+      i += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val c = ctx.freshName("c")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $c = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)
+         |      && $a.getLong($i) == $b.getLong($i)) $c++;
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LongArrayMatchCount =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Native codegen expression: full MinHash signature in one pass.
+  * Input: array<long> of (pre-reduced mod p) token hashes. Output:
+  * array<long> of k minima of the Carter-Wegman transforms
+  * (a_i·h + b_i) mod p. One tight k×tokens loop per row instead of k
+  * interpreted array transforms — signature cost becomes memory-bound.
+  */
+case class MinHashSignature(child: Expression, as: Array[Long], bs: Array[Long], p: Long)
+    extends UnaryExpression with ExpectsInputTypes {
+  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+  import org.apache.spark.sql.types._
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def prettyName: String = "minhash_signature"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val hs = input.asInstanceOf[ArrayData]
+    val n = hs.numElements()
+    val k = as.length
+    val out = new Array[Long](k)
+    var i = 0
+    while (i < k) {
+      var mn = Long.MaxValue
+      val a = as(i); val b = bs(i)
+      var j = 0
+      while (j < n) {
+        if (!hs.isNullAt(j)) {
+          val v = (a * hs.getLong(j) + b) % p
+          if (v < mn) mn = v
+        }
+        j += 1
+      }
+      out(i) = if (mn == Long.MaxValue) 0L else mn
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val asRef = ctx.addReferenceObj("mhAs", as, "long[]")
+    val bsRef = ctx.addReferenceObj("mhBs", bs, "long[]")
+    nullSafeCodeGen(ctx, ev, hs => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val n = ctx.freshName("n"); val k = ctx.freshName("k")
+      val out = ctx.freshName("out"); val mn = ctx.freshName("mn")
+      val v = ctx.freshName("v")
+      s"""
+         |int $n = $hs.numElements();
+         |int $k = $asRef.length;
+         |long[] $out = new long[$k];
+         |for (int $i = 0; $i < $k; $i++) {
+         |  long $mn = Long.MAX_VALUE;
+         |  for (int $j = 0; $j < $n; $j++) {
+         |    if (!$hs.isNullAt($j)) {
+         |      long $v = ($asRef[$i] * $hs.getLong($j) + $bsRef[$i]) % ${p}L;
+         |      if ($v < $mn) $mn = $v;
+         |    }
+         |  }
+         |  $out[$i] = ($mn == Long.MAX_VALUE) ? 0L : $mn;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+}
+
+/** Native codegen expression: SimHash bit vector from an array of 64-bit
+  * token hashes — each hash votes ±1 per bit position, output is the 64
+  * sign bits (0/1 ints). Replaces an interpreted aggregate-over-zip_with
+  * chain with one 64×tokens primitive loop. */
+case class SimHashBits(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+  import org.apache.spark.sql.types._
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def prettyName: String = "simhash_bits"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val hs = input.asInstanceOf[ArrayData]
+    val n = hs.numElements()
+    val votes = new Array[Int](64)
+    var j = 0
+    while (j < n) {
+      if (!hs.isNullAt(j)) {
+        val h = hs.getLong(j)
+        var i = 0
+        while (i < 64) {
+          if (((h >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
+          i += 1
+        }
+      }
+      j += 1
+    }
+    new GenericArrayData(votes.map(v => if (v > 0) 1L else 0L))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, hs => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val n = ctx.freshName("n"); val votes = ctx.freshName("votes")
+      val h = ctx.freshName("h"); val out = ctx.freshName("out")
+      s"""
+         |int $n = $hs.numElements();
+         |int[] $votes = new int[64];
+         |for (int $j = 0; $j < $n; $j++) {
+         |  if (!$hs.isNullAt($j)) {
+         |    long $h = $hs.getLong($j);
+         |    for (int $i = 0; $i < 64; $i++) {
+         |      if ((($h >>> $i) & 1L) == 1L) $votes[$i]++; else $votes[$i]--;
+         |    }
+         |  }
+         |}
+         |long[] $out = new long[64];
+         |for (int $i = 0; $i < 64; $i++) $out[$i] = $votes[$i] > 0 ? 1L : 0L;
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashBits =
+    copy(child = newChild)
+}
+
+/** Native codegen expression: intersection size of two SORTED string
+  * arrays (two-pointer merge, O(n+m) UTF8String comparisons). The exact
+  * token-set intersection kernel — lets blocked pairwise Jaccard skip the
+  * explode-join entirely and compare token arrays in place. */
+case class SortedStringArrayIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  import org.apache.spark.sql.catalyst.util.ArrayData
+  import org.apache.spark.sql.types._
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(StringType), ArrayType(StringType))
+
+  override def dataType: DataType = IntegerType
+
+  override def prettyName: String = "sorted_intersect_count"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    var i = 0; var j = 0; var c = 0
+    while (i < x.numElements() && j < y.numElements()) {
+      val cmp = x.getUTF8String(i).compareTo(y.getUTF8String(j))
+      if (cmp == 0) { c += 1; i += 1; j += 1 }
+      else if (cmp < 0) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val c = ctx.freshName("c"); val cmp = ctx.freshName("cmp")
+      s"""
+         |int $i = 0; int $j = 0; int $c = 0;
+         |while ($i < $a.numElements() && $j < $b.numElements()) {
+         |  int $cmp = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+         |  if ($cmp == 0) { $c++; $i++; $j++; }
+         |  else if ($cmp < 0) $i++;
+         |  else $j++;
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedStringArrayIntersectCount =
+    copy(left = newLeft, right = newRight)
+}
