@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Reporting / export surface — the Spark-native form of the reference's
+  * JSON + gold-table exports and its single-building API:
+  *   - canonical nested report document (reference: src/export_json.py:25
+  *     `export_building_benchmarking`: portfolio_summary +
+  *     benchmark_categories + buildings[])
+  *   - gold parquet tables (reference: scripts/export_gold_parquet.py:138
+  *     `export_gold_to_parquet`)
+  *   - one-entity benchmark result (reference: benchmarking/model.py:15
+  *     `benchmark_building`, served by api/main.py:73 POST /benchmark)
+  *
+  * The nested report builds with collect_list over structs — a single
+  * aggregation; the per-entity sections stay distributed until the final
+  * document row. Sinks write through Spark's parquet/json writers so
+  * they inherit partitioned, atomic output on a cluster.
+  */
+object Reports {
+
+  /** One-row nested report document mirroring the reference's canonical
+    * JSON schema (pipeline name, categories, buildings, portfolio KPIs). */
+  def portfolioReport(metrics: DataFrame): DataFrame = {
+    val buildings = metrics
+      .select(struct(
+        col("c_custkey").as("building_id"),
+        col("c_mktsegment").as("building_type"),
+        col("n_orders").as("activity"),
+        col("total_spend"),
+        col("intensity").as("energy_intensity"),
+        (col("intensity") * 0.22).as("co2_intensity"),
+        col("rating")).as("b"))
+      .orderBy(col("b.building_id"))
+      .agg(collect_list(col("b")).as("buildings"))
+    val summary = Benchmarking.portfolioSummary(metrics)
+      .select(struct(
+        col("total_entities"), col("total_activity"), col("total_spend"),
+        col("weighted_avg_intensity"), col("portfolio_co2_tons"),
+        col("top_performer_pct"), col("needs_improvement_pct")).as("portfolio_summary"))
+    buildings.crossJoin(summary).select(
+      lit("sustainable_building_benchmarking").as("pipeline"),
+      struct(
+        lit("Excellent < 200000").as("excellent"),
+        lit("Good < 250000").as("good"),
+        lit("Average < 300000").as("average"),
+        lit("Poor >= 300000").as("poor")).as("benchmark_categories"),
+      col("portfolio_summary"),
+      col("buildings"))
+  }
+
+  /** Gold-table export: per-segment summary, rating distribution and
+    * portfolio KPIs as separate parquet tables under `outDir`
+    * (reference: scripts/export_gold_parquet.py writes one parquet per
+    * gold table). */
+  def exportGold(metrics: DataFrame, outDir: String): Unit = {
+    Benchmarking.groupSummary(metrics)
+      .write.mode("overwrite").parquet(s"$outDir/segment_summary")
+    Benchmarking.ratingDistribution(metrics)
+      .write.mode("overwrite").parquet(s"$outDir/rating_distribution")
+    Benchmarking.portfolioSummary(metrics)
+      .write.mode("overwrite").parquet(s"$outDir/portfolio_summary")
+  }
+
+  /** Canonical JSON document export (reference: export_json.py writes
+    * artifacts/json/building_benchmarking.json). */
+  def exportJson(metrics: DataFrame, outDir: String): Unit =
+    portfolioReport(metrics).coalesce(1).write.mode("overwrite").json(outDir)
+
+  /** Single-entity benchmark — the library twin of the reference's API
+    * endpoint: EUI, threshold rating and recommendations for one building
+    * (benchmarking/model.py:15). Pure function: no session needed. */
+  final case class BenchmarkResult(buildingId: String, eui: Double,
+      performanceRating: String, recommendations: Seq[String])
+
+  def benchmarkBuilding(buildingId: String, area: Double,
+      energyConsumption: Double): BenchmarkResult = {
+    val eui = if (area > 0) energyConsumption / area else 0.0
+    val rating =
+      if (eui < 100) "Good"
+      else if (eui > 200) "Poor"
+      else "Average"
+    BenchmarkResult(buildingId, math.rint(eui * 100) / 100, rating,
+      Seq("Consider LED lighting upgrades",
+        "Review HVAC system efficiency",
+        "Implement building automation system"))
+  }
+}

