@@ -1,0 +1,102 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
+
+import graft.operators.{IsolationForest, MinHashLsh, Reports}
+
+/** Property tests: native kernels vs plain-Scala reference
+  * implementations on randomized data, plus algebraic properties of the
+  * pure functions. Kernel cases run as one DataFrame per property (a
+  * thousand random rows each), not one Spark job per sample. */
+class KernelPropertySpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(7)
+
+  test("sorted_intersect_count equals Set intersection on random token sets") {
+    val vocab = (1 to 40).map(i => s"w$i")
+    val cases = (1 to 1000).map { i =>
+      val a = rnd.shuffle(vocab).take(1 + rnd.nextInt(30)).sorted
+      val b = rnd.shuffle(vocab).take(1 + rnd.nextInt(30)).sorted
+      (i.toLong, a, b, a.toSet.intersect(b.toSet).size)
+    }
+    val df = cases.toDF("id", "a", "b", "expected")
+    val bad = df.filter(
+      ColumnBridge.sortedIntersectCount(col("a"), col("b")) =!= col("expected"))
+    assert(bad.count() === 0)
+  }
+
+  test("long_array_match_count equals element-wise equality count") {
+    val cases = (1 to 1000).map { i =>
+      val n = 1 + rnd.nextInt(64)
+      val a = Array.fill(n)(rnd.nextInt(5).toLong)
+      val b = Array.fill(n)(rnd.nextInt(5).toLong)
+      (i.toLong, a.toSeq, b.toSeq, a.zip(b).count { case (x, y) => x == y })
+    }
+    val df = cases.toDF("id", "a", "b", "expected")
+    val bad = df.filter(
+      ColumnBridge.matchCount(col("a"), col("b")) =!= col("expected"))
+    assert(bad.count() === 0)
+  }
+
+  test("float_dot equals the Scala fold within 1e-6 relative") {
+    val cases = (1 to 500).map { i =>
+      val n = 1 + rnd.nextInt(64)
+      val a = Array.fill(n)(rnd.nextFloat() - 0.5f)
+      val b = Array.fill(n)(rnd.nextFloat() - 0.5f)
+      val expected = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      (i.toLong, a.toSeq, b.toSeq, expected)
+    }
+    val df = cases.toDF("id", "a", "b", "expected")
+    val bad = df.filter(
+      abs(ColumnBridge.floatDot(col("a"), col("b")) - col("expected")) > 1e-9)
+    assert(bad.count() === 0)
+  }
+
+  test("minhash estimate is an unbiased-ish Jaccard estimator (|err| small)") {
+    // token sets with controlled overlap; k=128 ⇒ s.e. ≈ 0.044
+    val vocab = (1 to 60).map(i => s"t$i")
+    val docs = (0 until 40).flatMap { g =>
+      val shared = vocab.take(30)
+      val aExtra = vocab.slice(30, 30 + g % 10)
+      Seq((2L * g, (shared ++ aExtra).mkString(" "), "s"),
+        (2L * g + 1, shared.mkString(" "), "s"))
+    }.toDF("doc_id", "text", "source")
+    val sigs = MinHashLsh.signatures(docs)
+    val a = sigs.as("a"); val b = sigs.as("b")
+    val est = a.join(b, col("a.doc_id") + 1 === col("b.doc_id")
+        && col("a.doc_id") % 2 === 0)
+      .select(col("a.doc_id").as("id"),
+        (ColumnBridge.matchCount(col("a.sig"), col("b.sig")).cast("double") / 128.0)
+          .as("est"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    (0 until 40).foreach { g =>
+      val jTrue = 30.0 / (30 + g % 10)
+      val e = est(2L * g)
+      assert(math.abs(e - jTrue) < 0.15, s"group $g est $e true $jTrue")
+    }
+  }
+
+  test("isolation forest avgPathLength is monotonic in n") {
+    (1 to 500).foreach { _ =>
+      val a = 2 + rnd.nextInt(9998)
+      val b = a + 1 + rnd.nextInt(1000)
+      assert(IsolationForest.avgPathLength(a) <= IsolationForest.avgPathLength(b))
+    }
+  }
+
+  test("benchmarkBuilding rating bands partition the EUI axis") {
+    (1 to 1000).foreach { _ =>
+      val area = 1.0 + rnd.nextDouble() * 9999.0
+      val energy = rnd.nextDouble() * 1000000.0
+      val r = Reports.benchmarkBuilding("X", area, energy)
+      val eui = energy / area
+      val want = if (eui < 100) "Good" else if (eui > 200) "Poor" else "Average"
+      assert(r.performanceRating === want)
+      assert(math.abs(r.eui - eui) <= 0.005 + 1e-9)
+    }
+  }
+}

@@ -1,0 +1,78 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+import graft.sources.Tables
+
+/** Plan-shape assertions — the would-this-survive-100TB audit as living
+  * documentation. Each test pins a property of the physical plan that the
+  * scale design (SURVEY.md §5) depends on; a regression that silently
+  * introduces an extra shuffle, loses a pushdown, or drops a broadcast
+  * fails here, not on a cluster.
+  */
+class PlanQualitySpec extends AnyFunSuite {
+  import TestSpark.{sf, spark}
+
+  private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
+
+  test("pricing summary pushes the shipdate filter into the parquet scan") {
+    val p = plan(Headline.pricingSummary(Tables.lineitem(spark, sf)))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
+  }
+
+  test("pricing summary prunes to the referenced columns only") {
+    val p = plan(Headline.pricingSummary(Tables.lineitem(spark, sf)))
+    assert(p.contains("ReadSchema"), p)
+    assert(!p.contains("l_partkey"), "scan reads unused column l_partkey:\n" + p)
+    assert(!p.contains("l_suppkey"), "scan reads unused column l_suppkey:\n" + p)
+  }
+
+  test("nation revenue broadcasts both dimension tables") {
+    val p = plan(Headline.topNationRevenue(spark, sf, 10))
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p)
+  }
+
+  test("top-k queries collapse to TakeOrderedAndProject (no global sort)") {
+    val pTopk = plan(Similarity.bruteForceTopK(Tables.embeddings(spark, sf), 0L, 20))
+    assert(pTopk.contains("TakeOrderedAndProject"), pTopk)
+    val alerts = AnomalyRules.thresholdAlerts(
+      TimeSeries.rollingFeatures(TimeSeries.base(spark, sf)))
+    val pFilter = plan(Alerts.filterAlerts(alerts, 0L, Long.MaxValue, "high", 100))
+    assert(pFilter.contains("TakeOrderedAndProject"), pFilter)
+  }
+
+  test("group summary reuses one exchange for window + aggregate on the same key") {
+    val p = plan(Benchmarking.groupSummary(Benchmarking.metricsFor(spark, sf)))
+    // window partitioned by c_mktsegment and the groupBy on the same key
+    // must not introduce a second hash-partitioning exchange on that key
+    val exchanges = "Exchange hashpartitioning\\(c_mktsegment".r.findAllIn(p).length
+    assert(exchanges <= 1, s"$exchanges segment exchanges:\n$p")
+  }
+
+  test("zscore stats side is broadcast, not shuffled") {
+    val p = plan(AnomalyRules.zscoreAlerts(TimeSeries.base(spark, sf)))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("rolling features compute both frames in a single window exchange") {
+    val p = plan(TimeSeries.rollingFeatures(TimeSeries.base(spark, sf)))
+    val exchanges = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).length
+    assert(exchanges <= 1, s"$exchanges user_id exchanges:\n$p")
+  }
+
+  test("native kernels appear in the similarity plans (no interpreted HOF)") {
+    val pEmb = plan(Dedup.embeddingNearDup(Tables.embeddings(spark, sf)))
+    assert(pEmb.contains("float_dot"), pEmb)
+    val pMh = plan(MinHashLsh.candidatePairs(Tables.documents(spark, sf)))
+    assert(pMh.contains("minhash_signature") && pMh.contains("long_array_match_count"), pMh)
+  }
+
+  test("text analysis is shuffle-free (narrow per-row plan)") {
+    val p = plan(TextAnalysis.qualityScore(Tables.documents(spark, sf)))
+    // only the final presentation orderBy may exchange; no hash shuffles
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+}
