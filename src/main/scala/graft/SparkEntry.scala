@@ -81,6 +81,23 @@ object SparkEntry {
     "ad_isolation_forest" -> ((s, dir) => IsolationForest.detect(s, dir)),
     "st_window_agg" -> ((s, dir) =>
       graft.streaming.StreamingAlerts.windowedCountsBatch(s, dir)),
+    "st_dedup" -> ((s, dir) =>
+      TimeSeries.base(s, dir)
+        .groupBy(org.apache.spark.sql.functions.col("user_id"),
+          org.apache.spark.sql.functions.col("event_type"))
+        .agg(
+          org.apache.spark.sql.functions.min(
+            org.apache.spark.sql.functions.col("ts_us")).as("first_ts_us"),
+          org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n_events"))
+        .orderBy("user_id", "event_type")),
+    "tx_tokens_regex" -> ((s, dir) =>
+      TextAnalysis.regexTokenStats(Tables.documents(s, dir))),
+    "dd_cluster" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      ConnectedComponents.dedupClusters(docs, Dedup.ngramJaccard(docs, 0.9))
+    }),
+    "sim_ivf" -> ((s, dir) => Ivf.topK(Tables.embeddings(s, dir), 0L, 10)),
   )
 
   /** DuckDB twin of VectorMath.dotDec over two array columns. */
@@ -379,6 +396,20 @@ object SparkEntry {
         |                 + 0.2 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) >= 0.6 THEN 'medium'
         |            ELSE 'low' END AS quality_band
         |FROM b ORDER BY doc_id""".stripMargin,
+
+    "st_dedup" ->
+      s"""$eventsCte
+         |SELECT user_id, event_type, min(ts_us) AS first_ts_us,
+         |       CAST(count(*) AS BIGINT) AS n_events
+         |FROM e GROUP BY user_id, event_type
+         |ORDER BY user_id, event_type""".stripMargin,
+
+    "tx_tokens_regex" ->
+      """SELECT doc_id,
+        |       CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_alpha_runs,
+        |       CAST(len(regexp_extract_all(text, '[a-z]{1,4}')) AS BIGINT) AS n_bpe_chunks,
+        |       CAST(len(regexp_extract_all(text, '[^ ]+')) AS BIGINT) AS n_nonspace
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "st_window_agg" ->
       s"""$eventsCte

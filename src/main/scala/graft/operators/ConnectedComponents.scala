@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Connected components over near-dup pair edges — turns pairwise dedup
+  * output (Dedup.ngramJaccard / MinHashLsh.candidatePairs) into dedup
+  * CLUSTERS with a canonical representative per cluster, the final step of
+  * a corpus-dedup sweep (keep one doc per component).
+  *
+  * Algorithm: iterative min-label propagation. Each vertex adopts the
+  * minimum label in its closed neighbourhood; converges in O(diameter)
+  * rounds, and near-dup clusters are small/dense so the diameter is tiny.
+  * Every round is one join + aggregate on vertex ids; lineage is truncated
+  * with localCheckpoint so the plan stays flat across iterations — the
+  * standard Spark shape for iterative graph passes at scale.
+  */
+object ConnectedComponents {
+
+  /** (id, component) for every vertex appearing in `pairs` (doc_a, doc_b).
+    * Component id = min doc id in the component. */
+  def components(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // symmetric edge list + self loops so isolated propagation keeps ids
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      // neighbour minimum (via edges) joined against own label
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("comp")).as("nmin"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
+        .localCheckpoint(true)
+      changed = next.join(labels.withColumnRenamed("comp", "old"), "id")
+        .filter(col("comp") =!= col("old")).count()
+      labels = next
+      iter += 1
+    }
+    labels.orderBy("id")
+  }
+
+  /** Full dedup sweep: near-dup pairs → components → per-doc verdict
+    * (component id, canonical representative = min id, keep flag). Docs
+    * with no near-dup edges keep themselves. */
+  def dedupClusters(documents: DataFrame, pairs: DataFrame): DataFrame = {
+    val comps = components(pairs)
+    documents.select(col("doc_id"))
+      .join(comps.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("comp"), col("doc_id")).as("component"))
+      .withColumn("keep", col("doc_id") === col("component"))
+      .orderBy("doc_id")
+  }
+}

@@ -54,6 +54,20 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Regex tokenization counts — the BPE-ish view: alphabetic runs,
+    * greedy ≤4-char subword chunks (a fixed-width stand-in for BPE merges)
+    * and non-space tokens. Pure regexp_extract_all expression work. */
+  def regexTokenStats(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("n_alpha_runs",
+        size(regexp_extract_all(col("text"), lit("[a-z]+"), lit(0))).cast("long"))
+      .withColumn("n_bpe_chunks",
+        size(regexp_extract_all(col("text"), lit("[a-z]{1,4}"), lit(0))).cast("long"))
+      .withColumn("n_nonspace",
+        size(regexp_extract_all(col("text"), lit("[^ ]+"), lit(0))).cast("long"))
+      .select("doc_id", "n_alpha_runs", "n_bpe_chunks", "n_nonspace")
+      .orderBy("doc_id")
+
   /** Language ID by character-n-gram profile scoring: each candidate
     * language has a small trigram/stopword profile; the doc is scored per
     * language as (profile hits / tokens) and argmax wins. A heuristic

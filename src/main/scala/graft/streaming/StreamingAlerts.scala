@@ -66,6 +66,14 @@ object StreamingAlerts {
         lit("threshold_high").as("rule_name"),
         when(col("value") > 250, "high").otherwise("medium").as("severity"))
 
+  /** Streaming dedup: keep the first event per (user, type) inside the
+    * watermark — the streaming twin of a first-arrival groupBy (state is
+    * one row per live key and is evicted past the watermark). */
+  def dedupFirstEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("event_time", "1 hour")
+      .dropDuplicates("user_id", "event_type")
+
   /** Batch equivalent of `windowedCounts` on the same data — the
     * oracle-checkable query surface (st_window_agg). */
   def windowedCountsBatch(spark: SparkSession, dir: String): DataFrame = {

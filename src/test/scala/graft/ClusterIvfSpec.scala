@@ -1,0 +1,71 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.operators.{ConnectedComponents, Dedup, Ivf, Similarity, TextAnalysis}
+import graft.sources.Tables
+import graft.streaming.StreamingAlerts
+
+class ClusterIvfSpec extends AnyFunSuite {
+  import TestSpark.{sf, spark}
+  import spark.implicits._
+
+  test("connected components merge chained pairs transitively") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 9L), (3L, 4L))
+      .toDF("doc_a", "doc_b")
+    val comps = ConnectedComponents.components(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(comps(_) == 1L))
+    assert(Seq(5L, 6L).forall(comps(_) == 5L))
+    assert(Seq(8L, 9L).forall(comps(_) == 8L))
+  }
+
+  test("dedup clusters keep exactly one representative per component") {
+    val docs = Tables.documents(spark, sf)
+    val clusters = ConnectedComponents.dedupClusters(
+      docs, Dedup.ngramJaccard(docs, 0.9)).cache()
+    assert(clusters.count() === docs.count())
+    val perComp = clusters.groupBy("component")
+      .agg(sum(when(col("keep"), 1).otherwise(0)).as("keepers"))
+    assert(perComp.filter(col("keepers") =!= 1).count() === 0)
+    // there really are multi-doc clusters in this corpus
+    assert(clusters.filter(!col("keep")).count() > 0)
+  }
+
+  test("IVF top-k self-consistency and brute-force agreement inside probed cells") {
+    val emb = Tables.embeddings(spark, sf)
+    val ivf = Ivf.topK(emb, 0L, 10, nprobe = 3).collect()
+    assert(ivf.length === 10)
+    val cos = ivf.map(_.getAs[Double]("cosine"))
+    assert(cos.sameElements(cos.sorted.reverse))
+    val bruteBest = Similarity.bruteForceTopK(emb, 0L, 1)
+      .collect().head.getAs[Double]("cosine")
+    assert(ivf.forall(_.getAs[Double]("cosine") <= bruteBest + 1e-9))
+  }
+
+  test("regex token stats: alpha runs equal whitespace tokens on this corpus") {
+    val docs = Tables.documents(spark, sf)
+    val r = TextAnalysis.regexTokenStats(docs)
+    // corpus is lowercase words + single spaces → the three counts relate
+    assert(r.filter(col("n_alpha_runs") =!= col("n_nonspace")).count() === 0)
+    assert(r.filter(col("n_bpe_chunks") < col("n_alpha_runs")).count() === 0)
+  }
+
+  test("streaming dedup covers exactly the distinct key set") {
+    val stream = StreamingAlerts.readEvents(spark, sf)
+    val q = StreamingAlerts.dedupFirstEvents(stream)
+      .select("user_id", "event_type")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("dedup_out").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val want = graft.operators.TimeSeries.base(spark, sf)
+      .select("user_id", "event_type").distinct().collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got === want)
+  }
+}
