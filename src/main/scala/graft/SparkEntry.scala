@@ -98,6 +98,13 @@ object SparkEntry {
       ConnectedComponents.dedupClusters(docs, Dedup.ngramJaccard(docs, 0.9))
     }),
     "sim_ivf" -> ((s, dir) => Ivf.topK(Tables.embeddings(s, dir), 0L, 10)),
+    "ts_range_window" -> ((s, dir) =>
+      TimeSeries.rangeFeatures(TimeSeries.base(s, dir))),
+    "ts_asof" -> ((s, dir) =>
+      TimeSeries.asofLastPurchase(TimeSeries.base(s, dir))),
+    "q_monthly_trend" -> ((s, dir) => Headline.monthlyTrend(Tables.orders(s, dir))),
+    "q_approx_distinct" -> ((s, dir) =>
+      Headline.approxDistinct(Tables.lineitem(s, dir))),
   )
 
   /** DuckDB twin of VectorMath.dotDec over two array columns. */
@@ -410,6 +417,38 @@ object SparkEntry {
         |       CAST(len(regexp_extract_all(text, '[a-z]{1,4}')) AS BIGINT) AS n_bpe_chunks,
         |       CAST(len(regexp_extract_all(text, '[^ ]+')) AS BIGINT) AS n_nonspace
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "ts_range_window" ->
+      s"""$eventsCte
+         |SELECT event_id, user_id, ts_us, value,
+         |       CAST(sum(vdec) OVER wr AS DOUBLE) / count(1) OVER wr AS mean_range,
+         |       CAST(count(1) OVER wr AS BIGINT) AS n_range
+         |FROM (SELECT e.*, CAST(value AS DECIMAL(18,2)) AS vdec FROM e)
+         |WINDOW wr AS (PARTITION BY user_id ORDER BY ts_us
+         |              RANGE BETWEEN 900000000 PRECEDING AND CURRENT ROW)
+         |ORDER BY user_id, ts_us, event_id""".stripMargin,
+
+    "ts_asof" ->
+      s"""$eventsCte
+         |SELECT event_id, user_id, ts_us, event_type, value,
+         |       last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+         |         OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_purchase_value
+         |FROM e ORDER BY user_id, ts_us, event_id""".stripMargin,
+
+    "q_monthly_trend" ->
+      """WITH g AS (
+        |  SELECT CAST(year(o_orderdate) AS INTEGER) AS y,
+        |         CAST(month(o_orderdate) AS INTEGER) AS m,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |         CAST(count(*) AS BIGINT) AS n_orders
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT y, m, revenue, n_orders,
+        |       (revenue - lag(revenue) OVER wm)
+        |         / (CASE WHEN lag(revenue) OVER wm <> 0.0 THEN lag(revenue) OVER wm END) AS mom_growth
+        |FROM g
+        |WINDOW wm AS (ORDER BY y, m)
+        |ORDER BY y, m""".stripMargin,
 
     "st_window_agg" ->
       s"""$eventsCte

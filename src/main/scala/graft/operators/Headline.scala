@@ -53,6 +53,37 @@ object Headline {
       .orderBy("l_returnflag", "l_linestatus")
   }
 
+  /** Monthly revenue trend with month-over-month growth — the
+    * dashboard-trend analog (reference: src/dashboard_app.py:408 daily
+    * counts, generalized to exact revenue + growth rate). */
+  def monthlyTrend(orders: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("y"), col("m"))
+    orders
+      .groupBy(year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"))
+      .agg(sum(col("o_totalprice").cast(dec)).as("rev_dec"),
+        count(lit(1)).as("n_orders"))
+      .select(col("y"), col("m"), col("rev_dec").cast("double").as("revenue"),
+        col("n_orders"))
+      .withColumn("prev", lag(col("revenue"), 1).over(w))
+      .withColumn("mom_growth",
+        (col("revenue") - col("prev")) / when(col("prev") =!= 0.0, col("prev")))
+      .drop("prev")
+      .orderBy("y", "m")
+  }
+
+  /** HLL sketch distinct counts beside exact ones (approx_count_distinct
+    * is the bounded-memory path for 100 TB distincts; rows-only query —
+    * sketch estimates are engine-specific — with a tolerance spec). */
+  def approxDistinct(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+        countDistinct(col("l_orderkey")).as("exact_orders"))
+      .orderBy("l_returnflag")
+
   /** Revenue by nation/region: multi-join + agg + deterministic top-N
     * (the portfolio-report analog). Dims are broadcast — no shuffle for
     * nation/region; orders⋈customer co-shuffles on custkey once. */

@@ -101,6 +101,36 @@ object TimeSeries {
       .select("event_id", "user_id", "ts_us", "value", "value_lag1", "delta")
       .orderBy("user_id", "ts_us", "event_id")
 
+  /** Time-RANGE windowed features: mean/count over a trailing wall-clock
+    * interval (the reference's "15-min window" is really row-based because
+    * its sensor grid is regular — pipeline_batch.py:103; event streams are
+    * irregular, so the range frame is the faithful generalization). */
+  def rangeFeatures(events: DataFrame, windowUs: Long = 900000000L): DataFrame = {
+    val wr = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+      .rangeBetween(-windowUs, Window.currentRow)
+    events
+      .withColumn("mean_range",
+        sum(col("value").cast(dec)).over(wr).cast("double") / count(lit(1)).over(wr))
+      .withColumn("n_range", count(lit(1)).over(wr))
+      .select("event_id", "user_id", "ts_us", "value", "mean_range", "n_range")
+      .orderBy("user_id", "ts_us", "event_id")
+  }
+
+  /** As-of lookup: each event carries the value of the most recent PRIOR
+    * 'purchase' event of its key — the window form of an as-of join
+    * (composing built-ins per the preference order; no custom operator
+    * needed because the probe and build sides share the key/time axis). */
+  def asofLastPurchase(events: DataFrame): DataFrame = {
+    val w = keyOrder.rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .withColumn("last_purchase_value",
+        last(when(col("event_type") === "purchase", col("value")), ignoreNulls = true)
+          .over(w))
+      .select("event_id", "user_id", "ts_us", "event_type", "value",
+        "last_purchase_value")
+      .orderBy("user_id", "ts_us", "event_id")
+  }
+
   /** Hourly resample per event type: count / exact total / min / max / mean
     * (reference: dashboard_app.py:408 daily counts; pandas resample analog).
     * Bucketing is pure integer µs arithmetic — engine-agnostic. */
