@@ -105,6 +105,8 @@ object SparkEntry {
     "q_monthly_trend" -> ((s, dir) => Headline.monthlyTrend(Tables.orders(s, dir))),
     "q_approx_distinct" -> ((s, dir) =>
       Headline.approxDistinct(Tables.lineitem(s, dir))),
+    "q_semi_anti" -> ((s, dir) =>
+      Headline.activityCoverage(Tables.customer(s, dir), Tables.orders(s, dir))),
   )
 
   /** DuckDB twin of VectorMath.dotDec over two array columns. */
@@ -435,6 +437,15 @@ object SparkEntry {
          |         OVER (PARTITION BY user_id ORDER BY ts_us, event_id
          |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_purchase_value
          |FROM e ORDER BY user_id, ts_us, event_id""".stripMargin,
+
+    "q_semi_anti" ->
+      """SELECT * FROM (
+        |  SELECT 'with_orders' AS category, CAST(count(*) AS BIGINT) AS n
+        |  FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |  UNION ALL
+        |  SELECT 'without_orders' AS category, CAST(count(*) AS BIGINT) AS n
+        |  FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey))
+        |ORDER BY category""".stripMargin,
 
     "q_monthly_trend" ->
       """WITH g AS (

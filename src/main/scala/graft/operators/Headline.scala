@@ -84,6 +84,19 @@ object Headline {
         countDistinct(col("l_orderkey")).as("exact_orders"))
       .orderBy("l_returnflag")
 
+  /** Coverage split via semi/anti joins: how many entities have activity
+    * vs none (EXISTS / NOT EXISTS — the reference's orphan checks in
+    * db.py's filtered queries, as relational operators). */
+  def activityCoverage(customer: DataFrame, orders: DataFrame): DataFrame = {
+    val cond = customer("c_custkey") === orders("o_custkey")
+    val withOrders = customer.join(orders, cond, "left_semi")
+      .agg(count(lit(1)).as("n")).withColumn("category", lit("with_orders"))
+    val withoutOrders = customer.join(orders, cond, "left_anti")
+      .agg(count(lit(1)).as("n")).withColumn("category", lit("without_orders"))
+    withOrders.unionByName(withoutOrders)
+      .select("category", "n").orderBy("category")
+  }
+
   /** Revenue by nation/region: multi-join + agg + deterministic top-N
     * (the portfolio-report analog). Dims are broadcast — no shuffle for
     * nation/region; orders⋈customer co-shuffles on custkey once. */
