@@ -70,6 +70,25 @@ object Reports {
   def exportJson(metrics: DataFrame, outDir: String): Unit =
     portfolioReport(metrics).coalesce(1).write.mode("overwrite").json(outDir)
 
+  /** Report-schema validation (reference: src/validate_json.py:1 —
+    * required fields present, numerics in range). Returns one row per
+    * violation; empty result = valid. */
+  def validateMetrics(metrics: DataFrame): DataFrame = {
+    def violation(name: String, cond: org.apache.spark.sql.Column) =
+      metrics.filter(cond).select(
+        col("c_custkey").cast("string").as("entity"),
+        lit(name).as("violation"))
+    violation("missing_segment", col("c_mktsegment").isNull)
+      .unionByName(violation("negative_spend", col("total_spend") < 0))
+      .unionByName(violation("negative_activity", col("n_orders") < 0))
+      .unionByName(violation("invalid_rating",
+        !col("rating").isin("NoData", "Excellent", "Good", "Average", "Poor")))
+      .unionByName(violation("intensity_mismatch",
+        col("n_orders") > 0 &&
+          abs(col("intensity") - col("total_spend") / col("n_orders")) > 1e-6))
+      .orderBy("entity", "violation")
+  }
+
   /** Single-entity benchmark — the library twin of the reference's API
     * endpoint: EUI, threshold rating and recommendations for one building
     * (benchmarking/model.py:15). Pure function: no session needed. */

@@ -68,6 +68,29 @@ class CompletenessSpec extends AnyFunSuite {
     assert(faulty.filter(col("temp_zone_c") - col("setpoint_c") <= 3.0).count() === 0)
   }
 
+  test("native kernels callable from SQL after extension registration") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT float_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+        |                 array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d,
+        |       sorted_intersect_count(array('a','b','c'), array('b','c','d')) AS i,
+        |       long_array_match_count(array(1L, 2L, 3L), array(1L, 9L, 3L)) AS m
+        |""".stripMargin).collect().head
+    assert(r.getDouble(0) === 11.0)
+    assert(r.getInt(1) === 2)
+    assert(r.getInt(2) === 2)
+  }
+
+  test("validateMetrics passes clean data and catches corrupted rows") {
+    assert(Reports.validateMetrics(metrics).count() === 0)
+    val corrupted = metrics.limit(5)
+      .withColumn("rating", lit("Bogus"))
+      .withColumn("total_spend", lit(-1.0))
+    val v = Reports.validateMetrics(corrupted)
+    assert(v.filter(col("violation") === "invalid_rating").count() === 5)
+    assert(v.filter(col("violation") === "negative_spend").count() === 5)
+  }
+
   test("stateful streaming drift equals batch islands on replay") {
     val events = TimeSeries.base(spark, sf)
     // batch truth: rows in runs >= 3, positions >= 3 (the moment the run
