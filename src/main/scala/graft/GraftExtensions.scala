@@ -28,11 +28,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
 
+  private def arity(name: String, n: Int)(
+      build: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    es =>
+      if (es.length == n) build(es)
+      else throw new IllegalArgumentException(
+        s"$name requires $n argument(s), got ${es.length}")
+
   private val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "float_dot" -> (es => FloatDotProduct(es(0), es(1))),
-    "long_array_match_count" -> (es => LongArrayMatchCount(es(0), es(1))),
-    "simhash_bits" -> (es => SimHashBits(es(0))),
-    "sorted_intersect_count" -> (es => SortedStringArrayIntersectCount(es(0), es(1))))
+    "float_dot" -> arity("float_dot", 2)(es => FloatDotProduct(es(0), es(1))),
+    "long_array_match_count" ->
+      arity("long_array_match_count", 2)(es => LongArrayMatchCount(es(0), es(1))),
+    "simhash_bits" -> arity("simhash_bits", 1)(es => SimHashBits(es(0))),
+    "sorted_intersect_count" ->
+      arity("sorted_intersect_count", 2)(
+        es => SortedStringArrayIntersectCount(es(0), es(1))))
 
   /** Register on an already-running session. */
   def register(spark: SparkSession): Unit =
