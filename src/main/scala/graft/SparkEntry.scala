@@ -107,6 +107,13 @@ object SparkEntry {
       Headline.approxDistinct(Tables.lineitem(s, dir))),
     "q_semi_anti" -> ((s, dir) =>
       Headline.activityCoverage(Tables.customer(s, dir), Tables.orders(s, dir))),
+    // custom physical operator (heap top-k; rows-only — heap tie-breaks
+    // are arrival-order; set-equality vs the window form is specced)
+    "q_topk_custom" -> ((s, dir) =>
+      org.apache.spark.sql.graft.TopKPerKeyApi.topKPerKey(
+        Benchmarking.metricsFor(s, dir), Seq("c_mktsegment"), "intensity", 3)
+        .select("c_mktsegment", "c_custkey", "intensity")
+        .orderBy("c_mktsegment", "c_custkey")),
   )
 
   /** DuckDB twin of VectorMath.dotDec over two array columns. */

@@ -1,0 +1,122 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.classic.Dataset
+import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
+
+/** Custom whole-operator: top-k rows per key WITHOUT sorting each group.
+  *
+  * The built-in formulation (`row_number().over(Window.partitionBy(keys)
+  * .orderBy(ord)) <= k`) sorts every group in full — O(n log n) per group
+  * and a full spill surface. This operator keeps a bounded k-element
+  * binary heap per key: O(n log k) with memory k·|keys| regardless of
+  * group size, which is the difference between a report query and an OOM
+  * when one key holds a billion rows.
+  *
+  * Preference-order step (c): logical node + planner strategy + physical
+  * exec, registered through GraftExtensions (injectPlannerStrategy) and
+  * exposed as `TopKPerKeyApi.topKPerKey(df, keys, ord, k)`.
+  *
+  * Output rows are the per-key top-k by `ord` descending; row order within
+  * the output is unspecified (callers order for presentation).
+  */
+case class TopKPerKeyNode(k: Int, keys: Seq[Expression], ord: Expression,
+    child: LogicalPlan) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKeyNode =
+    copy(child = newChild)
+}
+
+case class TopKPerKeyExec(k: Int, keys: Seq[Expression], ord: Expression,
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+
+  // co-locate each key's rows so the heap sees the whole group
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(keys) :: Nil
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val childOutput = child.output
+    val kLocal = k
+    val keysLocal = keys
+    val ordLocal = ord
+    child.execute().mapPartitionsInternal { iter =>
+      val keyProj = UnsafeProjection.create(keysLocal, childOutput)
+      val boundOrd = org.apache.spark.sql.catalyst.expressions.BindReferences
+        .bindReference(ordLocal, childOutput)
+      // per-key bounded min-heap on the order value: the root is the
+      // weakest of the current top-k, evicted when something better shows
+      final class Entry(val score: Double, val row: UnsafeRow)
+      val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[Entry]]()
+      val javaCmp = new java.util.Comparator[Entry] {
+        def compare(a: Entry, b: Entry): Int = java.lang.Double.compare(a.score, b.score)
+      }
+      iter.foreach { row =>
+        val key = keyProj(row)
+        var heap = heaps.get(key)
+        if (heap == null) {
+          heap = new java.util.PriorityQueue[Entry](kLocal + 1, javaCmp)
+          heaps.put(key.copy(), heap)
+        }
+        val scoreAny = boundOrd.eval(row)
+        if (scoreAny != null) {
+          val score = scoreAny match {
+            case d: java.lang.Double => d.doubleValue()
+            case f: java.lang.Float => f.doubleValue()
+            case l: java.lang.Long => l.doubleValue()
+            case i: java.lang.Integer => i.doubleValue()
+            case d: org.apache.spark.sql.types.Decimal => d.toDouble
+            case other => other.toString.toDouble
+          }
+          if (heap.size < kLocal) {
+            heap.add(new Entry(score, row.asInstanceOf[UnsafeRow].copy()))
+          } else if (heap.peek().score < score) {
+            heap.poll()
+            heap.add(new Entry(score, row.asInstanceOf[UnsafeRow].copy()))
+          }
+        }
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+      heaps.values().forEach { h => h.forEach { e => out += e.row } }
+      out.iterator
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
+    copy(child = newChild)
+}
+
+object TopKPerKeyStrategy extends org.apache.spark.sql.execution.SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerKeyNode(k, keys, ord, child) =>
+      TopKPerKeyExec(k, keys, ord, planLater(child)) :: Nil
+    case _ => Nil
+  }
+}
+
+object TopKPerKeyApi {
+  /** Top-k rows per key by `ord` descending, as a DataFrame transform.
+    * Key/order columns are resolved directly against the analyzed child
+    * (Spark 4's Column nodes stay unresolved inside custom logical nodes).
+    * Ensures the planner strategy is installed on the session (idempotent),
+    * so the API also works without `withExtensions`. */
+  def topKPerKey(df: DataFrame, keys: Seq[String], ord: String, k: Int): DataFrame = {
+    val session = df.sparkSession
+    if (!session.experimental.extraStrategies.contains(TopKPerKeyStrategy)) {
+      session.experimental.extraStrategies =
+        session.experimental.extraStrategies :+ TopKPerKeyStrategy
+    }
+    val lp = df.queryExecution.analyzed
+    def attr(name: String): Attribute = lp.output.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(
+        s"column '$name' not in [${lp.output.map(_.name).mkString(", ")}]"))
+    Dataset.ofRows(session.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      TopKPerKeyNode(k, keys.map(attr), attr(ord), lp))
+  }
+}
