@@ -36,13 +36,16 @@ object ConnectedComponents {
         .join(labels.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("comp")).as("nmin"))
+      // carry the old label through the join so the convergence count
+      // needs no second join against the previous labels
+      // lazy checkpoint: the convergence count below materializes it, so
+      // each iteration is exactly one job
       val next = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("comp").as("old"),
           least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
-        .localCheckpoint(true)
-      changed = next.join(labels.withColumnRenamed("comp", "old"), "id")
-        .filter(col("comp") =!= col("old")).count()
-      labels = next
+        .localCheckpoint(false)
+      changed = next.filter(col("comp") =!= col("old")).count()
+      labels = next.select("id", "comp")
       iter += 1
     }
     labels.orderBy("id")
