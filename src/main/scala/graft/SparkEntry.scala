@@ -107,6 +107,10 @@ object SparkEntry {
       Headline.approxDistinct(Tables.lineitem(s, dir))),
     "q_semi_anti" -> ((s, dir) =>
       Headline.activityCoverage(Tables.customer(s, dir), Tables.orders(s, dir))),
+    "ad_all_rules" -> ((s, dir) => {
+      val events = TimeSeries.base(s, dir)
+      Pipeline.detectAll(events, TimeSeries.rollingFeatures(events))
+    }),
     // custom physical operator (heap top-k; rows-only — heap tie-breaks
     // are arrival-order; set-equality vs the window form is specced)
     "q_topk_custom" -> ((s, dir) =>
@@ -169,6 +173,37 @@ object SparkEntry {
       |                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
       |         w12 AS (PARTITION BY user_id ORDER BY ts_us, event_id
       |                 ROWS BETWEEN 11 PRECEDING AND CURRENT ROW))""".stripMargin
+
+  /** SQL twins of the other three rules (CTE chains over e/f). */
+  private val consecutiveCtes: String =
+    """c AS (SELECT e.*, CASE WHEN value > 100 THEN 1 ELSE 0 END AS exceeds FROM e),
+      |r AS (SELECT c.*,
+      |             row_number() OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+      |               - row_number() OVER (PARTITION BY user_id, exceeds ORDER BY ts_us, event_id) AS grp
+      |      FROM c),
+      |k AS (SELECT r.*, CAST(count(*) OVER (PARTITION BY user_id, grp) AS BIGINT) AS run_len
+      |      FROM r WHERE exceeds = 1)""".stripMargin
+
+  private val oscillationCtes: String =
+    """d AS (SELECT e.*, value - lag(value) OVER wu AS delta FROM e
+      |      WINDOW wu AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+      |s AS (SELECT d.*, CASE WHEN sign(delta) <> sign(lag(delta) OVER wu) THEN 1 ELSE 0 END AS chg FROM d
+      |      WINDOW wu AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+      |o AS (SELECT s.*,
+      |             CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |                                 ROWS BETWEEN 11 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_changes
+      |      FROM s)""".stripMargin
+
+  private val zscoreCtes: String =
+    """st AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+      |              sum(CAST(value AS DECIMAL(18,2))) AS s1,
+      |              sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS s2
+      |       FROM e GROUP BY user_id),
+      |z AS (SELECT user_id, CAST(s1 AS DOUBLE) / n AS mean_v,
+      |             sqrt(greatest(
+      |               (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+      |               / (CASE WHEN n > 1 THEN n - 1 END), 0.0)) AS std_v
+      |      FROM st)""".stripMargin
 
   /** SQL twin of AnomalyRules.thresholdAlerts over f (named a). */
   private val alertsCte: String =
@@ -247,13 +282,7 @@ object SparkEntry {
 
     "ad_consecutive" ->
       s"""$eventsCte,
-         |c AS (SELECT e.*, CASE WHEN value > 100 THEN 1 ELSE 0 END AS exceeds FROM e),
-         |r AS (SELECT c.*,
-         |             row_number() OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
-         |               - row_number() OVER (PARTITION BY user_id, exceeds ORDER BY ts_us, event_id) AS grp
-         |      FROM c),
-         |k AS (SELECT r.*, CAST(count(*) OVER (PARTITION BY user_id, grp) AS BIGINT) AS run_len
-         |      FROM r WHERE exceeds = 1)
+         |$consecutiveCtes
          |SELECT event_id, user_id, ts_us, value, run_len,
          |       'consecutive_drift' AS rule_name,
          |       CASE WHEN value > 200 THEN 'high' ELSE 'medium' END AS severity
@@ -262,14 +291,7 @@ object SparkEntry {
 
     "ad_oscillation" ->
       s"""$eventsCte,
-         |d AS (SELECT e.*, value - lag(value) OVER wu AS delta FROM e
-         |      WINDOW wu AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
-         |s AS (SELECT d.*, CASE WHEN sign(delta) <> sign(lag(delta) OVER wu) THEN 1 ELSE 0 END AS chg FROM d
-         |      WINDOW wu AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
-         |o AS (SELECT s.*,
-         |             CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-         |                                 ROWS BETWEEN 11 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_changes
-         |      FROM s)
+         |$oscillationCtes
          |SELECT event_id, user_id, ts_us, value, n_changes,
          |       'oscillating_control' AS rule_name, 'medium' AS severity
          |FROM o WHERE n_changes > 8
@@ -277,15 +299,7 @@ object SparkEntry {
 
     "ad_zscore" ->
       s"""$eventsCte,
-         |st AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
-         |              sum(CAST(value AS DECIMAL(18,2))) AS s1,
-         |              sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS s2
-         |       FROM e GROUP BY user_id),
-         |z AS (SELECT user_id, CAST(s1 AS DOUBLE) / n AS mean_v,
-         |             sqrt(greatest(
-         |               (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
-         |               / (CASE WHEN n > 1 THEN n - 1 END), 0.0)) AS std_v
-         |      FROM st)
+         |$zscoreCtes
          |SELECT event_id, e.user_id, ts_us, value,
          |       (value - mean_v) / (CASE WHEN std_v > 0 THEN std_v END) AS zscore,
          |       'zscore' AS rule_name,
@@ -294,6 +308,35 @@ object SparkEntry {
          |FROM e JOIN z ON e.user_id = z.user_id
          |WHERE abs((value - mean_v) / (CASE WHEN std_v > 0 THEN std_v END)) > 2.5
          |ORDER BY e.user_id, ts_us, event_id""".stripMargin,
+
+    "ad_all_rules" ->
+      s"""$eventsCte,
+         |$rollingCte,
+         |$alertsCte,
+         |$consecutiveCtes,
+         |$oscillationCtes,
+         |$zscoreCtes
+         |SELECT * FROM (
+         |  SELECT event_id, user_id, ts_us, 'value' AS metric, score, rule_name, severity FROM a
+         |  UNION ALL
+         |  SELECT event_id, user_id, ts_us, 'value' AS metric,
+         |         CAST(run_len AS DOUBLE) AS score, 'consecutive_drift' AS rule_name,
+         |         CASE WHEN value > 200 THEN 'high' ELSE 'medium' END AS severity
+         |  FROM k WHERE run_len >= 3
+         |  UNION ALL
+         |  SELECT event_id, user_id, ts_us, 'value' AS metric,
+         |         CAST(n_changes AS DOUBLE) AS score, 'oscillating_control' AS rule_name,
+         |         'medium' AS severity
+         |  FROM o WHERE n_changes > 8
+         |  UNION ALL
+         |  SELECT event_id, e.user_id, ts_us, 'value' AS metric,
+         |         (value - mean_v) / (CASE WHEN std_v > 0 THEN std_v END) AS score,
+         |         'zscore' AS rule_name,
+         |         CASE WHEN abs((value - mean_v) / (CASE WHEN std_v > 0 THEN std_v END)) > 3.5
+         |              THEN 'high' ELSE 'medium' END AS severity
+         |  FROM e JOIN z ON e.user_id = z.user_id
+         |  WHERE abs((value - mean_v) / (CASE WHEN std_v > 0 THEN std_v END)) > 2.5)
+         |ORDER BY rule_name, user_id, ts_us, event_id""".stripMargin,
 
     "al_filter" ->
       s"""$eventsCte,

@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Headline, TimeSeries}
+import graft.operators.{AlertStore, AnomalyRules, Headline, Pipeline, TimeSeries}
 import graft.sources.Tables
 
 class AnalyticsExtrasSpec extends AnyFunSuite {
@@ -43,6 +43,34 @@ class AnalyticsExtrasSpec extends AnyFunSuite {
       case _ => ()
     }
     assert(rows.head.isNullAt(rows.head.fieldIndex("mom_growth")))
+  }
+
+  test("detectAll unions the four rules on one schema with full coverage") {
+    val events = TimeSeries.base(spark, sf)
+    val all = Pipeline.detectAll(events, TimeSeries.rollingFeatures(events)).cache()
+    val byRule = all.groupBy("rule_name").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byRule.keySet === Set("threshold_high", "consecutive_drift",
+      "oscillating_control", "zscore"))
+    assert(byRule("threshold_high") ===
+      AnomalyRules.thresholdAlerts(TimeSeries.rollingFeatures(events)).count())
+    assert(byRule("zscore") === AnomalyRules.zscoreAlerts(events).count())
+  }
+
+  test("alert store appends day partitions and prunes range queries") {
+    val events = TimeSeries.base(spark, sf)
+    val alerts = Pipeline.detectAll(events, TimeSeries.rollingFeatures(events))
+    val store = java.nio.file.Files.createTempDirectory("alerts").toString
+    AlertStore.append(alerts, store)
+    val n1 = AlertStore.read(spark, store).count()
+    assert(n1 === alerts.count())
+    AlertStore.append(alerts, store)
+    assert(AlertStore.read(spark, store).count() === 2 * n1)
+    val q = AlertStore.queryRange(spark, store, 19725, 19730, "high", 50)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan.take(400))
+    assert(q.count() <= 50)
+    assert(q.filter(col("severity") =!= "high").count() === 0)
   }
 
   test("HLL approx distinct within 5% of exact") {
