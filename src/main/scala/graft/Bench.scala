@@ -14,19 +14,22 @@ object Bench {
     // tiny sf so the first timed query isn't billed for JVM startup
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     // min of two runs per query: steady-state cost, robust to co-tenant
-    // noise (plans are freshly built each run — no caching between them)
+    // noise (plans are freshly built each run — no caching between them).
+    // A query that throws is recorded as -1 (never as its time-to-crash).
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      val runs = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        val ok = try { fn(spark, sfDir).count(); true }
+          catch { case _: Throwable => false }
+        ((System.nanoTime() - t0) / 1e9, ok)
       }
-      name -> times.min
+      name -> (if (runs.forall(_._2)) runs.map(_._1).min else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.filter(_._2 < 0).keys.toSeq.sorted
+    val total = results.values.filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

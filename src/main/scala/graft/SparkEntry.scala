@@ -58,6 +58,17 @@ object SparkEntry {
     "al_daily" -> ((s, dir) =>
       Alerts.daily(
         AnomalyRules.thresholdAlerts(TimeSeries.rollingFeatures(TimeSeries.base(s, dir))))),
+    "al_filter_rule" -> ((s, dir) => {
+      val events = TimeSeries.base(s, dir)
+      Alerts.filterAlerts(
+        Pipeline.detectAll(events, TimeSeries.rollingFeatures(events)),
+        startUs = Some(1704844800000000L), endUs = Some(1705708800000000L),
+        ruleName = Some("zscore"), limit = 1000)
+    }),
+    "al_summary_range" -> ((s, dir) =>
+      Alerts.summary(
+        AnomalyRules.thresholdAlerts(TimeSeries.rollingFeatures(TimeSeries.base(s, dir))),
+        1704844800000000L, 1705708800000000L)),
     "al_join_features" -> ((s, dir) => {
       val features = TimeSeries.rollingFeatures(TimeSeries.base(s, dir))
       Alerts.joinFeatures(AnomalyRules.thresholdAlerts(features), features)
@@ -71,7 +82,7 @@ object SparkEntry {
     "tx_quality" -> ((s, dir) => TextAnalysis.qualityScore(Tables.documents(s, dir))),
     "tx_langid" -> ((s, dir) => TextAnalysis.languageId(Tables.documents(s, dir))),
     "tx_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(Tables.documents(s, dir))),
-    "mm_binary" -> ((s, dir) => Multimodal.binaryColumns(Tables.documents(s, dir))),
+    "mm_binary" -> ((s, dir) => Multimodal.binaryColumnsChecked(Tables.documents(s, dir))),
     // --- scale-path approximate ops + forest + streaming (rows-only
     //     except st_window_agg; cross-checked behaviorally in specs) ---
     "dd_minhash_lsh" -> ((s, dir) =>
@@ -364,6 +375,30 @@ object SparkEntry {
          |SELECT ts_us // 86400000000 AS epoch_day, CAST(count(*) AS BIGINT) AS n
          |FROM a GROUP BY 1 ORDER BY epoch_day""".stripMargin,
 
+    "al_filter_rule" ->
+      s"""$eventsCte,
+         |$zscoreCtes
+         |SELECT event_id, e.user_id, ts_us, 'value' AS metric,
+         |       (value - mean_v) / (CASE WHEN std_v > 0 THEN std_v END) AS score,
+         |       'zscore' AS rule_name,
+         |       CASE WHEN abs((value - mean_v) / (CASE WHEN std_v > 0 THEN std_v END)) > 3.5
+         |            THEN 'high' ELSE 'medium' END AS severity
+         |FROM e JOIN z ON e.user_id = z.user_id
+         |WHERE abs((value - mean_v) / (CASE WHEN std_v > 0 THEN std_v END)) > 2.5
+         |  AND ts_us >= 1704844800000000 AND ts_us < 1705708800000000
+         |ORDER BY ts_us DESC, event_id
+         |LIMIT 1000""".stripMargin,
+
+    "al_summary_range" ->
+      s"""$eventsCte,
+         |$rollingCte,
+         |$alertsCte
+         |SELECT severity, event_type, user_id, CAST(count(*) AS BIGINT) AS n
+         |FROM a
+         |WHERE ts_us >= 1704844800000000 AND ts_us < 1705708800000000
+         |GROUP BY GROUPING SETS ((severity), (event_type), (user_id))
+         |ORDER BY severity NULLS FIRST, event_type NULLS FIRST, user_id NULLS FIRST""".stripMargin,
+
     "al_join_features" ->
       s"""$eventsCte,
          |$rollingCte,
@@ -521,12 +556,39 @@ object SparkEntry {
 
     "mm_binary" ->
       """SELECT doc_id,
-        |       encode(text) AS payload,
+        |       md5(text) AS payload_md5,
         |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |       upper(hex(encode(substring(text, 1, 8)))) AS header_hex,
         |       'text/utf-8' AS modality,
         |       CAST(CAST(octet_length(encode(text)) AS BIGINT) % 7 AS DOUBLE) / 7.0 AS fake_feature
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "tx_fingerprint" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_transform(string_split(text, ' '),
+        |           t -> list_reduce(
+        |                  list_prepend(CAST(0 AS BIGINT),
+        |                    list_transform(string_split(t, ''),
+        |                      c -> CAST(ascii(c) AS BIGINT))),
+        |                  (acc, c) -> (acc * 131 + c) % 1000003)) AS th,
+        |         len(string_split(text, ' ')) AS n
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |         list_transform(generate_series(0, greatest(n - 3, 0)),
+        |           i -> list_reduce(list_prepend(CAST(0 AS BIGINT), th[i+1:i+3]),
+        |                  (acc, h) -> (acc * 8191 + h) % 1000003)) AS sh
+        |  FROM t),
+        |f AS (
+        |  SELECT doc_id,
+        |         list_sort(list_distinct(
+        |           list_transform(generate_series(0, greatest(len(sh) - 4, 0)),
+        |             i -> list_min(sh[i+1:i+4])))) AS fp
+        |  FROM s)
+        |SELECT doc_id, md5(array_to_string(fp, ',')) AS fp_digest,
+        |       CAST(len(fp) AS BIGINT) AS fp_size
+        |FROM f ORDER BY doc_id""".stripMargin,
     "bm_entity_metrics" ->
       s"""$metricsCte
          |SELECT c_custkey, c_mktsegment, n_orders, total_spend, intensity, rating

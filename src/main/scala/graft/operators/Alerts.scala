@@ -20,16 +20,36 @@ import org.apache.spark.sql.functions._
   */
 object Alerts {
 
-  /** Filtered alert scan: [startUs, endUs) × severity, newest first,
-    * bounded. Pushdown-friendly: the predicates sit directly above the
-    * scan, the sort+limit collapses to a TakeOrderedAndProject. */
-  def filterAlerts(alerts: DataFrame, startUs: Long, endUs: Long,
-      severity: String, limit: Int): DataFrame =
-    alerts
-      .filter(col("ts_us") >= startUs && col("ts_us") < endUs
-        && col("severity") === severity)
+  /** Filtered alert scan with every predicate independently optional —
+    * time range, severity, rule name, entity key — newest first, bounded
+    * (db.py:113 `query_anomalies` and api.py:106 `GET /alerts` accept each
+    * filter independently). Pushdown-friendly: the predicates sit directly
+    * above the scan, the sort+limit collapses to a TakeOrderedAndProject. */
+  def filterAlerts(alerts: DataFrame,
+      startUs: Option[Long] = None, endUs: Option[Long] = None,
+      severity: Option[String] = None, ruleName: Option[String] = None,
+      userId: Option[Long] = None, limit: Int = 100): DataFrame = {
+    val preds = Seq(
+      startUs.map(s => col("ts_us") >= s),
+      endUs.map(e => col("ts_us") < e),
+      severity.map(col("severity") === _),
+      ruleName.map(col("rule_name") === _),
+      userId.map(col("user_id") === _)).flatten
+    preds.foldLeft(alerts)(_ filter _)
       .orderBy(col("ts_us").desc, col("event_id"))
       .limit(limit)
+  }
+
+  /** Mandatory-filter convenience form (round-1 signature). */
+  def filterAlerts(alerts: DataFrame, startUs: Long, endUs: Long,
+      severity: String, limit: Int): DataFrame =
+    filterAlerts(alerts, Some(startUs), Some(endUs), Some(severity),
+      None, None, limit)
+
+  /** Time-bounded summary: [startUs, endUs) then the GROUPING SETS pass
+    * (dashboard_app.py:73 `load_summary(start, end)`). */
+  def summary(alerts: DataFrame, startUs: Long, endUs: Long): DataFrame =
+    summary(alerts.filter(col("ts_us") >= startUs && col("ts_us") < endUs))
 
   /** Counts by severity / event type / key in one GROUPING SETS pass
     * (reference runs three separate GROUP BY queries, db.py:203-226). */

@@ -18,15 +18,18 @@ import graft.functions.VectorMath
   */
 object AnnLsh {
 
-  /** Sign-pattern bucket id of `vec` in table `t` (planes sign bits → int). */
+  /** Sign-pattern bucket id of `vec` in table `t` (planes sign bits → int).
+    * The plane length follows the vector's own dimension — a hard-coded
+    * length would null-pad `zip_with` on other dims and silently collapse
+    * every vector into one bucket. */
   private def bucketId(vec: Column, t: Int, planes: Int): Column = {
     val signs = transform(sequence(lit(0), lit(planes - 1)), p => {
       // deterministic pseudo-random plane component per (t, p, i)
       val dot = aggregate(
         zip_with(vec,
-          transform(sequence(lit(0), lit(63)),
+          transform(sequence(lit(0), size(vec) - 1),
             i => (pmod(hash(lit(t), p, i), lit(2000)).cast("double") / 1000.0) - 1.0),
-          (x, r) => x.cast("double") * r),
+          (x, r) => coalesce(x.cast("double") * r, lit(0.0))),
         lit(0.0), (acc, x) => acc + x)
       when(dot >= 0, 1).otherwise(0)
     })

@@ -17,9 +17,17 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** (id, component) for every vertex appearing in `pairs` (doc_a, doc_b).
-    * Component id = min doc id in the component. */
-  def components(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    * Component id = min doc id in the component.
+    *
+    * If the loop hits `maxIter` before converging (graph diameter >
+    * maxIter), the labels are NOT final components: with `strict` (the
+    * default) this throws; pass `strict = false` to get the partial labels
+    * with a logged warning instead. */
+  def components(pairs: DataFrame, maxIter: Int = 20,
+      strict: Boolean = true): DataFrame = {
     // symmetric edge list + self loops so isolated propagation keeps ids
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
@@ -47,6 +55,11 @@ object ConnectedComponents {
       changed = next.filter(col("comp") =!= col("old")).count()
       labels = next.select("id", "comp")
       iter += 1
+    }
+    if (changed > 0) {
+      val msg = s"connected components did not converge in $maxIter rounds " +
+        s"($changed labels still changing) — raise maxIter"
+      if (strict) throw new IllegalStateException(msg) else log.warn(msg)
     }
     labels.orderBy("id")
   }

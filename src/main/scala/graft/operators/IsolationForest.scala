@@ -65,11 +65,16 @@ object IsolationForest {
 
   /** Fit on a deterministic hash-ordered sample of the feature frame.
     * Features are standardized with exact-sample mean/std (the
-    * StandardScaler analog, models.py:262). */
+    * StandardScaler analog, models.py:262). `trainFilter` restricts the
+    * training sample — the reference trains only on normal rows
+    * (models.py:270 `fault_type == 'none'`); scoring still covers every
+    * row. */
   def fit(features: DataFrame, featureCols: Seq[String], trees: Int = 100,
-      subsample: Int = 256, sampleSize: Int = 4096, seed: Int = 42): Model = {
+      subsample: Int = 256, sampleSize: Int = 4096, seed: Int = 42,
+      trainFilter: org.apache.spark.sql.Column = lit(true)): Model = {
     val cols = featureCols.map(col)
     val sample: Array[Array[Double]] = features
+      .filter(trainFilter)
       .select(cols: _*)
       .withColumn("rnd", pmod(hash(featureCols.map(col) :+ lit(seed): _*), lit(1000003)))
       .orderBy(col("rnd"))
@@ -92,6 +97,26 @@ object IsolationForest {
       buildTree(sub, 0, maxDepth, rng)
     }
     Model(forest, subsample, means, stds)
+  }
+
+  /** Persist a fitted model through the Hadoop filesystem API, so the same
+    * call works against local disk, HDFS or object stores — the
+    * save_model/load_model pair of the reference (models.py:359-385), which
+    * pickles the sklearn pipeline for reuse across jobs. */
+  def save(model: Model, path: String, spark: SparkSession): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val oos = new java.io.ObjectOutputStream(fs.create(p, true))
+    try oos.writeObject(model) finally oos.close()
+  }
+
+  /** Load a model persisted by [[save]]; scoring with the loaded model is
+    * bit-identical to scoring with the original (specced). */
+  def load(path: String, spark: SparkSession): Model = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ois = new java.io.ObjectInputStream(fs.open(p))
+    try ois.readObject().asInstanceOf[Model] finally ois.close()
   }
 
   /** Score every row: anomaly score in (0,1], flag above `cut`
@@ -122,7 +147,10 @@ object IsolationForest {
   def detect(spark: SparkSession, dir: String, cut: Double = 0.58): DataFrame = {
     val featureCols = Seq("value", "mean_3", "std_3", "mean_12", "std_12")
     val features = TimeSeries.rollingFeatures(TimeSeries.base(spark, dir))
-    val model = fit(features, featureCols)
+    // normal-only training (models.py:270: fit on fault_type == 'none');
+    // the `error` event rows are this corpus's fault analog
+    val model = fit(features, featureCols,
+      trainFilter = col("event_type") =!= "error")
     score(spark, features, featureCols, model, cut)
       .filter(col("is_anomaly"))
       .select("event_id", "user_id", "ts_us", "value", "if_score", "severity")

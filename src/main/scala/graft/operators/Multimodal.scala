@@ -21,7 +21,8 @@ import org.apache.spark.sql.types._
 object Multimodal {
 
   /** Expression-level plumbing: binary payload + metadata + a stub scalar
-    * feature, all engine-agnostic (oracle-checked as mm_binary). */
+    * feature, all engine-agnostic. The raw payload stays binary here (this
+    * is the frame `extractFeatures` consumes). */
   def binaryColumns(documents: DataFrame): DataFrame =
     documents
       .withColumn("payload", col("text").cast("binary"))
@@ -30,6 +31,16 @@ object Multimodal {
       .withColumn("modality", lit("text/utf-8"))
       .withColumn("fake_feature", (col("n_bytes") % 7).cast("double") / 7.0)
       .select("doc_id", "payload", "n_bytes", "header_hex", "modality",
+        "fake_feature")
+      .orderBy("doc_id")
+
+  /** Query view (oracle-checked as mm_binary): the raw payload is projected
+    * to its md5 digest so every output column is flat and comparable —
+    * payload bytes themselves never need to leave the executors. */
+  def binaryColumnsChecked(documents: DataFrame): DataFrame =
+    binaryColumns(documents)
+      .withColumn("payload_md5", md5(col("payload")))
+      .select("doc_id", "payload_md5", "n_bytes", "header_hex", "modality",
         "fake_feature")
       .orderBy("doc_id")
 

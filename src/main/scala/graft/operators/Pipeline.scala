@@ -41,11 +41,35 @@ object Pipeline {
       .orderBy("rule_name", "user_id", "ts_us", "event_id")
   }
 
-  /** ETL entry point: events → cleaned + feature frame, persisted
-    * (pipeline_batch.py:191). Returns the feature frame. */
+  /** Per-feature describe()-style summary (count/mean/std/min/max/median)
+    * in long format, one row per numeric feature — the
+    * `describe().T` sidecar the reference ETL writes next to the processed
+    * frame (pipeline_batch.py:184-189). One explode + one aggregate: a
+    * single shuffle keyed on the (bounded) feature-name column. */
+  def featureSummary(features: DataFrame, numericCols: Seq[String]): DataFrame = {
+    val long = features.select(explode(array(numericCols.map(c =>
+      struct(lit(c).as("feature"), col(c).cast("double").as("v"))): _*)).as("fv"))
+      .select(col("fv.feature").as("feature"), col("fv.v").as("v"))
+    long.groupBy("feature")
+      .agg(
+        count(col("v")).as("n"),
+        avg(col("v")).as("mean"),
+        stddev_samp(col("v")).as("std"),
+        min(col("v")).as("min"),
+        percentile_approx(col("v"), lit(0.5), lit(10000)).as("median"),
+        max(col("v")).as("max"))
+      .orderBy("feature")
+  }
+
+  /** ETL entry point: events → cleaned + feature frame, persisted, with
+    * the per-feature summary sidecar (pipeline_batch.py:184-191). Returns
+    * the feature frame. */
   def runEtl(spark: SparkSession, dir: String, outPath: String): DataFrame = {
     val features = TimeSeries.rollingFeatures(TimeSeries.base(spark, dir))
     features.write.mode("overwrite").parquet(outPath)
+    featureSummary(features,
+      Seq("value", "mean_3", "std_3", "mean_12", "std_12"))
+      .write.mode("overwrite").parquet(outPath + "_summary")
     features
   }
 
@@ -73,13 +97,25 @@ object AlertStore {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
-  /** Range + severity scan — the query_anomalies shape (db.py:113);
-    * the day predicate hits only the matching partitions. */
+  /** Range scan with optional severity / rule / entity filters — the
+    * query_anomalies shape (db.py:113, each filter independently
+    * optional); the day predicate hits only the matching partitions. */
   def queryRange(spark: SparkSession, path: String, startDay: Long,
-      endDay: Long, severity: String, limit: Int): DataFrame =
-    read(spark, path)
-      .filter(col("epoch_day") >= startDay && col("epoch_day") <= endDay
-        && col("severity") === severity)
+      endDay: Long, severity: Option[String] = None,
+      ruleName: Option[String] = None, userId: Option[Long] = None,
+      limit: Int = 100): DataFrame = {
+    val preds = Seq(
+      Some(col("epoch_day") >= startDay && col("epoch_day") <= endDay),
+      severity.map(col("severity") === _),
+      ruleName.map(col("rule_name") === _),
+      userId.map(col("user_id") === _)).flatten
+    preds.foldLeft(read(spark, path))(_ filter _)
       .orderBy(col("ts_us").desc, col("event_id"))
       .limit(limit)
+  }
+
+  /** Mandatory-severity convenience form (round-1 signature). */
+  def queryRange(spark: SparkSession, path: String, startDay: Long,
+      endDay: Long, severity: String, limit: Int): DataFrame =
+    queryRange(spark, path, startDay, endDay, Some(severity), None, None, limit)
 }

@@ -34,8 +34,10 @@ object Reports {
         col("intensity").as("energy_intensity"),
         (col("intensity") * 0.22).as("co2_intensity"),
         col("rating")).as("b"))
-      .orderBy(col("b.building_id"))
-      .agg(collect_list(col("b")).as("buildings"))
+      // collect_list order is not a Spark contract under multi-partition
+      // execution — sort INSIDE the array (struct sort keys lead with
+      // building_id) so the document is deterministic on any cluster
+      .agg(array_sort(collect_list(col("b"))).as("buildings"))
     val summary = Benchmarking.portfolioSummary(metrics)
       .select(struct(
         col("total_entities"), col("total_activity"), col("total_spend"),

@@ -100,22 +100,46 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  /** Winnowing-style document fingerprint: rolling hashes of token
-    * 3-shingles, keep each window's minimum → a compact, shift-tolerant
-    * signature (rows-only; cross-checked behaviorally in LlmOpsSpec). */
-  def fingerprint(documents: DataFrame, k: Int = 3, window: Int = 4): DataFrame = {
+  /** Winnowing-style document fingerprint sets: Karp-Rabin polynomial
+    * rolling hashes of token k-shingles, keep each window's minimum → a
+    * compact, shift-tolerant signature set (sorted canonical order).
+    *
+    * The hash is plain modular polynomial arithmetic over character codes
+    * ((acc·131 + c) mod 1000003 per char, (acc·8191 + h) mod 1000003 per
+    * token-in-shingle) — deliberately engine-neutral so any SQL engine can
+    * reproduce the exact fingerprints, unlike an engine-private murmur3.
+    * All per-row expression work: no shuffle, scan-speed at any corpus
+    * size. */
+  def fingerprintSets(documents: DataFrame, k: Int = 3, window: Int = 4): DataFrame = {
     val toks = split(col("text"), " ")
+    // one polynomial char-hash per token (each token hashed once, not once
+    // per shingle it appears in)
+    val tokenHashes = transform(toks, t =>
+      aggregate(transform(split(t, ""), c => ascii(c).cast("long")),
+        lit(0L), (acc, c) => pmod(acc * lit(131L) + c, lit(1000003L))))
     val shingles = transform(
       sequence(lit(0), greatest(size(toks) - k, lit(0))),
-      i => hash(concat_ws(" ", slice(toks, i + lit(1), lit(k)))))
-    val fp = array_distinct(transform(
+      i => aggregate(slice(col("tok_hashes"), i + lit(1), lit(k)),
+        lit(0L), (acc, h) => pmod(acc * lit(8191L) + h, lit(1000003L))))
+    val fp = array_sort(array_distinct(transform(
       sequence(lit(0), greatest(size(col("shingle_hashes")) - window, lit(0))),
-      i => array_min(slice(col("shingle_hashes"), i + lit(1), lit(window)))))
+      i => array_min(slice(col("shingle_hashes"), i + lit(1), lit(window))))))
     documents
+      .withColumn("tok_hashes", tokenHashes)
       .withColumn("shingle_hashes", shingles)
       .withColumn("fingerprint", fp)
-      .withColumn("fp_size", size(col("fingerprint")).cast("long"))
-      .select("doc_id", "fingerprint", "fp_size")
-      .orderBy("doc_id")
+      .drop("tok_hashes", "shingle_hashes")
   }
+
+  /** Query view of the fingerprint: scalar md5 digest of the sorted
+    * fingerprint set + set size — flat, orderable columns that any
+    * downstream store (or the correctness oracle) can compare directly. */
+  def fingerprint(documents: DataFrame, k: Int = 3, window: Int = 4): DataFrame =
+    fingerprintSets(documents, k, window)
+      .withColumn("fp_digest",
+        md5(concat_ws(",", transform(col("fingerprint"), x => x.cast("string")))
+          .cast("binary")))
+      .withColumn("fp_size", size(col("fingerprint")).cast("long"))
+      .select("doc_id", "fp_digest", "fp_size")
+      .orderBy("doc_id")
 }

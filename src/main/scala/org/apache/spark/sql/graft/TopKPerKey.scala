@@ -71,8 +71,12 @@ case class TopKPerKeyExec(k: Int, keys: Seq[Expression], ord: Expression,
             case f: java.lang.Float => f.doubleValue()
             case l: java.lang.Long => l.doubleValue()
             case i: java.lang.Integer => i.doubleValue()
+            case s: java.lang.Short => s.doubleValue()
+            case b: java.lang.Byte => b.doubleValue()
             case d: org.apache.spark.sql.types.Decimal => d.toDouble
-            case other => other.toString.toDouble
+            case other => throw new IllegalStateException(
+              s"TopKPerKey: unsupported ord value ${other.getClass} — " +
+                "the API validates types at plan time; this is a bug")
           }
           if (heap.size < kLocal) {
             heap.add(new Entry(score, row.asInstanceOf[UnsafeRow].copy()))
@@ -105,7 +109,13 @@ object TopKPerKeyApi {
     * Key/order columns are resolved directly against the analyzed child
     * (Spark 4's Column nodes stay unresolved inside custom logical nodes).
     * Ensures the planner strategy is installed on the session (idempotent),
-    * so the API also works without `withExtensions`. */
+    * so the API also works without `withExtensions`.
+    *
+    * Contract: `ord` must be numeric (integral, floating or decimal) —
+    * validated here at plan time, not per-row in the executor. Rows whose
+    * ord value is NULL are dropped (a null score can never be in the
+    * top-k); this differs from the `row_number` window form, which keeps
+    * null rows when a group has fewer than k non-null scores. */
   def topKPerKey(df: DataFrame, keys: Seq[String], ord: String, k: Int): DataFrame = {
     val session = df.sparkSession
     if (!session.experimental.extraStrategies.contains(TopKPerKeyStrategy)) {
@@ -116,7 +126,12 @@ object TopKPerKeyApi {
     def attr(name: String): Attribute = lp.output.find(_.name == name).getOrElse(
       throw new IllegalArgumentException(
         s"column '$name' not in [${lp.output.map(_.name).mkString(", ")}]"))
+    val ordAttr = attr(ord)
+    if (!ordAttr.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]) {
+      throw new IllegalArgumentException(
+        s"TopKPerKey: ord column '$ord' must be numeric, got ${ordAttr.dataType.sql}")
+    }
     Dataset.ofRows(session.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
-      TopKPerKeyNode(k, keys.map(attr), attr(ord), lp))
+      TopKPerKeyNode(k, keys.map(attr), ordAttr, lp))
   }
 }

@@ -83,8 +83,9 @@ class LlmOpsSpec extends AnyFunSuite {
       (3L, "q r s t u v w x y z"))
       .toDF("doc_id", "text")
     val fp = TextAnalysis.fingerprint(three).collect().sortBy(_.getLong(0))
-    assert(fp(0).getAs[scala.collection.Seq[Int]]("fingerprint") === fp(1).getAs[scala.collection.Seq[Int]]("fingerprint"))
-    assert(fp(0).getAs[scala.collection.Seq[Int]]("fingerprint") !== fp(2).getAs[scala.collection.Seq[Int]]("fingerprint"))
+    assert(fp(0).getAs[String]("fp_digest") === fp(1).getAs[String]("fp_digest"))
+    assert(fp(0).getAs[String]("fp_digest") !== fp(2).getAs[String]("fp_digest"))
+    assert(fp.forall(_.getAs[Long]("fp_size") > 0))
   }
 
   test("fingerprint shares hashes under content shift (winnowing property)") {
@@ -92,9 +93,9 @@ class LlmOpsSpec extends AnyFunSuite {
       (1L, "a b c d e f g h i j"),
       (2L, "zz a b c d e f g h i j"))  // same content, one-token prefix
       .toDF("doc_id", "text")
-    val fp = TextAnalysis.fingerprint(shifted).collect().sortBy(_.getLong(0))
-    val s1 = fp(0).getAs[scala.collection.Seq[Int]]("fingerprint").toSet
-    val s2 = fp(1).getAs[scala.collection.Seq[Int]]("fingerprint").toSet
+    val fp = TextAnalysis.fingerprintSets(shifted).collect().sortBy(_.getLong(0))
+    val s1 = fp(0).getAs[scala.collection.Seq[Long]]("fingerprint").toSet
+    val s2 = fp(1).getAs[scala.collection.Seq[Long]]("fingerprint").toSet
     assert(s1.intersect(s2).nonEmpty)
   }
 
