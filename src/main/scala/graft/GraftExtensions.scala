@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.{FloatDotProduct, LongArrayMatchCount, SimHashBits, SortedStringArrayIntersectCount}
+import org.apache.spark.sql.graft.{EmbeddingLshBuckets, FloatDotProduct, LongArrayMatchCount, SimHashBits, SortedStringArrayIntersectCount}
 
 /** Session extension installing the native kernels as SQL functions, so
   * `spark.sql("SELECT float_dot(a, b) ...")` works for SQL-first users —
@@ -44,7 +44,10 @@ object GraftExtensions {
     "simhash_bits" -> arity("simhash_bits", 1)(es => SimHashBits(es(0))),
     "sorted_intersect_count" ->
       arity("sorted_intersect_count", 2)(
-        es => SortedStringArrayIntersectCount(es(0), es(1))))
+        es => SortedStringArrayIntersectCount(es(0), es(1))),
+    // default LSH shape (8 tables × 6 planes) for the SQL surface
+    "embedding_lsh_buckets" ->
+      arity("embedding_lsh_buckets", 1)(es => EmbeddingLshBuckets(es(0), 8, 6)))
 
   /** Register on an already-running session. */
   def register(spark: SparkSession): Unit =

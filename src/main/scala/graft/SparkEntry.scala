@@ -76,7 +76,8 @@ object SparkEntry {
     // --- dedup / similarity / text / multimodal (SURVEY §2: dd_/sim_/tx_/mm_) ---
     "dd_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir))),
     "dd_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(Tables.documents(s, dir))),
-    "dd_embedding" -> ((s, dir) => Dedup.embeddingNearDup(Tables.embeddings(s, dir))),
+    "dd_embedding" -> ((s, dir) => Dedup.embeddingNearDupLsh(Tables.embeddings(s, dir))),
+    "dd_embedding_exact" -> ((s, dir) => Dedup.embeddingNearDup(Tables.embeddings(s, dir))),
     "sim_topk" -> ((s, dir) => Similarity.bruteForceTopK(Tables.embeddings(s, dir), 0L, 20)),
     "tx_tokens" -> ((s, dir) => TextAnalysis.tokenStats(Tables.documents(s, dir))),
     "tx_quality" -> ((s, dir) => TextAnalysis.qualityScore(Tables.documents(s, dir))),
@@ -104,10 +105,12 @@ object SparkEntry {
         .orderBy("user_id", "event_type")),
     "tx_tokens_regex" -> ((s, dir) =>
       TextAnalysis.regexTokenStats(Tables.documents(s, dir))),
-    "dd_cluster" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      ConnectedComponents.dedupClusters(docs, Dedup.ngramJaccard(docs, 0.9))
-    }),
+    // clusters over the UNSUPERVISED scale path: exact-dup collapse →
+    // banded-LSH candidates → exact verify at j >= 0.9 → min-label
+    // components — no blocked quadratic join anywhere in the plan
+    // (cluster equality with an exhaustive pair scan specced in
+    // ClusterIvfSpec)
+    "dd_cluster" -> ((s, dir) => Dedup.clusterExact(Tables.documents(s, dir), 0.9)),
     "sim_ivf" -> ((s, dir) => Ivf.topK(Tables.embeddings(s, dir), 0L, 10)),
     "ts_range_window" -> ((s, dir) =>
       TimeSeries.rangeFeatures(TimeSeries.base(s, dir))),
@@ -135,6 +138,19 @@ object SparkEntry {
   private def dotSql(a: String, b: String): String =
     s"list_sum(list_transform(generate_series(1, len($a)), " +
       s"i -> CAST(CAST($a[i] AS DOUBLE) AS DECIMAL(9,7)) * CAST(CAST($b[i] AS DOUBLE) AS DECIMAL(9,7))))"
+
+  /** DuckDB twin of Dedup.lshWeight∘lshBucket: table `t`'s plane-`p` dot
+    * with the floor(x·10⁴) integer-quantized vector `iv` (pure Long
+    * arithmetic on both engines, so the sign bit can never diverge). */
+  private def lshDotSql(p: Int): String =
+    s"list_sum(list_transform(generate_series(1, len(iv)), i -> iv[i] * " +
+      s"((((((t*1000003 + $p*8191 + (i-1)) * 1103515245 + 12345) % 2147483648) " +
+      s"* 1103515245 + 12345) % 2147483648) % 65536 - 32768)))"
+
+  private def lshBucketSql(planes: Int): String =
+    (0 until planes)
+      .map(p => s"(CASE WHEN ${lshDotSql(p)} >= 0 THEN ${1L << (planes - 1 - p)} ELSE 0 END)")
+      .mkString(" + ")
 
   /** Shared DuckDB CTE mirroring Benchmarking.entityMetrics — the SQL twin
     * of the Spark plan, op-for-op, so doubles match bit-for-bit. */
@@ -432,6 +448,31 @@ object SparkEntry {
         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "dd_embedding" ->
+      s"""WITH base AS (
+         |  SELECT vec_id,
+         |         list_transform(embedding,
+         |           x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS iv
+         |  FROM embeddings),
+         |bk AS (
+         |  SELECT vec_id, t, ${lshBucketSql(6)} AS bucket
+         |  FROM (SELECT vec_id, iv, unnest(generate_series(0, 7)) AS t FROM base)),
+         |pr AS (
+         |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM bk a JOIN bk b
+         |    ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |n AS (
+         |  SELECT vec_id, embedding, ${dotSql("embedding", "embedding")} AS nrm
+         |  FROM embeddings),
+         |c AS (
+         |  SELECT vec_a, vec_b,
+         |         CAST(${dotSql("a.embedding", "b.embedding")} AS DOUBLE)
+         |           / (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))) AS cosine
+         |  FROM pr JOIN n a ON pr.vec_a = a.vec_id JOIN n b ON pr.vec_b = b.vec_id)
+         |SELECT vec_a, vec_b, cosine FROM c
+         |WHERE cosine >= 0.3
+         |ORDER BY vec_a, vec_b""".stripMargin,
+
+    "dd_embedding_exact" ->
       s"""WITH n AS (
          |  SELECT vec_id, label, embedding,
          |         ${dotSql("embedding", "embedding")} AS nrm

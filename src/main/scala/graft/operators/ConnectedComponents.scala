@@ -28,9 +28,13 @@ object ConnectedComponents {
     * with a logged warning instead. */
   def components(pairs: DataFrame, maxIter: Int = 20,
       strict: Boolean = true): DataFrame = {
-    // symmetric edge list + self loops so isolated propagation keeps ids
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // symmetric edge list via one explode — a union of two selects over
+    // `pairs` would evaluate the (possibly expensive) pair plan twice
+    val edges = pairs
+      .select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
       .localCheckpoint(true)
     var labels = edges.select(col("src").as("id")).distinct()

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -79,9 +79,92 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** (vec_id, t, bucket) rows: one LSH bucket id per hash table, computed
+    * by the native EmbeddingLshBuckets kernel — integer-quantized
+    * components (floor(x*10^4) longs), two-round-LCG signed-16-bit plane
+    * weights, pure Long dot products, so the bucket bits are exact and
+    * bit-identical to the correctness oracle's SQL twin
+    * (SparkEntry.lshBucketSql). Only these narrow keys enter the
+    * candidate self-join.
+    *
+    * Embedding near-dup pairs gated by these buckets mirror MinHashLsh
+    * for text: a vector's candidates are the rows sharing a sign-pattern
+    * bucket in any of `tables` hash tables, so the pairwise join is
+    * bucket-local. */
+  private[graft] def embeddingBuckets(embeddings: DataFrame, tables: Int = 8,
+      planes: Int = 6): DataFrame =
+    embeddings
+      .select(col("vec_id"),
+        posexplode(org.apache.spark.sql.graft.ColumnBridge
+          .embeddingLshBuckets(col("embedding"), tables, planes)))
+      .select(col("vec_id"), col("pos").as("t"), col("col").as("bucket"))
+
+  def embeddingNearDupLsh(embeddings: DataFrame, threshold: Double = 0.3,
+      tables: Int = 8, planes: Int = 6): DataFrame = {
+    val bucketed = embeddingBuckets(embeddings, tables, planes)
+    val a = bucketed.as("a")
+    val b = bucketed.as("b")
+    val pairs = a.join(b,
+        col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket")
+          && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    val e = embeddings.select(
+      col("vec_id"), col("embedding"),
+      VectorMath.normSqDec(col("embedding")).as("nrm"),
+      sqrt(VectorMath.dotDouble(col("embedding"), col("embedding"))).as("nrm_d"))
+    val ea = e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"),
+      col("nrm").as("nrm_a"), col("nrm_d").as("nrm_d_a"))
+    val eb = e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"),
+      col("nrm").as("nrm_b"), col("nrm_d").as("nrm_d_b"))
+    pairs.join(ea, "vec_a").join(eb, "vec_b")
+      // cheap double prefilter with a conservative margin; the exact
+      // decimal cosine (<1e-6 apart) decides membership
+      .filter(VectorMath.dotDouble(col("emb_a"), col("emb_b"))
+        / (col("nrm_d_a") * col("nrm_d_b")) >= threshold - 1e-4)
+      .select(col("vec_a"), col("vec_b"),
+        VectorMath.cosineFromDec(
+          VectorMath.dotDec(col("emb_a"), col("emb_b")),
+          col("nrm_a"), col("nrm_b")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** Full exact dedup-cluster sweep at `threshold`, with exact-duplicate
+    * collapse first: docs sharing a normalized token set are represented
+    * by their min doc_id, the (much smaller) representative corpus runs
+    * through MinHashLsh.exactPairs → ConnectedComponents, and members
+    * inherit their representative's component. Exactness is preserved —
+    * identical token sets have jaccard 1 with their representative, and a
+    * cluster's min id is always a representative (it is the min of its
+    * own norm group), so component ids match the uncollapsed run. On
+    * corpora with heavy exact duplication this cuts the pairwise volume
+    * by the square of the collapse ratio. */
+  def clusterExact(documents: DataFrame, threshold: Double = 0.9): DataFrame = {
+    val normed = documents
+      .withColumn("norm_hash", md5(
+        concat_ws(" ", array_sort(array_distinct(split(col("text"), " "))))
+          .cast("binary")))
+    val reps = normed
+      .groupBy("norm_hash").agg(min(col("doc_id")).as("rep_id"))
+    val repDocs = normed.join(reps, "norm_hash")
+      .filter(col("doc_id") === col("rep_id"))
+      .select("doc_id", "text")
+    val comps = ConnectedComponents.components(
+      MinHashLsh.exactPairs(repDocs, threshold))
+    normed.join(reps, "norm_hash")
+      .join(comps.withColumnRenamed("id", "rep_id"), Seq("rep_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("comp"), col("rep_id")).as("component"))
+      .withColumn("keep", col("doc_id") === col("component"))
+      .orderBy("doc_id")
+  }
+
   /** Embedding-cosine near-dup pairs, blocked on `label` (coarse IVF-style
-    * partition so the pairwise work is per-block, not corpus²). Exact
-    * decimal dot products keep the result oracle-comparable. */
+    * partition so the pairwise work is per-block, not corpus²) — the
+    * EXHAUSTIVE within-block verifier; [[embeddingNearDupLsh]] is the
+    * unsupervised scale entry point. Exact decimal dot products keep the
+    * result oracle-comparable. */
   def embeddingNearDup(embeddings: DataFrame, threshold: Double = 0.3): DataFrame = {
     val e = embeddings.select(
       col("vec_id"), col("label"), col("embedding"),

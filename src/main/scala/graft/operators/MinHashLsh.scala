@@ -49,28 +49,38 @@ object MinHashLsh {
           .minhashSig(col("hs"), ab.map(_._1), ab.map(_._2), p).as("sig"))
   }
 
-  /** Candidate pairs via banding + signature-agreement estimate. */
-  def candidatePairs(documents: DataFrame, k: Int = 128, bands: Int = 8,
-      threshold: Double = 0.9): DataFrame = {
+  /** Banded bucket rows (doc_id, band, bucket): the banded join and its
+    * distinct carry only these narrow int keys — signatures/tokens are
+    * re-attached to the deduped pair ids afterwards, so the shuffle
+    * payload stays narrow no matter how hot the buckets are. */
+  private def banded(sigs: DataFrame, k: Int, bands: Int): DataFrame = {
     val rows = k / bands
-    val sigs = signatures(documents, k)
-    // the banded join and its distinct carry only (band, bucket, id) ints —
-    // signatures are re-attached to the deduped pair ids afterwards, so the
-    // shuffle payload stays narrow no matter how hot the buckets are
-    val banded = sigs.select(
+    sigs.select(
       col("doc_id"),
       explode(transform(sequence(lit(0), lit(bands - 1)),
         b => struct(b.as("band"),
           hash(slice(col("sig"), b * rows + lit(1), lit(rows)), b).as("bucket"))))
         .as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    val a = banded.as("a")
-    val b = banded.as("b")
-    val pairs = a.join(b,
+  }
+
+  /** Deduplicated candidate id pairs from the banded self-join. */
+  private def bandedPairs(sigs: DataFrame, k: Int, bands: Int): DataFrame = {
+    val bb = banded(sigs, k, bands)
+    val a = bb.as("a")
+    val b = bb.as("b")
+    a.join(b,
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
           && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+  }
+
+  /** Candidate pairs via banding + signature-agreement estimate. */
+  def candidatePairs(documents: DataFrame, k: Int = 128, bands: Int = 8,
+      threshold: Double = 0.9): DataFrame = {
+    val sigs = signatures(documents, k)
+    val pairs = bandedPairs(sigs, k, bands)
     val sa = sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))
     val sb = sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"))
     pairs
@@ -81,5 +91,48 @@ object MinHashLsh {
       .filter(col("jaccard_est") >= threshold)
       .select("doc_a", "doc_b", "jaccard_est")
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** EXACT near-dup pairs at `threshold`, generated the scale-safe way:
+    * banded LSH candidates → cheap signature-estimate prefilter → exact
+    * sorted-token-intersection verification (the same integer-form
+    * predicate as Dedup.ngramJaccard, so a surviving pair is exactly a
+    * jaccard ≥ threshold pair).
+    *
+    * Unlike ngramJaccard this needs no blocking column: candidate
+    * generation is unsupervised (band buckets), so cross-block near-dups
+    * are found and nothing quadratic ever runs. Band shape b=16 × r=8
+    * puts per-pair recall at j=0.9 at 1−(1−0.9⁸)¹⁶ ≈ 99.99%; the
+    * signature prefilter margin (0.15 ≈ 5.7σ of the k=128 estimate at
+    * j=0.9) keeps true pairs while killing the j≈0.6 background before
+    * the token arrays are ever shuffled. */
+  def exactPairs(documents: DataFrame, threshold: Double = 0.9, k: Int = 128,
+      bands: Int = 16): DataFrame = {
+    val sigs = signatures(documents, k)
+    val cand = bandedPairs(sigs, k, bands)
+    val sa = sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+    val sb = sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    val pre = cand.join(sa, "doc_a").join(sb, "doc_b")
+      .filter(org.apache.spark.sql.graft.ColumnBridge
+        .matchCount(col("sig_a"), col("sig_b")).cast("double") / lit(k)
+        >= lit(threshold - 0.15))
+      .select("doc_a", "doc_b")
+    val toks = documents.select(col("doc_id"),
+      array_sort(array_distinct(split(col("text"), " "))).as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+    val ta = toks.select(col("doc_id").as("doc_a"),
+      col("toks").as("toks_a"), col("n").as("na"))
+    val tb = toks.select(col("doc_id").as("doc_b"),
+      col("toks").as("toks_b"), col("n").as("nb"))
+    pre.join(ta, "doc_a").join(tb, "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("na"), col("nb"),
+        org.apache.spark.sql.graft.ColumnBridge
+          .sortedIntersectCount(col("toks_a"), col("toks_b"))
+          .cast("long").as("inter"))
+      .filter(col("inter") * lit(100L + math.round(threshold * 100))
+        >= lit(math.round(threshold * 100)) * (col("na") + col("nb")))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .select("doc_a", "doc_b", "jaccard")
   }
 }

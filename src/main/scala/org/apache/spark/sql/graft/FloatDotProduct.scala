@@ -95,6 +95,10 @@ object ColumnBridge {
   /** minhash_signature(hs) as a Column. */
   def minhashSig(hs: Column, as: Array[Long], bs: Array[Long], p: Long): Column =
     column(MinHashSignature(expression(hs), as, bs, p))
+
+  /** embedding_lsh_buckets(vec) as a Column. */
+  def embeddingLshBuckets(vec: Column, tables: Int, planes: Int): Column =
+    column(EmbeddingLshBuckets(expression(vec), tables, planes))
 }
 
 /** Native codegen expression: number of positions where two `array<long>`
@@ -332,4 +336,100 @@ case class SortedStringArrayIntersectCount(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): SortedStringArrayIntersectCount =
     copy(left = newLeft, right = newRight)
+}
+
+/** Native codegen expression: all random-hyperplane LSH bucket ids of an
+  * `array<float>` embedding in one pass — `tables` bucket longs, each the
+  * sign-pattern of `planes` integer-weight hyperplanes.
+  *
+  * Arithmetic contract (shared bit-for-bit with the DuckDB oracle twin in
+  * SparkEntry.lshBucketSql): components quantize as floor(x·10⁴) longs;
+  * plane weight w(t,p,i) derives from two LCG rounds mod 2³¹ and maps to
+  * a signed 16-bit integer; the dot is a pure Long sum, so the sign bit
+  * can never diverge between engines. Replaces a tables×planes stack of
+  * interpreted aggregate-over-zip_with lambdas (~50 array traversals per
+  * row) with one primitive loop nest.
+  */
+case class EmbeddingLshBuckets(child: Expression, tables: Int, planes: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  import org.apache.spark.sql.types.LongType
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def prettyName: String = "embedding_lsh_buckets"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val vec = input.asInstanceOf[ArrayData]
+    val n = vec.numElements()
+    val iv = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      iv(i) = if (vec.isNullAt(i)) 0L
+        else math.floor(vec.getFloat(i).toDouble * 10000.0).toLong
+      i += 1
+    }
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var bucket = 0L
+      var p = 0
+      while (p < planes) {
+        var dot = 0L
+        var j = 0
+        while (j < n) {
+          val x0 = t.toLong * 1000003L + p.toLong * 8191L + j
+          val x1 = (x0 * 1103515245L + 12345L) % 2147483648L
+          val x2 = (x1 * 1103515245L + 12345L) % 2147483648L
+          dot += iv(j) * (x2 % 65536L - 32768L)
+          j += 1
+        }
+        bucket = bucket * 2 + (if (dot >= 0) 1L else 0L)
+        p += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, vec => {
+      val n = ctx.freshName("n"); val iv = ctx.freshName("iv")
+      val i = ctx.freshName("i"); val t = ctx.freshName("t")
+      val p = ctx.freshName("p"); val j = ctx.freshName("j")
+      val dot = ctx.freshName("dot"); val bucket = ctx.freshName("bucket")
+      val out = ctx.freshName("out")
+      val x0 = ctx.freshName("x0"); val x1 = ctx.freshName("x1")
+      val x2 = ctx.freshName("x2")
+      s"""
+         |int $n = $vec.numElements();
+         |long[] $iv = new long[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $iv[$i] = $vec.isNullAt($i) ? 0L
+         |    : (long) Math.floor(((double) $vec.getFloat($i)) * 10000.0);
+         |}
+         |long[] $out = new long[$tables];
+         |for (int $t = 0; $t < $tables; $t++) {
+         |  long $bucket = 0L;
+         |  for (int $p = 0; $p < $planes; $p++) {
+         |    long $dot = 0L;
+         |    for (int $j = 0; $j < $n; $j++) {
+         |      long $x0 = ((long) $t) * 1000003L + ((long) $p) * 8191L + $j;
+         |      long $x1 = ($x0 * 1103515245L + 12345L) % 2147483648L;
+         |      long $x2 = ($x1 * 1103515245L + 12345L) % 2147483648L;
+         |      $dot += $iv[$j] * ($x2 % 65536L - 32768L);
+         |    }
+         |    $bucket = $bucket * 2 + (($dot >= 0L) ? 1L : 0L);
+         |  }
+         |  $out[$t] = $bucket;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): EmbeddingLshBuckets =
+    copy(child = newChild)
 }

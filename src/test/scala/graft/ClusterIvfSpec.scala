@@ -4,7 +4,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
-import graft.operators.{ConnectedComponents, Dedup, Ivf, Similarity, TextAnalysis}
+import graft.operators.{ConnectedComponents, Dedup, Ivf, MinHashLsh, Similarity, TextAnalysis}
 import graft.sources.Tables
 import graft.streaming.StreamingAlerts
 
@@ -32,6 +32,46 @@ class ClusterIvfSpec extends AnyFunSuite {
     assert(perComp.filter(col("keepers") =!= 1).count() === 0)
     // there really are multi-doc clusters in this corpus
     assert(clusters.filter(!col("keep")).count() > 0)
+  }
+
+  test("LSH exactPairs equal an exhaustive all-pairs scan, and clusters match") {
+    val docs = Tables.documents(spark, sf)
+    val toks = docs.select(col("doc_id"),
+      array_sort(array_distinct(split(col("text"), " "))).as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+    val ta = toks.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"),
+      col("n").as("na"))
+    val tb = toks.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"),
+      col("n").as("nb"))
+    // ground truth: EVERY pair, no blocking at all (test-only quadratic)
+    val exhaustive = ta.crossJoin(tb).filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        org.apache.spark.sql.graft.ColumnBridge
+          .sortedIntersectCount(col("toks_a"), col("toks_b"))
+          .cast("long").as("inter"), col("na"), col("nb"))
+      .filter(col("inter") * lit(190L) >= lit(90L) * (col("na") + col("nb")))
+      .select("doc_a", "doc_b").cache()
+    val lsh = MinHashLsh.exactPairs(docs, 0.9).select("doc_a", "doc_b").cache()
+    assert(lsh.exceptAll(exhaustive).count() === 0, "false-positive pairs")
+    assert(exhaustive.exceptAll(lsh).count() === 0, "missed true pairs")
+    // and the full dd_cluster pipeline (exact-dup collapse + LSH + CC)
+    // reproduces the exhaustive clustering
+    val got = Dedup.clusterExact(docs, 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sorted
+    val want = ConnectedComponents.dedupClusters(docs, exhaustive).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sorted
+    assert(got.sameElements(want))
+  }
+
+  test("connected components throw on non-convergence when strict") {
+    // a 30-vertex chain has diameter > maxIter=2
+    val chain = (1L to 29L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    intercept[IllegalStateException] {
+      ConnectedComponents.components(chain, maxIter = 2).collect()
+    }
+    // non-strict returns (partial) labels instead
+    assert(ConnectedComponents.components(chain, maxIter = 2, strict = false)
+      .count() === 30)
   }
 
   test("IVF top-k self-consistency and brute-force agreement inside probed cells") {

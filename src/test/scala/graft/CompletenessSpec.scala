@@ -22,6 +22,32 @@ class CompletenessSpec extends AnyFunSuite {
     assert(report.getAs[String]("pipeline") === "sustainable_building_benchmarking")
   }
 
+  test("portfolio report building order is deterministic under repartition") {
+    // scramble the input partitioning; the array must still come back
+    // sorted by building_id (array_sort inside the aggregation)
+    val scrambled = Reports.portfolioReport(metrics.repartition(13)).collect().head
+      .getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("buildings")
+      .map(_.getAs[Long]("building_id"))
+    assert(scrambled === scrambled.sorted)
+    assert(scrambled.length === metrics.count())
+  }
+
+  test("runEtl writes the per-feature describe summary sidecar") {
+    val dir = java.nio.file.Files.createTempDirectory("etl").toString + "/features"
+    graft.operators.Pipeline.runEtl(spark, sf, dir)
+    val summary = spark.read.parquet(dir + "_summary")
+    assert(summary.columns.toSeq ===
+      Seq("feature", "n", "mean", "std", "min", "median", "max"))
+    val feats = summary.collect().map(_.getAs[String]("feature")).toSet
+    assert(feats === Set("value", "mean_3", "std_3", "mean_12", "std_12"))
+    // sanity: stats are internally consistent for every feature
+    summary.collect().foreach { r =>
+      assert(r.getAs[Long]("n") > 0)
+      assert(r.getAs[Double]("min") <= r.getAs[Double]("median"))
+      assert(r.getAs[Double]("median") <= r.getAs[Double]("max"))
+    }
+  }
+
   test("gold export writes readable parquet tables") {
     val dir = java.nio.file.Files.createTempDirectory("gold").toString
     Reports.exportGold(metrics, dir)

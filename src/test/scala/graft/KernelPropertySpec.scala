@@ -42,6 +42,32 @@ class KernelPropertySpec extends AnyFunSuite {
     assert(bad.count() === 0)
   }
 
+  test("embedding_lsh_buckets equals the plain-Scala reference") {
+    def refBuckets(vec: Array[Float], tables: Int, planes: Int): Seq[Long] = {
+      val iv = vec.map(x => math.floor(x.toDouble * 10000.0).toLong)
+      (0 until tables).map { t =>
+        (0 until planes).foldLeft(0L) { (acc, p) =>
+          val dot = iv.indices.foldLeft(0L) { (s, i) =>
+            val x0 = t.toLong * 1000003L + p.toLong * 8191L + i
+            val x1 = (x0 * 1103515245L + 12345L) % 2147483648L
+            val x2 = (x1 * 1103515245L + 12345L) % 2147483648L
+            s + iv(i) * (x2 % 65536L - 32768L)
+          }
+          acc * 2 + (if (dot >= 0) 1L else 0L)
+        }
+      }
+    }
+    val cases = (1 to 300).map { i =>
+      val dim = Seq(8, 64, 100)(rnd.nextInt(3))
+      val v = Array.fill(dim)((rnd.nextGaussian() * 2).toFloat)
+      (i.toLong, v.toSeq, refBuckets(v, 8, 6))
+    }
+    val df = cases.toDF("id", "vec", "expected")
+    val bad = df.filter(
+      ColumnBridge.embeddingLshBuckets(col("vec"), 8, 6) =!= col("expected"))
+    assert(bad.count() === 0)
+  }
+
   test("float_dot equals the Scala fold within 1e-6 relative") {
     val cases = (1 to 500).map { i =>
       val n = 1 + rnd.nextInt(64)

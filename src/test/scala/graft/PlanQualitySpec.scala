@@ -70,6 +70,16 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(pMh.contains("minhash_signature") && pMh.contains("long_array_match_count"), pMh)
   }
 
+  test("scale-path dedup plans contain no unblocked pairwise join") {
+    val docs = Tables.documents(spark, sf)
+    val pPairs = plan(MinHashLsh.exactPairs(docs, 0.9))
+    assert(!pPairs.contains("CartesianProduct")
+      && !pPairs.contains("BroadcastNestedLoopJoin"), pPairs)
+    val pEmb = plan(Dedup.embeddingNearDupLsh(Tables.embeddings(spark, sf)))
+    assert(!pEmb.contains("CartesianProduct")
+      && !pEmb.contains("BroadcastNestedLoopJoin"), pEmb)
+  }
+
   test("text analysis is shuffle-free (narrow per-row plan)") {
     val p = plan(TextAnalysis.qualityScore(Tables.documents(spark, sf)))
     // only the final presentation orderBy may exchange; no hash shuffles

@@ -71,6 +71,38 @@ class ScalePathSpec extends AnyFunSuite {
     assert(flaggedDev > overallDev, s"flagged dev $flaggedDev <= overall $overallDev")
   }
 
+  test("isolation forest save/load round-trip scores identically") {
+    val featureCols = Seq("value", "mean_3", "std_3", "mean_12", "std_12")
+    val feats = TimeSeries.rollingFeatures(TimeSeries.base(spark, sf)).cache()
+    val model = IsolationForest.fit(feats, featureCols,
+      trainFilter = col("event_type") =!= "error")
+    val path = java.nio.file.Files.createTempDirectory("ifm").toString + "/model.bin"
+    IsolationForest.save(model, path, spark)
+    val loaded = IsolationForest.load(path, spark)
+    val a = IsolationForest.score(spark, feats, featureCols, model)
+      .select("event_id", "if_score").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    val b = IsolationForest.score(spark, feats, featureCols, loaded)
+      .select("event_id", "if_score").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    assert(a.sameElements(b))
+  }
+
+  test("normal-only training keeps error-row recall at least as high") {
+    // trained without the anomalous `error` rows, the forest must still
+    // flag them disproportionately: error rows' mean score >= overall mean
+    val featureCols = Seq("value", "mean_3", "std_3", "mean_12", "std_12")
+    val feats = TimeSeries.rollingFeatures(TimeSeries.base(spark, sf)).cache()
+    val model = IsolationForest.fit(feats, featureCols,
+      trainFilter = col("event_type") =!= "error")
+    val scored = IsolationForest.score(spark, feats, featureCols, model).cache()
+    val overall = scored.agg(avg("if_score")).collect().head.getDouble(0)
+    val errRows = scored.filter(col("event_type") === "error")
+      .agg(avg("if_score")).collect().head.getDouble(0)
+    assert(errRows >= overall - 0.02,
+      s"error-row mean score $errRows far below overall $overall")
+  }
+
   test("isolation forest is deterministic across fits") {
     val a = IsolationForest.detect(spark, sf).collect().map(_.getLong(0))
     val b = IsolationForest.detect(spark, sf).collect().map(_.getLong(0))

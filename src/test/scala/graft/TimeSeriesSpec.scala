@@ -82,4 +82,37 @@ class TimeSeriesSpec extends AnyFunSuite {
     val ts = rows.map(_.getAs[Long]("ts_us"))
     assert(ts.sameElements(ts.sorted.reverse))
   }
+
+  test("filterAlerts filters are independently optional (db.py semantics)") {
+    val alerts = AnomalyRules.thresholdAlerts(TimeSeries.rollingFeatures(events))
+      .cache()
+    val total = alerts.count()
+    // no filters at all → just newest-first + limit
+    assert(Alerts.filterAlerts(alerts, limit = Int.MaxValue).count() === total)
+    // rule-only filter, no severity/time bounds
+    val byRule = Alerts.filterAlerts(alerts,
+      ruleName = Some("threshold_high"), limit = Int.MaxValue)
+    assert(byRule.count() === total) // every threshold alert carries this rule
+    assert(Alerts.filterAlerts(alerts, ruleName = Some("nope"), limit = 10)
+      .count() === 0)
+    // zone/entity-only filter
+    val someUser = alerts.select("user_id").head.getLong(0)
+    val byUser = Alerts.filterAlerts(alerts, userId = Some(someUser),
+      limit = Int.MaxValue)
+    assert(byUser.count() === alerts.filter(col("user_id") === someUser).count())
+    // severity + rule combine conjunctively
+    val both = Alerts.filterAlerts(alerts, severity = Some("high"),
+      ruleName = Some("threshold_high"), limit = Int.MaxValue)
+    assert(both.count() === alerts.filter(col("severity") === "high").count())
+  }
+
+  test("time-bounded summary equals summary of the time-filtered frame") {
+    val alerts = AnomalyRules.thresholdAlerts(TimeSeries.rollingFeatures(events))
+    val lo = 1704844800000000L
+    val hi = 1705708800000000L
+    val got = Alerts.summary(alerts, lo, hi).collect()
+    val want = Alerts.summary(
+      alerts.filter(col("ts_us") >= lo && col("ts_us") < hi)).collect()
+    assert(got.sameElements(want))
+  }
 }

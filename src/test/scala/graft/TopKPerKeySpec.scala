@@ -45,6 +45,18 @@ class TopKPerKeySpec extends AnyFunSuite {
     assert(out === Set(1L, 3L))
   }
 
+  test("non-numeric ord column is rejected at plan time") {
+    val strings = Seq(("a", 1L, "x"), ("a", 2L, "y")).toDF("seg", "id", "name")
+    val e = intercept[IllegalArgumentException] {
+      TopKPerKeyApi.topKPerKey(strings, Seq("seg"), "name", 2)
+    }
+    assert(e.getMessage.contains("must be numeric"))
+    val bools = Seq(("a", 1L, true)).toDF("seg", "id", "flag")
+    intercept[IllegalArgumentException] {
+      TopKPerKeyApi.topKPerKey(bools, Seq("seg"), "flag", 2)
+    }
+  }
+
   test("heap keeps the true top-k on a large skewed group") {
     val big = spark.range(10000).select(
       lit("hot").as("seg"), col("id"), (col("id") % 997).cast("double").as("score"))
