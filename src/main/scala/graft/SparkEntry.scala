@@ -84,6 +84,20 @@ object SparkEntry {
     "tx_langid" -> ((s, dir) => TextAnalysis.languageId(Tables.documents(s, dir))),
     "tx_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(Tables.documents(s, dir))),
     "mm_binary" -> ((s, dir) => Multimodal.binaryColumnsChecked(Tables.documents(s, dir))),
+    // the REAL mapPartitions batch-decode path (stub kernel): features are
+    // un-normalized back to integer bin counts and digested, so the oracle
+    // can reproduce them exactly from the payload bytes
+    "mm_features" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val mm = Multimodal.binaryColumns(Tables.documents(s, dir))
+      Multimodal.extractFeatures(mm, 16).toDF()
+        .select(col("doc_id"), col("n_bytes"),
+          md5(concat_ws(",",
+            transform(col("features"),
+              f => round(f.cast("double") * col("n_bytes")).cast("long").cast("string")))
+            .cast("binary")).as("feat_digest"))
+        .orderBy("doc_id")
+    }),
     // --- scale-path approximate ops + forest + streaming (rows-only
     //     except st_window_agg; cross-checked behaviorally in specs) ---
     "dd_minhash_lsh" -> ((s, dir) =>
@@ -93,6 +107,8 @@ object SparkEntry {
     "ad_isolation_forest" -> ((s, dir) => IsolationForest.detect(s, dir)),
     "st_window_agg" -> ((s, dir) =>
       graft.streaming.StreamingAlerts.windowedCountsBatch(s, dir)),
+    "st_session" -> ((s, dir) =>
+      graft.streaming.StreamingAlerts.sessionCountsBatch(s, dir)),
     "st_dedup" -> ((s, dir) =>
       TimeSeries.base(s, dir)
         .groupBy(org.apache.spark.sql.functions.col("user_id"),
@@ -595,6 +611,24 @@ object SparkEntry {
          |FROM e GROUP BY 1, 2
          |ORDER BY window_start_us, event_type""".stripMargin,
 
+    // session_window boundary contract: NEW session when gap >= 12h
+    // (Spark merges only next < end); session_end = last event + gap
+    "st_session" ->
+      s"""$eventsCte,
+         |l AS (SELECT e.*, lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_us FROM e),
+         |fl AS (SELECT l.*, CASE WHEN prev_us IS NULL OR ts_us - prev_us >= 43200000000 THEN 1 ELSE 0 END AS new_sess FROM l),
+         |s AS (SELECT fl.*,
+         |             CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+         |                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess
+         |      FROM fl)
+         |SELECT user_id,
+         |       min(ts_us) AS session_start_us,
+         |       max(ts_us) + 43200000000 AS session_end_us,
+         |       CAST(count(*) AS BIGINT) AS n_events,
+         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         |FROM s GROUP BY user_id, sess
+         |ORDER BY user_id, session_start_us""".stripMargin,
+
     "mm_binary" ->
       """SELECT doc_id,
         |       md5(text) AS payload_md5,
@@ -603,6 +637,16 @@ object SparkEntry {
         |       'text/utf-8' AS modality,
         |       CAST(CAST(octet_length(encode(text)) AS BIGINT) % 7 AS DOUBLE) / 7.0 AS fake_feature
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "mm_features" ->
+      """WITH c AS (
+        |  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |         list_transform(generate_series(0, 15), b ->
+        |           len(list_filter(string_split(text, ''), ch -> ascii(ch) % 16 = b))) AS counts
+        |  FROM documents)
+        |SELECT doc_id, n_bytes,
+        |       md5(array_to_string(counts, ',')) AS feat_digest
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "tx_fingerprint" ->
       """WITH t AS (

@@ -57,6 +57,10 @@ object Headline {
     * dashboard-trend analog (reference: src/dashboard_app.py:408 daily
     * counts, generalized to exact revenue + growth rate). */
   def monthlyTrend(orders: DataFrame): DataFrame = {
+    // partition-less window: safe ONLY because it runs over the
+    // post-aggregation frame, whose cardinality is bounded by the month
+    // count (~years*12 rows), never by the order volume — the single
+    // partition it forces holds dozens of rows at any data scale
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("y"), col("m"))
     orders
       .groupBy(year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"))

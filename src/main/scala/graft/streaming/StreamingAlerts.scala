@@ -74,6 +74,44 @@ object StreamingAlerts {
       .withWatermark("event_time", "1 hour")
       .dropDuplicates("user_id", "event_type")
 
+  /** Per-user session windows with a 12-hour inactivity gap — the
+    * streaming twin of TimeSeries.sessionize, via the native
+    * `session_window` aggregation. Works on both streaming and batch
+    * frames; in streaming, state holds one open session per user and is
+    * evicted once the watermark passes the session end.
+    *
+    * Boundary contract: `session_window` starts a NEW session when the
+    * inter-event gap is ≥ the gap duration (strict merge `next < end`) —
+    * the oracle twin mirrors this with `>=`. Session end = last event
+    * + gap (the built-in's definition). */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("event_time", "1 hour")
+      .groupBy(col("user_id"), session_window(col("event_time"), "12 hours"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).as("vdec"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        unix_micros(col("session_window.end")).as("session_end_us"),
+        col("n_events"), col("vdec").cast("double").as("total_value"))
+
+  /** Batch twin of `sessionCounts` (query key st_session). */
+  def sessionCountsBatch(spark: SparkSession, dir: String): DataFrame = {
+    val events = withEventTime(
+      graft.sources.Tables.table(spark, {
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true"); dir
+      }, "events"))
+    events
+      .groupBy(col("user_id"), session_window(col("event_time"), "12 hours"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).as("vdec"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        unix_micros(col("session_window.end")).as("session_end_us"),
+        col("n_events"), col("vdec").cast("double").as("total_value"))
+      .orderBy("user_id", "session_start_us")
+  }
+
   /** Batch equivalent of `windowedCounts` on the same data — the
     * oracle-checkable query surface (st_window_agg). */
   def windowedCountsBatch(spark: SparkSession, dir: String): DataFrame = {

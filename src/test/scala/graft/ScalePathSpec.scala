@@ -109,6 +109,21 @@ class ScalePathSpec extends AnyFunSuite {
     assert(a.sameElements(b))
   }
 
+  test("streaming session windows equal the batch plan") {
+    val stream = StreamingAlerts.readEvents(spark, sf)
+    val q = StreamingAlerts.sessionCounts(stream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("st_sess")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.table("st_sess")
+      .orderBy("user_id", "session_start_us").collect()
+    val want = StreamingAlerts.sessionCountsBatch(spark, sf).collect()
+    assert(got.length === want.length)
+    assert(got.sameElements(want))
+  }
+
   test("streaming windowed counts equal the batch plan") {
     val stream = StreamingAlerts.readEvents(spark, sf)
     val q = StreamingAlerts.windowedCounts(stream)
