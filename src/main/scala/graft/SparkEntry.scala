@@ -31,6 +31,10 @@ object SparkEntry {
       Benchmarking.recommendations(Benchmarking.metricsFor(s, dir))),
     "bm_top_entities" -> ((s, dir) =>
       Benchmarking.topEntitiesPerGroup(Benchmarking.metricsFor(s, dir), 3)),
+    "bm_representatives" -> ((s, dir) =>
+      Benchmarking.representativeSubset(Benchmarking.metricsFor(s, dir), 8)
+        .orderBy(org.apache.spark.sql.functions.col("is_selected").desc,
+          org.apache.spark.sql.functions.col("c_custkey"))),
     // --- headline analytics (SURVEY §2: q_*) ---
     "q_pricing_summary" -> ((s, dir) =>
       Headline.pricingSummary(Tables.lineitem(s, dir))),
@@ -768,6 +772,23 @@ object SparkEntry {
          |SELECT c_mktsegment, rank_in_segment, c_custkey, intensity, rating
          |FROM r WHERE rank_in_segment <= 3
          |ORDER BY c_mktsegment, rank_in_segment""".stripMargin,
+
+    "bm_representatives" ->
+      s"""$metricsCte,
+         |fpt AS (
+         |  SELECT m.*, row_number() OVER (PARTITION BY rating, c_mktsegment
+         |                                 ORDER BY c_custkey) AS rn_type
+         |  FROM m),
+         |sel AS (
+         |  SELECT c_custkey,
+         |         row_number() OVER (PARTITION BY rating ORDER BY c_custkey) AS rn_rating
+         |  FROM fpt WHERE rn_type = 1),
+         |s2 AS (SELECT c_custkey, TRUE AS is_selected FROM sel WHERE rn_rating <= 2)
+         |SELECT m.c_custkey, c_mktsegment, rating, intensity,
+         |       coalesce(is_selected, FALSE) AS is_selected
+         |FROM m LEFT JOIN s2 USING (c_custkey)
+         |ORDER BY is_selected DESC, c_custkey
+         |LIMIT 8""".stripMargin,
 
     "q_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,

@@ -182,6 +182,31 @@ object Benchmarking {
       .orderBy("c_mktsegment", "rank_in_segment")
   }
 
+  /** Diverse representative subset — the demo-export selection
+    * (reference: src/export_demo_json.py:162 `select_representative_buildings`):
+    * up to maxCount/4 entities per rating band, first entity of each
+    * distinct type within the band in key order, remaining slots filled
+    * in key order. Selection runs in two bounded windows; the final
+    * pick is an order-by + limit, which collapses to a
+    * TakeOrderedAndProject — O(maxCount) to the driver at any scale. */
+  def representativeSubset(metrics: DataFrame, maxCount: Int = 8): DataFrame = {
+    val perCategory = math.max(1, maxCount / 4)
+    val wType = Window.partitionBy(col("rating"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+    val wRating = Window.partitionBy(col("rating")).orderBy(col("c_custkey"))
+    val picked = metrics
+      .withColumn("rn_type", row_number().over(wType))
+      .filter(col("rn_type") === 1)
+      .withColumn("rn_rating", row_number().over(wRating))
+      .filter(col("rn_rating") <= perCategory)
+      .select(col("c_custkey"), lit(true).as("is_selected"))
+    metrics.join(picked, Seq("c_custkey"), "left")
+      .withColumn("is_selected", coalesce(col("is_selected"), lit(false)))
+      .orderBy(col("is_selected").desc, col("c_custkey"))
+      .limit(maxCount)
+      .select("c_custkey", "c_mktsegment", "rating", "intensity", "is_selected")
+  }
+
   // ---- wiring onto the test corpus --------------------------------------
 
   def metricsFor(spark: SparkSession, dir: String): DataFrame =

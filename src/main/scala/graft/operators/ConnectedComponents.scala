@@ -37,8 +37,11 @@ object ConnectedComponents {
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
       .localCheckpoint(true)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id"))
+    // initial label = min(id, min direct neighbor): one aggregate that is
+    // exactly the first propagation round, so the loop starts a round ahead
+    var labels = edges.groupBy(col("src").as("id"))
+      .agg(min(col("dst")).as("nmin"))
+      .select(col("id"), least(col("id"), col("nmin")).as("comp"))
       .localCheckpoint(true)
     var changed = 1L
     var iter = 0
