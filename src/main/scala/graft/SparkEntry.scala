@@ -83,6 +83,30 @@ object SparkEntry {
     "dd_embedding" -> ((s, dir) => Dedup.embeddingNearDupLsh(Tables.embeddings(s, dir))),
     "dd_embedding_exact" -> ((s, dir) => Dedup.embeddingNearDup(Tables.embeddings(s, dir))),
     "sim_topk" -> ((s, dir) => Similarity.bruteForceTopK(Tables.embeddings(s, dir), 0L, 20)),
+    // frame-sampling plumbing: fixed windows at a regular stride, digested
+    // per frame so the oracle rebuilds them from the payload text
+    "mm_frames" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      Multimodal.frameSample(
+        Multimodal.binaryColumns(Tables.documents(s, dir))).toDF()
+        .orderBy("doc_id", "frame_no")
+    }),
+    // resize = adjacent-bin re-aggregation of the count histogram
+    "mm_resize" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val mm = Multimodal.binaryColumns(Tables.documents(s, dir))
+      val counts = Multimodal.extractFeatures(mm, 16).toDF()
+        .select(col("doc_id"), col("n_bytes"),
+          transform(col("features"),
+            f => round(f.cast("double") * col("n_bytes"))).as("counts"))
+      Multimodal.resizeFeatures(counts, "counts", 4)
+        .select(col("doc_id"),
+          md5(concat_ws(",", transform(col("counts_resized"),
+            x => x.cast("long").cast("string"))).cast("binary")).as("resized_digest"),
+          aggregate(col("counts_resized"), lit(0.0d), (a, b) => a + b)
+            .cast("long").as("total"))
+        .orderBy("doc_id")
+    }),
     "tx_tokens" -> ((s, dir) => TextAnalysis.tokenStats(Tables.documents(s, dir))),
     "tx_quality" -> ((s, dir) => TextAnalysis.qualityScore(Tables.documents(s, dir))),
     "tx_langid" -> ((s, dir) => TextAnalysis.languageId(Tables.documents(s, dir))),
@@ -651,6 +675,33 @@ object SparkEntry {
         |SELECT doc_id, n_bytes,
         |       md5(array_to_string(counts, ',')) AS feat_digest
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "mm_frames" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |         unnest(generate_series(0, greatest(length(text) - 1, 0), 64)) AS ob,
+        |         text
+        |  FROM documents)
+        |SELECT doc_id,
+        |       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY ob) - 1 AS INTEGER) AS frame_no,
+        |       CAST(ob AS BIGINT) AS off_bytes,
+        |       md5(substring(text, CAST(ob AS INTEGER) + 1, 16)) AS frame_md5
+        |FROM f ORDER BY doc_id, frame_no""".stripMargin,
+
+    "mm_resize" ->
+      """WITH c AS (
+        |  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |         list_transform(generate_series(0, 15), b ->
+        |           len(list_filter(string_split(text, ''), ch -> ascii(ch) % 16 = b))) AS counts
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, n_bytes,
+        |         list_transform(generate_series(0, 3), j ->
+        |           counts[4*j+1] + counts[4*j+2] + counts[4*j+3] + counts[4*j+4]) AS resized
+        |  FROM c)
+        |SELECT doc_id, md5(array_to_string(resized, ',')) AS resized_digest,
+        |       n_bytes AS total
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     "tx_fingerprint" ->
       """WITH t AS (

@@ -77,4 +77,48 @@ object Multimodal {
       }
     }
   }
+
+  /** Feature "resize": re-bin a histogram feature vector to a coarser
+    * dimension by summing adjacent bins (the stand-in for image resize /
+    * audio resample — the real kernel swaps in here with the same
+    * array-in/array-out shape). Pure expression work: `newDim` must
+    * divide the source dimension. */
+  def resizeFeatures(features: DataFrame, featureCol: String,
+      newDim: Int): DataFrame = {
+    val factor = size(col(featureCol)) / newDim
+    features.withColumn(s"${featureCol}_resized",
+      transform(sequence(lit(0), lit(newDim - 1)), b =>
+        aggregate(
+          slice(col(featureCol), b * factor + lit(1), factor),
+          lit(0.0d), (acc, x) => acc + x.cast("double"))))
+  }
+
+  /** One sampled frame: fixed-length byte window cut from the payload at
+    * a regular stride — the video frame-sampling shape (per-frame decode
+    * plugs in where the md5 digest sits now). */
+  case class Frame(doc_id: Long, frame_no: Int, off_bytes: Long, frame_md5: String)
+
+  /** Frame sampling: every `stride` bytes, emit a `frameLen`-byte window
+    * with its digest, partition-locally (no shuffle; frames never leave
+    * their executor). Rows lazily stream through the iterator, so a
+    * 100-TB corpus samples at scan speed. */
+  def frameSample(media: DataFrame, frameLen: Int = 16,
+      stride: Int = 64): Dataset[Frame] = {
+    implicit val enc = Encoders.product[Frame]
+    media.select("doc_id", "payload").mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.flatMap { r =>
+        val payload = r.getAs[Array[Byte]]("payload")
+        val id = r.getAs[Long]("doc_id")
+        Iterator.range(0, math.max(payload.length, 1), stride).zipWithIndex
+          .map { case (off, no) =>
+            val end = math.min(off + frameLen, payload.length)
+            md.reset()
+            val hex = md.digest(java.util.Arrays.copyOfRange(payload, off, end))
+              .map("%02x".format(_)).mkString
+            Frame(id, no, off.toLong, hex)
+          }.toSeq
+      }
+    }
+  }
 }

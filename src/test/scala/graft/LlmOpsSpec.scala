@@ -110,6 +110,30 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("multimodal: resize preserves mass, frame sampling tiles the payload") {
+    val mm = Multimodal.binaryColumns(docs)
+    val counts = Multimodal.extractFeatures(mm, 16).toDF()
+      .select(col("doc_id"), col("n_bytes"),
+        transform(col("features"),
+          f => f.cast("double") * col("n_bytes")).as("counts"))
+    val resized = Multimodal.resizeFeatures(counts, "counts", 4)
+    // re-binning is mass-preserving: both vectors sum to n_bytes
+    val bad = resized.filter(
+      abs(aggregate(col("counts_resized"), lit(0.0d), (a, b) => a + b)
+        - col("n_bytes").cast("double")) > 1e-3)
+    assert(bad.count() === 0)
+    assert(resized.filter(size(col("counts_resized")) =!= 4).count() === 0)
+    // frames: stride-64 windows cover each payload exactly once
+    val frames = Multimodal.frameSample(mm, frameLen = 16, stride = 64).toDF()
+    val perDoc = frames.groupBy("doc_id").agg(
+      count(lit(1)).as("n_frames"), max(col("off_bytes")).as("last_off"))
+      .join(mm.select("doc_id", "n_bytes"), "doc_id")
+    assert(perDoc.filter(
+      col("n_frames") =!= ceil(col("n_bytes").cast("double") / 64).cast("long"))
+      .count() === 0)
+    assert(perDoc.filter(col("last_off") >= col("n_bytes")).count() === 0)
+  }
+
   test("stub decode is deterministic") {
     val bytes = "hello world".getBytes("UTF-8")
     assert(Multimodal.stubDecode(bytes, 8).toSeq === Multimodal.stubDecode(bytes, 8).toSeq)
