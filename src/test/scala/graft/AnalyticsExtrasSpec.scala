@@ -71,6 +71,18 @@ class AnalyticsExtrasSpec extends AnyFunSuite {
     assert(plan.contains("PartitionFilters"), plan.take(400))
     assert(q.count() <= 50)
     assert(q.filter(col("severity") =!= "high").count() === 0)
+    // optional filters: rule-only (no severity), entity-only, and bare range
+    val byRule = AlertStore.queryRange(spark, store, 19725, 19730,
+      ruleName = Some("zscore"), limit = Int.MaxValue)
+    assert(byRule.count() > 0)
+    assert(byRule.filter(col("rule_name") =!= "zscore").count() === 0)
+    val someUser = alerts.select("user_id").head.getLong(0)
+    val byUser = AlertStore.queryRange(spark, store, 19725, 19730,
+      userId = Some(someUser), limit = Int.MaxValue)
+    assert(byUser.filter(col("user_id") =!= someUser).count() === 0)
+    val bare = AlertStore.queryRange(spark, store, 19725, 19730,
+      limit = Int.MaxValue)
+    assert(bare.count() >= byRule.count() + 0)
   }
 
   test("HLL approx distinct within 5% of exact") {

@@ -100,11 +100,13 @@ class CompletenessSpec extends AnyFunSuite {
       """SELECT float_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
         |                 array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d,
         |       sorted_intersect_count(array('a','b','c'), array('b','c','d')) AS i,
-        |       long_array_match_count(array(1L, 2L, 3L), array(1L, 9L, 3L)) AS m
+        |       long_array_match_count(array(1L, 2L, 3L), array(1L, 9L, 3L)) AS m,
+        |       size(embedding_lsh_buckets(array(CAST(0.5 AS FLOAT), CAST(-1.5 AS FLOAT)))) AS nb
         |""".stripMargin).collect().head
     assert(r.getDouble(0) === 11.0)
     assert(r.getInt(1) === 2)
     assert(r.getInt(2) === 2)
+    assert(r.getInt(3) === 8)
   }
 
   test("validateMetrics passes clean data and catches corrupted rows") {
