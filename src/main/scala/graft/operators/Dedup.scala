@@ -147,9 +147,13 @@ object Dedup {
           .cast("binary")))
     val reps = normed
       .groupBy("norm_hash").agg(min(col("doc_id")).as("rep_id"))
+    // materialize the collapsed corpus once: exactPairs reads it from two
+    // branches (signatures and token sets), which would otherwise evaluate
+    // the rep-collapse join twice
     val repDocs = normed.join(reps, "norm_hash")
       .filter(col("doc_id") === col("rep_id"))
       .select("doc_id", "text")
+      .localCheckpoint(true)
     val comps = ConnectedComponents.components(
       MinHashLsh.exactPairs(repDocs, threshold))
     normed.join(reps, "norm_hash")

@@ -63,6 +63,45 @@ class ClusterIvfSpec extends AnyFunSuite {
     assert(got.sameElements(want))
   }
 
+  test("exactPairs and clusterExact are exact on a planted-near-dup corpus") {
+    // 40 groups of 5: a 60-token base + mutated copies with 0-6 token
+    // swaps, spanning jaccard 1.0 → 0.87 across the 0.9 boundary
+    val rnd = new scala.util.Random(123)
+    val vocab = (1 to 400).map(i => s"w$i")
+    var id = -1L
+    val docs = (1 to 40).flatMap { _ =>
+      val base = rnd.shuffle(vocab).take(60)
+      (0 to 4).map { _ =>
+        val swaps = rnd.nextInt(7)
+        val mutated = base.drop(swaps) ++ rnd.shuffle(vocab.diff(base)).take(swaps)
+        id += 1
+        (id, rnd.shuffle(mutated).mkString(" "))
+      }
+    }.toDF("doc_id", "text")
+    val toks = docs.select(col("doc_id"),
+      array_sort(array_distinct(split(col("text"), " "))).as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+    val ta = toks.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"),
+      col("n").as("na"))
+    val tb = toks.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"),
+      col("n").as("nb"))
+    val exhaustive = ta.crossJoin(tb).filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        org.apache.spark.sql.graft.ColumnBridge
+          .sortedIntersectCount(col("toks_a"), col("toks_b"))
+          .cast("long").as("inter"), col("na"), col("nb"))
+      .filter(col("inter") * lit(190L) >= lit(90L) * (col("na") + col("nb")))
+      .select("doc_a", "doc_b").cache()
+    val lsh = MinHashLsh.exactPairs(docs, 0.9).select("doc_a", "doc_b").cache()
+    assert(lsh.exceptAll(exhaustive).count() === 0, "false positives")
+    assert(exhaustive.exceptAll(lsh).count() === 0, "missed true pairs")
+    val got = Dedup.clusterExact(docs, 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sorted
+    val want = ConnectedComponents.dedupClusters(docs, exhaustive).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sorted
+    assert(got.sameElements(want))
+  }
+
   test("connected components throw on non-convergence when strict") {
     // a 30-vertex chain has diameter > maxIter=2
     val chain = (1L to 29L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
