@@ -56,7 +56,9 @@ object IsolationForest {
     }
   }
 
-  private def pathLength(x: Array[Double], node: Node, depth: Int): Double =
+  /** Reference traversal (kept as the ground truth the codegen kernel is
+    * property-tested against). */
+  private[graft] def pathLength(x: Array[Double], node: Node, depth: Int): Double =
     node match {
       case Leaf(size) => depth + avgPathLength(size)
       case Split(f, v, lo, hi) =>
@@ -119,21 +121,52 @@ object IsolationForest {
     try ois.readObject().asInstanceOf[Model] finally ois.close()
   }
 
+  /** Forest flattened to parallel arrays for the codegen scoring kernel:
+    * per node split feature (−1 = leaf), split value, child indices, and
+    * the precomputed c(n) path adjustment per leaf; plus one root index
+    * per tree. */
+  private def flatten(model: Model): (Array[Int], Array[Double], Array[Int],
+      Array[Int], Array[Double], Array[Int]) = {
+    val feat = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val split = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val left = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val right = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val adj = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def add(node: Node): Int = node match {
+      case Leaf(size) =>
+        val idx = feat.length
+        feat += -1; split += 0.0; left += -1; right += -1
+        adj += avgPathLength(size)
+        idx
+      case Split(f, v, lo, hi) =>
+        val idx = feat.length
+        feat += f; split += v; left += -1; right += -1; adj += 0.0
+        val l = add(lo); val r = add(hi)
+        left(idx) = l; right(idx) = r
+        idx
+    }
+    val roots = model.trees.map(add)
+    (feat.toArray, split.toArray, left.toArray, right.toArray, adj.toArray, roots)
+  }
+
   /** Score every row: anomaly score in (0,1], flag above `cut`
-    * (models.py:297's score threshold + severity bands). The broadcast
-    * forest makes this a shuffle-free narrow map. */
+    * (models.py:297's score threshold + severity bands). Scoring is the
+    * native IsolationForestScore codegen expression over the flattened
+    * forest — a shuffle-free narrow map with no UDF boxing; the ~1 MB of
+    * node arrays ride as codegen reference objects (forests orders of
+    * magnitude larger than the 100×256 default should move back to an
+    * explicit broadcast). */
   def score(spark: SparkSession, features: DataFrame, featureCols: Seq[String],
       model: Model, cut: Double = 0.58): DataFrame = {
-    val bc = spark.sparkContext.broadcast(model)
+    val (feat, split, left, right, adj, roots) = flatten(model)
     val cN = avgPathLength(model.subsample)
-    val scoreUdf = udf { xs: Seq[Double] =>
-      val m = bc.value
-      val z = Array.tabulate(xs.length)(i => (xs(i) - m.means(i)) / m.stds(i))
-      val avg = m.trees.map(t => pathLength(z, t, 0)).sum / m.trees.length
-      math.pow(2.0, -avg / cN)
-    }
+    val bridge = org.apache.spark.sql.graft.ColumnBridge
+    val scoreCol = bridge.column(
+      org.apache.spark.sql.graft.IsolationForestScore(
+        bridge.expression(array(featureCols.map(c => col(c).cast("double")): _*)),
+        feat, split, left, right, adj, roots, model.means, model.stds, cN))
     features
-      .withColumn("if_score", scoreUdf(array(featureCols.map(col): _*)))
+      .withColumn("if_score", scoreCol)
       .withColumn("is_anomaly", col("if_score") > cut)
       .withColumn("severity",
         when(col("if_score") > cut + 0.07, "high")

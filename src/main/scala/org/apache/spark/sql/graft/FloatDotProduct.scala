@@ -433,3 +433,92 @@ case class EmbeddingLshBuckets(child: Expression, tables: Int, planes: Int)
   override protected def withNewChildInternal(newChild: Expression): EmbeddingLshBuckets =
     copy(child = newChild)
 }
+
+/** Native codegen expression: isolation-forest anomaly score of an
+  * `array<double>` feature row against a flattened forest.
+  *
+  * The forest is flattened at bind time into parallel arrays — per node:
+  * split feature (−1 marks a leaf), split value, left/right child index —
+  * plus one precomputed path-length adjustment per leaf (the c(n)
+  * normalizer) and the standardization means/stds. Traversal is an
+  * iterative primitive loop per tree inside whole-stage codegen, replacing
+  * the boxed Scala UDF (the only UDF the library had): no per-row
+  * serialization, no closure dispatch, same broadcast-free plan shape
+  * (the arrays ride along as codegen reference objects).
+  */
+case class IsolationForestScore(child: Expression, feat: Array[Int],
+    split: Array[Double], left: Array[Int], right: Array[Int],
+    leafAdj: Array[Double], roots: Array[Int], means: Array[Double],
+    stds: Array[Double], cN: Double)
+    extends UnaryExpression with ExpectsInputTypes {
+  import org.apache.spark.sql.types.DoubleType
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "forest_score"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val xs = input.asInstanceOf[ArrayData]
+    val d = xs.numElements()
+    val z = new Array[Double](d)
+    var i = 0
+    while (i < d) {
+      z(i) = (xs.getDouble(i) - means(i)) / stds(i)
+      i += 1
+    }
+    var sum = 0.0
+    var t = 0
+    while (t < roots.length) {
+      var idx = roots(t)
+      var depth = 0
+      while (feat(idx) >= 0) {
+        idx = if (z(feat(idx)) < split(idx)) left(idx) else right(idx)
+        depth += 1
+      }
+      sum += depth + leafAdj(idx)
+      t += 1
+    }
+    math.pow(2.0, -(sum / roots.length) / cN)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val featRef = ctx.addReferenceObj("ifFeat", feat, "int[]")
+    val splitRef = ctx.addReferenceObj("ifSplit", split, "double[]")
+    val leftRef = ctx.addReferenceObj("ifLeft", left, "int[]")
+    val rightRef = ctx.addReferenceObj("ifRight", right, "int[]")
+    val adjRef = ctx.addReferenceObj("ifAdj", leafAdj, "double[]")
+    val rootsRef = ctx.addReferenceObj("ifRoots", roots, "int[]")
+    val meansRef = ctx.addReferenceObj("ifMeans", means, "double[]")
+    val stdsRef = ctx.addReferenceObj("ifStds", stds, "double[]")
+    nullSafeCodeGen(ctx, ev, xs => {
+      val d = ctx.freshName("d"); val z = ctx.freshName("z")
+      val i = ctx.freshName("i"); val t = ctx.freshName("t")
+      val idx = ctx.freshName("idx"); val depth = ctx.freshName("depth")
+      val sum = ctx.freshName("sum")
+      s"""
+         |int $d = $xs.numElements();
+         |double[] $z = new double[$d];
+         |for (int $i = 0; $i < $d; $i++) {
+         |  $z[$i] = ($xs.getDouble($i) - $meansRef[$i]) / $stdsRef[$i];
+         |}
+         |double $sum = 0.0;
+         |for (int $t = 0; $t < $rootsRef.length; $t++) {
+         |  int $idx = $rootsRef[$t];
+         |  int $depth = 0;
+         |  while ($featRef[$idx] >= 0) {
+         |    $idx = ($z[$featRef[$idx]] < $splitRef[$idx])
+         |      ? $leftRef[$idx] : $rightRef[$idx];
+         |    $depth++;
+         |  }
+         |  $sum += $depth + $adjRef[$idx];
+         |}
+         |${ev.value} = Math.pow(2.0, -($sum / $rootsRef.length) / ${cN});
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): IsolationForestScore =
+    copy(child = newChild)
+}

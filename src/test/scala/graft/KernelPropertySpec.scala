@@ -106,6 +106,26 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("forest_score kernel equals the reference tree traversal") {
+    val cols = Seq("a", "b", "c")
+    val train = (1 to 600).map { i =>
+      (i.toLong, rnd.nextGaussian(), rnd.nextGaussian(), rnd.nextGaussian())
+    }.toDF("id", "a", "b", "c")
+    val model = IsolationForest.fit(train, cols, trees = 20, subsample = 64,
+      sampleSize = 512, seed = 7)
+    val cN = IsolationForest.avgPathLength(model.subsample)
+    val scored = IsolationForest.score(TestSpark.spark, train, cols, model)
+      .select("id", "a", "b", "c", "if_score").collect()
+    scored.foreach { r =>
+      val xs = Array(r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      val z = Array.tabulate(3)(i => (xs(i) - model.means(i)) / model.stds(i))
+      val want = math.pow(2.0,
+        -(model.trees.map(t => IsolationForest.pathLength(z, t, 0)).sum
+          / model.trees.length) / cN)
+      assert(r.getDouble(4) === want, s"row ${r.getLong(0)}")
+    }
+  }
+
   test("isolation forest avgPathLength is monotonic in n") {
     (1 to 500).foreach { _ =>
       val a = 2 + rnd.nextInt(9998)
