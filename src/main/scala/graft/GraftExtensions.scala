@@ -25,6 +25,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         builder))
     }
     ext.injectPlannerStrategy(_ => org.apache.spark.sql.graft.TopKPerKeyStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.AlertStorePruning)
   }
 }
 
@@ -50,9 +51,14 @@ object GraftExtensions {
       arity("embedding_lsh_buckets", 1)(es => EmbeddingLshBuckets(es(0), 8, 6)))
 
   /** Register on an already-running session. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     functions.foreach { case (name, builder) =>
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         name, builder, "built-in")
     }
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.AlertStorePruning)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.AlertStorePruning
+    }
+  }
 }

@@ -1,0 +1,86 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualTo,
+  Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual,
+  Literal}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.LongType
+
+/** Optimizer rule: derive `epoch_day` partition predicates from `ts_us`
+  * range filters over the alert-store layout.
+  *
+  * The alert lake (graft.operators.AlertStore) is day-partitioned with the
+  * invariant `epoch_day = ts_us div 86 400 000 000` written at append time
+  * (reference analog: db.py's indexed timestamp scans). Dashboards filter
+  * by raw time range (dashboard_app.py:73) — without this rule such a
+  * query scans every day partition and filters rows; with it, the implied
+  * `epoch_day` bounds are conjoined and Spark's partition pruning drops
+  * the out-of-range days at planning time, so a one-week query over years
+  * of alerts touches seven directories.
+  *
+  * Contract and safety: fires ONLY on Filter nodes whose child exposes
+  * both `ts_us` and a partition-typed `epoch_day` (the store layout), only
+  * for conjunct-level `ts_us` comparisons against non-negative literals
+  * (where truncating and flooring division agree), and only when the
+  * filter does not already constrain `epoch_day`. The derived bounds are
+  * logical consequences of the layout invariant — rows never change, only
+  * partitions read.
+  *
+  * Registered via GraftExtensions (injectOptimizerRule) or per-session
+  * through `spark.experimental.extraOptimizations`.
+  */
+object AlertStorePruning extends Rule[LogicalPlan] {
+
+  private val DayUs = 86400000000L
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, child) =>
+      val tsAttr = child.output.find(a => a.name == "ts_us" && a.dataType == LongType)
+      val dayAttr = child.output.find(a => a.name == "epoch_day")
+      (tsAttr, dayAttr) match {
+        case (Some(ts), Some(day)) if !mentions(cond, day) =>
+          val derived = conjuncts(cond).flatMap(deriveBound(_, ts, day))
+          if (derived.isEmpty) f
+          else Filter(derived.foldLeft(cond)(And(_, _)), child)
+        case _ => f
+      }
+  }
+
+  private def mentions(e: Expression, a: Attribute): Boolean =
+    e.references.contains(a)
+
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case other => Seq(other)
+  }
+
+  /** ts_us bound → implied epoch_day bound (non-negative literals only,
+    * where `div` truncation equals floor). Strict lower bounds stay
+    * conservative: ts > L implies day >= L div D (not day > …). */
+  private def deriveBound(e: Expression, ts: Attribute,
+      day: Attribute): Option[Expression] = {
+    def dayOf(us: Long): Long = us / DayUs
+    def cast(v: Long): Expression =
+      org.apache.spark.sql.catalyst.expressions.Cast(
+        Literal(v), day.dataType)
+    e match {
+      case GreaterThanOrEqual(t: Attribute, Literal(v: Long, LongType))
+          if t.semanticEquals(ts) && v >= 0 =>
+        Some(GreaterThanOrEqual(day, cast(dayOf(v))))
+      case GreaterThan(t: Attribute, Literal(v: Long, LongType))
+          if t.semanticEquals(ts) && v >= 0 =>
+        Some(GreaterThanOrEqual(day, cast(dayOf(v))))
+      case LessThanOrEqual(t: Attribute, Literal(v: Long, LongType))
+          if t.semanticEquals(ts) && v >= 0 =>
+        Some(LessThanOrEqual(day, cast(dayOf(v))))
+      case LessThan(t: Attribute, Literal(v: Long, LongType))
+          if t.semanticEquals(ts) && v > 0 =>
+        Some(LessThanOrEqual(day, cast(dayOf(v - 1))))
+      case EqualTo(t: Attribute, Literal(v: Long, LongType))
+          if t.semanticEquals(ts) && v >= 0 =>
+        Some(EqualTo(day, cast(dayOf(v))))
+      case _ => None
+    }
+  }
+}

@@ -85,6 +85,40 @@ class AnalyticsExtrasSpec extends AnyFunSuite {
     assert(bare.count() >= byRule.count() + 0)
   }
 
+  test("AlertStorePruning derives epoch_day partition filters from ts_us ranges") {
+    val events = TimeSeries.base(spark, sf)
+    val alerts = Pipeline.detectAll(events, TimeSeries.rollingFeatures(events))
+    val store = java.nio.file.Files.createTempDirectory("alerts_pr").toString
+    AlertStore.append(alerts, store)
+    val lo = 1704844800000000L
+    val hi = 1705708800000000L
+    def tsQuery = AlertStore.read(spark, store)
+      .filter(col("ts_us") >= lo && col("ts_us") < hi)
+    // other suites may have registered the rule on the shared session —
+    // start from a clean slate so the "before" plan really lacks it
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations
+        .filterNot(_ == graft.plans.AlertStorePruning)
+    val before = tsQuery.collect().map(_.toString).sorted
+    val planBefore = tsQuery.queryExecution.executedPlan.toString
+    // without the rule: the ts-only filter cannot prune day partitions
+    assert(!planBefore.contains("PartitionFilters: [isnotnull(epoch_day"),
+      planBefore.take(500))
+    GraftExtensions.register(spark)
+    try {
+      val planAfter = tsQuery.queryExecution.executedPlan.toString
+      assert(planAfter.contains("PartitionFilters: [") &&
+        planAfter.contains("epoch_day"), planAfter.take(800))
+      // derived predicates are implied — row set identical
+      val after = tsQuery.collect().map(_.toString).sorted
+      assert(after.sameElements(before))
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations
+          .filterNot(_ == graft.plans.AlertStorePruning)
+    }
+  }
+
   test("HLL approx distinct within 5% of exact") {
     val r = Headline.approxDistinct(Tables.lineitem(spark, sf)).collect()
     r.foreach { row =>
