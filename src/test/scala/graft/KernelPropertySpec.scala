@@ -106,6 +106,45 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("minhash_signature equals the plain-Scala Carter-Wegman minima") {
+    val p = 2147483647L
+    val k = 16
+    val as = Array.tabulate(k)(i => 1L + rnd.nextInt(Int.MaxValue - 1).toLong)
+    val bs = Array.tabulate(k)(i => rnd.nextInt(Int.MaxValue).toLong)
+    def ref(hs: Seq[Long]): Seq[Long] =
+      (0 until k).map { i =>
+        if (hs.isEmpty) 0L else hs.map(h => (as(i) * h + bs(i)) % p).min
+      }
+    val cases = (1 to 300).map { i =>
+      val hs = Seq.fill(1 + rnd.nextInt(50))(rnd.nextInt(Int.MaxValue).toLong)
+      (i.toLong, hs, ref(hs))
+    }
+    val df = cases.toDF("id", "hs", "expected")
+    val bad = df.filter(
+      ColumnBridge.minhashSig(col("hs"), as, bs, p) =!= col("expected"))
+    assert(bad.count() === 0)
+  }
+
+  test("simhash_bits equals the plain-Scala vote counter") {
+    def ref(hs: Seq[Long]): Seq[Long] = {
+      val votes = new Array[Int](64)
+      hs.foreach { h =>
+        (0 until 64).foreach { i =>
+          if (((h >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
+        }
+      }
+      votes.map(v => if (v > 0) 1L else 0L).toSeq
+    }
+    val cases = (1 to 300).map { i =>
+      val hs = Seq.fill(1 + rnd.nextInt(40))(rnd.nextLong())
+      (i.toLong, hs, ref(hs))
+    }
+    val df = cases.toDF("id", "hs", "expected")
+    val bad = df.filter(
+      ColumnBridge.simhashBits(col("hs")) =!= col("expected"))
+    assert(bad.count() === 0)
+  }
+
   test("forest_score kernel equals the reference tree traversal") {
     val cols = Seq("a", "b", "c")
     val train = (1 to 600).map { i =>
