@@ -666,6 +666,11 @@ object SparkEntry {
         |       CAST(CAST(octet_length(encode(text)) AS BIGINT) % 7 AS DOUBLE) / 7.0 AS fake_feature
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // NOTE (mm_features / mm_frames / mm_resize twins): the Spark side
+    // operates on UTF-8 payload BYTES, the twins on characters — these
+    // coincide because the documents corpus is pure ASCII (validated:
+    // octet_length == length for every row at every sf). A non-ASCII
+    // corpus would need DuckDB blob-level twins instead.
     "mm_features" ->
       """WITH c AS (
         |  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -64,9 +64,21 @@ object ConnectedComponents {
       iter += 1
     }
     if (changed > 0) {
-      val msg = s"connected components did not converge in $maxIter rounds " +
-        s"($changed labels still changing) — raise maxIter"
-      if (strict) throw new IllegalStateException(msg) else log.warn(msg)
+      // the cap round still changed labels — that alone doesn't prove the
+      // labels are wrong (the fixpoint may have been reached exactly at
+      // the cap), so run one verification round before deciding
+      val stillChanging = edges
+        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("comp")).as("nmin"))
+        .join(labels, "id")
+        .filter(col("nmin") < col("comp"))
+        .count()
+      if (stillChanging > 0) {
+        val msg = s"connected components did not converge in $maxIter rounds " +
+          s"($stillChanging labels still improvable) — raise maxIter"
+        if (strict) throw new IllegalStateException(msg) else log.warn(msg)
+      }
     }
     labels.orderBy("id")
   }

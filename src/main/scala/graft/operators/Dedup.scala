@@ -141,22 +141,23 @@ object Dedup {
     * corpora with heavy exact duplication this cuts the pairwise volume
     * by the square of the collapse ratio. */
   def clusterExact(documents: DataFrame, threshold: Double = 0.9): DataFrame = {
-    val normed = documents
+    // ONE normalization pass: rep id via a window min over the norm hash
+    // (no agg+join), materialized once — every later stage (the collapsed
+    // corpus for pairing, the doc→rep mapping for expansion) reads this
+    // checkpoint instead of re-scanning and re-hashing the corpus
+    val withRep = documents
       .withColumn("norm_hash", md5(
         concat_ws(" ", array_sort(array_distinct(split(col("text"), " "))))
           .cast("binary")))
-    val reps = normed
-      .groupBy("norm_hash").agg(min(col("doc_id")).as("rep_id"))
-    // materialize the collapsed corpus once: exactPairs reads it from two
-    // branches (signatures and token sets), which would otherwise evaluate
-    // the rep-collapse join twice
-    val repDocs = normed.join(reps, "norm_hash")
-      .filter(col("doc_id") === col("rep_id"))
-      .select("doc_id", "text")
+      .withColumn("rep_id",
+        min(col("doc_id")).over(Window.partitionBy(col("norm_hash"))))
+      .select("doc_id", "rep_id", "text")
       .localCheckpoint(true)
+    val repDocs = withRep.filter(col("doc_id") === col("rep_id"))
+      .select("doc_id", "text")
     val comps = ConnectedComponents.components(
       MinHashLsh.exactPairs(repDocs, threshold))
-    normed.join(reps, "norm_hash")
+    withRep
       .join(comps.withColumnRenamed("id", "rep_id"), Seq("rep_id"), "left")
       .select(col("doc_id"),
         coalesce(col("comp"), col("rep_id")).as("component"))

@@ -93,19 +93,26 @@ object MinHashLsh {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** EXACT near-dup pairs at `threshold`, generated the scale-safe way:
-    * banded LSH candidates → cheap signature-estimate prefilter → exact
-    * sorted-token-intersection verification (the same integer-form
-    * predicate as Dedup.ngramJaccard, so a surviving pair is exactly a
-    * jaccard ≥ threshold pair).
+  /** Verified near-dup pairs at `threshold`, generated the scale-safe
+    * way: banded LSH candidates → cheap signature-estimate prefilter →
+    * exact sorted-token-intersection verification (the same integer-form
+    * predicate as Dedup.ngramJaccard).
+    *
+    * Precision is exact: every emitted pair is verified jaccard ≥
+    * threshold — no false positives, ever. Recall is governed by the
+    * band shape, not guaranteed: b=16 × r=8 misses a j=0.9 boundary pair
+    * with probability (1−0.9⁸)¹⁶ ≈ 1.2e-4 (plus a negligible
+    * ≈5.7σ prefilter tail), vanishing fast above the threshold. Raise
+    * k/bands for stricter recall. Downstream clustering tolerates the
+    * tail gracefully — a missed edge inside a dense duplicate cluster is
+    * redundant for connectivity (validated: identical components vs an
+    * exhaustive ground truth at sf0.001, sf0.01 and sf0.1, plus a
+    * planted-boundary corpus, in ClusterIvfSpec).
     *
     * Unlike ngramJaccard this needs no blocking column: candidate
     * generation is unsupervised (band buckets), so cross-block near-dups
-    * are found and nothing quadratic ever runs. Band shape b=16 × r=8
-    * puts per-pair recall at j=0.9 at 1−(1−0.9⁸)¹⁶ ≈ 99.99%; the
-    * signature prefilter margin (0.15 ≈ 5.7σ of the k=128 estimate at
-    * j=0.9) keeps true pairs while killing the j≈0.6 background before
-    * the token arrays are ever shuffled. */
+    * are found and nothing quadratic ever runs; the prefilter kills the
+    * j≈0.6 background before token arrays are ever shuffled. */
   def exactPairs(documents: DataFrame, threshold: Double = 0.9, k: Int = 128,
       bands: Int = 16): DataFrame = {
     val sigs = signatures(documents, k)

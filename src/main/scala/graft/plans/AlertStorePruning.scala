@@ -3,9 +3,9 @@ package graft.plans
 import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualTo,
   Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual,
   Literal}
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LeafNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{IntegerType, LongType}
 
 /** Optimizer rule: derive `epoch_day` partition predicates from `ts_us`
   * range filters over the alert-store layout.
@@ -19,9 +19,12 @@ import org.apache.spark.sql.types.LongType
   * the out-of-range days at planning time, so a one-week query over years
   * of alerts touches seven directories.
   *
-  * Contract and safety: fires ONLY on Filter nodes whose child exposes
-  * both `ts_us` and a partition-typed `epoch_day` (the store layout), only
-  * for conjunct-level `ts_us` comparisons against non-negative literals
+  * Contract and safety: fires ONLY on a Filter sitting directly on a leaf
+  * relation (a scan — never on join/projection outputs where the two
+  * columns could come from unrelated frames) that exposes both `ts_us`
+  * and an integer-typed `epoch_day` (the store layout; a string-typed
+  * epoch_day from disabled partition-type inference is refused), only for
+  * conjunct-level `ts_us` comparisons against non-negative literals
   * (where truncating and flooring division agree), and only when the
   * filter does not already constrain `epoch_day`. The derived bounds are
   * logical consequences of the layout invariant — rows never change, only
@@ -35,9 +38,10 @@ object AlertStorePruning extends Rule[LogicalPlan] {
   private val DayUs = 86400000000L
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
-    case f @ Filter(cond, child) =>
+    case f @ Filter(cond, child) if child.isInstanceOf[LeafNode] =>
       val tsAttr = child.output.find(a => a.name == "ts_us" && a.dataType == LongType)
-      val dayAttr = child.output.find(a => a.name == "epoch_day")
+      val dayAttr = child.output.find(a => a.name == "epoch_day"
+        && (a.dataType == IntegerType || a.dataType == LongType))
       (tsAttr, dayAttr) match {
         case (Some(ts), Some(day)) if !mentions(cond, day) =>
           val derived = conjuncts(cond).flatMap(deriveBound(_, ts, day))

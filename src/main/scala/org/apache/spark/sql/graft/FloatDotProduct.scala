@@ -457,14 +457,22 @@ case class IsolationForestScore(child: Expression, feat: Array[Int],
 
   override def dataType: DataType = DoubleType
 
+  // nullable regardless of the child: a null ELEMENT nulls the score, so
+  // codegen must always get a writable isNull slot
+  override def nullable: Boolean = true
+
   override def prettyName: String = "forest_score"
 
+  // a null feature element yields a null score (SQL semantics) rather
+  // than silently scoring against 0 — callers decide how to treat
+  // incomplete rows; the feature pipeline upstream coalesces its nulls
   override protected def nullSafeEval(input: Any): Any = {
     val xs = input.asInstanceOf[ArrayData]
     val d = xs.numElements()
     val z = new Array[Double](d)
     var i = 0
     while (i < d) {
+      if (xs.isNullAt(i)) return null
       z(i) = (xs.getDouble(i) - means(i)) / stds(i)
       i += 1
     }
@@ -496,25 +504,31 @@ case class IsolationForestScore(child: Expression, feat: Array[Int],
       val d = ctx.freshName("d"); val z = ctx.freshName("z")
       val i = ctx.freshName("i"); val t = ctx.freshName("t")
       val idx = ctx.freshName("idx"); val depth = ctx.freshName("depth")
-      val sum = ctx.freshName("sum")
+      val sum = ctx.freshName("sum"); val hasNull = ctx.freshName("hasNull")
       s"""
          |int $d = $xs.numElements();
          |double[] $z = new double[$d];
+         |boolean $hasNull = false;
          |for (int $i = 0; $i < $d; $i++) {
+         |  if ($xs.isNullAt($i)) { $hasNull = true; break; }
          |  $z[$i] = ($xs.getDouble($i) - $meansRef[$i]) / $stdsRef[$i];
          |}
-         |double $sum = 0.0;
-         |for (int $t = 0; $t < $rootsRef.length; $t++) {
-         |  int $idx = $rootsRef[$t];
-         |  int $depth = 0;
-         |  while ($featRef[$idx] >= 0) {
-         |    $idx = ($z[$featRef[$idx]] < $splitRef[$idx])
-         |      ? $leftRef[$idx] : $rightRef[$idx];
-         |    $depth++;
+         |if ($hasNull) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $sum = 0.0;
+         |  for (int $t = 0; $t < $rootsRef.length; $t++) {
+         |    int $idx = $rootsRef[$t];
+         |    int $depth = 0;
+         |    while ($featRef[$idx] >= 0) {
+         |      $idx = ($z[$featRef[$idx]] < $splitRef[$idx])
+         |        ? $leftRef[$idx] : $rightRef[$idx];
+         |      $depth++;
+         |    }
+         |    $sum += $depth + $adjRef[$idx];
          |  }
-         |  $sum += $depth + $adjRef[$idx];
+         |  ${ev.value} = Math.pow(2.0, -($sum / $rootsRef.length) / ${cN});
          |}
-         |${ev.value} = Math.pow(2.0, -($sum / $rootsRef.length) / ${cN});
        """.stripMargin
     })
   }

@@ -34,8 +34,11 @@ class ClusterIvfSpec extends AnyFunSuite {
     assert(clusters.filter(!col("keep")).count() > 0)
   }
 
-  test("LSH exactPairs equal an exhaustive all-pairs scan, and clusters match") {
-    val docs = Tables.documents(spark, sf)
+  /** Ground truth: EVERY pair at jaccard >= threshold, no blocking at all
+    * (test-only quadratic scan; integer-form predicate as in the ops). */
+  private def exhaustivePairs(docs: org.apache.spark.sql.DataFrame,
+      threshold: Double) = {
+    val t100 = math.round(threshold * 100)
     val toks = docs.select(col("doc_id"),
       array_sort(array_distinct(split(col("text"), " "))).as("toks"))
       .withColumn("n", size(col("toks")).cast("long"))
@@ -43,14 +46,18 @@ class ClusterIvfSpec extends AnyFunSuite {
       col("n").as("na"))
     val tb = toks.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"),
       col("n").as("nb"))
-    // ground truth: EVERY pair, no blocking at all (test-only quadratic)
-    val exhaustive = ta.crossJoin(tb).filter(col("doc_a") < col("doc_b"))
+    ta.crossJoin(tb).filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         org.apache.spark.sql.graft.ColumnBridge
           .sortedIntersectCount(col("toks_a"), col("toks_b"))
           .cast("long").as("inter"), col("na"), col("nb"))
-      .filter(col("inter") * lit(190L) >= lit(90L) * (col("na") + col("nb")))
-      .select("doc_a", "doc_b").cache()
+      .filter(col("inter") * lit(100L + t100) >= lit(t100) * (col("na") + col("nb")))
+      .select("doc_a", "doc_b")
+  }
+
+  test("LSH exactPairs equal an exhaustive all-pairs scan, and clusters match") {
+    val docs = Tables.documents(spark, sf)
+    val exhaustive = exhaustivePairs(docs, 0.9).cache()
     val lsh = MinHashLsh.exactPairs(docs, 0.9).select("doc_a", "doc_b").cache()
     assert(lsh.exceptAll(exhaustive).count() === 0, "false-positive pairs")
     assert(exhaustive.exceptAll(lsh).count() === 0, "missed true pairs")
@@ -78,20 +85,7 @@ class ClusterIvfSpec extends AnyFunSuite {
         (id, rnd.shuffle(mutated).mkString(" "))
       }
     }.toDF("doc_id", "text")
-    val toks = docs.select(col("doc_id"),
-      array_sort(array_distinct(split(col("text"), " "))).as("toks"))
-      .withColumn("n", size(col("toks")).cast("long"))
-    val ta = toks.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"),
-      col("n").as("na"))
-    val tb = toks.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"),
-      col("n").as("nb"))
-    val exhaustive = ta.crossJoin(tb).filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        org.apache.spark.sql.graft.ColumnBridge
-          .sortedIntersectCount(col("toks_a"), col("toks_b"))
-          .cast("long").as("inter"), col("na"), col("nb"))
-      .filter(col("inter") * lit(190L) >= lit(90L) * (col("na") + col("nb")))
-      .select("doc_a", "doc_b").cache()
+    val exhaustive = exhaustivePairs(docs, 0.9).cache()
     val lsh = MinHashLsh.exactPairs(docs, 0.9).select("doc_a", "doc_b").cache()
     assert(lsh.exceptAll(exhaustive).count() === 0, "false positives")
     assert(exhaustive.exceptAll(lsh).count() === 0, "missed true pairs")
