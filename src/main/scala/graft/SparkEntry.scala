@@ -73,6 +73,11 @@ object SparkEntry {
       Alerts.summary(
         AnomalyRules.thresholdAlerts(TimeSeries.rollingFeatures(TimeSeries.base(s, dir))),
         1704844800000000L, 1705708800000000L)),
+    "al_summary_top" -> ((s, dir) => {
+      val events = TimeSeries.base(s, dir)
+      Alerts.summaryTopEntities(
+        Pipeline.detectAll(events, TimeSeries.rollingFeatures(events)), 10)
+    }),
     "al_join_features" -> ((s, dir) => {
       val features = TimeSeries.rollingFeatures(TimeSeries.base(s, dir))
       Alerts.joinFeatures(AnomalyRules.thresholdAlerts(features), features)
@@ -458,6 +463,28 @@ object SparkEntry {
          |WHERE ts_us >= 1704844800000000 AND ts_us < 1705708800000000
          |GROUP BY GROUPING SETS ((severity), (event_type), (user_id))
          |ORDER BY severity NULLS FIRST, event_type NULLS FIRST, user_id NULLS FIRST""".stripMargin,
+
+    "al_summary_top" ->
+      s"""$eventsCte,
+         |$rollingCte,
+         |$alertsCte,
+         |$consecutiveCtes,
+         |$oscillationCtes,
+         |$zscoreCtes
+         |SELECT user_id, CAST(count(*) AS BIGINT) AS n_alerts
+         |FROM (
+         |  SELECT user_id FROM a
+         |  UNION ALL
+         |  SELECT user_id FROM k WHERE run_len >= 3
+         |  UNION ALL
+         |  SELECT user_id FROM o WHERE n_changes > 8
+         |  UNION ALL
+         |  SELECT e.user_id
+         |  FROM e JOIN z ON e.user_id = z.user_id
+         |  WHERE abs((value - mean_v) / (CASE WHEN std_v > 0 THEN std_v END)) > 2.5)
+         |GROUP BY user_id
+         |ORDER BY n_alerts DESC, user_id
+         |LIMIT 10""".stripMargin,
 
     "al_join_features" ->
       s"""$eventsCte,

@@ -61,6 +61,17 @@ object Alerts {
       .agg(count(lit(1)).as("n"))
       .orderBy("severity", "event_type", "user_id")
 
+  /** Hottest entities by alert count — the summary's "by zone (top N)"
+    * truncation (db.py:171 get_anomaly_summary breaks down by zone top
+    * 10). Deterministic tie-break on the key; the sort+limit collapses to
+    * a TakeOrderedAndProject over the aggregated (small) frame. */
+  def summaryTopEntities(alerts: DataFrame, n: Int = 10): DataFrame =
+    alerts
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_alerts"))
+      .orderBy(col("n_alerts").desc, col("user_id"))
+      .limit(n)
+
   /** Daily alert counts (epoch-day index; pure integer µs arithmetic). */
   def daily(alerts: DataFrame): DataFrame =
     alerts
