@@ -78,6 +78,11 @@ object SparkEntry {
       Alerts.summaryTopEntities(
         Pipeline.detectAll(events, TimeSeries.rollingFeatures(events)), 10)
     }),
+    "al_summary_rules" -> ((s, dir) => {
+      val events = TimeSeries.base(s, dir)
+      Alerts.summaryByRule(
+        Pipeline.detectAll(events, TimeSeries.rollingFeatures(events)))
+    }),
     "al_join_features" -> ((s, dir) => {
       val features = TimeSeries.rollingFeatures(TimeSeries.base(s, dir))
       Alerts.joinFeatures(AnomalyRules.thresholdAlerts(features), features)
@@ -463,6 +468,34 @@ object SparkEntry {
          |WHERE ts_us >= 1704844800000000 AND ts_us < 1705708800000000
          |GROUP BY GROUPING SETS ((severity), (event_type), (user_id))
          |ORDER BY severity NULLS FIRST, event_type NULLS FIRST, user_id NULLS FIRST""".stripMargin,
+
+    "al_summary_rules" ->
+      s"""$eventsCte,
+         |$rollingCte,
+         |$alertsCte,
+         |$consecutiveCtes,
+         |$oscillationCtes,
+         |$zscoreCtes,
+         |u AS (
+         |  SELECT user_id, severity, rule_name FROM a
+         |  UNION ALL
+         |  SELECT user_id, CASE WHEN value > 200 THEN 'high' ELSE 'medium' END AS severity,
+         |         'consecutive_drift' AS rule_name
+         |  FROM k WHERE run_len >= 3
+         |  UNION ALL
+         |  SELECT user_id, 'medium' AS severity, 'oscillating_control' AS rule_name
+         |  FROM o WHERE n_changes > 8
+         |  UNION ALL
+         |  SELECT e.user_id,
+         |         CASE WHEN abs((value - mean_v) / (CASE WHEN std_v > 0 THEN std_v END)) > 3.5
+         |              THEN 'high' ELSE 'medium' END AS severity,
+         |         'zscore' AS rule_name
+         |  FROM e JOIN z ON e.user_id = z.user_id
+         |  WHERE abs((value - mean_v) / (CASE WHEN std_v > 0 THEN std_v END)) > 2.5)
+         |SELECT severity, rule_name, user_id, CAST(count(*) AS BIGINT) AS n
+         |FROM u
+         |GROUP BY GROUPING SETS ((severity), (rule_name), (user_id))
+         |ORDER BY severity NULLS FIRST, rule_name NULLS FIRST, user_id NULLS FIRST""".stripMargin,
 
     "al_summary_top" ->
       s"""$eventsCte,

@@ -61,6 +61,21 @@ object Alerts {
       .agg(count(lit(1)).as("n"))
       .orderBy("severity", "event_type", "user_id")
 
+  /** The db.py-faithful summary over the STANDARD alert schema
+    * (Pipeline.detectAll / the alert store): counts by severity, by
+    * rule_name and by entity in one GROUPING SETS pass — exactly
+    * get_anomaly_summary's three breakdowns (db.py:171: severity / rule /
+    * zone). [[summary]] is the event-stream variant (event_type instead
+    * of rule, for single-rule alert frames that carry the source event
+    * type). */
+  def summaryByRule(alerts: DataFrame): DataFrame =
+    alerts
+      .groupingSets(
+        Seq(Seq(col("severity")), Seq(col("rule_name")), Seq(col("user_id"))),
+        col("severity"), col("rule_name"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("severity", "rule_name", "user_id")
+
   /** Hottest entities by alert count — the summary's "by zone (top N)"
     * truncation (db.py:171 get_anomaly_summary breaks down by zone top
     * 10). Deterministic tie-break on the key; the sort+limit collapses to
