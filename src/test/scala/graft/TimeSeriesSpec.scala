@@ -106,6 +106,30 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(both.count() === alerts.filter(col("severity") === "high").count())
   }
 
+  test("rule summary covers every alert in each dimension; top entities ranked") {
+    val alerts = graft.operators.Pipeline.detectAll(events,
+      TimeSeries.rollingFeatures(events)).cache()
+    val total = alerts.count()
+    val s = Alerts.summaryByRule(alerts).cache()
+    val bySev = s.filter(col("severity").isNotNull)
+      .agg(sum("n")).collect().head.getLong(0)
+    val byRule = s.filter(col("rule_name").isNotNull)
+      .agg(sum("n")).collect().head.getLong(0)
+    val byUser = s.filter(col("user_id").isNotNull)
+      .agg(sum("n")).collect().head.getLong(0)
+    assert(bySev === total && byRule === total && byUser === total)
+    // all four rules appear as rule-dimension rows
+    assert(s.filter(col("rule_name").isNotNull).count() === 4)
+    val top = Alerts.summaryTopEntities(alerts, 5).collect()
+    assert(top.length === 5)
+    val counts = top.map(_.getAs[Long]("n_alerts"))
+    assert(counts.sameElements(counts.sorted.reverse))
+    // the hottest entity really has the max per-user alert count
+    val maxCount = alerts.groupBy("user_id").count()
+      .agg(max("count")).collect().head.getLong(0)
+    assert(counts.head === maxCount)
+  }
+
   test("time-bounded summary equals summary of the time-filtered frame") {
     val alerts = AnomalyRules.thresholdAlerts(TimeSeries.rollingFeatures(events))
     val lo = 1704844800000000L
