@@ -121,6 +121,8 @@ object SparkEntry {
     "tx_quality" -> ((s, dir) => TextAnalysis.qualityScore(Tables.documents(s, dir))),
     "tx_langid" -> ((s, dir) => TextAnalysis.languageId(Tables.documents(s, dir))),
     "tx_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(Tables.documents(s, dir))),
+    "tx_ngram_freq" -> ((s, dir) =>
+      TextAnalysis.ngramFrequencies(Tables.documents(s, dir), 2, 50)),
     "mm_binary" -> ((s, dir) => Multimodal.binaryColumnsChecked(Tables.documents(s, dir))),
     // the REAL mapPartitions batch-decode path (stub kernel): features are
     // un-normalized back to integer bin counts and digested, so the oracle
@@ -642,6 +644,17 @@ object SparkEntry {
          |       CAST(count(*) AS BIGINT) AS n_events
          |FROM e GROUP BY user_id, event_type
          |ORDER BY user_id, event_type""".stripMargin,
+
+    "tx_ngram_freq" ->
+      """WITH g AS (
+        |  SELECT unnest(list_transform(
+        |           generate_series(0, greatest(len(string_split(text, ' ')) - 2, 0)),
+        |           i -> array_to_string((string_split(text, ' '))[i+1:i+2], ' '))) AS ngram
+        |  FROM documents)
+        |SELECT ngram, CAST(count(*) AS BIGINT) AS n_occurrences
+        |FROM g GROUP BY ngram
+        |ORDER BY n_occurrences DESC, ngram
+        |LIMIT 50""".stripMargin,
 
     "tx_tokens_regex" ->
       """SELECT doc_id,

@@ -100,6 +100,24 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Top-k token n-gram frequencies across the corpus — the vocabulary /
+    * phrase profile a training-data pipeline reports. Classic word-count
+    * shape: per-row n-gram explode, hash aggregate with map-side partial
+    * counts (the shuffle carries one row per distinct n-gram per
+    * partition, not per occurrence), deterministic top-k via
+    * TakeOrderedAndProject. */
+  def ngramFrequencies(documents: DataFrame, n: Int = 2, k: Int = 50): DataFrame = {
+    val toks = split(col("text"), " ")
+    documents
+      .select(explode(transform(
+        sequence(lit(0), greatest(size(toks) - n, lit(0))),
+        i => concat_ws(" ", slice(toks, i + lit(1), lit(n))))).as("ngram"))
+      .groupBy("ngram")
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("ngram"))
+      .limit(k)
+  }
+
   /** Winnowing-style document fingerprint sets: Karp-Rabin polynomial
     * rolling hashes of token k-shingles, keep each window's minimum → a
     * compact, shift-tolerant signature set (sorted canonical order).
