@@ -13,11 +13,12 @@ object Bench {
     // steady-state warm-up: JIT + codegen + parquet reader init on the
     // tiny sf so the first timed query isn't billed for JVM startup
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
-    // min of two runs per query: steady-state cost, robust to co-tenant
-    // noise (plans are freshly built each run — no caching between them).
-    // A query that throws is recorded as -1 (never as its time-to-crash).
+    // min of three runs per query: steady-state cost, robust to the
+    // sandbox's ±15-25% co-tenant noise (plans are freshly built each
+    // run — no caching between them). A query that throws is recorded as
+    // -1 (never as its time-to-crash).
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val runs = (1 to 2).map { _ =>
+      val runs = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
           catch { case _: Throwable => false }

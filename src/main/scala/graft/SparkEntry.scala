@@ -105,10 +105,10 @@ object SparkEntry {
     "mm_resize" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
       val mm = Multimodal.binaryColumns(Tables.documents(s, dir))
+      // raw integer bin counts straight from the decode batch — exact at
+      // any document size (no float round-trip)
       val counts = Multimodal.extractFeatures(mm, 16).toDF()
-        .select(col("doc_id"), col("n_bytes"),
-          transform(col("features"),
-            f => round(f.cast("double") * col("n_bytes"))).as("counts"))
+        .select(col("doc_id"), col("n_bytes"), col("counts"))
       Multimodal.resizeFeatures(counts, "counts", 4)
         .select(col("doc_id"),
           md5(concat_ws(",", transform(col("counts_resized"),
@@ -124,17 +124,15 @@ object SparkEntry {
     "tx_ngram_freq" -> ((s, dir) =>
       TextAnalysis.ngramFrequencies(Tables.documents(s, dir), 2, 50)),
     "mm_binary" -> ((s, dir) => Multimodal.binaryColumnsChecked(Tables.documents(s, dir))),
-    // the REAL mapPartitions batch-decode path (stub kernel): features are
-    // un-normalized back to integer bin counts and digested, so the oracle
-    // can reproduce them exactly from the payload bytes
+    // the REAL mapPartitions batch-decode path (stub kernel): the raw
+    // integer bin counts are digested directly, so the oracle reproduces
+    // them exactly from the payload bytes at any document size
     "mm_features" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
       val mm = Multimodal.binaryColumns(Tables.documents(s, dir))
       Multimodal.extractFeatures(mm, 16).toDF()
         .select(col("doc_id"), col("n_bytes"),
-          md5(concat_ws(",",
-            transform(col("features"),
-              f => round(f.cast("double") * col("n_bytes")).cast("long").cast("string")))
+          md5(concat_ws(",", transform(col("counts"), c => c.cast("string")))
             .cast("binary")).as("feat_digest"))
         .orderBy("doc_id")
     }),
@@ -218,13 +216,16 @@ object SparkEntry {
       |              WHEN total_spend / greatest(n_orders, 1) < 200000 THEN 'Excellent'
       |              WHEN total_spend / greatest(n_orders, 1) < 250000 THEN 'Good'
       |              WHEN total_spend / greatest(n_orders, 1) < 300000 THEN 'Average'
-      |              ELSE 'Poor' END AS rating
+      |              ELSE 'Poor' END AS rating,
+      |         total_spend / greatest(c_acctbal, CAST(1.0 AS DOUBLE)) AS spend_per_occupant,
+      |         CAST(1999 - year(first_order) AS INTEGER) AS entity_age
       |  FROM (
-      |    SELECT c_custkey, c_mktsegment,
+      |    SELECT c_custkey, c_mktsegment, c_acctbal,
       |           CAST(count(o_orderkey) AS BIGINT) AS n_orders,
-      |           CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS total_spend
+      |           CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS total_spend,
+      |           min(o_orderdate) AS first_order
       |    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
-      |    GROUP BY 1, 2))""".stripMargin
+      |    GROUP BY 1, 2, 3))""".stripMargin
 
   /** Events base: µs event time (matches Spark's ns→µs truncation). */
   private val eventsCte: String =
@@ -809,7 +810,8 @@ object SparkEntry {
         |FROM f ORDER BY doc_id""".stripMargin,
     "bm_entity_metrics" ->
       s"""$metricsCte
-         |SELECT c_custkey, c_mktsegment, n_orders, total_spend, intensity, rating
+         |SELECT c_custkey, c_mktsegment, n_orders, total_spend, intensity, rating,
+         |       spend_per_occupant, entity_age
          |FROM m ORDER BY c_custkey""".stripMargin,
 
     "bm_rating_dist" ->

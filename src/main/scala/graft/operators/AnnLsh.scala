@@ -9,37 +9,30 @@ import graft.functions.VectorMath
   * (SURVEY.md §2 sim_ann_lsh) — the 100-TB route where brute force
   * (Similarity.bruteForceTopK) stops being an option.
   *
-  * Hyperplanes are pseudo-random but fully deterministic: component i of
-  * plane p in table t is derived from murmur3(t, p, i), so every executor
-  * materializes the same planes from expressions alone — nothing is
-  * broadcast or collected. Each table hashes a vector to a small bucket id
-  * (one sign bit per plane); a probe only ever scans its own buckets, so
+  * Bucket ids come from the SAME native codegen kernel as the embedding
+  * dedup path (org.apache.spark.sql.graft.EmbeddingLshBuckets): one
+  * tables×planes×dim primitive loop per row instead of the interpreted
+  * `aggregate`/`zip_with` HOF stack (~50 array traversals/row) this
+  * operator used before. Planes are integer-LCG-derived from the table
+  * id, so every executor materializes them from the expression alone —
+  * nothing is broadcast or collected — and `tableOffset = 64` keeps this
+  * index's plane family disjoint from dd_embedding's tables 0-7. The
+  * kernel follows the vector's own dimension, so any embedding width
+  * works unchanged. Each table hashes a vector to a small bucket id (one
+  * sign bit per plane); a probe only ever scans its own buckets, so
   * lookup cost is (corpus / 2^planes) · tables instead of corpus.
   */
 object AnnLsh {
 
-  /** Sign-pattern bucket id of `vec` in table `t` (planes sign bits → int).
-    * The plane length follows the vector's own dimension — a hard-coded
-    * length would null-pad `zip_with` on other dims and silently collapse
-    * every vector into one bucket. */
-  private def bucketId(vec: Column, t: Int, planes: Int): Column = {
-    val signs = transform(sequence(lit(0), lit(planes - 1)), p => {
-      // deterministic pseudo-random plane component per (t, p, i)
-      val dot = aggregate(
-        zip_with(vec,
-          transform(sequence(lit(0), size(vec) - 1),
-            i => (pmod(hash(lit(t), p, i), lit(2000)).cast("double") / 1000.0) - 1.0),
-          (x, r) => coalesce(x.cast("double") * r, lit(0.0))),
-        lit(0.0), (acc, x) => acc + x)
-      when(dot >= 0, 1).otherwise(0)
-    })
-    aggregate(signs, lit(0), (acc, s) => acc * 2 + s)
-  }
+  /** Table-id offset separating this index's plane family from the
+    * dedup path's (tables 0..7 are dd_embedding's, oracle-twinned). */
+  private val TableOffset = 64
 
-  /** Corpus with one bucket id per hash table. */
+  /** Corpus with one bucket id per hash table (single kernel pass). */
   def index(embeddings: DataFrame, tables: Int = 4, planes: Int = 6): DataFrame =
     embeddings.withColumn("buckets",
-      array((0 until tables).map(t => bucketId(col("embedding"), t, planes)): _*))
+      org.apache.spark.sql.graft.ColumnBridge
+        .embeddingLshBuckets(col("embedding"), tables, planes, TableOffset))
 
   /** Top-k ANN: candidates = rows sharing any table bucket with the query,
     * exactly re-ranked by cosine. */
@@ -51,7 +44,7 @@ object AnnLsh {
     indexed
       .filter(col("vec_id") =!= queryId)
       .crossJoin(broadcast(q))
-      // candidate: any table agrees on the bucket
+      // candidate: any table agrees on the bucket (tiny fixed-size arrays)
       .filter(exists(zip_with(col("buckets"), col("q_buckets"), (x, y) => x === y),
         idx => idx))
       .select(col("vec_id"), col("label"),

@@ -49,19 +49,35 @@ object Benchmarking {
       .otherwise("Poor")
 
   /** Per-entity metrics: activity count, exact total spend, intensity
-    * (spend/activity) and its rating. Left join keeps zero-activity
-    * entities (the reference keeps buildings with defaults). */
+    * (spend/activity) and its rating, plus the reference ETL's two other
+    * derived silver columns (generate_sample_data.py:48-89 `transform_data`,
+    * notebooks/benchmarking_medallion.py:150-160):
+    *   - `spend_per_occupant` — energy_per_occupant analog: spend over the
+    *     occupancy proxy (account balance, floored at 1 so the ratio is
+    *     defined for empty/negative balances, as the reference floors
+    *     occupancy).
+    *   - `entity_age` — building_age analog: years from first activity to
+    *     the corpus horizon (1999, the year after the TPC-H order range —
+    *     a FIXED reference year, deterministic across engines and runs);
+    *     null for entities with no activity.
+    * Left join keeps zero-activity entities (the reference keeps buildings
+    * with defaults). */
   def entityMetrics(customer: DataFrame, orders: DataFrame): DataFrame =
     customer
       .join(orders, customer("c_custkey") === orders("o_custkey"), "left")
-      .groupBy(customer("c_custkey"), customer("c_mktsegment"))
+      .groupBy(customer("c_custkey"), customer("c_mktsegment"), customer("c_acctbal"))
       .agg(
         count(orders("o_orderkey")).as("n_orders"),
-        coalesce(sum(orders("o_totalprice").cast(dec)), lit(0).cast(dec)).as("spend_dec"))
+        coalesce(sum(orders("o_totalprice").cast(dec)), lit(0).cast(dec)).as("spend_dec"),
+        min(orders("o_orderdate")).as("first_order"))
       .withColumn("total_spend", col("spend_dec").cast("double"))
       .withColumn("intensity", col("total_spend") / greatest(col("n_orders"), lit(1L)))
       .withColumn("rating", rating(col("intensity"), col("n_orders")))
-      .select("c_custkey", "c_mktsegment", "n_orders", "total_spend", "intensity", "rating")
+      .withColumn("spend_per_occupant",
+        col("total_spend") / greatest(col("c_acctbal"), lit(1.0)))
+      .withColumn("entity_age", (lit(1999) - year(col("first_order"))).cast("int"))
+      .select("c_custkey", "c_mktsegment", "n_orders", "total_spend", "intensity",
+        "rating", "spend_per_occupant", "entity_age")
 
   /** Rating distribution (reference: generate_sample_data.py:160
     * `value_counts` of performance_category). */

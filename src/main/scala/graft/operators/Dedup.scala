@@ -43,15 +43,39 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Guard for the deliberately-quadratic within-block verifiers: fail
+    * fast when any block exceeds `maxBlock` members, naming the LSH
+    * entry points — an unblocked 100-TB corpus must never silently run
+    * an O(m²) join. One cheap narrow-key aggregate before the plan
+    * executes. */
+  private def requireBoundedBlocks(df: DataFrame, blockCol: String,
+      maxBlock: Int, caller: String, entryPoint: String): Unit = {
+    val worst = df.groupBy(col(blockCol)).agg(count(lit(1)).as("m"))
+      .agg(coalesce(max(col("m")), lit(0L))).head().getLong(0)
+    if (worst > maxBlock) throw new IllegalArgumentException(
+      s"$caller is an exhaustive within-block VERIFIER: block " +
+        s"'$blockCol' has $worst members (max $maxBlock), which would run " +
+        s"a quadratic self-join. Use the unsupervised LSH entry point " +
+        s"$entryPoint for corpora of this size, or raise maxBlock " +
+        s"deliberately.")
+  }
+
   /** Blocked token-set Jaccard near-dup pairs: within each `source` block,
     * docs sharing tokens are paired and scored |A∩B| / |A∪B|; pairs at or
     * above `threshold` survive. Set sizes ride along the explode-join so
-    * the union size needs no second join. */
-  def ngramJaccard(documents: DataFrame, threshold: Double = 0.9): DataFrame = {
+    * the union size needs no second join.
+    *
+    * This is the EXHAUSTIVE within-block verifier (O(m²/blocks)):
+    * [[graft.operators.MinHashLsh.exactPairs]] is the unsupervised scale
+    * entry point. Blocks above `maxBlock` members fail fast. */
+  def ngramJaccard(documents: DataFrame, threshold: Double = 0.9,
+      maxBlock: Int = 10000): DataFrame = {
     val toks = documents.select(
       col("doc_id"), col("source"),
       array_sort(array_distinct(split(col("text"), " "))).as("toks"))
       .withColumn("n", size(col("toks")).cast("long"))
+    requireBoundedBlocks(documents.select(col("source")), "source", maxBlock,
+      "Dedup.ngramJaccard", "MinHashLsh.exactPairs")
     // block self-join on `source` only; the intersection runs in-place on
     // the sorted token arrays (native O(n+m) merge kernel) — no token
     // explode, so the shuffle carries one row per doc per block instead
@@ -100,15 +124,15 @@ object Dedup {
       .select(col("vec_id"), col("pos").as("t"), col("col").as("bucket"))
 
   def embeddingNearDupLsh(embeddings: DataFrame, threshold: Double = 0.3,
-      tables: Int = 8, planes: Int = 6): DataFrame = {
+      tables: Int = 8, planes: Int = 6, maxBucket: Int = 4096): DataFrame = {
     val bucketed = embeddingBuckets(embeddings, tables, planes)
-    val a = bucketed.as("a")
-    val b = bucketed.as("b")
-    val pairs = a.join(b,
-        col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket")
-          && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
-      .distinct()
+    // bucket-local pairing behind the same hot-bucket guard as the text
+    // path: a degenerate sign-pattern bucket (e.g. a corpus of
+    // near-constant vectors) pairs linearly, not quadratically
+    val pairs = MinHashLsh.guardedBucketPairs(bucketed, Seq("t", "bucket"),
+        "vec_id", maxBucket)
+      .withColumnRenamed("id_a", "vec_a")
+      .withColumnRenamed("id_b", "vec_b")
     val e = embeddings.select(
       col("vec_id"), col("embedding"),
       VectorMath.normSqDec(col("embedding")).as("nrm"),
@@ -119,7 +143,13 @@ object Dedup {
       col("nrm").as("nrm_b"), col("nrm_d").as("nrm_d_b"))
     pairs.join(ea, "vec_a").join(eb, "vec_b")
       // cheap double prefilter with a conservative margin; the exact
-      // decimal cosine (<1e-6 apart) decides membership
+      // decimal cosine decides membership. The 1e-4 margin assumes
+      // roughly unit-norm vectors of modest dimension (this corpus):
+      // per-component quantization error is ~1e-7 relative, so the
+      // double-vs-decimal cosine gap stays orders of magnitude below
+      // 1e-4. For high-dimensional or large-magnitude embeddings widen
+      // the margin ∝ dim·|x|ₘₐₓ (a loose prefilter only costs extra
+      // verified pairs, never correctness).
       .filter(VectorMath.dotDouble(col("emb_a"), col("emb_b"))
         / (col("nrm_d_a") * col("nrm_d_b")) >= threshold - 1e-4)
       .select(col("vec_a"), col("vec_b"),
@@ -139,8 +169,15 @@ object Dedup {
     * cluster's min id is always a representative (it is the min of its
     * own norm group), so component ids match the uncollapsed run. On
     * corpora with heavy exact duplication this cuts the pairwise volume
-    * by the square of the collapse ratio. */
-  def clusterExact(documents: DataFrame, threshold: Double = 0.9): DataFrame = {
+    * by the square of the collapse ratio.
+    *
+    * `maxIter` bounds the component-propagation rounds: clusters whose
+    * graph diameter exceeds it make the pass throw (strict convergence —
+    * see ConnectedComponents.components). Near-dup clusters are dense so
+    * the default is generous; raise it for corpora with long chains of
+    * just-above-threshold neighbours. */
+  def clusterExact(documents: DataFrame, threshold: Double = 0.9,
+      maxIter: Int = 20): DataFrame = {
     // ONE normalization pass: rep id via a window min over the norm hash
     // (no agg+join), materialized once — every later stage (the collapsed
     // corpus for pairing, the doc→rep mapping for expansion) reads this
@@ -156,7 +193,7 @@ object Dedup {
     val repDocs = withRep.filter(col("doc_id") === col("rep_id"))
       .select("doc_id", "text")
     val comps = ConnectedComponents.components(
-      MinHashLsh.exactPairs(repDocs, threshold))
+      MinHashLsh.exactPairs(repDocs, threshold), maxIter)
     withRep
       .join(comps.withColumnRenamed("id", "rep_id"), Seq("rep_id"), "left")
       .select(col("doc_id"),
@@ -169,8 +206,11 @@ object Dedup {
     * partition so the pairwise work is per-block, not corpus²) — the
     * EXHAUSTIVE within-block verifier; [[embeddingNearDupLsh]] is the
     * unsupervised scale entry point. Exact decimal dot products keep the
-    * result oracle-comparable. */
-  def embeddingNearDup(embeddings: DataFrame, threshold: Double = 0.3): DataFrame = {
+    * result oracle-comparable. Blocks above `maxBlock` members fail fast. */
+  def embeddingNearDup(embeddings: DataFrame, threshold: Double = 0.3,
+      maxBlock: Int = 10000): DataFrame = {
+    requireBoundedBlocks(embeddings.select(col("label")), "label", maxBlock,
+      "Dedup.embeddingNearDup", "Dedup.embeddingNearDupLsh")
     val e = embeddings.select(
       col("vec_id"), col("label"), col("embedding"),
       VectorMath.normSqDec(col("embedding")).as("nrm"),

@@ -84,6 +84,8 @@ object IsolationForest {
       .drop("rnd")
       .collect()
       .map(r => featureCols.indices.map(i => r.getDouble(i)).toArray)
+    require(sample.nonEmpty,
+      "isolation-forest training filter matched no rows — cannot fit a model")
     val d = featureCols.length
     val means = Array.tabulate(d)(i => sample.map(_(i)).sum / sample.length)
     val stds = Array.tabulate(d) { i =>

@@ -2,47 +2,98 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.VectorMath
 
-/** IVF-style approximate nearest neighbour (SURVEY.md sim_* scale path,
+/** IVF approximate nearest neighbour (SURVEY.md sim_* scale path,
   * complementing the random-hyperplane AnnLsh): the corpus is coarsely
-  * partitioned (here by the `label` column — in a full system, by k-means
-  * cell), one centroid per partition is computed, and a probe searches
-  * only the `nprobe` partitions whose centroids are closest.
+  * partitioned into k-means cells, and a probe searches only the `nprobe`
+  * cells whose centroids are closest to the query — the classic inverted-
+  * file index (Sivic/Zisserman's Video Google; FAISS's IVF family).
   *
-  * Scale: centroids are one aggregate over the corpus (map-side combined
-  * per label) and are tiny — broadcast to score probes; the search scan
-  * prunes to nprobe partitions, so lookup cost is corpus·(nprobe/cells).
+  * Cells are LEARNED, not taken from a pre-existing label: Lloyd's
+  * iterations run as DataFrame aggregates (one assignment scan + one
+  * per-dimension mean per round — the same one-job-per-round shape as
+  * ConnectedComponents), with a deterministic hash-seeded init, so the
+  * index needs no supervision and cell count scales with the corpus
+  * (default ∝ √n, keeping both cell size and centroid-probe cost at
+  * O(√n) as the corpus grows — the balance real IVF systems pick).
+  *
+  * Scale: cell assignment is the native NearestCentroid codegen kernel
+  * (one k×dim primitive loop per row, no n×k join); the centroid state
+  * collected per round is k×dim floats — O(√n·dim), driver-safe.
+  * Probing broadcasts the (tiny) ranked-cell list, so the search scan
+  * prunes to nprobe cells and lookup cost is corpus·(nprobe/k).
   */
 object Ivf {
 
-  /** Per-cell centroid as an average embedding (posexplode → mean per
-    * dimension → re-assembled in position order). */
-  def centroids(embeddings: DataFrame): DataFrame =
-    embeddings
-      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
-      .groupBy(col("label"), col("pos"))
-      .agg(avg(col("v")).as("m"))
-      .groupBy(col("label"))
-      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-      .select(col("label"),
-        transform(col("pm"), x => x.getField("m").cast("float")).as("centroid"))
+  private val sumDec = DecimalType(28, 10)
 
-  /** Top-k ANN: rank cells by centroid cosine to the query, search the
-    * best `nprobe` cells exactly. */
-  def topK(embeddings: DataFrame, queryId: Long, k: Int, nprobe: Int = 2): DataFrame = {
-    val q = embeddings.filter(col("vec_id") === queryId)
+  /** Cell-assignment column for a fixed centroid set (narrow map, whole-
+    * stage codegen). */
+  def withCell(embeddings: DataFrame, centroids: Array[Array[Float]]): DataFrame =
+    embeddings.withColumn("cell",
+      org.apache.spark.sql.graft.ColumnBridge
+        .nearestCentroid(col("embedding"), centroids))
+
+  /** Lloyd's k-means over the embedding corpus: `iters` fixed rounds,
+    * each one assignment pass + one (cell, dimension) mean aggregate.
+    * Init is deterministic: the k vectors with the smallest murmur3 of
+    * their id. Per-dimension means accumulate in decimal, so the learned
+    * centroids are bit-stable across partitionings and runs. Cells that
+    * lose all members keep their previous centroid. */
+  def kmeansCentroids(embeddings: DataFrame, k: Int,
+      iters: Int = 8): Array[Array[Float]] = {
+    require(k > 0, s"cell count must be positive (got $k)")
+    var centroids: Array[Array[Float]] = embeddings
+      .select(col("vec_id"), col("embedding"))
+      .orderBy(pmod(hash(col("vec_id")), lit(1000003)), col("vec_id"))
+      .limit(k)
+      .collect()
+      .map(_.getSeq[Float](1).toArray)
+    require(centroids.nonEmpty, "k-means init found no vectors")
+    for (_ <- 1 to iters) {
+      val means = withCell(embeddings, centroids)
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("cell"), col("pos"))
+        .agg((sum(col("v").cast(sumDec)) / count(lit(1)))
+          .cast("double").as("m"))
+        .collect()
+      val next = centroids.map(_.clone())
+      means.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2).toFloat
+      }
+      centroids = next
+    }
+    centroids
+  }
+
+  /** Top-k ANN: learn (or reuse) k-means cells, rank them by centroid
+    * cosine to the query, search the best `nprobe` cells exactly.
+    * `cells` defaults to ⌈√n⌉. */
+  def topK(embeddings: DataFrame, queryId: Long, k: Int, nprobe: Int = 2,
+      cells: Int = 0, iters: Int = 8): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val nCells =
+      if (cells > 0) cells
+      else math.max(nprobe, math.ceil(math.sqrt(embeddings.count().toDouble)).toInt)
+    val centroids = kmeansCentroids(embeddings, nCells, iters)
+    val assigned = withCell(embeddings, centroids)
+    val q = assigned.filter(col("vec_id") === queryId)
       .select(col("embedding").as("q_emb"))
-    val cellRank = centroids(embeddings)
+    val centDf = centroids.zipWithIndex
+      .map { case (c, i) => (i, c) }.toSeq.toDF("cell", "centroid")
+    val cellRank = centDf
       .crossJoin(broadcast(q))
-      .select(col("label"),
+      .select(col("cell"),
         VectorMath.cosineDouble(col("centroid"), col("q_emb")).as("c_cos"))
-      .orderBy(col("c_cos").desc, col("label"))
+      .orderBy(col("c_cos").desc, col("cell"))
       .limit(nprobe)
-      .select("label")
-    embeddings
-      .join(broadcast(cellRank), "label")
+      .select("cell")
+    assigned
+      .join(broadcast(cellRank), "cell")
       .filter(col("vec_id") =!= queryId)
       .crossJoin(broadcast(q))
       .select(col("vec_id"), col("label"),

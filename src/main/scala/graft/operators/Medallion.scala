@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Medallion-layer orchestration — the reference's bronze→silver→gold
+  * pipeline with layer audit metadata
+  * (notebooks/benchmarking_medallion.py:406 `run_medallion_pipeline`):
+  *   - BRONZE: raw ingest stamped `_ingested_at` (medallion.py:100-110).
+  *   - SILVER: cleaned entities with the derived metric columns
+  *     (intensity/rating/spend_per_occupant/entity_age — see
+  *     Benchmarking.entityMetrics), stamped `_transformed_at`
+  *     (medallion.py:150-160).
+  *   - GOLD: the aggregate marts (segment summary, rating distribution,
+  *     portfolio KPIs) plus the per-type boolean-share KPI table
+  *     (medallion.py:194-230's hvac/solar-share pattern: a share is
+  *     avg(condition) per group — one map-side-combined aggregate).
+  *
+  * Every layer is a plain parquet table under `outRoot/<layer>/<name>`,
+  * so each stage is independently re-runnable and downstream-readable —
+  * the lakehouse contract the reference's Delta notebook encodes. Audit
+  * stamps are job-level wall-clock (current_timestamp — constant per
+  * query, Spark folds it at plan time), never row-varying.
+  *
+  * Scale: the only shuffles are the ones the underlying aggregates
+  * already do; metadata stamps are literal columns. Layer writes stream
+  * executor→parquet without driver materialization.
+  */
+object Medallion {
+
+  /** Stamp a frame as bronze: raw columns + ingestion audit time. */
+  def toBronze(raw: DataFrame): DataFrame =
+    raw.withColumn("_ingested_at", current_timestamp())
+
+  /** Silver entity table from bronze customer/orders: the derived-column
+    * ETL contract + transformation audit time. */
+  def toSilver(customerBronze: DataFrame, ordersBronze: DataFrame): DataFrame =
+    Benchmarking.entityMetrics(
+        customerBronze.drop("_ingested_at"), ordersBronze.drop("_ingested_at"))
+      .withColumn("_transformed_at", current_timestamp())
+
+  /** Per-type boolean-share KPIs (the hvac/solar-% pattern): share of
+    * active entities and share of top-rated entities per segment. */
+  def typeShares(silver: DataFrame): DataFrame =
+    silver.groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_entities"),
+        avg(when(col("n_orders") > 0, 1.0).otherwise(0.0)).as("active_share"),
+        avg(when(col("rating").isin("Excellent", "Good"), 1.0).otherwise(0.0))
+          .as("top_rated_share"))
+      .orderBy("c_mktsegment")
+
+  /** Full pipeline: ingest bronze, derive silver, publish gold. Returns
+    * the silver frame (the layer downstream jobs usually consume). */
+  def runMedallion(spark: SparkSession, dir: String, outRoot: String): DataFrame = {
+    val customerB = toBronze(Tables.customer(spark, dir))
+    val ordersB = toBronze(Tables.orders(spark, dir))
+    customerB.write.mode("overwrite").parquet(s"$outRoot/bronze/customer")
+    ordersB.write.mode("overwrite").parquet(s"$outRoot/bronze/orders")
+
+    val silver = toSilver(customerB, ordersB)
+    silver.write.mode("overwrite").parquet(s"$outRoot/silver/entity_metrics")
+
+    val metrics = silver.drop("_transformed_at")
+    Benchmarking.groupSummary(metrics)
+      .write.mode("overwrite").parquet(s"$outRoot/gold/segment_summary")
+    Benchmarking.ratingDistribution(metrics)
+      .write.mode("overwrite").parquet(s"$outRoot/gold/rating_distribution")
+    Benchmarking.portfolioSummary(metrics)
+      .write.mode("overwrite").parquet(s"$outRoot/gold/portfolio_summary")
+    typeShares(metrics)
+      .write.mode("overwrite").parquet(s"$outRoot/gold/type_shares")
+    silver
+  }
+}

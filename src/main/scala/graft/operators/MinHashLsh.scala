@@ -26,6 +26,63 @@ import org.apache.spark.sql.functions._
   */
 object MinHashLsh {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Hot-bucket skew guard for bucket-local candidate self-joins — the
+    * one first-order 100-TB risk in any LSH banding scheme: a degenerate
+    * bucket with m members (boilerplate-heavy web text, constant vectors)
+    * emits m² candidate rows before any dedup, stalling the stage however
+    * well the average bucket behaves.
+    *
+    * Buckets at or under `maxBucket` members pair exhaustively (the
+    * normal path — candidate volume tracks collision density). Oversized
+    * buckets degrade to HUB PAIRING: each member is paired only with the
+    * bucket's minimum id — m−1 candidates instead of m(m−1)/2, so
+    * per-bucket work is linear no matter how degenerate the key.
+    * Precision is unaffected (callers verify every candidate downstream);
+    * recall inside an oversized bucket degrades gracefully — and in the
+    * dominant degenerate case (a bucket of mutual near-dups) the
+    * verified star still connects the whole cluster at graph diameter 2,
+    * so connected-components output is unchanged AND converges in O(1)
+    * rounds (a neighbour-chain here would be an O(m)-diameter path —
+    * poison for iterative label propagation). Oversized buckets and an
+    * upper bound on the skipped candidate volume are logged.
+    *
+    * Input is materialized once (localCheckpoint) and feeds the
+    * diagnostic count, the small-bucket join and the hub pass — no
+    * recomputation of the (possibly expensive) bucketing lineage. */
+  private[graft] def guardedBucketPairs(rows: DataFrame, bucketCols: Seq[String],
+      idCol: String, maxBucket: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val parts = bucketCols.map(col)
+    val src = rows.localCheckpoint(true)
+    val overStats = src.groupBy(parts: _*).agg(count(lit(1)).as("m"))
+      .filter(col("m") > maxBucket)
+      .agg(count(lit(1)).as("n_over"),
+        coalesce(sum((col("m") - 1) * (col("m") - 2)), lit(0L)).cast("long")
+          .as("skipped_x2"))
+      .head()
+    if (overStats.getLong(0) > 0) {
+      log.warn(s"${overStats.getLong(0)} oversized LSH bucket(s) " +
+        s"(> $maxBucket members): pairing degraded to hub stars, " +
+        s"<= ${overStats.getLong(1) / 2} candidate pairs skipped")
+    }
+    val w = Window.partitionBy(parts: _*)
+    val withM = src.withColumn("__m", count(lit(1)).over(w))
+    val small = withM.filter(col("__m") <= maxBucket).drop("__m")
+    val a = small.as("a")
+    val b = small.as("b")
+    val joinCond = bucketCols.map(c => col(s"a.$c") === col(s"b.$c"))
+      .reduce(_ && _) && col(s"a.$idCol") < col(s"b.$idCol")
+    val smallPairs = a.join(b, joinCond)
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+    val bigPairs = withM.filter(col("__m") > maxBucket)
+      .withColumn("__hub", min(col(idCol)).over(w))
+      .filter(col(idCol) =!= col("__hub"))
+      .select(col("__hub").as("id_a"), col(idCol).as("id_b"))
+    smallPairs.unionByName(bigPairs).distinct()
+  }
+
   /** Signature: each token is murmur-hashed ONCE, then run through k
     * Carter-Wegman affine permutations h_i(x) = (a_i·x + b_i) mod (2³¹−1)
     * — a 2-universal family, and ~100× cheaper than k independent murmurs.
@@ -64,23 +121,20 @@ object MinHashLsh {
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
   }
 
-  /** Deduplicated candidate id pairs from the banded self-join. */
-  private def bandedPairs(sigs: DataFrame, k: Int, bands: Int): DataFrame = {
-    val bb = banded(sigs, k, bands)
-    val a = bb.as("a")
-    val b = bb.as("b")
-    a.join(b,
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
-          && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-  }
+  /** Deduplicated candidate id pairs from the banded self-join, with the
+    * hot-bucket guard bounding per-bucket pair volume. */
+  private[graft] def bandedPairs(sigs: DataFrame, k: Int, bands: Int,
+      maxBucket: Int = 4096): DataFrame =
+    guardedBucketPairs(banded(sigs, k, bands), Seq("band", "bucket"),
+        "doc_id", maxBucket)
+      .withColumnRenamed("id_a", "doc_a")
+      .withColumnRenamed("id_b", "doc_b")
 
   /** Candidate pairs via banding + signature-agreement estimate. */
   def candidatePairs(documents: DataFrame, k: Int = 128, bands: Int = 8,
-      threshold: Double = 0.9): DataFrame = {
+      threshold: Double = 0.9, maxBucket: Int = 4096): DataFrame = {
     val sigs = signatures(documents, k)
-    val pairs = bandedPairs(sigs, k, bands)
+    val pairs = bandedPairs(sigs, k, bands, maxBucket)
     val sa = sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))
     val sb = sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"))
     pairs
@@ -114,9 +168,9 @@ object MinHashLsh {
     * are found and nothing quadratic ever runs; the prefilter kills the
     * j≈0.6 background before token arrays are ever shuffled. */
   def exactPairs(documents: DataFrame, threshold: Double = 0.9, k: Int = 128,
-      bands: Int = 16): DataFrame = {
+      bands: Int = 16, maxBucket: Int = 4096): DataFrame = {
     val sigs = signatures(documents, k)
-    val cand = bandedPairs(sigs, k, bands)
+    val cand = bandedPairs(sigs, k, bands, maxBucket)
     val sa = sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))
     val sb = sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"))
     val pre = cand.join(sa, "doc_a").join(sb, "doc_b")

@@ -44,23 +44,34 @@ object Multimodal {
         "fake_feature")
       .orderBy("doc_id")
 
-  /** One decoded media item: id + fixed-length feature vector. */
-  case class MediaFeatures(doc_id: Long, n_bytes: Long, features: Array[Float])
+  /** One decoded media item: id + normalized feature vector + the raw
+    * integer bin counts the features were normalized from. Carrying the
+    * exact counts (not just floats) lets downstream consumers — and the
+    * correctness oracle — work on true integers instead of recovering them
+    * as round(float·n), which loses exactness once a bin exceeds the Float
+    * mantissa (~2e6). */
+  case class MediaFeatures(doc_id: Long, n_bytes: Long, features: Array[Float],
+      counts: Array[Long])
 
-  /** STUB decode kernel — stands in for an image/audio decoder
-    * (deterministic: byte histogram folded to `dim` buckets, normalized).
+  /** STUB decode kernel, integer form — stands in for an image/audio
+    * decoder (deterministic: byte histogram folded to `dim` buckets).
     * A real deployment swaps this body for e.g. JPEG decode + model
-    * features; the signature (bytes → fixed-dim float vector) is the
-    * contract the pipeline depends on. */
-  def stubDecode(payload: Array[Byte], dim: Int): Array[Float] = {
-    val acc = new Array[Float](dim)
+    * features; the signature (bytes → fixed-dim vector) is the contract
+    * the pipeline depends on. */
+  def stubDecodeCounts(payload: Array[Byte], dim: Int): Array[Long] = {
+    val acc = new Array[Long](dim)
     var i = 0
     while (i < payload.length) {
-      acc((payload(i) & 0xff) % dim) += 1.0f
+      acc((payload(i) & 0xff) % dim) += 1L
       i += 1
     }
+    acc
+  }
+
+  /** Normalized-float view of [[stubDecodeCounts]]. */
+  def stubDecode(payload: Array[Byte], dim: Int): Array[Float] = {
     val n = math.max(payload.length, 1).toFloat
-    acc.map(_ / n)
+    stubDecodeCounts(payload, dim).map(_ / n)
   }
 
   /** Batch feature extraction: binary payloads → fixed-dim vectors, one
@@ -72,8 +83,10 @@ object Multimodal {
     media.select("doc_id", "payload").mapPartitions { rows =>
       rows.map { r =>
         val payload = r.getAs[Array[Byte]]("payload")
+        val counts = stubDecodeCounts(payload, dim)
+        val n = math.max(payload.length, 1).toFloat
         MediaFeatures(r.getAs[Long]("doc_id"), payload.length.toLong,
-          stubDecode(payload, dim))
+          counts.map(_ / n), counts)
       }
     }
   }
@@ -104,6 +117,8 @@ object Multimodal {
     * 100-TB corpus samples at scan speed. */
   def frameSample(media: DataFrame, frameLen: Int = 16,
       stride: Int = 64): Dataset[Frame] = {
+    require(frameLen > 0 && stride > 0,
+      s"frameLen and stride must be positive (got frameLen=$frameLen, stride=$stride)")
     implicit val enc = Encoders.product[Frame]
     media.select("doc_id", "payload").mapPartitions { rows =>
       val md = java.security.MessageDigest.getInstance("MD5")

@@ -118,4 +118,24 @@ object AlertStore {
   def queryRange(spark: SparkSession, path: String, startDay: Long,
       endDay: Long, severity: String, limit: Int): DataFrame =
     queryRange(spark, path, startDay, endDay, Some(severity), None, None, limit)
+
+  /** Retention/maintenance: drop whole day partitions in
+    * [startDay, endDay] — the `clear_anomalies` analog (db.py:239; the
+    * reload path db.py:250 is simply `append` after a clear). Deletes are
+    * partition-directory drops on the day-partitioned lake: no rewrite of
+    * surviving data, O(partitions-in-range) filesystem calls regardless of
+    * row volume. Returns the number of partitions removed. */
+  def clearRange(spark: SparkSession, path: String, startDay: Long,
+      endDay: Long): Long = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) 0L
+    else fs.listStatus(root).iterator
+      .filter(_.getPath.getName.startsWith("epoch_day="))
+      .filter { st =>
+        scala.util.Try(st.getPath.getName.stripPrefix("epoch_day=").toLong)
+          .toOption.exists(d => d >= startDay && d <= endDay)
+      }
+      .count(st => fs.delete(st.getPath, true)).toLong
+  }
 }

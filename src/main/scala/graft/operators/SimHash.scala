@@ -9,10 +9,13 @@ import org.apache.spark.sql.functions._
   * distance.
   *
   * The fingerprint is computed per-row with array expressions (one scan,
-  * no shuffle). Pairing blocks on the first 16 bits — Hamming-close docs
-  * almost always share the prefix block; at 100 TB the standard
-  * multi-rotation trick (block on several bit-rotations) drops the miss
-  * rate geometrically while keeping the join bucket-local.
+  * no shuffle). Pairing blocks on maxDist+1 disjoint bit chunks of the
+  * fingerprint (the multi-block refinement of Manku/Jain/Sarma's
+  * rotation scheme): a pair within Hamming distance d can touch at most
+  * d of the d+1 chunks, so by pigeonhole it agrees EXACTLY on at least
+  * one chunk — candidate coverage is complete, not probabilistic, while
+  * every join stays bucket-local. Degenerate chunk buckets are bounded
+  * by the shared hot-bucket guard (MinHashLsh.guardedBucketPairs).
   */
 object SimHash {
 
@@ -32,21 +35,44 @@ object SimHash {
       .select("doc_id", "source", "bits", "prefix16")
   }
 
-  /** Near-dup pairs: same 16-bit prefix block, Hamming distance ≤ maxDist
-    * over the full 64 bits (64 − native match count). */
-  def nearDupPairs(documents: DataFrame, maxDist: Int = 6): DataFrame = {
+  /** Per-doc (block, key) rows: the 64 fingerprint bits split into
+    * `nBlocks` contiguous chunks, each packed to a long block key. One
+    * explode per doc — the blocking join only ever carries these narrow
+    * (blk, key, id) rows. */
+  private[graft] def blockKeys(fps: DataFrame, nBlocks: Int): DataFrame = {
+    val base = 64 / nBlocks
+    val rem = 64 % nBlocks
+    val chunks = (0 until nBlocks).map { p =>
+      val start = p * base + math.min(p, rem)
+      val len = base + (if (p < rem) 1 else 0)
+      aggregate(slice(col("bits"), start + 1, len), lit(0L),
+        (acc, x) => acc * 2 + x)
+    }
+    fps.select(col("doc_id"),
+        posexplode(array(chunks: _*)).as(Seq("blk", "key")))
+  }
+
+  /** Near-dup pairs at Hamming distance ≤ maxDist over the full 64 bits
+    * (64 − native match count). Candidates come from the maxDist+1-chunk
+    * blocking, whose coverage is exact by pigeonhole (see object doc):
+    * a near-dup pair differing anywhere — including inside the first 16
+    * bits — shares at least one chunk bucket. Precision is exact too
+    * (every candidate is Hamming-verified). */
+  def nearDupPairs(documents: DataFrame, maxDist: Int = 6,
+      maxBucket: Int = 4096): DataFrame = {
     val fps = fingerprints(documents)
-    val a = fps.as("a")
-    val b = fps.as("b")
-    a.join(b,
-        col("a.prefix16") === col("b.prefix16")
-          && col("a.doc_id") < col("b.doc_id"))
+    val cand = MinHashLsh.guardedBucketPairs(
+        blockKeys(fps, maxDist + 1), Seq("blk", "key"), "doc_id", maxBucket)
+      .withColumnRenamed("id_a", "doc_a")
+      .withColumnRenamed("id_b", "doc_b")
+    val fa = fps.select(col("doc_id").as("doc_a"), col("bits").as("bits_a"))
+    val fb = fps.select(col("doc_id").as("doc_b"), col("bits").as("bits_b"))
+    cand.join(fa, "doc_a").join(fb, "doc_b")
       .withColumn("hamming",
         (lit(64) - org.apache.spark.sql.graft.ColumnBridge
-          .matchCount(col("a.bits"), col("b.bits"))).cast("long"))
+          .matchCount(col("bits_a"), col("bits_b"))).cast("long"))
       .filter(col("hamming") <= maxDist)
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("hamming"))
+      .select("doc_a", "doc_b", "hamming")
       .orderBy("doc_a", "doc_b")
   }
 }

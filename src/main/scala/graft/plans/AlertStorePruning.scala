@@ -32,6 +32,16 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   *
   * Registered via GraftExtensions (injectOptimizerRule) or per-session
   * through `spark.experimental.extraOptimizations`.
+  *
+  * GLOBAL-REGISTRATION HAZARD: the match is structural (column names +
+  * types), not provenance-based — once registered session-wide, any leaf
+  * relation that happens to expose a long `ts_us` AND an integer
+  * `epoch_day` WITHOUT the `epoch_day = ts_us div 86400000000` write-time
+  * invariant would get a derived predicate that drops rows. `ts_us` +
+  * `epoch_day` together are treated as the alert-store layout contract:
+  * keep that column pair reserved for AlertStore-written data (rename one
+  * of them on foreign tables), or register the rule only on sessions that
+  * query the alert lake.
   */
 object AlertStorePruning extends Rule[LogicalPlan] {
 

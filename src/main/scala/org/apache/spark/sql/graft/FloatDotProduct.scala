@@ -96,9 +96,35 @@ object ColumnBridge {
   def minhashSig(hs: Column, as: Array[Long], bs: Array[Long], p: Long): Column =
     column(MinHashSignature(expression(hs), as, bs, p))
 
-  /** embedding_lsh_buckets(vec) as a Column. */
-  def embeddingLshBuckets(vec: Column, tables: Int, planes: Int): Column =
-    column(EmbeddingLshBuckets(expression(vec), tables, planes))
+  /** embedding_lsh_buckets(vec) as a Column. `tableOffset` shifts the
+    * table ids feeding the plane derivation, giving callers an
+    * independent plane family from the same kernel (offset 0 = the
+    * oracle-twinned dd_embedding family). */
+  def embeddingLshBuckets(vec: Column, tables: Int, planes: Int,
+      tableOffset: Int = 0): Column =
+    column(EmbeddingLshBuckets(expression(vec), tables, planes, tableOffset))
+
+  /** nearest_centroid(vec) as a Column: index of the centroid with the
+    * highest cosine against `vec`. */
+  def nearestCentroid(vec: Column, centroids: Array[Array[Float]]): Column = {
+    val k = centroids.length
+    val dim = if (k > 0) centroids(0).length else 0
+    val flat = new Array[Float](k * dim)
+    val invNorms = new Array[Double](k)
+    var i = 0
+    while (i < k) {
+      var s = 0.0
+      var j = 0
+      while (j < dim) {
+        flat(i * dim + j) = centroids(i)(j)
+        s += centroids(i)(j).toDouble * centroids(i)(j).toDouble
+        j += 1
+      }
+      invNorms(i) = if (s > 0) 1.0 / math.sqrt(s) else 0.0
+      i += 1
+    }
+    column(NearestCentroid(expression(vec), flat, k, dim, invNorms))
+  }
 }
 
 /** Native codegen expression: number of positions where two `array<long>`
@@ -350,7 +376,8 @@ case class SortedStringArrayIntersectCount(left: Expression, right: Expression)
   * interpreted aggregate-over-zip_with lambdas (~50 array traversals per
   * row) with one primitive loop nest.
   */
-case class EmbeddingLshBuckets(child: Expression, tables: Int, planes: Int)
+case class EmbeddingLshBuckets(child: Expression, tables: Int, planes: Int,
+    tableOffset: Int = 0)
     extends UnaryExpression with ExpectsInputTypes {
   import org.apache.spark.sql.catalyst.util.GenericArrayData
   import org.apache.spark.sql.types.LongType
@@ -380,7 +407,7 @@ case class EmbeddingLshBuckets(child: Expression, tables: Int, planes: Int)
         var dot = 0L
         var j = 0
         while (j < n) {
-          val x0 = t.toLong * 1000003L + p.toLong * 8191L + j
+          val x0 = (t + tableOffset).toLong * 1000003L + p.toLong * 8191L + j
           val x1 = (x0 * 1103515245L + 12345L) % 2147483648L
           val x2 = (x1 * 1103515245L + 12345L) % 2147483648L
           dot += iv(j) * (x2 % 65536L - 32768L)
@@ -417,7 +444,7 @@ case class EmbeddingLshBuckets(child: Expression, tables: Int, planes: Int)
          |  for (int $p = 0; $p < $planes; $p++) {
          |    long $dot = 0L;
          |    for (int $j = 0; $j < $n; $j++) {
-         |      long $x0 = ((long) $t) * 1000003L + ((long) $p) * 8191L + $j;
+         |      long $x0 = ((long) ($t + $tableOffset)) * 1000003L + ((long) $p) * 8191L + $j;
          |      long $x1 = ($x0 * 1103515245L + 12345L) % 2147483648L;
          |      long $x2 = ($x1 * 1103515245L + 12345L) % 2147483648L;
          |      $dot += $iv[$j] * ($x2 % 65536L - 32768L);
@@ -534,5 +561,80 @@ case class IsolationForestScore(child: Expression, feat: Array[Int],
   }
 
   override protected def withNewChildInternal(newChild: Expression): IsolationForestScore =
+    copy(child = newChild)
+}
+
+/** Native codegen expression: index of the nearest centroid (by cosine)
+  * to an `array<float>` embedding — the IVF cell-assignment kernel.
+  *
+  * Centroids ride as a flattened row-major float array (k × dim) with
+  * precomputed inverse norms; since the query vector's own norm is
+  * constant across candidates, ranking by dot(vec, cᵢ)·invNormᵢ equals
+  * ranking by cosine, so the per-row cost is one k×dim primitive loop
+  * inside whole-stage codegen — no per-centroid expression stack, no
+  * n×k join. Ties break to the smaller index; null elements count 0.
+  */
+case class NearestCentroid(child: Expression, centroids: Array[Float],
+    k: Int, dim: Int, invNorms: Array[Double])
+    extends UnaryExpression with ExpectsInputTypes {
+  import org.apache.spark.sql.catalyst.util.ArrayData
+  import org.apache.spark.sql.types.IntegerType
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+
+  override def dataType: DataType = IntegerType
+
+  override def prettyName: String = "nearest_centroid"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val vec = input.asInstanceOf[ArrayData]
+    val n = math.min(vec.numElements(), dim)
+    var best = 0
+    var bestScore = Double.NegativeInfinity
+    var i = 0
+    while (i < k) {
+      var dot = 0.0
+      var j = 0
+      while (j < n) {
+        if (!vec.isNullAt(j)) {
+          dot += vec.getFloat(j).toDouble * centroids(i * dim + j).toDouble
+        }
+        j += 1
+      }
+      val s = dot * invNorms(i)
+      if (s > bestScore) { bestScore = s; best = i }
+      i += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("ncCentroids", centroids, "float[]")
+    val nRef = ctx.addReferenceObj("ncInvNorms", invNorms, "double[]")
+    nullSafeCodeGen(ctx, ev, vec => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val j = ctx.freshName("j"); val dot = ctx.freshName("dot")
+      val s = ctx.freshName("s"); val best = ctx.freshName("best")
+      val bestScore = ctx.freshName("bestScore")
+      s"""
+         |int $n = java.lang.Math.min($vec.numElements(), $dim);
+         |int $best = 0;
+         |double $bestScore = java.lang.Double.NEGATIVE_INFINITY;
+         |for (int $i = 0; $i < $k; $i++) {
+         |  double $dot = 0.0;
+         |  for (int $j = 0; $j < $n; $j++) {
+         |    if (!$vec.isNullAt($j)) {
+         |      $dot += (double) $vec.getFloat($j) * (double) $cRef[$i * $dim + $j];
+         |    }
+         |  }
+         |  double $s = $dot * $nRef[$i];
+         |  if ($s > $bestScore) { $bestScore = $s; $best = $i; }
+         |}
+         |${ev.value} = $best;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroid =
     copy(child = newChild)
 }

@@ -4,7 +4,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
-import graft.operators.{AnomalyRules, Benchmarking, Reports, TimeSeries}
+import graft.operators.{AlertStore, AnomalyRules, Benchmarking, Medallion, Reports, TimeSeries}
 import graft.sources.{SyntheticData, Tables}
 import graft.streaming.{StatefulDrift, StreamingAlerts}
 
@@ -117,6 +117,49 @@ class CompletenessSpec extends AnyFunSuite {
     val v = Reports.validateMetrics(corrupted)
     assert(v.filter(col("violation") === "invalid_rating").count() === 5)
     assert(v.filter(col("violation") === "negative_spend").count() === 5)
+  }
+
+  test("alert store clearRange drops exactly the requested day partitions") {
+    import spark.implicits._
+    val day = 86400000000L
+    val alerts = Seq(
+      (1L, 10L, day * 100 + 5L, "value", 1.0, "r", "high"),
+      (2L, 11L, day * 101 + 5L, "value", 2.0, "r", "high"),
+      (3L, 12L, day * 102 + 5L, "value", 3.0, "r", "high"))
+      .toDF("event_id", "user_id", "ts_us", "metric", "score", "rule_name", "severity")
+    val path = java.nio.file.Files.createTempDirectory("alerts").toString + "/store"
+    AlertStore.append(alerts, path)
+    assert(AlertStore.clearRange(spark, path, 101, 101) === 1L)
+    val days = AlertStore.read(spark, path)
+      .select(col("epoch_day").cast("long")).collect().map(_.getLong(0)).toSet
+    assert(days === Set(100L, 102L))
+    assert(AlertStore.queryRange(spark, path, 100, 102, limit = 10).count() === 2)
+    // idempotent: clearing an already-clear range is a no-op
+    assert(AlertStore.clearRange(spark, path, 101, 101) === 0L)
+  }
+
+  test("medallion pipeline writes stamped bronze/silver/gold layers") {
+    val root = java.nio.file.Files.createTempDirectory("medallion").toString
+    val silver = Medallion.runMedallion(spark, sf, root)
+    assert(silver.columns.contains("_transformed_at"))
+    assert(spark.read.parquet(s"$root/bronze/customer").columns.contains("_ingested_at"))
+    assert(spark.read.parquet(s"$root/bronze/orders").columns.contains("_ingested_at"))
+    val silverBack = spark.read.parquet(s"$root/silver/entity_metrics")
+    assert(Seq("intensity", "rating", "spend_per_occupant", "entity_age",
+      "_transformed_at").forall(silverBack.columns.contains))
+    // gold marts match the direct aggregates over the same inputs
+    val gotSeg = spark.read.parquet(s"$root/gold/segment_summary")
+      .orderBy("c_mktsegment").collect()
+    val wantSeg = Benchmarking.groupSummary(metrics).collect()
+    assert(gotSeg.sameElements(wantSeg))
+    val shares = spark.read.parquet(s"$root/gold/type_shares").collect()
+    assert(shares.nonEmpty)
+    shares.foreach { r =>
+      val a = r.getAs[Double]("active_share")
+      val t = r.getAs[Double]("top_rated_share")
+      assert(a >= 0.0 && a <= 1.0 && t >= 0.0 && t <= 1.0)
+    }
+    assert(shares.map(_.getAs[Long]("n_entities")).sum === metrics.count())
   }
 
   test("stateful streaming drift equals batch islands on replay") {

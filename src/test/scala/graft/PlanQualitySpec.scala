@@ -80,6 +80,17 @@ class PlanQualitySpec extends AnyFunSuite {
       && !pEmb.contains("BroadcastNestedLoopJoin"), pEmb)
   }
 
+  test("ANN index buckets come from the native kernel, not interpreted HOFs") {
+    val p = plan(AnnLsh.topK(Tables.embeddings(spark, sf), 0L, 10))
+    assert(p.contains("embedding_lsh_buckets"), p)
+  }
+
+  test("IVF probe assigns cells with the native kernel and broadcasts the cell list") {
+    val p = plan(Ivf.topK(Tables.embeddings(spark, sf), 0L, 10, nprobe = 3))
+    assert(p.contains("nearest_centroid"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("text analysis is shuffle-free (narrow per-row plan)") {
     val p = plan(TextAnalysis.qualityScore(Tables.documents(spark, sf)))
     // only the final presentation orderBy may exchange; no hash shuffles

@@ -1,0 +1,122 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.{ConnectedComponents, Dedup, MinHashLsh, SimHash}
+import graft.sources.Tables
+
+/** Scale-robustness guards: hot-bucket degradation in the LSH paths and
+  * fail-fast misuse protection on the quadratic verifiers. */
+class SkewGuardSpec extends AnyFunSuite {
+  import TestSpark.{sf, spark}
+  import spark.implicits._
+
+  /** 2000 near-identical docs: a shared 60-token base plus one unique
+    * token each — every pair has jaccard 60/62 ≈ 0.968 and nearly every
+    * doc lands in the same bucket in every band: the degenerate
+    * boilerplate-corpus shape that goes quadratic without a guard. */
+  private lazy val degenerate = {
+    val rnd = new scala.util.Random(7)
+    val base = rnd.shuffle((1 to 400).map(i => s"w$i").toVector).take(60)
+    (0 until 2000).map { i =>
+      (i.toLong, rnd.shuffle(base :+ s"u$i").mkString(" "))
+    }.toDF("doc_id", "text")
+  }
+
+  test("hot-bucket guard bounds candidate volume on a degenerate corpus") {
+    val sigs = MinHashLsh.signatures(degenerate)
+    val guarded = MinHashLsh.bandedPairs(sigs, 128, 16, maxBucket = 256).count()
+    // unguarded volume approaches m(m−1)/2 ≈ 2.0M candidate pairs; hub
+    // pairing keeps it linear in corpus size
+    assert(guarded < 50000, s"candidate volume $guarded not bounded")
+    assert(guarded >= 1999, s"hub pairing must still cover every member, got $guarded")
+  }
+
+  test("guarded exactPairs keep the degenerate cluster connected at diameter 2") {
+    val pairs = MinHashLsh.exactPairs(degenerate, 0.9, maxBucket = 256)
+    // strict default maxIter: the star topology must converge in O(1)
+    // rounds — a chain fallback would blow the iteration cap here
+    val comps = ConnectedComponents.components(pairs).cache()
+    assert(comps.count() === 2000)
+    val sizes = comps.groupBy("comp").count().collect()
+    assert(sizes.length === 1 && sizes.head.getLong(1) === 2000,
+      s"expected one 2000-member component, got ${sizes.length} components")
+  }
+
+  test("guard leaves the normal corpus bit-identical (no oversized buckets)") {
+    val docs = Tables.documents(spark, sf)
+    val normal = MinHashLsh.exactPairs(docs, 0.9).select("doc_a", "doc_b")
+    val unguarded = MinHashLsh.exactPairs(docs, 0.9, maxBucket = Int.MaxValue)
+      .select("doc_a", "doc_b")
+    assert(normal.exceptAll(unguarded).count() === 0)
+    assert(unguarded.exceptAll(normal).count() === 0)
+  }
+
+  test("embedding LSH guard bounds pairing on a constant-vector corpus") {
+    val base = Array.fill(8)(0.5f)
+    val vecs = (0 until 300).map(i => (i.toLong, base, i % 5))
+      .toDF("vec_id", "embedding", "label")
+    val pairs = Dedup.embeddingNearDupLsh(vecs, 0.3, maxBucket = 64).cache()
+    // every vector is identical → one degenerate bucket per table; the
+    // star emits exactly m−1 verified pairs instead of m(m−1)/2 = 44850
+    assert(pairs.count() === 299)
+    assert(pairs.filter(col("cosine") < 0.999999).count() === 0)
+  }
+
+  test("multi-block simhash candidates are exhaustive within maxDist — including cross-prefix pairs") {
+    // 80 planted pairs: a 60-token base with one token replaced. The
+    // fingerprints of a pair differ by a few scattered bits; pairs whose
+    // differing bits touch the first 16 are exactly the ones the old
+    // single-prefix blocking missed.
+    val rnd = new scala.util.Random(11)
+    val vocab = (1 to 4000).map(i => s"t$i")
+    val docs = (0 until 80).flatMap { g =>
+      val base = rnd.shuffle(vocab.toVector).take(60)
+      val variant = base.updated(rnd.nextInt(60), s"x$g")
+      Seq((2L * g, base.mkString(" "), "s"), (2L * g + 1, variant.mkString(" "), "s"))
+    }.toDF("doc_id", "text", "source")
+    val fps = SimHash.fingerprints(docs)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[scala.collection.Seq[Long]]("bits").toArray,
+        r.getAs[Long]("prefix16")))
+      .sortBy(_._1)
+    def hamming(a: Array[Long], b: Array[Long]): Int =
+      a.zip(b).count { case (x, y) => x != y }
+    // ground truth: ALL pairs within hamming 6, by exhaustive scan
+    val want = (for {
+      i <- fps.indices; j <- (i + 1) until fps.length
+      if hamming(fps(i)._2, fps(j)._2) <= 6
+    } yield (fps(i)._1, fps(j)._1)).toSet
+    // at least one qualifying pair differs inside the old 16-bit prefix —
+    // the case single-prefix blocking silently dropped
+    val crossPrefix = want.filter { case (a, b) =>
+      fps(a.toInt)._3 != fps(b.toInt)._3
+    }
+    assert(crossPrefix.nonEmpty,
+      "corpus has no cross-prefix near-dup pair — strengthen the plant")
+    val got = SimHash.nearDupPairs(docs).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(got === want, "multi-block candidates must be exhaustive (pigeonhole)")
+  }
+
+  test("ngramJaccard fails fast on an oversized block") {
+    val docs = (0 until 60).map(i => (i.toLong, s"a b c d$i", "same"))
+      .toDF("doc_id", "text", "source")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.ngramJaccard(docs, 0.9, maxBlock = 50)
+    }
+    assert(e.getMessage.contains("MinHashLsh.exactPairs"))
+    // under the cap it still runs
+    assert(Dedup.ngramJaccard(docs, 0.9, maxBlock = 60).count() >= 0)
+  }
+
+  test("embeddingNearDup fails fast on an oversized block") {
+    val emb = Tables.embeddings(spark, sf)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.embeddingNearDup(emb, 0.3, maxBlock = 10)
+    }
+    assert(e.getMessage.contains("embeddingNearDupLsh"))
+  }
+}
