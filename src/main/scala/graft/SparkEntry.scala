@@ -35,6 +35,11 @@ object SparkEntry {
       Benchmarking.representativeSubset(Benchmarking.metricsFor(s, dir), 8)
         .orderBy(org.apache.spark.sql.functions.col("is_selected").desc,
           org.apache.spark.sql.functions.col("c_custkey"))),
+    // gold-layer boolean-share KPIs (medallion.py:194-230's hvac/solar-%
+    // pattern): shares are sums of exact 0/1 doubles over a count, so the
+    // division is engine-deterministic
+    "bm_type_shares" -> ((s, dir) =>
+      Medallion.typeShares(Benchmarking.metricsFor(s, dir))),
     // --- headline analytics (SURVEY §2: q_*) ---
     "q_pricing_summary" -> ((s, dir) =>
       Headline.pricingSummary(Tables.lineitem(s, dir))),
@@ -903,6 +908,15 @@ object SparkEntry {
          |SELECT c_mktsegment, rank_in_segment, c_custkey, intensity, rating
          |FROM r WHERE rank_in_segment <= 3
          |ORDER BY c_mktsegment, rank_in_segment""".stripMargin,
+
+    "bm_type_shares" ->
+      s"""$metricsCte
+         |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_entities,
+         |       CAST(sum(CASE WHEN n_orders > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+         |         / count(*) AS active_share,
+         |       CAST(sum(CASE WHEN rating IN ('Excellent','Good') THEN 1 ELSE 0 END) AS DOUBLE)
+         |         / count(*) AS top_rated_share
+         |FROM m GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "bm_representatives" ->
       s"""$metricsCte,

@@ -69,17 +69,45 @@ object Ivf {
     centroids
   }
 
-  /** Top-k ANN: learn (or reuse) k-means cells, rank them by centroid
-    * cosine to the query, search the best `nprobe` cells exactly.
-    * `cells` defaults to ⌈√n⌉. */
+  /** Persist a learned centroid set through the Hadoop filesystem API
+    * (local disk / HDFS / object stores) so an index is trained once and
+    * probed by many queries/jobs — re-learning k-means per lookup would
+    * dominate probe cost at any scale. */
+  def save(centroids: Array[Array[Float]], path: String, spark: SparkSession): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val oos = new java.io.ObjectOutputStream(fs.create(p, true))
+    try oos.writeObject(centroids) finally oos.close()
+  }
+
+  /** Load a centroid set persisted by [[save]]; probing with the loaded
+    * index is bit-identical to probing with the original (specced). */
+  def load(path: String, spark: SparkSession): Array[Array[Float]] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ois = new java.io.ObjectInputStream(fs.open(p))
+    try ois.readObject().asInstanceOf[Array[Array[Float]]] finally ois.close()
+  }
+
+  /** Top-k ANN: learn k-means cells, then probe — the one-shot
+    * convenience form; batch/service callers should `kmeansCentroids`
+    * (or [[load]]) once and [[topKWith]] per query. `cells` defaults to
+    * ⌈√n⌉. */
   def topK(embeddings: DataFrame, queryId: Long, k: Int, nprobe: Int = 2,
       cells: Int = 0, iters: Int = 8): DataFrame = {
-    val spark = embeddings.sparkSession
-    import spark.implicits._
     val nCells =
       if (cells > 0) cells
       else math.max(nprobe, math.ceil(math.sqrt(embeddings.count().toDouble)).toInt)
-    val centroids = kmeansCentroids(embeddings, nCells, iters)
+    topKWith(embeddings, kmeansCentroids(embeddings, nCells, iters),
+      queryId, k, nprobe)
+  }
+
+  /** Probe an existing index: rank cells by centroid cosine to the
+    * query, search the best `nprobe` cells exactly. */
+  def topKWith(embeddings: DataFrame, centroids: Array[Array[Float]],
+      queryId: Long, k: Int, nprobe: Int = 2): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
     val assigned = withCell(embeddings, centroids)
     val q = assigned.filter(col("vec_id") === queryId)
       .select(col("embedding").as("q_emb"))

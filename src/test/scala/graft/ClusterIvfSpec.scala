@@ -157,6 +157,22 @@ class ClusterIvfSpec extends AnyFunSuite {
     assert(comps.forall(_.getAs[Long]("component") === 0L))
   }
 
+  test("IVF index persists: saved/loaded centroids probe identically") {
+    val emb = Tables.embeddings(spark, sf)
+    val cents = Ivf.kmeansCentroids(emb, 23, 8)
+    val path = java.nio.file.Files.createTempDirectory("ivf").toString + "/centroids.bin"
+    Ivf.save(cents, path, spark)
+    val loaded = Ivf.load(path, spark)
+    val a = Ivf.topKWith(emb, cents, 0L, 10, nprobe = 3).collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+    val b = Ivf.topKWith(emb, loaded, 0L, 10, nprobe = 3).collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+    assert(a.sameElements(b))
+    // one learned index serves many queries without re-fitting
+    val q7 = Ivf.topKWith(emb, loaded, 7L, 5, nprobe = 3).collect()
+    assert(q7.length === 5 && !q7.exists(_.getLong(0) == 7L))
+  }
+
   test("IVF top-k self-consistency and brute-force agreement inside probed cells") {
     val emb = Tables.embeddings(spark, sf)
     val ivf = Ivf.topK(emb, 0L, 10, nprobe = 3).collect()
