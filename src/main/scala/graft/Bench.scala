@@ -17,7 +17,12 @@ object Bench {
     // sandbox's ±15-25% co-tenant noise (plans are freshly built each
     // run — no caching between them). A query that throws is recorded as
     // -1 (never as its time-to-crash).
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // optional comma-separated filter for local iteration; the driver
+    // leaves it unset and benches everything
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val runs = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }

@@ -52,7 +52,24 @@ object MinHashLsh {
     * diagnostic count, the small-bucket join and the hub pass — no
     * recomputation of the (possibly expensive) bucketing lineage. */
   private[graft] def guardedBucketPairs(rows: DataFrame, bucketCols: Seq[String],
-      idCol: String, maxBucket: Int): DataFrame = {
+      idCol: String, maxBucket: Int): DataFrame =
+    guardedBucketPairsRaw(rows, bucketCols, idCol, maxBucket)
+      .select("id_a", "id_b").distinct()
+
+  /** Primitive form of [[guardedBucketPairs]]: one OUTPUT ROW PER
+    * CO-BUCKET OCCURRENCE (a pair sharing three buckets appears three
+    * times — callers either `distinct()` on the ids or, cheaper, filter
+    * to a canonical occurrence computed from carried per-doc state, the
+    * way SimHash keeps only the first agreeing chunk combination and
+    * never shuffles the pair stream at all).
+    *
+    * Output: bucketCols ++ (id_a, id_b) ++ (<c>_a, <c>_b per carried
+    * column) ++ is_hub. Carried columns ride through both the exhaustive
+    * small-bucket join and the hub-star path (the hub's values come from
+    * the bucket-minimum struct), so downstream verification needs no
+    * join back to the source. */
+  private[graft] def guardedBucketPairsRaw(rows: DataFrame, bucketCols: Seq[String],
+      idCol: String, maxBucket: Int, carry: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val parts = bucketCols.map(col)
     val src = rows.localCheckpoint(true)
@@ -74,13 +91,23 @@ object MinHashLsh {
     val b = small.as("b")
     val joinCond = bucketCols.map(c => col(s"a.$c") === col(s"b.$c"))
       .reduce(_ && _) && col(s"a.$idCol") < col(s"b.$idCol")
-    val smallPairs = a.join(b, joinCond)
-      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
-    val bigPairs = withM.filter(col("__m") > maxBucket)
-      .withColumn("__hub", min(col(idCol)).over(w))
-      .filter(col(idCol) =!= col("__hub"))
-      .select(col("__hub").as("id_a"), col(idCol).as("id_b"))
-    smallPairs.unionByName(bigPairs).distinct()
+    val smallCols = bucketCols.map(c => col(s"a.$c").as(c)) ++
+      Seq(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b")) ++
+      carry.flatMap(c => Seq(col(s"a.$c").as(s"${c}_a"), col(s"b.$c").as(s"${c}_b"))) :+
+      lit(false).as("is_hub")
+    val smallPairs = a.join(b, joinCond).select(smallCols: _*)
+    // hub = bucket-minimum id; its carried values come along in the min
+    // struct (ids are unique, so the struct min IS the min-id row)
+    val hubStruct = min(struct((Seq(col(idCol)) ++ carry.map(col)): _*)).over(w)
+    val big = withM.filter(col("__m") > maxBucket)
+      .withColumn("__hub", hubStruct)
+      .filter(col(idCol) =!= col(s"__hub.$idCol"))
+    val bigCols = bucketCols.map(c => col(c).as(c)) ++
+      Seq(col(s"__hub.$idCol").as("id_a"), col(idCol).as("id_b")) ++
+      carry.flatMap(c => Seq(col(s"__hub.$c").as(s"${c}_a"), col(c).as(s"${c}_b"))) :+
+      lit(true).as("is_hub")
+    val bigPairs = big.select(bigCols: _*)
+    smallPairs.unionByName(bigPairs)
   }
 
   /** Signature: each token is murmur-hashed ONCE, then run through k

@@ -78,21 +78,18 @@ class SkewGuardSpec extends AnyFunSuite {
     }.toDF("doc_id", "text", "source")
     val fps = SimHash.fingerprints(docs)
       .collect()
-      .map(r => (r.getAs[Long]("doc_id"),
-        r.getAs[scala.collection.Seq[Long]]("bits").toArray,
-        r.getAs[Long]("prefix16")))
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("fp")))
       .sortBy(_._1)
-    def hamming(a: Array[Long], b: Array[Long]): Int =
-      a.zip(b).count { case (x, y) => x != y }
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
     // ground truth: ALL pairs within hamming 6, by exhaustive scan
     val want = (for {
       i <- fps.indices; j <- (i + 1) until fps.length
       if hamming(fps(i)._2, fps(j)._2) <= 6
     } yield (fps(i)._1, fps(j)._1)).toSet
-    // at least one qualifying pair differs inside the old 16-bit prefix —
-    // the case single-prefix blocking silently dropped
+    // at least one qualifying pair differs inside the first 16 bits —
+    // the case a single-prefix blocking scheme silently dropped
     val crossPrefix = want.filter { case (a, b) =>
-      fps(a.toInt)._3 != fps(b.toInt)._3
+      (fps(a.toInt)._2 >>> 48) != (fps(b.toInt)._2 >>> 48)
     }
     assert(crossPrefix.nonEmpty,
       "corpus has no cross-prefix near-dup pair — strengthen the plant")
