@@ -37,32 +37,93 @@ object Ivf {
       org.apache.spark.sql.graft.ColumnBridge
         .nearestCentroid(col("embedding"), centroids))
 
+  /** Quantize one float component the way `cast(v AS DECIMAL(28,10))`
+    * does (via the double's shortest string form, then scale 10), so the
+    * aggregate below reproduces the SQL decimal semantics exactly. */
+  private def quantize(v: Float): java.math.BigDecimal =
+    new java.math.BigDecimal(java.lang.Double.toString(v.toDouble))
+      .setScale(10, java.math.RoundingMode.HALF_UP)
+
   /** Lloyd's k-means over the embedding corpus: `iters` fixed rounds,
-    * each one assignment pass + one (cell, dimension) mean aggregate.
+    * each ONE treeAggregate job — per-partition partial (sum, count)
+    * state per (cell, dimension), merged on the driver: the MLlib
+    * dense-k-means shape. No shuffle and no n×dim explode per round, so
+    * a 100-TB corpus pays exactly `iters` scans of the cached vectors.
     * Init is deterministic: the k vectors with the smallest murmur3 of
-    * their id. Per-dimension means accumulate in decimal, so the learned
-    * centroids are bit-stable across partitionings and runs. Cells that
-    * lose all members keep their previous centroid. */
+    * their id. Per-dimension sums accumulate in exact decimal (addition
+    * is associative), so the learned centroids are bit-stable across
+    * partitionings and runs. Cells that lose all members keep their
+    * previous centroid.
+    *
+    * The dense aggregate state is k×dim decimals per partition; above
+    * ~4M entries (huge-k regimes where the state itself needs
+    * partitioning) the round falls back to the shuffle form: explode to
+    * (cell, dim, v) and mean by key. */
   def kmeansCentroids(embeddings: DataFrame, k: Int,
       iters: Int = 8): Array[Array[Float]] = {
     require(k > 0, s"cell count must be positive (got $k)")
-    var centroids: Array[Array[Float]] = embeddings
-      .select(col("vec_id"), col("embedding"))
+    // materialize the (id, vector) corpus once: every Lloyd's round scans
+    // it for assignment+means, and without this each round re-runs the
+    // full source plan (parquet scan or upstream transforms) — the
+    // standard persist every iterative ML pass on Spark carries
+    val corpus = embeddings.select(col("vec_id"), col("embedding"))
+      .localCheckpoint(true)
+    var centroids: Array[Array[Float]] = corpus
       .orderBy(pmod(hash(col("vec_id")), lit(1000003)), col("vec_id"))
       .limit(k)
       .collect()
       .map(_.getSeq[Float](1).toArray)
     require(centroids.nonEmpty, "k-means init found no vectors")
+    val dim = centroids.head.length
+    val dense = k.toLong * dim <= 4_000_000L
     for (_ <- 1 to iters) {
-      val means = withCell(embeddings, centroids)
-        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
-        .groupBy(col("cell"), col("pos"))
-        .agg((sum(col("v").cast(sumDec)) / count(lit(1)))
-          .cast("double").as("m"))
-        .collect()
+      val assigned = withCell(corpus, centroids).select(col("cell"), col("embedding"))
       val next = centroids.map(_.clone())
-      means.foreach { r =>
-        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2).toFloat
+      if (dense) {
+        val zero = (Array.fill(k, dim)(java.math.BigDecimal.ZERO), new Array[Long](k))
+        val (sums, counts) = assigned.rdd.treeAggregate(zero)(
+          seqOp = { case ((s, c), row) =>
+            val cell = row.getInt(0)
+            val v = row.getSeq[Float](1)
+            var d = 0
+            while (d < dim) { s(cell)(d) = s(cell)(d).add(quantize(v(d))); d += 1 }
+            c(cell) += 1
+            (s, c)
+          },
+          combOp = { case ((s1, c1), (s2, c2)) =>
+            var i = 0
+            while (i < k) {
+              var d = 0
+              while (d < dim) { s1(i)(d) = s1(i)(d).add(s2(i)(d)); d += 1 }
+              c1(i) += c2(i)
+              i += 1
+            }
+            (s1, c1)
+          })
+        var i = 0
+        while (i < k) {
+          if (counts(i) > 0) {
+            var d = 0
+            while (d < dim) {
+              next(i)(d) = sums(i)(d)
+                .divide(java.math.BigDecimal.valueOf(counts(i)),
+                  java.math.MathContext.DECIMAL128)
+                .doubleValue().toFloat
+              d += 1
+            }
+          }
+          i += 1
+        }
+      } else {
+        val means = assigned
+          .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+          .groupBy(col("cell"), col("pos"))
+          .agg((sum(col("v").cast(sumDec)) / count(lit(1)))
+            .cast("double").as("m"))
+          .collect()
+        means.foreach { r =>
+          next(r.getInt(0))(r.getInt(1)) = r.getDouble(2).toFloat
+        }
       }
       centroids = next
     }
@@ -95,10 +156,13 @@ object Ivf {
     * ⌈√n⌉. */
   def topK(embeddings: DataFrame, queryId: Long, k: Int, nprobe: Int = 2,
       cells: Int = 0, iters: Int = 8): DataFrame = {
+    // one materialization serves the size probe, the k-means rounds and
+    // the final cell-pruned search
+    val corpus = embeddings.localCheckpoint(true)
     val nCells =
       if (cells > 0) cells
-      else math.max(nprobe, math.ceil(math.sqrt(embeddings.count().toDouble)).toInt)
-    topKWith(embeddings, kmeansCentroids(embeddings, nCells, iters),
+      else math.max(nprobe, math.ceil(math.sqrt(corpus.count().toDouble)).toInt)
+    topKWith(corpus, kmeansCentroids(corpus, nCells, iters),
       queryId, k, nprobe)
   }
 

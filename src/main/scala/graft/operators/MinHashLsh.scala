@@ -53,7 +53,7 @@ object MinHashLsh {
     * recomputation of the (possibly expensive) bucketing lineage. */
   private[graft] def guardedBucketPairs(rows: DataFrame, bucketCols: Seq[String],
       idCol: String, maxBucket: Int): DataFrame =
-    guardedBucketPairsRaw(rows, bucketCols, idCol, maxBucket)
+    guardedBucketPairsRaw(rows, bucketCols, idCol, maxBucket)._1
       .select("id_a", "id_b").distinct()
 
   /** Primitive form of [[guardedBucketPairs]]: one OUTPUT ROW PER
@@ -67,9 +67,13 @@ object MinHashLsh {
     * column) ++ is_hub. Carried columns ride through both the exhaustive
     * small-bucket join and the hub-star path (the hub's values come from
     * the bucket-minimum struct), so downstream verification needs no
-    * join back to the source. */
+    * join back to the source.
+    *
+    * Returns the pair rows plus the oversized-bucket count — zero means
+    * no hub rows exist, so a caller whose canonical-occurrence filter is
+    * exact (first-agree) can skip its fallback distinct entirely. */
   private[graft] def guardedBucketPairsRaw(rows: DataFrame, bucketCols: Seq[String],
-      idCol: String, maxBucket: Int, carry: Seq[String] = Nil): DataFrame = {
+      idCol: String, maxBucket: Int, carry: Seq[String] = Nil): (DataFrame, Long) = {
     import org.apache.spark.sql.expressions.Window
     val parts = bucketCols.map(col)
     val src = rows.localCheckpoint(true)
@@ -107,7 +111,7 @@ object MinHashLsh {
       carry.flatMap(c => Seq(col(s"__hub.$c").as(s"${c}_a"), col(c).as(s"${c}_b"))) :+
       lit(true).as("is_hub")
     val bigPairs = big.select(bigCols: _*)
-    smallPairs.unionByName(bigPairs)
+    (smallPairs.unionByName(bigPairs), overStats.getLong(0))
   }
 
   /** Signature: each token is murmur-hashed ONCE, then run through k
@@ -133,34 +137,60 @@ object MinHashLsh {
           .minhashSig(col("hs"), ab.map(_._1), ab.map(_._2), p).as("sig"))
   }
 
-  /** Banded bucket rows (doc_id, band, bucket): the banded join and its
-    * distinct carry only these narrow int keys — signatures/tokens are
-    * re-attached to the deduped pair ids afterwards, so the shuffle
-    * payload stays narrow no matter how hot the buckets are. */
+  /** Banded bucket rows (doc_id, bkts, band, bucket): the per-doc array
+    * of band bucket hashes plus one exploded row per band. The banded
+    * join carries the narrow int keys and the bands-length bucket array —
+    * signatures/tokens are re-attached to pair ids afterwards, so the
+    * shuffle payload stays small no matter how hot the buckets are. */
   private def banded(sigs: DataFrame, k: Int, bands: Int): DataFrame = {
     val rows = k / bands
     sigs.select(
       col("doc_id"),
-      explode(transform(sequence(lit(0), lit(bands - 1)),
-        b => struct(b.as("band"),
-          hash(slice(col("sig"), b * rows + lit(1), lit(rows)), b).as("bucket"))))
-        .as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      transform(sequence(lit(0), lit(bands - 1)),
+        b => hash(slice(col("sig"), b * rows + lit(1), lit(rows)), b))
+        .as("bkts"))
+      .select(col("doc_id"), col("bkts"),
+        posexplode(col("bkts")).as(Seq("band", "bucket")))
   }
 
   /** Deduplicated candidate id pairs from the banded self-join, with the
-    * hot-bucket guard bounding per-bucket pair volume. */
+    * hot-bucket guard bounding per-bucket pair volume.
+    *
+    * Deduplication is SHUFFLE-FREE on the main path: both docs' bucket
+    * arrays ride through the join, and a pair is kept only at its FIRST
+    * agreeing band — flat element_at arithmetic inside whole-stage
+    * codegen, no distinct over the (possibly quadratic-ish) candidate
+    * stream. Only hub-star rows from oversized buckets can duplicate a
+    * pair, so the fallback distinct runs exactly when such buckets exist
+    * (and then over guarded, linear volume). */
   private[graft] def bandedPairs(sigs: DataFrame, k: Int, bands: Int,
-      maxBucket: Int = 4096): DataFrame =
-    guardedBucketPairs(banded(sigs, k, bands), Seq("band", "bucket"),
-        "doc_id", maxBucket)
-      .withColumnRenamed("id_a", "doc_a")
-      .withColumnRenamed("id_b", "doc_b")
+      maxBucket: Int = 4096): DataFrame = {
+    require(bands >= 1 && bands <= 32, s"bands must be in [1, 32] (got $bands)")
+    val (raw, nOver) = guardedBucketPairsRaw(banded(sigs, k, bands),
+      Seq("band", "bucket"), "doc_id", maxBucket, carry = Seq("bkts"))
+    // agreeBits: bit b set iff the pair's band-b buckets collide; the
+    // exploded band itself always agrees, so "first agreeing band" means
+    // no lower bit is set
+    val agreeBits = (0 until bands).map { b =>
+      when(element_at(col("bkts_a"), b + 1) === element_at(col("bkts_b"), b + 1),
+        lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val noEarlierAgree =
+      agreeBits.bitwiseAND(expr("shiftleft(CAST(1 AS BIGINT), band)") - lit(1L)) === 0L
+    val canon = raw
+      .filter(col("is_hub") || noEarlierAgree)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    if (nOver == 0) canon else canon.distinct()
+  }
 
-  /** Candidate pairs via banding + signature-agreement estimate. */
+  /** Candidate pairs via banding + signature-agreement estimate.
+    *
+    * Signatures are materialized once (localCheckpoint) and feed the
+    * banding AND both sides of the estimate join — without it every
+    * action recomputes the tokenize+minhash scan three times over. */
   def candidatePairs(documents: DataFrame, k: Int = 128, bands: Int = 8,
       threshold: Double = 0.9, maxBucket: Int = 4096): DataFrame = {
-    val sigs = signatures(documents, k)
+    val sigs = signatures(documents, k).localCheckpoint(true)
     val pairs = bandedPairs(sigs, k, bands, maxBucket)
     val sa = sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))
     val sb = sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"))
@@ -196,7 +226,12 @@ object MinHashLsh {
     * j≈0.6 background before token arrays are ever shuffled. */
   def exactPairs(documents: DataFrame, threshold: Double = 0.9, k: Int = 128,
       bands: Int = 16, maxBucket: Int = 4096): DataFrame = {
-    val sigs = signatures(documents, k)
+    // materialize signatures and sorted token arrays ONCE: both are read
+    // by multiple joins below (sig_a/sig_b, toks_a/toks_b) and the banding,
+    // and each would otherwise re-run the tokenize/minhash corpus scan on
+    // every action. ~1 KB/doc of executor-local storage — the standard
+    // persist any iterative/multi-read LSH pipeline carries.
+    val sigs = signatures(documents, k).localCheckpoint(true)
     val cand = bandedPairs(sigs, k, bands, maxBucket)
     val sa = sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))
     val sb = sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"))
@@ -208,6 +243,7 @@ object MinHashLsh {
     val toks = documents.select(col("doc_id"),
       array_sort(array_distinct(split(col("text"), " "))).as("toks"))
       .withColumn("n", size(col("toks")).cast("long"))
+      .localCheckpoint(true)
     val ta = toks.select(col("doc_id").as("doc_a"),
       col("toks").as("toks_a"), col("n").as("na"))
     val tb = toks.select(col("doc_id").as("doc_b"),

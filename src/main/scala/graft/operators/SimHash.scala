@@ -118,7 +118,7 @@ object SimHash {
       s"maxDist must be in [1, 14] (got $maxDist)")
     val nChunks = maxDist + 2
     val fps = fingerprints(documents)
-    val raw = MinHashLsh.guardedBucketPairsRaw(
+    val (raw, nOver) = MinHashLsh.guardedBucketPairsRaw(
       blockKeys(fps, nChunks), Seq("blk", "key"), "doc_id", maxBucket,
       carry = Seq("fp"))
     val xor = col("fp_a").bitwiseXOR(col("fp_b"))
@@ -140,12 +140,14 @@ object SimHash {
         ((s >> i) & 1) == 1 && ((s >> j) & 1) == 1 }
     }.toArray
     val firstAgree = element_at(typedlit(firstCombo), agreeBits + 1)
-    raw
+    val verified = raw
       .withColumn("hamming", bit_count(xor).cast("long"))
       .filter(col("hamming") <= maxDist &&
         (col("is_hub") || col("blk") === firstAgree))
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("hamming"))
-      .distinct()
+    // the first-agree filter is exactly-once; only hub rows (oversized
+    // buckets) can duplicate a pair, so dedup only when such buckets exist
+    (if (nOver == 0) verified else verified.distinct())
       .orderBy("doc_a", "doc_b")
   }
 }
