@@ -119,18 +119,20 @@ object Dedup {
       planes: Int = 6): DataFrame =
     embeddings
       .select(col("vec_id"),
-        posexplode(org.apache.spark.sql.graft.ColumnBridge
-          .embeddingLshBuckets(col("embedding"), tables, planes)))
-      .select(col("vec_id"), col("pos").as("t"), col("col").as("bucket"))
+        org.apache.spark.sql.graft.ColumnBridge
+          .embeddingLshBuckets(col("embedding"), tables, planes).as("bkts"))
+      .select(col("vec_id"), col("bkts"),
+        posexplode(col("bkts")).as(Seq("t", "bucket")))
 
   def embeddingNearDupLsh(embeddings: DataFrame, threshold: Double = 0.3,
       tables: Int = 8, planes: Int = 6, maxBucket: Int = 4096): DataFrame = {
     val bucketed = embeddingBuckets(embeddings, tables, planes)
     // bucket-local pairing behind the same hot-bucket guard as the text
     // path: a degenerate sign-pattern bucket (e.g. a corpus of
-    // near-constant vectors) pairs linearly, not quadratically
-    val pairs = MinHashLsh.guardedBucketPairs(bucketed, Seq("t", "bucket"),
-        "vec_id", maxBucket)
+    // near-constant vectors) pairs linearly, not quadratically — and
+    // pairs are deduped shuffle-free at their first agreeing table
+    val pairs = MinHashLsh.firstAgreeBucketPairs(bucketed, "bkts", "t",
+        Seq("t", "bucket"), "vec_id", maxBucket, tables)
       .withColumnRenamed("id_a", "vec_a")
       .withColumnRenamed("id_b", "vec_b")
     val e = embeddings.select(

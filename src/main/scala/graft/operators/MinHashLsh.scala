@@ -164,23 +164,62 @@ object MinHashLsh {
     * pair, so the fallback distinct runs exactly when such buckets exist
     * (and then over guarded, linear volume). */
   private[graft] def bandedPairs(sigs: DataFrame, k: Int, bands: Int,
-      maxBucket: Int = 4096): DataFrame = {
-    require(bands >= 1 && bands <= 32, s"bands must be in [1, 32] (got $bands)")
-    val (raw, nOver) = guardedBucketPairsRaw(banded(sigs, k, bands),
-      Seq("band", "bucket"), "doc_id", maxBucket, carry = Seq("bkts"))
-    // agreeBits: bit b set iff the pair's band-b buckets collide; the
-    // exploded band itself always agrees, so "first agreeing band" means
-    // no lower bit is set
-    val agreeBits = (0 until bands).map { b =>
-      when(element_at(col("bkts_a"), b + 1) === element_at(col("bkts_b"), b + 1),
+      maxBucket: Int = 4096): DataFrame =
+    firstAgreeBucketPairs(banded(sigs, k, bands), "bkts", "band",
+        Seq("band", "bucket"), "doc_id", maxBucket, bands)
+      .withColumnRenamed("id_a", "doc_a")
+      .withColumnRenamed("id_b", "doc_b")
+
+  /** Deduplicated co-bucket id pairs for any multi-table LSH scheme whose
+    * per-doc table buckets live in an array column: `rows` is the
+    * exploded (id, arr, pos, bucket-key...) form, and a pair is kept only
+    * at the FIRST position where the two arrays agree — flat element_at/
+    * bitmask arithmetic inside whole-stage codegen, no distinct over the
+    * candidate stream. Hub-star rows from oversized buckets are always
+    * kept; the fallback distinct runs exactly when such buckets exist
+    * (and then over guarded, linear volume). */
+  private[graft] def firstAgreeBucketPairs(rows: DataFrame, arrCol: String,
+      posCol: String, keyCols: Seq[String], idCol: String, maxBucket: Int,
+      n: Int): DataFrame = {
+    require(n >= 1 && n <= 32, s"table/band count must be in [1, 32] (got $n)")
+    val (raw, nOver) = guardedBucketPairsRaw(rows, keyCols, idCol, maxBucket,
+      carry = Seq(arrCol))
+    // agreeBits: bit b set iff the pair's table-b buckets collide; the
+    // exploded position itself always agrees, so "first agreeing table"
+    // means no lower bit is set
+    val agreeBits = (0 until n).map { b =>
+      when(element_at(col(s"${arrCol}_a"), b + 1) === element_at(col(s"${arrCol}_b"), b + 1),
         lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
-    val noEarlierAgree =
-      agreeBits.bitwiseAND(expr("shiftleft(CAST(1 AS BIGINT), band)") - lit(1L)) === 0L
-    val canon = raw
-      .filter(col("is_hub") || noEarlierAgree)
-      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
-    if (nOver == 0) canon else canon.distinct()
+    val earlierMask =
+      expr(s"shiftleft(CAST(1 AS BIGINT), $posCol)") - lit(1L)
+    if (nOver == 0) {
+      raw.filter(col("is_hub") || (agreeBits.bitwiseAND(earlierMask) === 0L))
+        .select(col("id_a"), col("id_b"))
+    } else {
+      // an agreement at an OVERSIZED bucket produced no small-bucket row
+      // (only hub stars), so it must not suppress the pair's first
+      // small-bucket occurrence: mask those positions out of agreeBits
+      // via a per-doc oversize bitmask (shared bucket ⇒ shared status, so
+      // one side's mask suffices). This branch runs only in degenerate
+      // hub mode, where the guard has already bounded the volumes.
+      val overKeys = rows.groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as("__m"))
+        .filter(col("__m") > maxBucket)
+        .drop("__m")
+      val overMask = rows.join(overKeys, keyCols)
+        .groupBy(col(idCol))
+        .agg(sum(expr(s"shiftleft(CAST(1 AS BIGINT), $posCol)")).as("__over"))
+      raw
+        .join(overMask.select(col(idCol).as("id_a"), col("__over")),
+          Seq("id_a"), "left")
+        .withColumn("__over", coalesce(col("__over"), lit(0L)))
+        .filter(col("is_hub") || (agreeBits
+          .bitwiseAND(bitwise_not(col("__over")))
+          .bitwiseAND(earlierMask) === 0L))
+        .select(col("id_a"), col("id_b"))
+        .distinct()
+    }
   }
 
   /** Candidate pairs via banding + signature-agreement estimate.

@@ -111,11 +111,12 @@ object SimHash {
     * the final distinct runs over verified near-dups, not candidates. */
   def nearDupPairs(documents: DataFrame, maxDist: Int = 6,
       maxBucket: Int = 4096): DataFrame = {
-    // 64-bit simhash stops being a near-dup signal well before Hamming 14
-    // (random fingerprints center on 32); the cap also keeps the
-    // first-agree lookup table (2^nChunks entries) trivially small
-    require(maxDist >= 1 && maxDist <= 14,
-      s"maxDist must be in [1, 14] (got $maxDist)")
+    // 64-bit simhash stops being a near-dup signal well before Hamming 9
+    // (random fingerprints center on 32); the cap also keeps the combo
+    // count within one bitmask long (C(11,2)=55) and the first-agree
+    // lookup table (2^nChunks entries) trivially small
+    require(maxDist >= 1 && maxDist <= 9,
+      s"maxDist must be in [1, 9] (got $maxDist)")
     val nChunks = maxDist + 2
     val fps = fingerprints(documents)
     val (raw, nOver) = MinHashLsh.guardedBucketPairsRaw(
@@ -131,23 +132,51 @@ object SimHash {
     val agreeBits = masks.zipWithIndex.map { case (m, c) =>
       when(xor.bitwiseAND(lit(m)) === 0, lit(1 << c)).otherwise(lit(0))
     }.reduce(_ + _)
-    // firstCombo[s] = index of the first (i,j) combo with both chunks
-    // agreeing under agree-mask s; −1 when none (non-hub rows with no
-    // agreeing combo can't occur — co-bucket implies the blk combo agrees)
+    // comboAgree[s] = bitmask over combo indices whose two chunks both
+    // agree under chunk-agree-mask s (maxDist ≤ 9 keeps C(nChunks,2) ≤ 55
+    // inside one long)
     val comboList = combos(nChunks)
-    val firstCombo = (0 until (1 << nChunks)).map { s =>
-      comboList.indexWhere { case (i, j) =>
-        ((s >> i) & 1) == 1 && ((s >> j) & 1) == 1 }
+    val comboAgree = (0 until (1 << nChunks)).map { s =>
+      comboList.zipWithIndex.foldLeft(0L) { case (m, ((i, j), k)) =>
+        if (((s >> i) & 1) == 1 && ((s >> j) & 1) == 1) m | (1L << k) else m
+      }
     }.toArray
-    val firstAgree = element_at(typedlit(firstCombo), agreeBits + 1)
-    val verified = raw
-      .withColumn("hamming", bit_count(xor).cast("long"))
-      .filter(col("hamming") <= maxDist &&
-        (col("is_hub") || col("blk") === firstAgree))
-      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("hamming"))
-    // the first-agree filter is exactly-once; only hub rows (oversized
-    // buckets) can duplicate a pair, so dedup only when such buckets exist
-    (if (nOver == 0) verified else verified.distinct())
-      .orderBy("doc_a", "doc_b")
+    val comboMask = element_at(typedlit(comboAgree), agreeBits + 1)
+    val earlierMask =
+      expr("shiftleft(CAST(1 AS BIGINT), blk)") - lit(1L)
+    val verify = col("hamming") <= maxDist
+    val verified =
+      if (nOver == 0) {
+        // keep each pair only at its first agreeing combo — exactly once
+        raw.withColumn("hamming", bit_count(xor).cast("long"))
+          .filter(verify && (col("is_hub") ||
+            comboMask.bitwiseAND(earlierMask) === 0L))
+          .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("hamming"))
+      } else {
+        // hub mode: an agreement at an OVERSIZED combo bucket produced no
+        // small-bucket row, so it must not suppress the pair's first
+        // small-bucket occurrence — mask those combos out via a per-doc
+        // oversize bitmask (shared bucket ⇒ shared status), then dedup
+        // the hub duplicates over verified pairs only
+        val bk = blockKeys(fps, nChunks)
+        val overKeys = bk.groupBy(col("blk"), col("key"))
+          .agg(count(lit(1)).as("__m"))
+          .filter(col("__m") > maxBucket)
+          .drop("__m")
+        val overMask = bk.join(overKeys, Seq("blk", "key"))
+          .groupBy(col("doc_id"))
+          .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), blk)")).as("__over"))
+        raw
+          .join(overMask.select(col("doc_id").as("id_a"), col("__over")),
+            Seq("id_a"), "left")
+          .withColumn("__over", coalesce(col("__over"), lit(0L)))
+          .withColumn("hamming", bit_count(xor).cast("long"))
+          .filter(verify && (col("is_hub") || comboMask
+            .bitwiseAND(bitwise_not(col("__over")))
+            .bitwiseAND(earlierMask) === 0L))
+          .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("hamming"))
+          .distinct()
+      }
+    verified.orderBy("doc_a", "doc_b")
   }
 }

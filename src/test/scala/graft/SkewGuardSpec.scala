@@ -98,6 +98,65 @@ class SkewGuardSpec extends AnyFunSuite {
     assert(got === want, "multi-block candidates must be exhaustive (pigeonhole)")
   }
 
+  test("first-agree pairing equals distinct-over-candidates, with and without hub buckets") {
+    val docs = Tables.documents(spark, sf)
+    val sigs = MinHashLsh.signatures(docs).localCheckpoint(true)
+    def viaDistinct(maxBucket: Int) = {
+      val rows = sigs.select(col("doc_id"),
+        org.apache.spark.sql.functions.transform(sequence(lit(0), lit(15)),
+          b => hash(slice(col("sig"), b * 8 + lit(1), lit(8)), b)).as("bkts"))
+        .select(col("doc_id"), col("bkts"),
+          posexplode(col("bkts")).as(Seq("band", "bucket")))
+      MinHashLsh.guardedBucketPairs(rows, Seq("band", "bucket"), "doc_id", maxBucket)
+    }
+    for (maxBucket <- Seq(4096, 40)) { // 40 forces hub-star degradation
+      val fa = MinHashLsh.bandedPairs(sigs, 128, 16, maxBucket)
+        .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"))
+      val dd = viaDistinct(maxBucket)
+      assert(fa.exceptAll(dd).count() === 0, s"extra pairs at maxBucket=$maxBucket")
+      assert(dd.exceptAll(fa).count() === 0, s"missing pairs at maxBucket=$maxBucket")
+    }
+  }
+
+  test("simhash hub mode matches the guard semantics exactly (reference emulation)") {
+    // corpus = normal sf docs; a tiny maxBucket forces hub degradation.
+    // Reference semantics, per combo bucket: |bucket| <= maxBucket -> all
+    // pairs; else hub stars (min id x others). Union, dedup, Hamming-verify.
+    val docs = Tables.documents(spark, sf).limit(600)
+    val maxBucket = 20
+    val maxDist = 6
+    val nChunks = maxDist + 2
+    val fps = SimHash.fingerprints(docs).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("fp")))
+    def chunks(fp: Long): Seq[Long] = {
+      val base = 64 / nChunks; val rem = 64 % nChunks
+      (0 until nChunks).map { p =>
+        val start = p * base + math.min(p, rem)
+        val len = base + (if (p < rem) 1 else 0)
+        (fp >>> (64 - start - len)) & ((1L << len) - 1)
+      }
+    }
+    val combos = for { i <- 0 until nChunks; j <- (i + 1) until nChunks } yield (i, j)
+    val expected = scala.collection.mutable.Set[(Long, Long)]()
+    combos.foreach { case (i, j) =>
+      fps.map { case (id, fp) =>
+        val c = chunks(fp); (((c(i) << 32) | c(j)), id)
+      }.groupBy(_._1).values.foreach { members =>
+        val ids = members.map(_._2).sorted
+        if (ids.length <= maxBucket)
+          for (a <- ids.indices; b <- (a + 1) until ids.length)
+            expected += ((ids(a), ids(b)))
+        else ids.tail.foreach(m => expected += ((ids.head, m)))
+      }
+    }
+    val fpMap = fps.toMap
+    val want = expected.filter { case (a, b) =>
+      java.lang.Long.bitCount(fpMap(a) ^ fpMap(b)) <= maxDist }
+    val got = SimHash.nearDupPairs(docs, maxDist, maxBucket).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(got === want)
+  }
+
   test("ngramJaccard fails fast on an oversized block") {
     val docs = (0 until 60).map(i => (i.toLong, s"a b c d$i", "same"))
       .toDF("doc_id", "text", "source")
