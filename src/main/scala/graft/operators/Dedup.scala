@@ -80,10 +80,17 @@ object Dedup {
     // the sorted token arrays (native O(n+m) merge kernel) — no token
     // explode, so the shuffle carries one row per doc per block instead
     // of one per (doc, token)
+    val t100 = math.round(threshold * 100)
     val a = toks.as("a")
     val b = toks.as("b")
+    // size-ratio prefilter inside the join condition: j ≥ θ forces
+    // 100·min(na,nb) ≥ θ₁₀₀·max (necessary condition of the integer
+    // predicate below), so the O(n+m) intersect kernel never runs on
+    // pairs the set-size gap already rules out — output unchanged
     a.join(b,
-        col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
+        col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id")
+          && col("a.n") * 100L >= lit(t100) * col("b.n")
+          && col("b.n") * 100L >= lit(t100) * col("a.n"))
       .select(
         col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.n").as("na"), col("b.n").as("nb"),
@@ -180,23 +187,23 @@ object Dedup {
     * just-above-threshold neighbours. */
   def clusterExact(documents: DataFrame, threshold: Double = 0.9,
       maxIter: Int = 20): DataFrame = {
-    // ONE normalization pass: rep id via a window min over the norm hash
-    // (no agg+join), materialized once — every later stage (the collapsed
-    // corpus for pairing, the doc→rep mapping for expansion) reads this
-    // checkpoint instead of re-scanning and re-hashing the corpus
-    val withRep = documents
-      .withColumn("norm_hash", md5(
-        concat_ws(" ", array_sort(array_distinct(split(col("text"), " "))))
-          .cast("binary")))
+    // ONE tokenization pass feeds everything: the norm hash for exact-dup
+    // collapse (md5 of the sorted distinct token array), the rep id via a
+    // window min, AND — through exactPairsFromToks — the minhash
+    // signatures and the token-verify joins. Materialized once; no stage
+    // re-scans or re-tokenizes the corpus.
+    val toks = MinHashLsh.tokenize(documents)
+      .withColumn("norm_hash",
+        md5(concat_ws(" ", col("toks")).cast("binary")))
       .withColumn("rep_id",
         min(col("doc_id")).over(Window.partitionBy(col("norm_hash"))))
-      .select("doc_id", "rep_id", "text")
+      .select("doc_id", "rep_id", "toks", "n")
       .localCheckpoint(true)
-    val repDocs = withRep.filter(col("doc_id") === col("rep_id"))
-      .select("doc_id", "text")
+    val repToks = toks.filter(col("doc_id") === col("rep_id"))
+      .select("doc_id", "toks", "n")
     val comps = ConnectedComponents.components(
-      MinHashLsh.exactPairs(repDocs, threshold), maxIter)
-    withRep
+      MinHashLsh.exactPairsFromToks(repToks, threshold), maxIter)
+    toks
       .join(comps.withColumnRenamed("id", "rep_id"), Seq("rep_id"), "left")
       .select(col("doc_id"),
         coalesce(col("comp"), col("rep_id")).as("component"))

@@ -120,14 +120,29 @@ object MinHashLsh {
     * The modular form also stays inside ANSI-mode arithmetic (no Long
     * overflow). Entirely per-row: signature computation needs no shuffle
     * at any corpus size. */
-  def signatures(documents: DataFrame, k: Int = 128): DataFrame = {
+  def signatures(documents: DataFrame, k: Int = 128): DataFrame =
+    signaturesFromToks(tokenize(documents), k)
+
+  /** (doc_id, toks, n): sorted distinct token array + set size per doc —
+    * the ONE tokenization pass every Jaccard-family stage consumes
+    * (signatures, exact verification, exact-duplicate norm hashing).
+    * Callers running several stages should materialize this once. */
+  def tokenize(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"),
+        array_sort(array_distinct(split(col("text"), " "))).as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+
+  /** [[signatures]] over a pre-tokenized (doc_id, toks) frame — min-hash
+    * is order-insensitive, so the sorted array yields the same signature
+    * as raw tokenization. */
+  def signaturesFromToks(toks: DataFrame, k: Int = 128): DataFrame = {
     val p = 2147483647L // Mersenne prime 2^31 - 1
     val rng = new scala.util.Random(42)
     val ab = Array.fill(k)((1L + rng.nextInt(Int.MaxValue - 1).toLong,
       rng.nextInt(Int.MaxValue).toLong))
-    documents.select(
+    toks.select(
       col("doc_id"),
-      transform(array_distinct(split(col("text"), " ")),
+      transform(col("toks"),
         t => pmod(hash(t).cast("long"), lit(p))).as("hs"))
       .select(
         col("doc_id"),
@@ -264,13 +279,25 @@ object MinHashLsh {
     * are found and nothing quadratic ever runs; the prefilter kills the
     * j≈0.6 background before token arrays are ever shuffled. */
   def exactPairs(documents: DataFrame, threshold: Double = 0.9, k: Int = 128,
-      bands: Int = 16, maxBucket: Int = 4096): DataFrame = {
-    // materialize signatures and sorted token arrays ONCE: both are read
-    // by multiple joins below (sig_a/sig_b, toks_a/toks_b) and the banding,
-    // and each would otherwise re-run the tokenize/minhash corpus scan on
-    // every action. ~1 KB/doc of executor-local storage — the standard
-    // persist any iterative/multi-read LSH pipeline carries.
-    val sigs = signatures(documents, k).localCheckpoint(true)
+      bands: Int = 16, maxBucket: Int = 4096): DataFrame =
+    // materialize the tokenization ONCE: it feeds the signature pass AND
+    // both sides of the verify join, and each would otherwise re-run the
+    // tokenize corpus scan on every action
+    exactPairsFromToks(tokenize(documents).localCheckpoint(true),
+      threshold, k, bands, maxBucket)
+
+  /** [[exactPairs]] over a pre-tokenized [[tokenize]] frame, which the
+    * caller should have MATERIALIZED (localCheckpoint/persist): it is
+    * read by the signature pass and both verify-join sides. Lets callers
+    * that already tokenized the corpus (e.g. Dedup.clusterExact's
+    * exact-duplicate collapse) share one pass. */
+  def exactPairsFromToks(toks: DataFrame, threshold: Double = 0.9,
+      k: Int = 128, bands: Int = 16, maxBucket: Int = 4096): DataFrame = {
+    val t100 = math.round(threshold * 100)
+    // signatures are read by the banding and both estimate-join sides —
+    // materialize once (~1 KB/doc of executor-local storage, the standard
+    // persist any iterative/multi-read LSH pipeline carries)
+    val sigs = signaturesFromToks(toks, k).localCheckpoint(true)
     val cand = bandedPairs(sigs, k, bands, maxBucket)
     val sa = sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))
     val sb = sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"))
@@ -279,21 +306,23 @@ object MinHashLsh {
         .matchCount(col("sig_a"), col("sig_b")).cast("double") / lit(k)
         >= lit(threshold - 0.15))
       .select("doc_a", "doc_b")
-    val toks = documents.select(col("doc_id"),
-      array_sort(array_distinct(split(col("text"), " "))).as("toks"))
-      .withColumn("n", size(col("toks")).cast("long"))
-      .localCheckpoint(true)
     val ta = toks.select(col("doc_id").as("doc_a"),
       col("toks").as("toks_a"), col("n").as("na"))
     val tb = toks.select(col("doc_id").as("doc_b"),
       col("toks").as("toks_b"), col("n").as("nb"))
     pre.join(ta, "doc_a").join(tb, "doc_b")
+      // size-ratio prefilter: j ≥ θ forces 100·min(na,nb) ≥ θ₁₀₀·max —
+      // a necessary condition of the exact predicate below, so the
+      // intersect kernel never runs on pairs the size gap already rules
+      // out and the output is unchanged
+      .filter(col("na") * 100L >= lit(t100) * col("nb") &&
+        col("nb") * 100L >= lit(t100) * col("na"))
       .select(col("doc_a"), col("doc_b"), col("na"), col("nb"),
         org.apache.spark.sql.graft.ColumnBridge
           .sortedIntersectCount(col("toks_a"), col("toks_b"))
           .cast("long").as("inter"))
-      .filter(col("inter") * lit(100L + math.round(threshold * 100))
-        >= lit(math.round(threshold * 100)) * (col("na") + col("nb")))
+      .filter(col("inter") * lit(100L + t100)
+        >= lit(t100) * (col("na") + col("nb")))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .select("doc_a", "doc_b", "jaccard")
