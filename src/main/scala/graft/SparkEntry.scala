@@ -128,6 +128,7 @@ object SparkEntry {
     "tx_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(Tables.documents(s, dir))),
     "tx_ngram_freq" -> ((s, dir) =>
       TextAnalysis.ngramFrequencies(Tables.documents(s, dir), 2, 50)),
+    "tx_normalize" -> ((s, dir) => TextAnalysis.normalize(Tables.documents(s, dir))),
     "mm_binary" -> ((s, dir) => Multimodal.binaryColumnsChecked(Tables.documents(s, dir))),
     // the REAL mapPartitions batch-decode path (stub kernel): the raw
     // integer bin counts are digested directly, so the oracle reproduces
@@ -178,6 +179,8 @@ object SparkEntry {
     "q_monthly_trend" -> ((s, dir) => Headline.monthlyTrend(Tables.orders(s, dir))),
     "q_approx_distinct" -> ((s, dir) =>
       Headline.approxDistinct(Tables.lineitem(s, dir))),
+    "q_approx_quantile" -> ((s, dir) =>
+      Headline.approxQuantiles(Tables.lineitem(s, dir))),
     "q_semi_anti" -> ((s, dir) =>
       Headline.activityCoverage(Tables.customer(s, dir), Tables.orders(s, dir))),
     "ad_all_rules" -> ((s, dir) => {
@@ -786,6 +789,17 @@ object SparkEntry {
         |SELECT doc_id, md5(array_to_string(resized, ',')) AS resized_digest,
         |       n_bytes AS total
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    "tx_normalize" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |         trim(regexp_replace(regexp_replace(lower(text),
+        |           '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text
+        |  FROM documents)
+        |SELECT doc_id,
+        |       md5(norm_text) AS norm_md5,
+        |       CAST(len(string_split(norm_text, ' ')) AS BIGINT) AS n_tokens_norm
+        |FROM n ORDER BY doc_id""".stripMargin,
 
     "tx_fingerprint" ->
       """WITH t AS (

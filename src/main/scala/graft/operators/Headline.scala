@@ -88,6 +88,21 @@ object Headline {
         countDistinct(col("l_orderkey")).as("exact_orders"))
       .orderBy("l_returnflag")
 
+  /** Bounded-memory quantiles beside the group count (approx_percentile
+    * is the KLL/GK-sketch path for 100-TB order statistics — exact
+    * percentiles need a full sort or all values in memory per group;
+    * rows-only query — sketch estimates are engine-specific — with a
+    * rank-error tolerance spec vs the exact percentiles). */
+  def approxQuantiles(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50"),
+        percentile_approx(col("l_extendedprice"), lit(0.9), lit(10000)).as("p90"),
+        percentile_approx(col("l_extendedprice"), lit(0.99), lit(10000)).as("p99"))
+      .orderBy("l_returnflag")
+
   /** Coverage split via semi/anti joins: how many entities have activity
     * vs none (EXISTS / NOT EXISTS — the reference's orphan checks in
     * db.py's filtered queries, as relational operators). */

@@ -28,6 +28,25 @@ object TextAnalysis {
         "n_distinct_tokens", "avg_token_len")
       .orderBy("doc_id")
 
+  /** Text normalization — the canonicalization pass an LLM-data pipeline
+    * runs before dedup/quality/tokenization: lowercase, non-alphanumerics
+    * to spaces, whitespace collapsed, trimmed. Emits the md5 of the
+    * normalized text (narrow, engine-comparable) plus its token count;
+    * idempotent by construction (normalize∘normalize = normalize,
+    * specced). Character classes are shared Java/RE2 syntax so the DuckDB
+    * twin reproduces the bytes exactly. Per-row expression work — scales
+    * at scan speed. */
+  def normalize(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("norm_text",
+        trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " ")))
+      .withColumn("n_tokens_norm",
+        size(split(col("norm_text"), " ")).cast("long"))
+      .withColumn("norm_md5", md5(col("norm_text").cast("binary")))
+      .select("doc_id", "norm_md5", "n_tokens_norm")
+      .orderBy("doc_id")
+
   /** Quality scoring: alphabetic ratio, stopword ratio, length saturation →
     * composite score + band. The weighted formula is written in one fixed
     * associativity shape shared with the oracle SQL. */

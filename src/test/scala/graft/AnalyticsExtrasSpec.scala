@@ -129,4 +129,47 @@ class AnalyticsExtrasSpec extends AnyFunSuite {
       assert(err1 < 0.05 && err2 < 0.05, s"HLL errors $err1 / $err2")
     }
   }
+
+  test("approx quantiles stay within 1% rank error of the exact percentiles") {
+    val li = Tables.lineitem(spark, sf)
+    val approx = Headline.approxQuantiles(li).collect()
+    approx.foreach { row =>
+      val flag = row.getAs[String]("l_returnflag")
+      val vals = li.filter(col("l_returnflag") === flag)
+        .select("l_extendedprice").collect().map(_.getDouble(0)).sorted
+      for ((p, colName) <- Seq(0.5 -> "p50", 0.9 -> "p90", 0.99 -> "p99")) {
+        val got = row.getAs[Double](colName)
+        // rank of the sketch answer must be within 1% of the target rank
+        // (percentile_approx's accuracy contract at 10000)
+        val rank = vals.count(_ <= got).toDouble / vals.length
+        assert(math.abs(rank - p) <= 0.01 + 1.0 / vals.length,
+          s"$flag $colName: value $got sits at rank $rank, wanted ~$p")
+      }
+    }
+  }
+
+  test("text normalization is idempotent and canonicalizes case/punct/whitespace") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "Hello,   WORLD!  42"),
+      (2L, "hello world 42"),
+      (3L, "  tabs\tand---dashes  "),
+      (4L, "already clean text")
+    ).toDF("doc_id", "text")
+    val once = graft.operators.TextAnalysis.normalize(docs)
+    // 1 and 2 normalize to the same canonical form
+    val digests = once.collect().map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[String]("norm_md5")).toMap
+    assert(digests(1L) === digests(2L))
+    // idempotent: feeding the normalized text back changes nothing
+    val normTexts = docs.withColumn("text",
+      trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "),
+        " +", " ")))
+    val twice = graft.operators.TextAnalysis.normalize(normTexts).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("norm_md5")).toMap
+    assert(twice === digests)
+    // corpus sanity: every doc yields at least one token
+    val corpus = graft.operators.TextAnalysis.normalize(Tables.documents(spark, sf))
+    assert(corpus.filter(col("n_tokens_norm") < 1).count() === 0)
+  }
 }
