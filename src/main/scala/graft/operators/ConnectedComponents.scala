@@ -26,16 +26,20 @@ object ConnectedComponents {
     * maxIter), the labels are NOT final components: with `strict` (the
     * default) this throws; pass `strict = false` to get the partial labels
     * with a logged warning instead. */
+  /** If the caller guarantees `pairs` holds each undirected edge exactly
+    * once (e.g. MinHashLsh.exactPairs, whose first-agree dedup emits
+    * unique pairs by construction), pass `pairsDistinct = true` to skip
+    * the defensive distinct — one less shuffle over the edge list. */
   def components(pairs: DataFrame, maxIter: Int = 20,
-      strict: Boolean = true): DataFrame = {
+      strict: Boolean = true, pairsDistinct: Boolean = false): DataFrame = {
     // symmetric edge list via one explode — a union of two selects over
     // `pairs` would evaluate the (possibly expensive) pair plan twice
-    val edges = pairs
+    val sym = pairs
       .select(explode(array(
         struct(col("doc_a").as("src"), col("doc_b").as("dst")),
         struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .distinct()
+    val edges = (if (pairsDistinct) sym else sym.distinct())
       .localCheckpoint(true)
     // initial label = min(id, min direct neighbor): one aggregate that is
     // exactly the first propagation round, so the loop starts a round ahead

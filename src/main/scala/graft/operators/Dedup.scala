@@ -202,7 +202,10 @@ object Dedup {
     val repToks = toks.filter(col("doc_id") === col("rep_id"))
       .select("doc_id", "toks", "n")
     val comps = ConnectedComponents.components(
-      MinHashLsh.exactPairsFromToks(repToks, threshold), maxIter)
+      MinHashLsh.exactPairsFromToks(repToks, threshold), maxIter,
+      // exactPairs' first-agree dedup emits each pair exactly once, so
+      // the defensive edge distinct (a full shuffle) is skipped
+      pairsDistinct = true)
     toks
       .join(comps.withColumnRenamed("id", "rep_id"), Seq("rep_id"), "left")
       .select(col("doc_id"),

@@ -75,6 +75,22 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(pMh.contains("long_array_match_count"), pMh)
   }
 
+  test("LSH candidate streams are never distinct-shuffled on the normal corpus") {
+    // first-agree dedup replaces the distinct over the (quadratic-ish)
+    // candidate pair stream; with no oversized buckets there must be NO
+    // aggregate anywhere in the pairing plans — a HashAggregate here
+    // means the shuffle-free path regressed
+    val docs = Tables.documents(spark, sf)
+    val pSim = plan(SimHash.nearDupPairs(docs))
+    assert(!pSim.contains("HashAggregate"),
+      "dd_simhash candidate stream is aggregated:\n" + pSim)
+    assert(pSim.contains("bit_count"), pSim)
+    val sigs = MinHashLsh.signatures(docs).localCheckpoint(true)
+    val pBand = plan(MinHashLsh.bandedPairs(sigs, 128, 16))
+    assert(!pBand.contains("HashAggregate"),
+      "banded candidate stream is aggregated:\n" + pBand)
+  }
+
   test("scale-path dedup plans contain no unblocked pairwise join") {
     val docs = Tables.documents(spark, sf)
     val pPairs = plan(MinHashLsh.exactPairs(docs, 0.9))
