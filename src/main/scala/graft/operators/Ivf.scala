@@ -166,6 +166,49 @@ object Ivf {
       queryId, k, nprobe)
   }
 
+  /** Batched probe: top-k ANN for EVERY id in `queryIds` in ONE
+    * distributed pass — the shape an ANN service runs, where per-query
+    * jobs don't amortize over thousands of lookups. Cell ranking for all
+    * queries happens in one broadcast crossJoin (queries × centroids,
+    * both small), the corpus is scanned once with rows fanned out only
+    * to the queries probing their cell, and per-query top-k runs as one
+    * partitioned window with the same (cosine desc, vec_id) tie-break as
+    * [[topKWith]] — so batch results are row-identical to per-query
+    * probes (specced). */
+  def topKBatch(embeddings: DataFrame, centroids: Array[Array[Float]],
+      queryIds: Seq[Long], k: Int, nprobe: Int = 2): DataFrame = {
+    require(queryIds.nonEmpty, "queryIds must not be empty")
+    import org.apache.spark.sql.expressions.Window
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val assigned = withCell(embeddings, centroids)
+    val queries = assigned
+      .filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val centDf = centroids.zipWithIndex
+      .map { case (c, i) => (i, c) }.toSeq.toDF("cell", "centroid")
+    val cellRank = broadcast(queries).crossJoin(centDf)
+      .select(col("q_id"), col("cell"),
+        VectorMath.cosineDouble(col("centroid"), col("q_emb")).as("c_cos"))
+    val wCells = Window.partitionBy("q_id")
+      .orderBy(col("c_cos").desc, col("cell"))
+    val probed = cellRank.withColumn("rn", row_number().over(wCells))
+      .filter(col("rn") <= nprobe)
+      .select("q_id", "cell")
+    val hits = assigned
+      .join(broadcast(probed), "cell")
+      .join(broadcast(queries), "q_id")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), col("label"),
+        VectorMath.cosineDouble(col("embedding"), col("q_emb")).as("cosine"))
+    val wTop = Window.partitionBy("q_id")
+      .orderBy(col("cosine").desc, col("vec_id"))
+    hits.withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= k)
+      .select("q_id", "vec_id", "label", "cosine")
+      .orderBy(col("q_id"), col("cosine").desc, col("vec_id"))
+  }
+
   /** Probe an existing index: rank cells by centroid cosine to the
     * query, search the best `nprobe` cells exactly. */
   def topKWith(embeddings: DataFrame, centroids: Array[Array[Float]],

@@ -186,6 +186,22 @@ class ClusterIvfSpec extends AnyFunSuite {
     assert(ivf.forall(_.getAs[Double]("cosine") <= bruteBest + 1e-6))
   }
 
+  test("IVF batched probe is row-identical to per-query probes") {
+    val emb = graft.sources.Tables.embeddings(spark, sf).localCheckpoint(true)
+    val cents = graft.operators.Ivf.kmeansCentroids(emb, 16, iters = 4)
+    val qids = Seq(0L, 7L, 31L)
+    val batch = graft.operators.Ivf.topKBatch(emb, cents, qids, k = 10, nprobe = 3)
+      .collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"),
+        r.getAs[Double]("cosine")))
+    val single = qids.flatMap { q =>
+      graft.operators.Ivf.topKWith(emb, cents, q, k = 10, nprobe = 3)
+        .collect()
+        .map(r => (q, r.getAs[Long]("vec_id"), r.getAs[Double]("cosine")))
+    }
+    assert(batch.toSeq === single)
+  }
+
   test("regex token stats: alpha runs equal whitespace tokens on this corpus") {
     val docs = Tables.documents(spark, sf)
     val r = TextAnalysis.regexTokenStats(docs)
