@@ -18,8 +18,14 @@ object Bench {
     // run — no caching between them). A query that throws is recorded as
     // -1 (never as its time-to-crash).
     // optional comma-separated filter for local iteration; the driver
-    // leaves it unset and benches everything
+    // leaves it unset and benches everything. Unknown names fail loudly —
+    // a silent zero-query bench reads as a suspiciously fast run.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    only.foreach { names =>
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names not in SparkEntry.queries: ${unknown.mkString(", ")}")
+    }
     val results = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>

@@ -25,8 +25,9 @@ object ConnectedComponents {
     * If the loop hits `maxIter` before converging (graph diameter >
     * maxIter), the labels are NOT final components: with `strict` (the
     * default) this throws; pass `strict = false` to get the partial labels
-    * with a logged warning instead. */
-  /** If the caller guarantees `pairs` holds each undirected edge exactly
+    * with a logged warning instead.
+    *
+    * If the caller guarantees `pairs` holds each undirected edge exactly
     * once (e.g. MinHashLsh.exactPairs, whose first-agree dedup emits
     * unique pairs by construction), pass `pairsDistinct = true` to skip
     * the defensive distinct — one less shuffle over the edge list. */

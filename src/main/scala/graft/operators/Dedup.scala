@@ -102,8 +102,8 @@ object Dedup {
       // boundary pairs (j = θ precisely) are included in both engines.
       // Catalyst pushes this into the join condition, and with one `inter`
       // reference the native intersect kernel runs once per pair, not twice
-      .filter(col("inter") * lit(100L + math.round(threshold * 100))
-        >= lit(math.round(threshold * 100)) * (col("na") + col("nb")))
+      .filter(col("inter") * lit(100L + t100)
+        >= lit(t100) * (col("na") + col("nb")))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .select("doc_a", "doc_b", "jaccard")

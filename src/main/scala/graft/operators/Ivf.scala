@@ -59,15 +59,18 @@ object Ivf {
     * ~4M entries (huge-k regimes where the state itself needs
     * partitioning) the round falls back to the shuffle form: explode to
     * (cell, dim, v) and mean by key. */
-  def kmeansCentroids(embeddings: DataFrame, k: Int,
-      iters: Int = 8): Array[Array[Float]] = {
+  def kmeansCentroids(embeddings: DataFrame, k: Int, iters: Int = 8,
+      inputMaterialized: Boolean = false): Array[Array[Float]] = {
     require(k > 0, s"cell count must be positive (got $k)")
     // materialize the (id, vector) corpus once: every Lloyd's round scans
     // it for assignment+means, and without this each round re-runs the
     // full source plan (parquet scan or upstream transforms) — the
-    // standard persist every iterative ML pass on Spark carries
-    val corpus = embeddings.select(col("vec_id"), col("embedding"))
-      .localCheckpoint(true)
+    // standard persist every iterative ML pass on Spark carries. Callers
+    // that already checkpointed their frame pass inputMaterialized=true
+    // so the corpus isn't pinned in executor storage twice.
+    val projected = embeddings.select(col("vec_id"), col("embedding"))
+    val corpus =
+      if (inputMaterialized) projected else projected.localCheckpoint(true)
     var centroids: Array[Array[Float]] = corpus
       .orderBy(pmod(hash(col("vec_id")), lit(1000003)), col("vec_id"))
       .limit(k)
@@ -78,56 +81,75 @@ object Ivf {
     val dense = k.toLong * dim <= 4_000_000L
     for (_ <- 1 to iters) {
       val assigned = withCell(corpus, centroids).select(col("cell"), col("embedding"))
-      val next = centroids.map(_.clone())
-      if (dense) {
-        val zero = (Array.fill(k, dim)(java.math.BigDecimal.ZERO), new Array[Long](k))
-        val (sums, counts) = assigned.rdd.treeAggregate(zero)(
-          seqOp = { case ((s, c), row) =>
-            val cell = row.getInt(0)
-            val v = row.getSeq[Float](1)
-            var d = 0
-            while (d < dim) { s(cell)(d) = s(cell)(d).add(quantize(v(d))); d += 1 }
-            c(cell) += 1
-            (s, c)
-          },
-          combOp = { case ((s1, c1), (s2, c2)) =>
-            var i = 0
-            while (i < k) {
-              var d = 0
-              while (d < dim) { s1(i)(d) = s1(i)(d).add(s2(i)(d)); d += 1 }
-              c1(i) += c2(i)
-              i += 1
-            }
-            (s1, c1)
-          })
-        var i = 0
-        while (i < k) {
-          if (counts(i) > 0) {
-            var d = 0
-            while (d < dim) {
-              next(i)(d) = sums(i)(d)
-                .divide(java.math.BigDecimal.valueOf(counts(i)),
-                  java.math.MathContext.DECIMAL128)
-                .doubleValue().toFloat
-              d += 1
-            }
-          }
-          i += 1
-        }
-      } else {
-        val means = assigned
-          .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
-          .groupBy(col("cell"), col("pos"))
-          .agg((sum(col("v").cast(sumDec)) / count(lit(1)))
-            .cast("double").as("m"))
-          .collect()
-        means.foreach { r =>
-          next(r.getInt(0))(r.getInt(1)) = r.getDouble(2).toFloat
-        }
-      }
-      centroids = next
+      centroids =
+        if (dense) denseRound(assigned, k, dim, centroids)
+        else shuffleRound(assigned, k, dim, centroids)
     }
     centroids
+  }
+
+  /** One Lloyd's mean round as a single treeAggregate job (dense per-
+    * partition decimal state). Bit-identical to [[shuffleRound]]
+    * (specced): summation reproduces the SQL decimal cast+sum exactly,
+    * and the scale-10 HALF_UP division mirrors the fallback's Catalyst
+    * quotient type — sum(DECIMAL(28,10)) widens to DECIMAL(38,10), and
+    * its division by BIGINT precision-adjusts back to DECIMAL(38,10). */
+  private[graft] def denseRound(assigned: DataFrame, k: Int, dim: Int,
+      centroids: Array[Array[Float]]): Array[Array[Float]] = {
+    val next = centroids.map(_.clone())
+    val zero = (Array.fill(k, dim)(java.math.BigDecimal.ZERO), new Array[Long](k))
+    val (sums, counts) = assigned.rdd.treeAggregate(zero)(
+      seqOp = { case ((s, c), row) =>
+        val cell = row.getInt(0)
+        val v = row.getSeq[Float](1)
+        var d = 0
+        while (d < dim) { s(cell)(d) = s(cell)(d).add(quantize(v(d))); d += 1 }
+        c(cell) += 1
+        (s, c)
+      },
+      combOp = { case ((s1, c1), (s2, c2)) =>
+        var i = 0
+        while (i < k) {
+          var d = 0
+          while (d < dim) { s1(i)(d) = s1(i)(d).add(s2(i)(d)); d += 1 }
+          c1(i) += c2(i)
+          i += 1
+        }
+        (s1, c1)
+      })
+    var i = 0
+    while (i < k) {
+      if (counts(i) > 0) {
+        var d = 0
+        while (d < dim) {
+          next(i)(d) = sums(i)(d)
+            .divide(java.math.BigDecimal.valueOf(counts(i)), 10,
+              java.math.RoundingMode.HALF_UP)
+            .doubleValue().toFloat
+          d += 1
+        }
+      }
+      i += 1
+    }
+    next
+  }
+
+  /** One Lloyd's mean round in the shuffle form (explode to
+    * (cell, dim, v), mean by key) — the huge-k fallback where the dense
+    * aggregate state itself needs partitioning. */
+  private[graft] def shuffleRound(assigned: DataFrame, k: Int, dim: Int,
+      centroids: Array[Array[Float]]): Array[Array[Float]] = {
+    val next = centroids.map(_.clone())
+    val means = assigned
+      .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("cell"), col("pos"))
+      .agg((sum(col("v").cast(sumDec)) / count(lit(1)))
+        .cast("double").as("m"))
+      .collect()
+    means.foreach { r =>
+      next(r.getInt(0))(r.getInt(1)) = r.getDouble(2).toFloat
+    }
+    next
   }
 
   /** Persist a learned centroid set through the Hadoop filesystem API
@@ -162,7 +184,8 @@ object Ivf {
     val nCells =
       if (cells > 0) cells
       else math.max(nprobe, math.ceil(math.sqrt(corpus.count().toDouble)).toInt)
-    topKWith(corpus, kmeansCentroids(corpus, nCells, iters),
+    topKWith(corpus,
+      kmeansCentroids(corpus, nCells, iters, inputMaterialized = true),
       queryId, k, nprobe)
   }
 
@@ -170,11 +193,13 @@ object Ivf {
     * distributed pass — the shape an ANN service runs, where per-query
     * jobs don't amortize over thousands of lookups. Cell ranking for all
     * queries happens in one broadcast crossJoin (queries × centroids,
-    * both small), the corpus is scanned once with rows fanned out only
+    * both small), the corpus is scanned with rows fanned out only
     * to the queries probing their cell, and per-query top-k runs as one
     * partitioned window with the same (cosine desc, vec_id) tie-break as
     * [[topKWith]] — so batch results are row-identical to per-query
-    * probes (specced). */
+    * probes (specced). Two corpus scans per action: one to extract the
+    * query vectors (materialized, so the two broadcasts don't each
+    * re-run the scan) and one, cell-pruned, for the hits. */
   def topKBatch(embeddings: DataFrame, centroids: Array[Array[Float]],
       queryIds: Seq[Long], k: Int, nprobe: Int = 2): DataFrame = {
     require(queryIds.nonEmpty, "queryIds must not be empty")
@@ -185,6 +210,7 @@ object Ivf {
     val queries = assigned
       .filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .localCheckpoint(true)
     val centDf = centroids.zipWithIndex
       .map { case (c, i) => (i, c) }.toSeq.toDF("cell", "centroid")
     val cellRank = broadcast(queries).crossJoin(centDf)

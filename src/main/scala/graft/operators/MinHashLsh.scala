@@ -52,9 +52,10 @@ object MinHashLsh {
     * diagnostic count, the small-bucket join and the hub pass — no
     * recomputation of the (possibly expensive) bucketing lineage. */
   private[graft] def guardedBucketPairs(rows: DataFrame, bucketCols: Seq[String],
-      idCol: String, maxBucket: Int): DataFrame =
-    guardedBucketPairsRaw(rows, bucketCols, idCol, maxBucket)._1
-      .select("id_a", "id_b").distinct()
+      idCol: String, maxBucket: Int): DataFrame = {
+    val (raw, _, _) = guardedBucketPairsRaw(rows, bucketCols, idCol, maxBucket)
+    raw.select("id_a", "id_b").distinct()
+  }
 
   /** Primitive form of [[guardedBucketPairs]]: one OUTPUT ROW PER
     * CO-BUCKET OCCURRENCE (a pair sharing three buckets appears three
@@ -69,11 +70,15 @@ object MinHashLsh {
     * the bucket-minimum struct), so downstream verification needs no
     * join back to the source.
     *
-    * Returns the pair rows plus the oversized-bucket count — zero means
-    * no hub rows exist, so a caller whose canonical-occurrence filter is
-    * exact (first-agree) can skip its fallback distinct entirely. */
+    * Returns the pair rows, the oversized-bucket count (zero means no hub
+    * rows exist, so a caller whose canonical-occurrence filter is exact
+    * (first-agree) can skip its fallback distinct entirely), and the
+    * CHECKPOINTED bucket rows — hub-mode callers derive their oversize
+    * masks from that materialization instead of re-running the bucketing
+    * lineage. */
   private[graft] def guardedBucketPairsRaw(rows: DataFrame, bucketCols: Seq[String],
-      idCol: String, maxBucket: Int, carry: Seq[String] = Nil): (DataFrame, Long) = {
+      idCol: String, maxBucket: Int,
+      carry: Seq[String] = Nil): (DataFrame, Long, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val parts = bucketCols.map(col)
     val src = rows.localCheckpoint(true)
@@ -111,7 +116,7 @@ object MinHashLsh {
       carry.flatMap(c => Seq(col(s"__hub.$c").as(s"${c}_a"), col(c).as(s"${c}_b"))) :+
       lit(true).as("is_hub")
     val bigPairs = big.select(bigCols: _*)
-    (smallPairs.unionByName(bigPairs), overStats.getLong(0))
+    (smallPairs.unionByName(bigPairs), overStats.getLong(0), src)
   }
 
   /** Signature: each token is murmur-hashed ONCE, then run through k
@@ -197,8 +202,8 @@ object MinHashLsh {
       posCol: String, keyCols: Seq[String], idCol: String, maxBucket: Int,
       n: Int): DataFrame = {
     require(n >= 1 && n <= 32, s"table/band count must be in [1, 32] (got $n)")
-    val (raw, nOver) = guardedBucketPairsRaw(rows, keyCols, idCol, maxBucket,
-      carry = Seq(arrCol))
+    val (raw, nOver, bucketRows) = guardedBucketPairsRaw(rows, keyCols, idCol,
+      maxBucket, carry = Seq(arrCol))
     // agreeBits: bit b set iff the pair's table-b buckets collide; the
     // exploded position itself always agrees, so "first agreeing table"
     // means no lower bit is set
@@ -217,12 +222,14 @@ object MinHashLsh {
       // small-bucket occurrence: mask those positions out of agreeBits
       // via a per-doc oversize bitmask (shared bucket ⇒ shared status, so
       // one side's mask suffices). This branch runs only in degenerate
-      // hub mode, where the guard has already bounded the volumes.
-      val overKeys = rows.groupBy(keyCols.map(col): _*)
+      // hub mode, where the guard has already bounded the volumes; both
+      // scans below read the guard's CHECKPOINTED bucket rows, not the
+      // original bucketing lineage.
+      val overKeys = bucketRows.groupBy(keyCols.map(col): _*)
         .agg(count(lit(1)).as("__m"))
         .filter(col("__m") > maxBucket)
         .drop("__m")
-      val overMask = rows.join(overKeys, keyCols)
+      val overMask = bucketRows.join(overKeys, keyCols)
         .groupBy(col(idCol))
         .agg(sum(expr(s"shiftleft(CAST(1 AS BIGINT), $posCol)")).as("__over"))
       raw

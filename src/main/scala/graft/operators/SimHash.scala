@@ -119,7 +119,7 @@ object SimHash {
       s"maxDist must be in [1, 9] (got $maxDist)")
     val nChunks = maxDist + 2
     val fps = fingerprints(documents)
-    val (raw, nOver) = MinHashLsh.guardedBucketPairsRaw(
+    val (raw, nOver, bucketRows) = MinHashLsh.guardedBucketPairsRaw(
       blockKeys(fps, nChunks), Seq("blk", "key"), "doc_id", maxBucket,
       carry = Seq("fp"))
     val xor = col("fp_a").bitwiseXOR(col("fp_b"))
@@ -157,13 +157,14 @@ object SimHash {
         // small-bucket row, so it must not suppress the pair's first
         // small-bucket occurrence — mask those combos out via a per-doc
         // oversize bitmask (shared bucket ⇒ shared status), then dedup
-        // the hub duplicates over verified pairs only
-        val bk = blockKeys(fps, nChunks)
-        val overKeys = bk.groupBy(col("blk"), col("key"))
+        // the hub duplicates over verified pairs only. Both scans read
+        // the guard's CHECKPOINTED bucket rows, not the fingerprint
+        // lineage.
+        val overKeys = bucketRows.groupBy(col("blk"), col("key"))
           .agg(count(lit(1)).as("__m"))
           .filter(col("__m") > maxBucket)
           .drop("__m")
-        val overMask = bk.join(overKeys, Seq("blk", "key"))
+        val overMask = bucketRows.join(overKeys, Seq("blk", "key"))
           .groupBy(col("doc_id"))
           .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), blk)")).as("__over"))
         raw

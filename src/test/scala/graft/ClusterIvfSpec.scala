@@ -186,6 +186,19 @@ class ClusterIvfSpec extends AnyFunSuite {
     assert(ivf.forall(_.getAs[Double]("cosine") <= bruteBest + 1e-6))
   }
 
+  test("k-means dense and shuffle rounds learn bit-identical centroids") {
+    val emb = graft.sources.Tables.embeddings(spark, sf).localCheckpoint(true)
+    val init = graft.operators.Ivf.kmeansCentroids(emb, 12, iters = 1,
+      inputMaterialized = true)
+    val dim = init.head.length
+    val assigned = graft.operators.Ivf.withCell(emb, init)
+      .select(org.apache.spark.sql.functions.col("cell"),
+        org.apache.spark.sql.functions.col("embedding"))
+    val dense = graft.operators.Ivf.denseRound(assigned, 12, dim, init)
+    val shuffle = graft.operators.Ivf.shuffleRound(assigned, 12, dim, init)
+    assert(dense.map(_.toSeq).toSeq === shuffle.map(_.toSeq).toSeq)
+  }
+
   test("IVF batched probe is row-identical to per-query probes") {
     val emb = graft.sources.Tables.embeddings(spark, sf).localCheckpoint(true)
     val cents = graft.operators.Ivf.kmeansCentroids(emb, 16, iters = 4)
