@@ -181,7 +181,11 @@ object IsolationForest {
     * → anomaly records). */
   def detect(spark: SparkSession, dir: String, cut: Double = 0.58): DataFrame = {
     val featureCols = Seq("value", "mean_3", "std_3", "mean_12", "std_12")
+    // materialize the window features once: the training-sample scan and
+    // the scoring scan both read them, and each would otherwise re-run
+    // the per-key rolling-window plan
     val features = TimeSeries.rollingFeatures(TimeSeries.base(spark, dir))
+      .localCheckpoint(true)
     // normal-only training (models.py:270: fit on fault_type == 'none');
     // the `error` event rows are this corpus's fault analog
     val model = fit(features, featureCols,
