@@ -34,6 +34,36 @@ object AnnLsh {
       org.apache.spark.sql.graft.ColumnBridge
         .embeddingLshBuckets(col("embedding"), tables, planes, TableOffset))
 
+  /** Batched probe: top-k for EVERY id in `queryIds` in one pass — the
+    * ANN-service shape (see Ivf.topKBatch). The indexed corpus is
+    * scanned twice per action: once to extract the query rows
+    * (materialized so the broadcast doesn't re-run the scan) and once,
+    * bucket-filtered per query, for the hits; per-query top-k is one
+    * partitioned window with [[topK]]'s (cosine desc, vec_id) tie-break,
+    * so batch output is row-identical to per-query probes (specced). */
+  def topKBatch(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
+      tables: Int = 4, planes: Int = 6): DataFrame = {
+    require(queryIds.nonEmpty, "queryIds must not be empty")
+    import org.apache.spark.sql.expressions.Window
+    val indexed = index(embeddings, tables, planes)
+    val queries = indexed.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("buckets").as("q_buckets"))
+      .localCheckpoint(true)
+    val hits = indexed
+      .crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("q_id") &&
+        exists(zip_with(col("buckets"), col("q_buckets"), (x, y) => x === y),
+          idx => idx))
+      .select(col("q_id"), col("vec_id"), col("label"),
+        VectorMath.cosineDouble(col("embedding"), col("q_emb")).as("cosine"))
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))
+    hits.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("q_id", "vec_id", "label", "cosine")
+      .orderBy(col("q_id"), col("cosine").desc, col("vec_id"))
+  }
+
   /** Top-k ANN: candidates = rows sharing any table bucket with the query,
     * exactly re-ranked by cosine. */
   def topK(embeddings: DataFrame, queryId: Long, k: Int,

@@ -215,6 +215,21 @@ class ClusterIvfSpec extends AnyFunSuite {
     assert(batch.toSeq === single)
   }
 
+  test("AnnLsh batched probe is row-identical to per-query probes") {
+    val emb = graft.sources.Tables.embeddings(spark, sf).localCheckpoint(true)
+    val qids = Seq(0L, 7L, 31L)
+    val batch = graft.operators.AnnLsh.topKBatch(emb, qids, k = 10)
+      .collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"),
+        r.getAs[Double]("cosine")))
+    val single = qids.flatMap { q =>
+      graft.operators.AnnLsh.topK(emb, q, k = 10)
+        .collect()
+        .map(r => (q, r.getAs[Long]("vec_id"), r.getAs[Double]("cosine")))
+    }
+    assert(batch.toSeq === single)
+  }
+
   test("regex token stats: alpha runs equal whitespace tokens on this corpus") {
     val docs = Tables.documents(spark, sf)
     val r = TextAnalysis.regexTokenStats(docs)
