@@ -46,6 +46,7 @@ object SparkEntry {
     "q_top_nations" -> ((s, dir) => Headline.topNationRevenue(s, dir, 10)),
     // --- time-series ETL (SURVEY §2: ts_*) ---
     "ts_clean" -> ((s, dir) => TimeSeries.clean(TimeSeries.base(s, dir))),
+    "ts_interpolate" -> ((s, dir) => TimeSeries.interpolate(TimeSeries.base(s, dir))),
     "ts_rolling" -> ((s, dir) => TimeSeries.rollingFeatures(TimeSeries.base(s, dir))),
     "ts_lag_delta" -> ((s, dir) => TimeSeries.lagDelta(TimeSeries.base(s, dir))),
     "ts_resample" -> ((s, dir) => TimeSeries.resampleHourly(TimeSeries.base(s, dir))),
@@ -320,6 +321,44 @@ object SparkEntry {
          |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled
          |  FROM e)
          |WHERE value_filled IS NOT NULL
+         |ORDER BY user_id, ts_us, event_id""".stripMargin,
+
+    // one fixed associativity shape shared with the Spark side:
+    // pv + ((nv - pv) * (CAST(dt) / CAST(dT))) — parens matter, a+b*c/d
+    // would parse as a+((b*c)/d) and double-round differently
+    "ts_interpolate" ->
+      s"""$eventsCte,
+         |r AS (
+         |  SELECT event_id, user_id, ts_us,
+         |         CASE WHEN event_type = 'error' THEN NULL ELSE value END AS raw
+         |  FROM e),
+         |n AS (
+         |  SELECT event_id, user_id, ts_us, raw,
+         |         last_value(raw IGNORE NULLS)
+         |           OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+         |         last_value(CASE WHEN raw IS NOT NULL THEN ts_us END IGNORE NULLS)
+         |           OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+         |         first_value(raw IGNORE NULLS)
+         |           OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+         |                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+         |         first_value(CASE WHEN raw IS NOT NULL THEN ts_us END IGNORE NULLS)
+         |           OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+         |                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+         |  FROM r)
+         |SELECT event_id, user_id, ts_us,
+         |       CASE WHEN raw IS NOT NULL THEN raw
+         |            WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+         |              CASE WHEN nt = pt THEN pv
+         |                   ELSE pv + ((nv - pv) *
+         |                     (CAST(ts_us - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE))) END
+         |            ELSE coalesce(pv, nv) END AS value_interp,
+         |       raw IS NULL AS is_interpolated
+         |FROM n
+         |WHERE CASE WHEN raw IS NOT NULL THEN raw
+         |           WHEN pv IS NOT NULL AND nv IS NOT NULL THEN pv
+         |           ELSE coalesce(pv, nv) END IS NOT NULL
          |ORDER BY user_id, ts_us, event_id""".stripMargin,
 
     "ts_rolling" ->

@@ -58,6 +58,43 @@ object TimeSeries {
       .orderBy("user_id", "ts_us", "event_id")
   }
 
+  /** Linear interpolation of dropout readings per key in time order — the
+    * pandas `interpolate(method='linear')` analog ([[clean]] is the ffill
+    * form): a null reading becomes
+    * v_prev + (v_next − v_prev) · (ts − ts_prev) / (ts_next − ts_prev)
+    * over the nearest non-null neighbours by ACTUAL timestamp (irregular
+    * gaps weight correctly). Boundary nulls fall back to the available
+    * side (ffill/bfill). Two per-key window passes, no shuffle beyond the
+    * key partition — scales like every other ts_* operator. The
+    * arithmetic is one fixed associativity shape shared with the oracle
+    * twin. */
+  def interpolate(events: DataFrame): DataFrame = {
+    val raw = when(col("event_type") === "error", lit(null).cast("double"))
+      .otherwise(col("value"))
+    val wPrev = keyOrder.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = keyOrder.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val prevV = last(raw, ignoreNulls = true).over(wPrev)
+    val prevT = last(when(raw.isNotNull, col("ts_us")), ignoreNulls = true).over(wPrev)
+    val nextV = first(raw, ignoreNulls = true).over(wNext)
+    val nextT = first(when(raw.isNotNull, col("ts_us")), ignoreNulls = true).over(wNext)
+    val frac = (col("ts_us") - col("__pt")).cast("double") /
+      (col("__nt") - col("__pt")).cast("double")
+    events
+      .withColumn("__raw", raw)
+      .withColumn("__pv", prevV).withColumn("__pt", prevT)
+      .withColumn("__nv", nextV).withColumn("__nt", nextT)
+      .withColumn("value_interp",
+        when(col("__raw").isNotNull, col("__raw"))
+          .when(col("__pv").isNotNull && col("__nv").isNotNull,
+            when(col("__nt") === col("__pt"), col("__pv"))
+              .otherwise(col("__pv") + (col("__nv") - col("__pv")) * frac))
+          .otherwise(coalesce(col("__pv"), col("__nv"))))
+      .withColumn("is_interpolated", col("__raw").isNull)
+      .filter(col("value_interp").isNotNull)
+      .select("event_id", "user_id", "ts_us", "value_interp", "is_interpolated")
+      .orderBy("user_id", "ts_us", "event_id")
+  }
+
   /** Exact windowed mean over a trailing N-row frame (min_periods=1). */
   private def rollMean(n: Int): org.apache.spark.sql.Column = {
     val w = keyOrder.rowsBetween(-(n - 1), Window.currentRow)

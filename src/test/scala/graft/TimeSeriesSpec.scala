@@ -130,6 +130,35 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(counts.head === maxCount)
   }
 
+  test("linear interpolation: planted gaps recover the line; boundaries fall back") {
+    import spark.implicits._
+    // one key: readings 10.0 @t=0 and 20.0 @t=10; dropouts at t=4 and t=6
+    // must land ON the line (14.0, 16.0); a leading dropout bfills, a
+    // trailing dropout ffills; non-dropout rows pass through untouched
+    val rows = Seq(
+      (1L, 9L, -5L, "error", 99.0),   // leading dropout -> bfill 10.0
+      (2L, 9L, 0L, "read", 10.0),
+      (3L, 9L, 4L, "error", 99.0),    // -> 10 + (20-10)*4/10 = 14.0
+      (4L, 9L, 6L, "error", 99.0),    // -> 16.0
+      (5L, 9L, 10L, "read", 20.0),
+      (6L, 9L, 15L, "error", 99.0)    // trailing dropout -> ffill 20.0
+    ).toDF("event_id", "user_id", "ts_us", "event_type", "value")
+    val got = TimeSeries.interpolate(rows).collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Double]("value_interp"),
+        r.getAs[Boolean]("is_interpolated")))
+    assert(got.toSeq === Seq(
+      (1L, 10.0, true), (2L, 10.0, false), (3L, 14.0, true),
+      (4L, 16.0, true), (5L, 20.0, false), (6L, 20.0, true)))
+    // corpus sanity: every surviving row is non-null and non-dropout rows
+    // keep their reading exactly
+    val corpus = TimeSeries.interpolate(events)
+    assert(corpus.filter(col("value_interp").isNull).count() === 0)
+    val passthrough = corpus.filter(!col("is_interpolated"))
+      .join(events.filter(col("event_type") =!= "error"), Seq("event_id"))
+      .filter(col("value_interp") =!= col("value"))
+    assert(passthrough.count() === 0)
+  }
+
   test("time-bounded summary equals summary of the time-filtered frame") {
     val alerts = AnomalyRules.thresholdAlerts(TimeSeries.rollingFeatures(events))
     val lo = 1704844800000000L
