@@ -35,26 +35,42 @@ object AnnLsh {
         .embeddingLshBuckets(col("embedding"), tables, planes, TableOffset))
 
   /** Batched probe: top-k for EVERY id in `queryIds` in one pass — the
-    * ANN-service shape (see Ivf.topKBatch). The indexed corpus is
-    * scanned twice per action: once to extract the query rows
-    * (materialized so the broadcast doesn't re-run the scan) and once,
-    * bucket-filtered per query, for the hits; per-query top-k is one
-    * partitioned window with [[topK]]'s (cosine desc, vec_id) tie-break,
-    * so batch output is row-identical to per-query probes (specced). */
+    * ANN-service shape (see Ivf.topKBatch). The corpus side explodes its
+    * table buckets and EQUI-JOINS the (broadcast, exploded) query
+    * buckets on (table, bucket), so per-probe work tracks bucket
+    * collisions — (corpus/2^planes)·tables per query — instead of the
+    * corpus×queries nested-loop a broadcast crossJoin + array filter
+    * would evaluate. A (q, vec) pair colliding in several tables is
+    * kept only at the first agreeing one (the same first-agree dedup as
+    * the LSH dedup paths — no distinct over the candidate stream);
+    * per-query top-k is one partitioned window with [[topK]]'s
+    * (cosine desc, vec_id) tie-break, so batch output is row-identical
+    * to per-query probes (specced). Query ids must be distinct; ids
+    * absent from the corpus yield no rows, exactly like [[topK]]. */
   def topKBatch(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
       tables: Int = 4, planes: Int = 6): DataFrame = {
     require(queryIds.nonEmpty, "queryIds must not be empty")
+    require(queryIds.distinct.size == queryIds.size,
+      "queryIds must be distinct — duplicate ids would collapse into one group")
     import org.apache.spark.sql.expressions.Window
     val indexed = index(embeddings, tables, planes)
     val queries = indexed.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("buckets").as("q_buckets"))
       .localCheckpoint(true)
-    val hits = indexed
-      .crossJoin(broadcast(queries))
+    val qb = queries.select(col("q_id"), col("q_emb"), col("q_buckets"),
+      posexplode(col("q_buckets")).as(Seq("t", "bucket")))
+    val cb = indexed.select(col("vec_id"), col("label"), col("embedding"),
+      col("buckets"), posexplode(col("buckets")).as(Seq("t", "bucket")))
+    // first-agree over the carried bucket arrays: bit b set iff table b collides
+    val agreeBits = (0 until tables).map { b =>
+      when(element_at(col("buckets"), b + 1) === element_at(col("q_buckets"), b + 1),
+        lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val hits = cb.join(broadcast(qb), Seq("t", "bucket"))
       .filter(col("vec_id") =!= col("q_id") &&
-        exists(zip_with(col("buckets"), col("q_buckets"), (x, y) => x === y),
-          idx => idx))
+        agreeBits.bitwiseAND(
+          expr("shiftleft(CAST(1 AS BIGINT), t)") - lit(1L)) === 0L)
       .select(col("q_id"), col("vec_id"), col("label"),
         VectorMath.cosineDouble(col("embedding"), col("q_emb")).as("cosine"))
     val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))
