@@ -87,12 +87,17 @@ object AnnLsh {
     val indexed = index(embeddings, tables, planes)
     val q = indexed.filter(col("vec_id") === queryId)
       .select(col("embedding").as("q_emb"), col("buckets").as("q_buckets"))
+    // candidate: any table agrees on the bucket — flat element_at
+    // comparisons (whole-stage codegen) over the tiny fixed-size arrays,
+    // evaluated once per corpus row; an exists(zip_with(...)) here runs
+    // interpreted with boxing on the probe's hot path
+    val anyAgree = (0 until tables).map { b =>
+      element_at(col("buckets"), b + 1) === element_at(col("q_buckets"), b + 1)
+    }.reduce(_ || _)
     indexed
       .filter(col("vec_id") =!= queryId)
       .crossJoin(broadcast(q))
-      // candidate: any table agrees on the bucket (tiny fixed-size arrays)
-      .filter(exists(zip_with(col("buckets"), col("q_buckets"), (x, y) => x === y),
-        idx => idx))
+      .filter(anyAgree)
       .select(col("vec_id"), col("label"),
         VectorMath.cosineDouble(col("embedding"), col("q_emb")).as("cosine"))
       .orderBy(col("cosine").desc, col("vec_id"))

@@ -16,7 +16,15 @@ import graft.sources.Tables
 class PlanQualitySpec extends AnyFunSuite {
   import TestSpark.{sf, spark}
 
-  private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
+  /** Physical plan WITHOUT cache substitution: another suite caching a
+    * matching subtree (e.g. ScalePathSpec caches rollingFeatures) would
+    * otherwise splice an InMemoryRelation into this plan, whose AQE dump
+    * prints Initial+Final sections and double-counts exchanges — the
+    * assertions here are about the real plan, not cache artifacts. */
+  private def plan(df: DataFrame): String = {
+    spark.sharedState.cacheManager.clearCache()
+    df.queryExecution.executedPlan.toString
+  }
 
   test("pricing summary pushes the shipdate filter into the parquet scan") {
     val p = plan(Headline.pricingSummary(Tables.lineitem(spark, sf)))
