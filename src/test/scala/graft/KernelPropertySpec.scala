@@ -68,6 +68,35 @@ class KernelPropertySpec extends AnyFunSuite {
     assert(bad.count() === 0)
   }
 
+  test("nearest_centroid equals the plain-Scala cosine argmax") {
+    val dim = 8; val k = 13
+    val centroids = Array.fill(k)(Array.fill(dim)(rnd.nextFloat() * 2f - 1f))
+    val vecs = (0 until 1000).map(i =>
+      (i.toLong, Array.fill(dim)(rnd.nextFloat() * 2f - 1f))).toSeq
+    // reference: same double arithmetic order as the kernel — dot in
+    // ascending j, score = dot * (1/||c||), strict > so first-best wins
+    val invNorms = centroids.map { c =>
+      val s = c.map(x => x.toDouble * x.toDouble).sum
+      if (s > 0) 1.0 / math.sqrt(s) else 0.0
+    }
+    def expected(v: Array[Float]): Int = {
+      var best = 0; var bestScore = Double.NegativeInfinity
+      for (i <- 0 until k) {
+        var dot = 0.0
+        for (j <- 0 until dim) dot += v(j).toDouble * centroids(i)(j).toDouble
+        val s = dot * invNorms(i)
+        if (s > bestScore) { bestScore = s; best = i }
+      }
+      best
+    }
+    val got = vecs.toDF("id", "vec")
+      .select(col("id"), ColumnBridge.nearestCentroid(col("vec"), centroids).as("cell"))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Int]("cell")).toMap
+    vecs.foreach { case (id, v) =>
+      assert(got(id) === expected(v), s"vector $id")
+    }
+  }
+
   test("float_dot equals the Scala fold within 1e-6 relative") {
     val cases = (1 to 500).map { i =>
       val n = 1 + rnd.nextInt(64)
