@@ -103,4 +103,92 @@ object AnnLsh {
       .orderBy(col("cosine").desc, col("vec_id"))
       .limit(k)
   }
+
+  // --------------------------------------------------------------------
+  // Persisted, partition-pruned index layout.
+  //
+  // topK computes buckets at query time and filters a FULL corpus scan.
+  // The layout below writes the corpus exploded to one row per (table,
+  // bucket) membership, `partitionBy("t", "bucket")` — so a probe's
+  // bucket predicate is a partition filter and the scan opens only the
+  // `tables` matching bucket directories: corpus·(tables/2^planes) read
+  // at the source. Storage costs `tables`× the corpus (each row appears
+  // once per hash table) — the classic inverted-index trade. Raise
+  // `planes` as the corpus grows to keep directory sizes bounded.
+  // --------------------------------------------------------------------
+
+  /** An opened on-disk LSH index: the (t, bucket)-partitioned exploded
+    * corpus plus the plane-family parameters it was built with. */
+  final case class LshIndex(corpus: DataFrame, tables: Int, planes: Int)
+
+  /** Write the LSH index for `embeddings` under `path`. One kernel pass
+    * assigns buckets; the explode fans each row to its `tables`
+    * directories. The full bucket array rides along each row so probes
+    * can first-agree-dedup without a join back to the un-exploded corpus. */
+  def saveIndex(embeddings: DataFrame, path: String, tables: Int = 4,
+      planes: Int = 6): Unit = {
+    val spark = embeddings.sparkSession
+    index(embeddings, tables, planes)
+      .select(col("vec_id"), col("label"), col("embedding"), col("buckets"),
+        posexplode(col("buckets")).as(Seq("t", "bucket")))
+      .write.mode("overwrite").partitionBy("t", "bucket")
+      .parquet(s"$path/corpus")
+    val p = new org.apache.hadoop.fs.Path(s"$path/params.bin")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val oos = new java.io.ObjectOutputStream(fs.create(p, true))
+    try oos.writeObject(Array(tables, planes)) finally oos.close()
+  }
+
+  /** Open an index written by [[saveIndex]]. */
+  def openIndex(spark: org.apache.spark.sql.SparkSession, path: String): LshIndex = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/params.bin")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ois = new java.io.ObjectInputStream(fs.open(p))
+    val arr = try ois.readObject().asInstanceOf[Array[Int]] finally ois.close()
+    LshIndex(spark.read.parquet(s"$path/corpus"), arr(0), arr(1))
+  }
+
+  /** The query vector's per-table bucket ids, computed by the SAME kernel
+    * as the stored index (one-row evaluation — bit-identical plane family
+    * by construction, no reimplementation to drift). */
+  private def bucketsOf(spark: org.apache.spark.sql.SparkSession,
+      qVec: Array[Float], tables: Int, planes: Int): Array[Long] =
+    spark.range(1).select(
+        org.apache.spark.sql.graft.ColumnBridge
+          .embeddingLshBuckets(typedlit(qVec), tables, planes, TableOffset).as("b"))
+      .head.getSeq[Long](0).toArray
+
+  /** Probe a persisted index with a query VECTOR. The (t, bucket)
+    * disjunction references only partition columns, so the scan prunes to
+    * the query's `tables` bucket directories (PlanQualitySpec pins
+    * PartitionFilters); the carried bucket arrays first-agree-dedup
+    * candidates colliding in several tables. Row-identical to [[topK]]
+    * over the same corpus/parameters when `excludeId` carries the query's
+    * own id. */
+  def topKVec(index: LshIndex, qVec: Array[Float], k: Int,
+      excludeId: Option[Long] = None): DataFrame = {
+    val spark = index.corpus.sparkSession
+    val qb = bucketsOf(spark, qVec, index.tables, index.planes)
+    val hit = (0 until index.tables).map(t =>
+      col("t") === t && col("bucket") === qb(t)).reduce(_ || _)
+    val noEarlierAgree = not((0 until index.tables).map(b =>
+      col("t") > b && element_at(col("buckets"), b + 1) === qb(b))
+      .reduce(_ || _))
+    val pruned = index.corpus.filter(hit && noEarlierAgree)
+    val base = excludeId.fold(pruned)(id => pruned.filter(col("vec_id") =!= id))
+    base.select(col("vec_id"), col("label"),
+        VectorMath.cosineDouble(col("embedding"), typedlit(qVec)).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Probe a persisted index by corpus id: a point read fetches the query
+    * vector (any of its table rows carries it), then the pruned probe. */
+  def topKIndexed(index: LshIndex, queryId: Long, k: Int): DataFrame = {
+    val rows = index.corpus.filter(col("vec_id") === queryId)
+      .select(col("embedding")).limit(1).collect()
+    require(rows.nonEmpty, s"query id $queryId not present in the index corpus")
+    topKVec(index, rows.head.getSeq[Float](0).toArray, k,
+      excludeId = Some(queryId))
+  }
 }

@@ -30,12 +30,34 @@ object Ivf {
 
   private val sumDec = DecimalType(28, 10)
 
+  /** Above this many centroid floats (k×dim), assignment switches from the
+    * expression-embedded array to the torrent-broadcast kernel: a literal
+    * table this size would be re-serialized into every task binary and
+    * every plan copy, while a broadcast ships once per executor. 2²² floats
+    * = 16 MiB — the same order as Spark's own broadcast-join threshold. */
+  private[graft] val BroadcastCentroidFloats: Long = 1L << 22
+
   /** Cell-assignment column for a fixed centroid set (narrow map, whole-
-    * stage codegen). */
-  def withCell(embeddings: DataFrame, centroids: Array[Array[Float]]): DataFrame =
-    embeddings.withColumn("cell",
+    * stage codegen). Small centroid tables ride inside the expression;
+    * large ones (k×dim > [[BroadcastCentroidFloats]]) automatically take
+    * the broadcast kernel — same assignments either way (specced). */
+  def withCell(embeddings: DataFrame, centroids: Array[Array[Float]]): DataFrame = {
+    val k = centroids.length
+    val dim = if (k > 0) centroids(0).length else 0
+    if (k.toLong * dim > BroadcastCentroidFloats) withCellBroadcast(embeddings, centroids)
+    else embeddings.withColumn("cell",
       org.apache.spark.sql.graft.ColumnBridge
         .nearestCentroid(col("embedding"), centroids))
+  }
+
+  /** Forced-broadcast assignment path (the large-k kernel; see
+    * [[BroadcastCentroidFloats]]). Public so tests and huge-k callers can
+    * exercise it below the automatic threshold. */
+  def withCellBroadcast(embeddings: DataFrame,
+      centroids: Array[Array[Float]]): DataFrame =
+    embeddings.withColumn("cell",
+      org.apache.spark.sql.graft.ColumnBridge.nearestCentroidBc(
+        col("embedding"), centroids, embeddings.sparkSession.sparkContext))
 
   /** Quantize one float component the way `cast(v AS DECIMAL(28,10))`
     * does (via the double's shortest string form, then scale 10), so the
@@ -136,18 +158,31 @@ object Ivf {
 
   /** One Lloyd's mean round in the shuffle form (explode to
     * (cell, dim, v), mean by key) — the huge-k fallback where the dense
-    * aggregate state itself needs partitioning. */
+    * aggregate state itself needs partitioning. Per-dimension means stay
+    * DISTRIBUTED through a second (cell-keyed, k-row) aggregation that
+    * assembles each centroid into one compact array, so the driver
+    * receives k rows of dim doubles — never the k×dim individual mean
+    * rows whose per-Row overhead was the old ceiling. The remaining
+    * driver state is the k×dim float array itself, which is the API
+    * contract (callers hold/save it) and ships to executors via the
+    * broadcast kernel above [[BroadcastCentroidFloats]]. */
   private[graft] def shuffleRound(assigned: DataFrame, k: Int, dim: Int,
       centroids: Array[Array[Float]]): Array[Array[Float]] = {
     val next = centroids.map(_.clone())
-    val means = assigned
+    val cellRows = assigned
       .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .groupBy(col("cell"), col("pos"))
       .agg((sum(col("v").cast(sumDec)) / count(lit(1)))
         .cast("double").as("m"))
+      .groupBy(col("cell"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("cell"), transform(col("pm"), e => e.getField("m")).as("mean"))
       .collect()
-    means.foreach { r =>
-      next(r.getInt(0))(r.getInt(1)) = r.getDouble(2).toFloat
+    cellRows.foreach { r =>
+      val cell = r.getInt(0)
+      val mean = r.getSeq[Double](1)
+      var d = 0
+      while (d < mean.length) { next(cell)(d) = mean(d).toFloat; d += 1 }
     }
     next
   }
@@ -261,5 +296,90 @@ object Ivf {
         VectorMath.cosineDouble(col("embedding"), col("q_emb")).as("cosine"))
       .orderBy(col("cosine").desc, col("vec_id"))
       .limit(k)
+  }
+
+  // --------------------------------------------------------------------
+  // Persisted, partition-pruned index layout.
+  //
+  // topK/topKWith assign cells at query time and FILTER a full corpus
+  // scan — correct, but at 100 TB every lookup pays the whole read. The
+  // layout below applies the alert-lake pattern (AlertStore's
+  // day-partitioned store + AlertStorePruning) to the similarity index:
+  // the assigned corpus is written `partitionBy("cell")`, so a probe's
+  // `cell IN (…)` lands in the scan's PartitionFilters and only the
+  // nprobe cell directories are ever opened. Lookup cost becomes
+  // corpus·(nprobe/k) at the SOURCE, not post-scan.
+  // --------------------------------------------------------------------
+
+  /** An opened on-disk IVF index: the cell-partitioned corpus relation plus
+    * the centroid table (driver-resident; k×dim floats — √n-cell sized). */
+  final case class IvfIndex(corpus: DataFrame, centroids: Array[Array[Float]])
+
+  /** Write the IVF index for `embeddings` under `path`: the cell-assigned
+    * corpus as a cell-partitioned parquet table, and the centroids beside
+    * it. One assignment scan; directories = cell count (∝ √n — at 10⁶
+    * cells use a coarser `cells` or a two-level layout). */
+  def saveIndex(embeddings: DataFrame, centroids: Array[Array[Float]],
+      path: String): Unit = {
+    withCell(embeddings, centroids)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/corpus")
+    save(centroids, s"$path/centroids.bin", embeddings.sparkSession)
+  }
+
+  /** Open an index written by [[saveIndex]]. */
+  def openIndex(spark: SparkSession, path: String): IvfIndex =
+    IvfIndex(spark.read.parquet(s"$path/corpus"),
+      load(s"$path/centroids.bin", spark))
+
+  /** Rank cells for a query vector ON THE DRIVER — the centroid table is
+    * already local, so the O(k·dim) argsort needs no Spark job. The double
+    * statement sequence matches the FloatDotProduct kernel + cosineDouble
+    * shape exactly (ascending-index dot loop; dot / (√cc · √qq)), so the
+    * chosen cells are identical to topKWith's distributed ranking
+    * (row-identity specced). */
+  private[graft] def rankCells(centroids: Array[Array[Float]],
+      q: Array[Float], nprobe: Int): Seq[Int] = {
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      val n = math.min(a.length, b.length)
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    val qn = math.sqrt(dot(q, q))
+    centroids.zipWithIndex
+      .map { case (c, i) => (dot(c, q) / (math.sqrt(dot(c, c)) * qn), i) }
+      .sortBy { case (cos, i) => (-cos, i) }
+      .take(nprobe)
+      .map(_._2)
+      .toSeq
+  }
+
+  /** Probe a persisted index with a query VECTOR: cells rank driver-side,
+    * and the scan reads ONLY those cell directories (`cell IN (…)` is a
+    * partition filter — PlanQualitySpec pins PartitionFilters on this
+    * plan). Row-identical to [[topKWith]] over the same corpus/centroids
+    * when `excludeId` carries the query's own id. */
+  def topKVec(index: IvfIndex, qVec: Array[Float], k: Int, nprobe: Int = 2,
+      excludeId: Option[Long] = None): DataFrame = {
+    val cells = rankCells(index.centroids, qVec, nprobe)
+    val pruned = index.corpus.filter(col("cell").isin(cells.map(Int.box): _*))
+    val base = excludeId.fold(pruned)(id => pruned.filter(col("vec_id") =!= id))
+    base.select(col("vec_id"), col("label"),
+        VectorMath.cosineDouble(col("embedding"), typedlit(qVec)).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Probe a persisted index by corpus id: one id-lookup to fetch the
+    * query vector (point read; at scale keep a vec_id-keyed side table or
+    * pass the vector to [[topKVec]] directly), then the pruned probe. */
+  def topKIndexed(index: IvfIndex, queryId: Long, k: Int,
+      nprobe: Int = 2): DataFrame = {
+    val rows = index.corpus.filter(col("vec_id") === queryId)
+      .select(col("embedding")).limit(1).collect()
+    require(rows.nonEmpty, s"query id $queryId not present in the index corpus")
+    topKVec(index, rows.head.getSeq[Float](0).toArray, k, nprobe,
+      excludeId = Some(queryId))
   }
 }

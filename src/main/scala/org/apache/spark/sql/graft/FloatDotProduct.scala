@@ -104,9 +104,10 @@ object ColumnBridge {
       tableOffset: Int = 0): Column =
     column(EmbeddingLshBuckets(expression(vec), tables, planes, tableOffset))
 
-  /** nearest_centroid(vec) as a Column: index of the centroid with the
-    * highest cosine against `vec`. */
-  def nearestCentroid(vec: Column, centroids: Array[Array[Float]]): Column = {
+  /** Row-major flattening + precomputed inverse norms shared by both
+    * centroid-assignment kernels. */
+  private def flattenCentroids(
+      centroids: Array[Array[Float]]): (Array[Float], Array[Double], Int, Int) = {
     val k = centroids.length
     val dim = if (k > 0) centroids(0).length else 0
     val flat = new Array[Float](k * dim)
@@ -123,7 +124,28 @@ object ColumnBridge {
       invNorms(i) = if (s > 0) 1.0 / math.sqrt(s) else 0.0
       i += 1
     }
+    (flat, invNorms, k, dim)
+  }
+
+  /** nearest_centroid(vec) as a Column: index of the centroid with the
+    * highest cosine against `vec`. The centroid array rides inside the
+    * expression (task-serialized with every stage) — right for the √n-cell
+    * regime; above a few million floats use [[nearestCentroidBc]]. */
+  def nearestCentroid(vec: Column, centroids: Array[Array[Float]]): Column = {
+    val (flat, invNorms, k, dim) = flattenCentroids(centroids)
     column(NearestCentroid(expression(vec), flat, k, dim, invNorms))
+  }
+
+  /** nearest_centroid over a torrent-BROADCAST centroid table: the
+    * expression serializes only the broadcast handles, executors fetch the
+    * k×dim payload once via the block manager — the large-k path where an
+    * expression-embedded array would bloat every task binary. Scores and
+    * tie-breaks are identical to [[nearestCentroid]] (property-specced). */
+  def nearestCentroidBc(vec: Column, centroids: Array[Array[Float]],
+      sc: org.apache.spark.SparkContext): Column = {
+    val (flat, invNorms, k, dim) = flattenCentroids(centroids)
+    column(NearestCentroidBroadcast(expression(vec),
+      sc.broadcast(flat), k, dim, sc.broadcast(invNorms)))
   }
 }
 
@@ -636,5 +658,97 @@ case class NearestCentroid(child: Expression, centroids: Array[Float],
   }
 
   override protected def withNewChildInternal(newChild: Expression): NearestCentroid =
+    copy(child = newChild)
+}
+
+/** [[NearestCentroid]] with the centroid table behind Spark broadcast
+  * variables instead of expression-embedded arrays.
+  *
+  * Why a second kernel: `NearestCentroid` carries k×dim floats inside the
+  * expression tree, so every task binary (and every plan copy) serializes
+  * the whole table — fine at √n cells, a driver/scheduler ceiling once
+  * k×dim reaches 10⁷⁺ floats (10¹²-vector corpora). Here the expression
+  * serializes two broadcast HANDLES; each executor fetches the payload
+  * once through the torrent block manager and caches it process-wide.
+  * The generated loop hoists `.value()` into class init, so the per-row
+  * cost is identical to the literal kernel. Scoring math is the same
+  * statement sequence — assignments are bit-identical (property-specced).
+  */
+case class NearestCentroidBroadcast(child: Expression,
+    bcCentroids: org.apache.spark.broadcast.Broadcast[Array[Float]],
+    k: Int, dim: Int,
+    bcInvNorms: org.apache.spark.broadcast.Broadcast[Array[Double]])
+    extends UnaryExpression with ExpectsInputTypes {
+  import org.apache.spark.sql.catalyst.util.ArrayData
+  import org.apache.spark.sql.types.IntegerType
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+
+  override def dataType: DataType = IntegerType
+
+  override def prettyName: String = "nearest_centroid_bc"
+
+  @transient private lazy val centroids = bcCentroids.value
+  @transient private lazy val invNorms = bcInvNorms.value
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val vec = input.asInstanceOf[ArrayData]
+    val n = math.min(vec.numElements(), dim)
+    var best = 0
+    var bestScore = Double.NegativeInfinity
+    var i = 0
+    while (i < k) {
+      var dot = 0.0
+      var j = 0
+      while (j < n) {
+        if (!vec.isNullAt(j)) {
+          dot += vec.getFloat(j).toDouble * centroids(i * dim + j).toDouble
+        }
+        j += 1
+      }
+      val s = dot * invNorms(i)
+      if (s > bestScore) { bestScore = s; best = i }
+      i += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcCRef = ctx.addReferenceObj("ncBcCentroids", bcCentroids,
+      "org.apache.spark.broadcast.Broadcast")
+    val bcNRef = ctx.addReferenceObj("ncBcInvNorms", bcInvNorms,
+      "org.apache.spark.broadcast.Broadcast")
+    // broadcast fetch hoisted to class init: one .value() per task, the
+    // row loop reads plain primitive arrays exactly like the literal kernel
+    val cVar = ctx.addMutableState("float[]", "ncBcCents",
+      v => s"$v = (float[]) $bcCRef.value();")
+    val nVar = ctx.addMutableState("double[]", "ncBcInvs",
+      v => s"$v = (double[]) $bcNRef.value();")
+    nullSafeCodeGen(ctx, ev, vec => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val j = ctx.freshName("j"); val dot = ctx.freshName("dot")
+      val s = ctx.freshName("s"); val best = ctx.freshName("best")
+      val bestScore = ctx.freshName("bestScore")
+      s"""
+         |int $n = java.lang.Math.min($vec.numElements(), $dim);
+         |int $best = 0;
+         |double $bestScore = java.lang.Double.NEGATIVE_INFINITY;
+         |for (int $i = 0; $i < $k; $i++) {
+         |  double $dot = 0.0;
+         |  for (int $j = 0; $j < $n; $j++) {
+         |    if (!$vec.isNullAt($j)) {
+         |      $dot += (double) $vec.getFloat($j) * (double) $cVar[$i * $dim + $j];
+         |    }
+         |  }
+         |  double $s = $dot * $nVar[$i];
+         |  if ($s > $bestScore) { $bestScore = $s; $best = $i; }
+         |}
+         |${ev.value} = $best;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): NearestCentroidBroadcast =
     copy(child = newChild)
 }

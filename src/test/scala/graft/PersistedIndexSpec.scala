@@ -1,0 +1,143 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AnnLsh, Ivf}
+import graft.sources.Tables
+
+/** The persisted, partition-pruned similarity indexes (Ivf.saveIndex /
+  * AnnLsh.saveIndex): probes must (a) prune at the SCAN — the pruned-cell
+  * predicate lands in the parquet relation's PartitionFilters, so a
+  * 100-TB corpus read touches only the probed directories — and (b) stay
+  * row-identical to the in-memory scan-and-filter path. Plus the
+  * broadcast-kernel centroid path that replaces expression-embedded
+  * centroid tables at large k.
+  */
+class PersistedIndexSpec extends AnyFunSuite {
+  import TestSpark.{sf, spark}
+  import spark.implicits._
+
+  private def embVec(id: Long): Array[Float] =
+    Tables.embeddings(spark, sf).filter(col("vec_id") === id)
+      .select("embedding").head.getSeq[Float](0).toArray
+
+  /** The probe plan's scan must carry a non-empty partition filter over
+    * the given column — pruning happens at planning, not post-scan. */
+  private def assertPartitionPruned(df: org.apache.spark.sql.DataFrame,
+      partCol: String): Unit = {
+    val plan = df.queryExecution.executedPlan.toString
+    val pf = "PartitionFilters: \\[([^\\]]*)\\]".r
+      .findFirstMatchIn(plan).map(_.group(1))
+    assert(pf.exists(f => f.contains(partCol) && f.trim.nonEmpty),
+      s"no $partCol partition filter at the scan:\n$plan")
+  }
+
+  test("persisted IVF probe prunes cell partitions and matches the in-memory path") {
+    val emb = Tables.embeddings(spark, sf)
+    val cents = Ivf.kmeansCentroids(emb, 16, iters = 4)
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx").toString
+    Ivf.saveIndex(emb, cents, dir)
+    val idx = Ivf.openIndex(spark, dir)
+
+    val probe = Ivf.topKVec(idx, embVec(0L), 10, nprobe = 3,
+      excludeId = Some(0L))
+    assertPartitionPruned(probe, "cell")
+
+    val got = probe.collect().map(r =>
+      (r.getAs[Long]("vec_id"), r.getAs[String]("label"), r.getAs[Double]("cosine")))
+    val want = Ivf.topKWith(emb, cents, 0L, 10, nprobe = 3).collect().map(r =>
+      (r.getAs[Long]("vec_id"), r.getAs[String]("label"), r.getAs[Double]("cosine")))
+    assert(got.sameElements(want))
+
+    // by-id probe over the index is the same rows again
+    val byId = Ivf.topKIndexed(idx, 0L, 10, nprobe = 3).collect().map(r =>
+      (r.getAs[Long]("vec_id"), r.getAs[String]("label"), r.getAs[Double]("cosine")))
+    assert(byId.sameElements(want))
+
+    intercept[IllegalArgumentException] {
+      Ivf.topKIndexed(idx, -999L, 10)
+    }
+  }
+
+  test("persisted IVF probe reads only the probed cell directories") {
+    val emb = Tables.embeddings(spark, sf)
+    val cents = Ivf.kmeansCentroids(emb, 16, iters = 4)
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx2").toString
+    Ivf.saveIndex(emb, cents, dir)
+    val idx = Ivf.openIndex(spark, dir)
+    val probe = Ivf.topKVec(idx, embVec(3L), 5, nprobe = 2)
+    probe.collect()
+    // after execution the scan reports its pruned file count: at most the
+    // two probed directories' files (coalesced writes → 1 file per cell)
+    val scan = probe.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+    assert(scan.nonEmpty, "no file scan in the probe plan")
+    val totalCells = idx.corpus.select("cell").distinct().count()
+    assert(scan.get.metrics("numFiles").value <= 2 * (
+      scan.get.relation.location.inputFiles.length / totalCells).max(1),
+      s"probe read ${scan.get.metrics("numFiles").value} files for nprobe=2 of $totalCells cells")
+  }
+
+  test("persisted LSH probe prunes (t, bucket) partitions and matches topK") {
+    val emb = Tables.embeddings(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("lshidx").toString
+    AnnLsh.saveIndex(emb, dir)
+    val idx = AnnLsh.openIndex(spark, dir)
+    assert(idx.tables === 4 && idx.planes === 6)
+
+    val probe = AnnLsh.topKVec(idx, embVec(0L), 10, excludeId = Some(0L))
+    assertPartitionPruned(probe, "bucket")
+
+    val got = probe.collect().map(r =>
+      (r.getAs[Long]("vec_id"), r.getAs[String]("label"), r.getAs[Double]("cosine")))
+    val want = AnnLsh.topK(emb, 0L, 10).collect().map(r =>
+      (r.getAs[Long]("vec_id"), r.getAs[String]("label"), r.getAs[Double]("cosine")))
+    assert(got.sameElements(want))
+
+    val byId = AnnLsh.topKIndexed(idx, 0L, 10).collect().map(r =>
+      (r.getAs[Long]("vec_id"), r.getAs[String]("label"), r.getAs[Double]("cosine")))
+    assert(byId.sameElements(want))
+  }
+
+  test("persisted LSH probe agrees with topK across many queries") {
+    val emb = Tables.embeddings(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("lshidx2").toString
+    AnnLsh.saveIndex(emb, dir)
+    val idx = AnnLsh.openIndex(spark, dir)
+    Seq(1L, 7L, 31L, 100L).foreach { q =>
+      val got = AnnLsh.topKIndexed(idx, q, 5).collect()
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cosine")))
+      val want = AnnLsh.topK(emb, q, 5).collect()
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cosine")))
+      assert(got.sameElements(want), s"query $q")
+    }
+  }
+
+  test("broadcast centroid kernel assigns identically to the literal kernel") {
+    val rnd = new scala.util.Random(7)
+    val dim = 12; val k = 19
+    val centroids = Array.fill(k)(Array.fill(dim)(rnd.nextFloat() * 2f - 1f))
+    val vecs = (0 until 800).map(i =>
+      (i.toLong, Array.fill(dim)(rnd.nextFloat() * 2f - 1f))).toDF("vec_id", "embedding")
+    val lit = Ivf.withCell(vecs, centroids)
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val bc = Ivf.withCellBroadcast(vecs, centroids)
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(lit === bc)
+  }
+
+  test("broadcast kernel path also drives k-means + probe end to end") {
+    // same corpus, centroids learned normally; assignment forced through
+    // the broadcast kernel for the whole probe — rows must match
+    val emb = Tables.embeddings(spark, sf)
+    val cents = Ivf.kmeansCentroids(emb, 8, iters = 2)
+    val litCells = Ivf.withCell(emb, cents).groupBy("cell").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val bcCells = Ivf.withCellBroadcast(emb, cents).groupBy("cell").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(litCells === bcCells)
+  }
+}
