@@ -41,7 +41,17 @@ object Bench {
       .mkString("{", ",", "}")
     val failed = results.filter(_._2 < 0).keys.toSeq.sorted
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir"}""")
+    // sampled ANN recall@10 (100 queries vs brute force) rides along every
+    // bench so tables/planes/nprobe drift is visible, not silent; runs
+    // outside the timings. SPARK_GRAFT_RECALL=0 skips it.
+    val recall =
+      if (sys.env.get("SPARK_GRAFT_RECALL").contains("0") || only.nonEmpty) ""
+      else try {
+        val r = RecallProbe.run(spark, sfDir).toSeq.sortBy(_._1)
+          .map { case (k, v) => s"\"$k\":$v" }.mkString(",")
+        s""","recall":{$r}"""
+      } catch { case _: Throwable => "" }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")}$recall,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
