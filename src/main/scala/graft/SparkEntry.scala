@@ -234,6 +234,16 @@ object SparkEntry {
         .orderBy("c_mktsegment", "c_custkey")),
   )
 
+  /** DuckDB twin of VectorMath.dotDouble (the FloatDotProduct kernel):
+    * strict left-to-right double accumulation of exact float→double
+    * element products. DuckDB's list_sum folds sequentially, so the sum
+    * — and any cosine built from it in the kernel's op shape — is
+    * bit-identical to the JVM loop (verified against adversarial
+    * mixed-magnitude inputs and the sf0.01 dumps). */
+  private def dotDoubleSql(a: String, b: String): String =
+    s"list_sum(list_transform(generate_series(1, len($a)), " +
+      s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+
   /** DuckDB twin of VectorMath.dotDec over two array columns. */
   private def dotSql(a: String, b: String): String =
     s"list_sum(list_transform(generate_series(1, len($a)), " +
@@ -652,6 +662,56 @@ object SparkEntry {
          |WHERE cosine >= 0.3
          |ORDER BY vec_a, vec_b""".stripMargin,
 
+
+    // AnnLsh's plane family (tables 64..67, 6 planes) and its double
+    // cosine re-rank are both bit-reproducible: buckets via the shared
+    // integer-LCG twin (lshBucketSql, as dd_embedding), cosine via the
+    // sequential-double twin (dotDoubleSql) in the kernel's exact op shape
+    "sim_ann_lsh" ->
+      s"""WITH base AS (
+         |  SELECT vec_id, list_transform(embedding,
+         |           x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS iv
+         |  FROM embeddings),
+         |bk AS (
+         |  SELECT vec_id, t, ${lshBucketSql(6)} AS bucket
+         |  FROM (SELECT vec_id, iv, unnest(generate_series(64, 67)) AS t FROM base)),
+         |qb AS (SELECT t, bucket FROM bk WHERE vec_id = 0),
+         |cand AS (
+         |  SELECT DISTINCT b.vec_id FROM bk b JOIN qb ON b.t = qb.t AND b.bucket = qb.bucket
+         |  WHERE b.vec_id <> 0),
+         |q AS (SELECT embedding AS q_emb, ${dotDoubleSql("embedding", "embedding")} AS q_nrm
+         |      FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id, e.label,
+         |       ${dotDoubleSql("e.embedding", "q_emb")}
+         |         / (sqrt(${dotDoubleSql("e.embedding", "e.embedding")}) * sqrt(q_nrm)) AS cosine
+         |FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN q
+         |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+
+    "sim_ann_batch" ->
+      s"""WITH base AS (
+         |  SELECT vec_id, list_transform(embedding,
+         |           x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS iv
+         |  FROM embeddings),
+         |bk AS (
+         |  SELECT vec_id, t, ${lshBucketSql(6)} AS bucket
+         |  FROM (SELECT vec_id, iv, unnest(generate_series(64, 67)) AS t FROM base)),
+         |qb AS (SELECT vec_id AS q_id, t, bucket FROM bk WHERE vec_id BETWEEN 0 AND 63),
+         |cand AS (
+         |  SELECT DISTINCT qb.q_id, b.vec_id
+         |  FROM bk b JOIN qb ON b.t = qb.t AND b.bucket = qb.bucket
+         |  WHERE b.vec_id <> qb.q_id),
+         |qe AS (SELECT vec_id AS q_id, embedding AS q_emb,
+         |              ${dotDoubleSql("embedding", "embedding")} AS q_nrm
+         |       FROM embeddings WHERE vec_id BETWEEN 0 AND 63),
+         |scored AS (
+         |  SELECT c.q_id, e.vec_id, e.label,
+         |         ${dotDoubleSql("e.embedding", "q_emb")}
+         |           / (sqrt(${dotDoubleSql("e.embedding", "e.embedding")}) * sqrt(q_nrm)) AS cosine
+         |  FROM cand c JOIN embeddings e USING (vec_id) JOIN qe ON c.q_id = qe.q_id),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY q_id
+         |                                    ORDER BY cosine DESC, vec_id) AS rn FROM scored)
+         |SELECT q_id, vec_id, label, cosine FROM rk WHERE rn <= 5
+         |ORDER BY q_id, cosine DESC, vec_id""".stripMargin,
 
     "sim_topk" ->
       s"""WITH q AS (
