@@ -22,6 +22,22 @@ object SparkEntry {
   private val ivfIndexCache =
     scala.collection.concurrent.TrieMap.empty[String, Ivf.IvfIndex]
 
+  /** One persisted MinHash signature index per sf dir per JVM (corpus =
+    * doc_id % 5 != 0), so dd_incremental measures the ingest-batch probe —
+    * sign the batch + one corpus-signature scan — not corpus signing. */
+  private val sigIndexCache =
+    scala.collection.concurrent.TrieMap.empty[String, IncrementalDedup.SigIndex]
+
+  private def sigIndexFor(s: SparkSession, dir: String): IncrementalDedup.SigIndex =
+    sigIndexCache.getOrElseUpdate(dir, {
+      val corpus = Tables.documents(s, dir)
+        .filter(org.apache.spark.sql.functions.col("doc_id") % 5 =!= 0)
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-sig-index").toString
+      IncrementalDedup.saveSignatures(corpus, path)
+      IncrementalDedup.openSignatures(s, path)
+    })
+
   private def ivfIndexFor(s: SparkSession, dir: String): Ivf.IvfIndex =
     ivfIndexCache.getOrElseUpdate(dir, {
       val emb = Tables.embeddings(s, dir).localCheckpoint(true)
@@ -196,6 +212,17 @@ object SparkEntry {
     // (cluster equality with an exhaustive pair scan specced in
     // ClusterIvfSpec)
     "dd_cluster" -> ((s, dir) => Dedup.clusterExact(Tables.documents(s, dir), 0.9)),
+    // incremental ingest dedup: every 5th doc arrives as the "new batch"
+    // and is probed against the persisted signature index of the rest
+    // (batch broadcast, one corpus-signature scan, estimate decides;
+    // rows-only — murmur3 signatures have no DuckDB twin; equality vs the
+    // brute-force bipartite form + append round-trip specced)
+    "dd_incremental" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      IncrementalDedup.dedupAgainst(sigIndexFor(s, dir),
+          Tables.documents(s, dir).filter(col("doc_id") % 5 === 0), 0.9)
+        .orderBy("doc_id")
+    }),
     // probes a PREBUILT partition-pruned index (trained+persisted once per
     // session per sf dir): the measured cost is the probe — a pruned
     // nprobe-cell scan — not in-call k-means training. Same parameters as

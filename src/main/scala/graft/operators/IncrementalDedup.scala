@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental (batch-vs-corpus) near-duplicate detection over a
+  * PERSISTED MinHash signature index — the shape a production ingest
+  * pipeline actually runs: the historical corpus is signed ONCE, each new
+  * crawl batch is signed at its own (small) size and joined against the
+  * stored signatures, so per-batch cost is O(batch + collisions), never a
+  * corpus re-tokenization and never corpus×corpus work.
+  *
+  * Reference analog: the reference dedups only within one static frame
+  * (pandas `duplicated()`); this is the scale extension of that surface
+  * (SURVEY §2 dd_*), reusing MinHashLsh's signature family so estimates
+  * agree bit-for-bit with the batch path.
+  *
+  * Scale design:
+  *   - The batch side (signatures + exploded band buckets) is BROADCAST;
+  *     the stored corpus signatures stream through one scan with no
+  *     shuffle and no self-join — the bipartite candidate volume is
+  *     Σ_buckets |corpus ∩ bucket|·|batch ∩ bucket|, linear in bucket
+  *     collisions (the self-join's m² hub blow-up cannot happen here).
+  *   - (corpus, batch) pairs colliding in several bands are kept only at
+  *     the FIRST agreeing band — the same carried-bucket-array first-agree
+  *     as MinHashLsh.bandedPairs, flat codegen arithmetic, no distinct
+  *     over the candidate stream.
+  *   - The duplicate decision is the k-minhash agreement estimate
+  *     (LongArrayMatchCount / k ≥ threshold): signatures alone decide, so
+  *     the index stores ~1 KB/doc and raw text is never read again.
+  *     σ ≈ √(j(1−j)/k) ≈ 0.03 at k=128 near j=0.9; callers needing exact
+  *     verification re-check flagged pairs against stored tokens.
+  *   - Intra-batch duplicates are out of scope by design (run
+  *     MinHashLsh.exactPairs / Dedup.clusterExact within the batch);
+  *     composing both is the standard two-step ingest dedup.
+  */
+object IncrementalDedup {
+
+  /** An opened signature index: (doc_id, sig, bkts) rows plus the
+    * signature/banding parameters they were built with. */
+  final case class SigIndex(sigs: DataFrame, path: String, k: Int, bands: Int)
+
+  /** (doc_id, sig, bkts): signatures plus per-doc band bucket array,
+    * computed by the SAME kernels as the self-join path. */
+  private def signed(documents: DataFrame, k: Int, bands: Int): DataFrame = {
+    val rows = k / bands
+    MinHashLsh.signatures(documents, k)
+      .withColumn("bkts",
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => hash(slice(col("sig"), b * rows + lit(1), lit(rows)), b)))
+  }
+
+  /** Sign `documents` once and persist the index under `path`. */
+  def saveSignatures(documents: DataFrame, path: String, k: Int = 128,
+      bands: Int = 16): Unit = {
+    require(k % bands == 0, s"bands ($bands) must divide k ($k)")
+    signed(documents, k, bands)
+      .write.mode("overwrite").parquet(s"$path/sigs")
+    val spark = documents.sparkSession
+    val p = new org.apache.hadoop.fs.Path(s"$path/params.bin")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val oos = new java.io.ObjectOutputStream(fs.create(p, true))
+    try oos.writeObject(Array(k, bands)) finally oos.close()
+  }
+
+  /** Open an index written by [[saveSignatures]]. */
+  def openSignatures(spark: SparkSession, path: String): SigIndex = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/params.bin")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ois = new java.io.ObjectInputStream(fs.open(p))
+    val arr = try ois.readObject().asInstanceOf[Array[Int]] finally ois.close()
+    SigIndex(spark.read.parquet(s"$path/sigs"), path, arr(0), arr(1))
+  }
+
+  /** Sign `newDocs` with the index's own parameters and APPEND them —
+    * the accept step of the ingest loop (dedup the batch, then append the
+    * survivors so the next batch sees them). Reopen to read the new rows. */
+  def appendSignatures(index: SigIndex, newDocs: DataFrame): Unit =
+    signed(newDocs, index.k, index.bands)
+      .write.mode("append").parquet(s"${index.path}/sigs")
+
+  /** Flag each new document against the stored corpus: one corpus-scan
+    * bucket join (batch side broadcast), first-agree band dedup, minhash
+    * agreement estimate ≥ `threshold` decides.
+    *
+    * Returns one row per `newDocs` id:
+    * (doc_id, is_duplicate, dup_of, match_est) where `dup_of` is the
+    * SMALLEST matching corpus id (the canonical-keeper convention of
+    * Dedup.exact) and `match_est` the largest agreement estimate over all
+    * matched corpus docs; both null when no match. Ids present in both
+    * the index and `newDocs` match themselves (est 1.0) — dedupAgainst is
+    * for ids the corpus has not seen. */
+  def dedupAgainst(index: SigIndex, newDocs: DataFrame,
+      threshold: Double = 0.9): DataFrame = {
+    val bands = index.bands
+    val batch = signed(newDocs, index.k, bands).localCheckpoint(true)
+    val batchB = batch.select(col("doc_id").as("q_id"), col("sig").as("q_sig"),
+      col("bkts").as("q_bkts"), posexplode(col("bkts")).as(Seq("band", "bucket")))
+    val corpusB = index.sigs.select(col("doc_id").as("c_id"), col("sig"),
+      col("bkts"), posexplode(col("bkts")).as(Seq("band", "bucket")))
+    // first agreeing band: the joined band always agrees; keep the row
+    // only if no LOWER band agrees — flat element_at arithmetic in
+    // whole-stage codegen over the two carried bucket arrays
+    val agreeBits = (0 until bands).map { b =>
+      when(element_at(col("bkts"), b + 1) === element_at(col("q_bkts"), b + 1),
+        lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val earlierMask = expr("shiftleft(CAST(1 AS BIGINT), band)") - lit(1L)
+    val matches = corpusB.join(broadcast(batchB), Seq("band", "bucket"))
+      .filter(agreeBits.bitwiseAND(earlierMask) === 0L)
+      .withColumn("est",
+        org.apache.spark.sql.graft.ColumnBridge
+          .matchCount(col("sig"), col("q_sig")).cast("double") / lit(index.k))
+      .filter(col("est") >= threshold)
+      .groupBy(col("q_id").as("doc_id"))
+      .agg(min(col("c_id")).as("dup_of"), max(col("est")).as("match_est"))
+    newDocs.select(col("doc_id")).join(matches, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_of").isNotNull.as("is_duplicate"),
+        col("dup_of"), col("match_est"))
+  }
+}

@@ -331,6 +331,18 @@ object Ivf {
     IvfIndex(spark.read.parquet(s"$path/corpus"),
       load(s"$path/centroids.bin", spark))
 
+  /** Index maintenance: assign `newVectors` to the EXISTING cells and
+    * append them to the cell-partitioned corpus — the ingest step for a
+    * live index, costing one assignment pass over the batch (cell
+    * directories gain files; nothing is retrained or rewritten). Probes
+    * over a reopened index see the appended vectors exactly as if the
+    * index had been built from the union (specced). Centroids drift as
+    * the distribution shifts — retrain + [[saveIndex]] when the recall
+    * telemetry (RecallProbe) degrades. */
+  def appendToIndex(path: String, newVectors: DataFrame): Unit =
+    withCell(newVectors, load(s"$path/centroids.bin", newVectors.sparkSession))
+      .write.mode("append").partitionBy("cell").parquet(s"$path/corpus")
+
   /** Rank cells for a query vector ON THE DRIVER — the centroid table is
     * already local, so the O(k·dim) argsort needs no Spark job. The double
     * statement sequence matches the FloatDotProduct kernel + cosineDouble

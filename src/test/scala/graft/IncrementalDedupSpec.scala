@@ -1,0 +1,110 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.IncrementalDedup
+import graft.sources.Tables
+
+/** Incremental (batch-vs-corpus) dedup over the persisted signature
+  * index: the bipartite first-agree join must equal the brute-force
+  * quadratic form, planted copies must be flagged against their source,
+  * and the append step must make earlier batches visible to later ones. */
+class IncrementalDedupSpec extends AnyFunSuite {
+  import TestSpark.{sf, spark}
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("inc-dedup-spec").toString
+
+  test("bipartite first-agree equals the brute-force form on real documents") {
+    val docs = Tables.documents(spark, sf)
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    val path = tmp()
+    IncrementalDedup.saveSignatures(corpus, path)
+    val idx = IncrementalDedup.openSignatures(spark, path)
+    val got = IncrementalDedup.dedupAgainst(idx, batch, 0.7)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(3)).map(_.asInstanceOf[Double]))).toSet
+
+    // brute force: every (corpus, batch) pair sharing ANY band bucket,
+    // estimate from the same stored signatures
+    val k = idx.k
+    val cs = idx.sigs.select(col("doc_id").as("c_id"), col("sig").as("c_sig"),
+      col("bkts").as("c_bkts"))
+    val bs = IncrementalDedup.openSignatures(spark, path) // same params
+    val batchSigned = {
+      // re-sign the batch through the public API: save to a scratch path
+      val p2 = tmp()
+      IncrementalDedup.saveSignatures(batch, p2, idx.k, idx.bands)
+      IncrementalDedup.openSignatures(spark, p2).sigs
+    }
+    val truth = batchSigned.select(col("doc_id").as("q_id"),
+        col("sig").as("q_sig"), col("bkts").as("q_bkts"))
+      .crossJoin(cs)
+      .filter(arrays_overlap(
+        zip_with(col("c_bkts"), col("q_bkts"), (a, b) => a === b),
+        array(lit(true))))
+      .withColumn("est", org.apache.spark.sql.graft.ColumnBridge
+        .matchCount(col("c_sig"), col("q_sig")).cast("double") / lit(k))
+      .filter(col("est") >= 0.7)
+      .groupBy(col("q_id"))
+      .agg(min("c_id").as("dup_of"), max("est").as("match_est"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    val batchIds = batch.select("doc_id").collect().map(_.getLong(0)).toSet
+    val expect = batchIds.map { id =>
+      truth.get(id) match {
+        case Some((d, e)) => (id, true, Option(d), Option(e))
+        case None => (id, false, Option.empty[Long], Option.empty[Double])
+      }
+    }
+    assert(got === expect)
+    assert(got.exists(_._2), "the sf0.001 corpus should contain cross-split near-dups")
+    assert(bs.k === idx.k)
+  }
+
+  test("planted copies are flagged with their source; fresh text is not") {
+    import spark.implicits._
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (11L, "completely different content about spark catalyst optimizer rules"),
+      (12L, "yet another unrelated document mentioning parquet column pruning"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (101L, "no overlap with anything stored in this tiny signature corpus at all"))
+      .toDF("doc_id", "text")
+    val path = tmp()
+    IncrementalDedup.saveSignatures(corpus, path)
+    val got = IncrementalDedup
+      .dedupAgainst(IncrementalDedup.openSignatures(spark, path), batch)
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), Option(r.get(2)), Option(r.get(3)))).toMap
+    assert(got(100L) === ((true, Some(10L), Some(1.0))))
+    assert(got(101L) === ((false, None, None)))
+  }
+
+  test("appended batches are visible to later batches") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val b1 = Seq(
+      (50L, "one two three four five six seven eight nine ten")).toDF("doc_id", "text")
+    val b2 = Seq(
+      (90L, "one two three four five six seven eight nine ten")).toDF("doc_id", "text")
+    val path = tmp()
+    IncrementalDedup.saveSignatures(corpus, path)
+    val idx1 = IncrementalDedup.openSignatures(spark, path)
+    val before = IncrementalDedup.dedupAgainst(idx1, b2)
+      .collect().map(r => (r.getBoolean(1))).head
+    assert(!before, "b2 must be clean before b1 is appended")
+    IncrementalDedup.appendSignatures(idx1, b1)
+    val idx2 = IncrementalDedup.openSignatures(spark, path)
+    val after = IncrementalDedup.dedupAgainst(idx2, b2)
+      .collect().map(r => (r.getBoolean(1), Option(r.get(2)))).head
+    assert(after === ((true, Some(50L))))
+  }
+}

@@ -114,6 +114,32 @@ class PersistedIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("appendToIndex makes new vectors probe-visible, identical to a rebuilt index") {
+    val emb = Tables.embeddings(spark, sf)
+    val old = emb.filter(col("vec_id") < 400)
+    val fresh = emb.filter(col("vec_id") >= 400)
+    val cents = Ivf.kmeansCentroids(old, 16, iters = 4)
+    val incDir = java.nio.file.Files.createTempDirectory("ivfapp1").toString
+    val fullDir = java.nio.file.Files.createTempDirectory("ivfapp2").toString
+    Ivf.saveIndex(old, cents, incDir)
+    Ivf.appendToIndex(incDir, fresh)
+    Ivf.saveIndex(emb, cents, fullDir) // same centroids, built from the union
+    val inc = Ivf.openIndex(spark, incDir)
+    val full = Ivf.openIndex(spark, fullDir)
+    Seq(0L, 450L).foreach { q =>
+      val got = Ivf.topKIndexed(inc, q, 10, nprobe = 3).collect()
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cosine")))
+      val want = Ivf.topKIndexed(full, q, 10, nprobe = 3).collect()
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cosine")))
+      assert(got.sameElements(want), s"query $q")
+      assert(got.nonEmpty)
+    }
+    // appended vectors actually surface as neighbors: an appended id's own
+    // nearest list is reachable and non-empty through the incremental index
+    assert(Ivf.topKIndexed(inc, 450L, 10, nprobe = 3).collect()
+      .nonEmpty)
+  }
+
   test("broadcast centroid kernel assigns identically to the literal kernel") {
     val rnd = new scala.util.Random(7)
     val dim = 12; val k = 19
