@@ -940,6 +940,29 @@ object SparkEntry {
         |       CAST(len(string_split(norm_text, ' ')) AS BIGINT) AS n_tokens_norm
         |FROM n ORDER BY doc_id""".stripMargin,
 
+    // languageId's stopword-hit scoring is pure integer counting + one
+    // double division, and its struct-greatest argmax is exactly "highest
+    // score, then lexicographically-largest code" — both engines reproduce
+    // it bit-for-bit (oracle since r5; the accuracy property stays specced
+    // on synthetic multilingual text in LlmOpsSpec)
+    "tx_langid" ->
+      """WITH p(cand, words) AS (VALUES
+        |  ('en', ['the','and','of','to','is','in','that','it']),
+        |  ('de', ['der','die','und','das','ist','nicht','ein','zu']),
+        |  ('es', ['el','la','que','de','los','es','una','por']),
+        |  ('fr', ['le','la','les','et','est','une','que','des']),
+        |  ('zh', ['的','是','了','在','我','有','他','不'])),
+        |t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+        |s AS (
+        |  SELECT doc_id, lang, cand,
+        |         CAST(len(list_filter(toks, x -> list_contains(words, x))) AS DOUBLE)
+        |           / len(toks) AS score
+        |  FROM t CROSS JOIN p),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |                                   ORDER BY score DESC, cand DESC) AS rn FROM s)
+        |SELECT doc_id, lang, cand AS predicted_lang, score AS lang_score
+        |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
     "tx_fingerprint" ->
       """WITH t AS (
         |  SELECT doc_id,
