@@ -114,7 +114,10 @@ object IncrementalDedup {
       .filter(col("est") >= threshold)
       .groupBy(col("q_id").as("doc_id"))
       .agg(min(col("c_id")).as("dup_of"), max(col("est")).as("match_est"))
-    newDocs.select(col("doc_id")).join(matches, Seq("doc_id"), "left")
+    // matches is at most batch-sized (one row per flagged new doc) — the
+    // same side already broadcast into the bucket join — so the flag join
+    // broadcasts too instead of shuffling newDocs
+    newDocs.select(col("doc_id")).join(broadcast(matches), Seq("doc_id"), "left")
       .select(col("doc_id"), col("dup_of").isNotNull.as("is_duplicate"),
         col("dup_of"), col("match_est"))
   }

@@ -120,6 +120,24 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("incremental dedup broadcasts the batch and never shuffles corpus signatures") {
+    val docs = Tables.documents(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("incplan").toString
+    IncrementalDedup.saveSignatures(docs.filter(col("doc_id") % 5 =!= 0), dir)
+    val idx = IncrementalDedup.openSignatures(spark, dir)
+    val p = plan(IncrementalDedup.dedupAgainst(idx,
+      docs.filter(col("doc_id") % 5 === 0)))
+    // the bucket join must be broadcast (batch side) — a SortMergeJoin
+    // here means the stored corpus signatures were shuffled per batch
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"),
+      "corpus signatures shuffled for the bucket join:\n" + p)
+    // no distinct over the candidate stream: the only aggregate is the
+    // per-batch-doc dup roll-up (group by the batch id)
+    val aggs = "HashAggregate".r.findAllIn(p).size
+    assert(aggs <= 4, s"unexpected aggregation stages ($aggs):\n" + p)
+  }
+
   test("text analysis is shuffle-free (narrow per-row plan)") {
     val p = plan(TextAnalysis.qualityScore(Tables.documents(spark, sf)))
     // only the final presentation orderBy may exchange; no hash shuffles
