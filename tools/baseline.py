@@ -395,6 +395,101 @@ def run_all(d):
                              ascending=[False, True]).head(8)
     bench("bm_representatives", bm_representatives)
 
+    # tx_*/dd_exact — the text-analysis / exact-dedup families, in idiomatic
+    # pandas (.str vectorized ops; .apply where a per-row function is the
+    # pandas idiom). The reference has no direct analog for these (they are
+    # the mandated LLM-pipeline extension), so this is the "what if the
+    # reference grew this feature in its own stack" baseline.
+    docs = pd.read_parquet(f"{d}/documents.parquet", columns=["doc_id", "text"])
+
+    def dd_exact():
+        import hashlib
+        m = docs.copy()
+        m["content_hash"] = m["text"].apply(
+            lambda t: hashlib.md5(t.encode()).hexdigest())
+        m["is_duplicate"] = m["doc_id"] != m.groupby("content_hash")["doc_id"].transform("min")
+        return m[["doc_id", "content_hash", "is_duplicate"]]
+    bench("dd_exact", dd_exact)
+
+    def tx_tokens():
+        m = docs.copy()
+        toks = m["text"].str.split(" ")
+        m["n_chars_calc"] = m["text"].str.len()
+        m["n_tokens"] = toks.apply(len)
+        m["n_distinct_tokens"] = toks.apply(lambda t: len(set(t)))
+        m["avg_token_len"] = (m["n_chars_calc"] - (m["n_tokens"] - 1)) / m["n_tokens"]
+        return m.drop(columns=["text"])
+    bench("tx_tokens", tx_tokens)
+
+    STOP = {"the", "a", "of", "to", "and", "in"}
+
+    def tx_quality():
+        m = docs.copy()
+        m["n_chars_calc"] = m["text"].str.len()
+        toks = m["text"].str.split(" ")
+        m["n_tokens"] = toks.apply(len)
+        m["alpha"] = m["text"].str.count(r"[a-zA-Z]")
+        m["n_stop"] = toks.apply(lambda t: sum(1 for x in t if x in STOP))
+        m["alpha_ratio"] = m["alpha"] / m["n_chars_calc"]
+        m["stop_ratio"] = m["n_stop"] / m["n_tokens"]
+        m["score"] = (0.5 * m["alpha_ratio"] + 0.3 * (1.0 - m["stop_ratio"])
+                      + 0.2 * np.minimum(m["n_tokens"] / 100.0, 1.0))
+        m["quality_band"] = np.select([m["score"] >= 0.8, m["score"] >= 0.6],
+                                      ["high", "medium"], default="low")
+        return m[["doc_id", "n_tokens", "alpha_ratio", "stop_ratio", "score",
+                  "quality_band"]]
+    bench("tx_quality", tx_quality)
+
+    def tx_normalize():
+        import hashlib
+        m = docs.copy()
+        norm = (m["text"].str.lower().str.replace(r"[^a-z0-9 ]", " ", regex=True)
+                .str.replace(r" +", " ", regex=True).str.strip())
+        m["norm_md5"] = norm.apply(lambda t: hashlib.md5(t.encode()).hexdigest())
+        m["n_tokens_norm"] = norm.str.split(" ").apply(len)
+        return m[["doc_id", "norm_md5", "n_tokens_norm"]]
+    bench("tx_normalize", tx_normalize)
+
+    PROFILES = {"en": ["the", "and", "of", "to", "is", "in", "that", "it"],
+                "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "zu"],
+                "es": ["el", "la", "que", "de", "los", "es", "una", "por"],
+                "fr": ["le", "la", "les", "et", "est", "une", "que", "des"],
+                "zh": ["的", "是", "了", "在", "我", "有", "他", "不"]}
+
+    def tx_langid():
+        m = docs.copy()
+
+        def best(text):
+            toks = text.split(" ")
+            n = len(toks)
+            scored = sorted(((sum(1 for t in toks if t in ws) / n, lang)
+                             for lang, ws in PROFILES.items()), reverse=True)
+            return scored[0][1], scored[0][0]
+        res = m["text"].apply(best)
+        m["predicted_lang"] = res.str[0]
+        m["lang_score"] = res.str[1]
+        return m[["doc_id", "predicted_lang", "lang_score"]]
+    bench("tx_langid", tx_langid)
+
+    def tx_tokens_regex():
+        m = docs.copy()
+        m["n_alpha_runs"] = m["text"].str.count(r"[a-z]+")
+        m["n_bpe_chunks"] = m["text"].str.count(r"[a-z]{1,4}")
+        m["n_nonspace"] = m["text"].str.count(r"[^ ]+")
+        return m.drop(columns=["text"])
+    bench("tx_tokens_regex", tx_tokens_regex)
+
+    def tx_ngram_freq():
+        def grams(text):
+            t = text.split(" ")
+            return [" ".join(t[i:i + 2]) for i in range(max(len(t) - 1, 1))]
+        g = docs["text"].apply(grams).explode()
+        top = g.value_counts().reset_index()
+        top.columns = ["ngram", "n_occurrences"]
+        return top.sort_values(["n_occurrences", "ngram"],
+                               ascending=[False, True]).head(50)
+    bench("tx_ngram_freq", tx_ngram_freq)
+
     total = sum(v[0] for v in keys.values())
     print(json.dumps({"metric": "baseline_total", "value": round(total, 3),
                       "unit": "sec", "n_keys": len(keys), "sf": d}), flush=True)
