@@ -121,4 +121,36 @@ object IncrementalDedup {
       .select(col("doc_id"), col("dup_of").isNotNull.as("is_duplicate"),
         col("dup_of"), col("match_est"))
   }
+
+  /** The streaming ingest loop: each micro-batch of documents is probed
+    * against the signature index, its flags appended to `outPath`, and
+    * the CLEAN documents' signatures appended to the index — so every
+    * micro-batch dedups against the corpus PLUS all earlier batches. This
+    * is the `foreachBatch` idiom production ingest runs: micro-batches
+    * execute sequentially, so the read-probe-append cycle needs no
+    * locking, and the checkpoint makes the loop restartable (a replayed
+    * batch re-flags identically; its re-appended signatures are exact
+    * duplicates that only cost index space until the next rebuild).
+    *
+    * Intra-batch duplicates are not flagged (dedupAgainst semantics);
+    * shrink the trigger or run MinHashLsh.exactPairs inside the batch if
+    * that matters. */
+  def streamingIngest(docsStream: DataFrame, indexPath: String,
+      outPath: String, checkpoint: String, threshold: Double = 0.9)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docsStream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          _: Long) =>
+        val spark = batch.sparkSession
+        val idx = openSignatures(spark, indexPath)
+        // materialized: the flags are written AND drive the append filter
+        val flagged = dedupAgainst(idx, batch, threshold).localCheckpoint(true)
+        flagged.write.mode("append").parquet(outPath)
+        appendSignatures(idx, batch.join(
+          flagged.filter(!col("is_duplicate")).select("doc_id"), "doc_id"))
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
 }

@@ -343,6 +343,27 @@ object Ivf {
     withCell(newVectors, load(s"$path/centroids.bin", newVectors.sparkSession))
       .write.mode("append").partitionBy("cell").parquet(s"$path/corpus")
 
+  /** Compact an index that has accumulated small files from many
+    * [[appendToIndex]] rounds: rewrite each cell directory as one file
+    * (per shuffle partition of that cell). A probe's cost is
+    * files-opened + bytes-read; daily appends leave one file per batch
+    * per touched cell, and compaction restores the one-file-per-cell
+    * layout saveIndex produces. Rewrites into a fresh directory and
+    * swaps, so a crash mid-compact leaves the live index intact. */
+  def compactIndex(path: String, spark: SparkSession): Unit = {
+    val corpus = spark.read.parquet(s"$path/corpus")
+    corpus.repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/corpus_new")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new org.apache.hadoop.fs.Path(s"$path/corpus")
+    val fresh = new org.apache.hadoop.fs.Path(s"$path/corpus_new")
+    val old = new org.apache.hadoop.fs.Path(s"$path/corpus_old")
+    fs.rename(live, old)
+    fs.rename(fresh, live)
+    fs.delete(old, true)
+  }
+
   /** Rank cells for a query vector ON THE DRIVER — the centroid table is
     * already local, so the O(k·dim) argsort needs no Spark job. The double
     * statement sequence matches the FloatDotProduct kernel + cosineDouble

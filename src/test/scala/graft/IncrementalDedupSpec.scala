@@ -86,6 +86,45 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(got(101L) === ((false, None, None)))
   }
 
+  test("streamingIngest dedups each micro-batch against corpus plus earlier batches") {
+    import spark.implicits._
+    val root = tmp()
+    val stage = s"$root/incoming"
+    new java.io.File(stage).mkdirs()
+    // corpus index
+    val corpus = Seq(
+      (1L, "shared knowledge corpus document about distributed query engines"),
+      (2L, "another stored document on columnar storage and vectorized scans"))
+      .toDF("doc_id", "text")
+    IncrementalDedup.saveSignatures(corpus, s"$root/index")
+    // two micro-batches, ordered by file modification time:
+    // batch1 = fresh doc A; batch2 = copy of corpus doc 1, copy of A, fresh
+    Seq((100L, "entirely new material arriving in the first micro batch today"))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(s"$stage/b=1")
+    Thread.sleep(1500)
+    Seq(
+      (200L, "shared knowledge corpus document about distributed query engines"),
+      (201L, "entirely new material arriving in the first micro batch today"),
+      (202L, "nothing resembling any earlier text appears in this document"))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(s"$stage/b=2")
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true")
+      .parquet(stage)
+    val q = IncrementalDedup.streamingIngest(stream, s"$root/index",
+      s"$root/flags", s"$root/ckpt")
+    q.awaitTermination(120000)
+    val flags = spark.read.parquet(s"$root/flags")
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), Option(r.get(2)))).toMap
+    assert(flags(100L) === ((false, None)))
+    assert(flags(200L) === ((true, Some(1L))), "corpus dup must be flagged")
+    assert(flags(201L) === ((true, Some(100L))),
+      "batch-1 doc must be probe-visible to batch 2 (mid-stream append)")
+    assert(flags(202L) === ((false, None)))
+  }
+
   test("appended batches are visible to later batches") {
     import spark.implicits._
     val corpus = Seq(

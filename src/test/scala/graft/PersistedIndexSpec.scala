@@ -138,6 +138,21 @@ class PersistedIndexSpec extends AnyFunSuite {
     // nearest list is reachable and non-empty through the incremental index
     assert(Ivf.topKIndexed(inc, 450L, 10, nprobe = 3).collect()
       .nonEmpty)
+
+    // compaction collapses the append's extra files per cell and leaves
+    // probes row-identical
+    val before = Ivf.openIndex(spark, incDir).corpus.inputFiles.length
+    Ivf.compactIndex(incDir, spark)
+    val compacted = Ivf.openIndex(spark, incDir)
+    assert(compacted.corpus.inputFiles.length < before,
+      s"compaction did not reduce file count ($before)")
+    Seq(0L, 450L).foreach { q =>
+      val got = Ivf.topKIndexed(compacted, q, 10, nprobe = 3).collect()
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cosine")))
+      val want = Ivf.topKIndexed(full, q, 10, nprobe = 3).collect()
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cosine")))
+      assert(got.sameElements(want), s"post-compaction query $q")
+    }
   }
 
   test("broadcast centroid kernel assigns identically to the literal kernel") {
