@@ -170,6 +170,22 @@ object SparkEntry {
     "tx_ngram_freq" -> ((s, dir) =>
       TextAnalysis.ngramFrequencies(Tables.documents(s, dir), 2, 50)),
     "tx_normalize" -> ((s, dir) => TextAnalysis.normalize(Tables.documents(s, dir))),
+    "tx_pii" -> ((s, dir) => TextAnalysis.piiScan(Tables.documents(s, dir))),
+    // deterministic stratified sampling: src0 at 50%, src1 dropped,
+    // everything else at the 10% default — the mixture-weighting pass
+    "ds_sample" -> ((s, dir) =>
+      Sampling.stratifiedSample(Tables.documents(s, dir),
+        Map("src0" -> 50, "src1" -> 0), defaultPct = 10)),
+    // decontamination sweep: every 97th doc plays the held-out benchmark
+    // set; the rest of the corpus scores its distinct 3-gram containment
+    // against the broadcast benchmark gram array (no corpus shuffle)
+    "dd_contamination" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.documents(s, dir)
+      Contamination.scan(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0), n = 3, threshold = 0.5)
+    }),
     "mm_binary" -> ((s, dir) => Multimodal.binaryColumnsChecked(Tables.documents(s, dir))),
     // the REAL mapPartitions batch-decode path (stub kernel): the raw
     // integer bin counts are digested directly, so the oracle reproduces
@@ -939,6 +955,66 @@ object SparkEntry {
         |       md5(norm_text) AS norm_md5,
         |       CAST(len(string_split(norm_text, ' ')) AS BIGINT) AS n_tokens_norm
         |FROM n ORDER BY doc_id""".stripMargin,
+
+    // PII patterns restricted to the Java/RE2-agreeing subset; same
+    // match-then-redact order in both engines, so the redacted bytes (and
+    // their md5) are identical
+    "tx_pii" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |         CAST(len(regexp_extract_all(text,
+        |           '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS BIGINT) AS n_email,
+        |         CAST(len(regexp_extract_all(text,
+        |           '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phone,
+        |         CAST(len(regexp_extract_all(text,
+        |           '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS BIGINT) AS n_ip,
+        |         CAST(len(regexp_extract_all(text, 'https?://[^ ]+')) AS BIGINT) AS n_url,
+        |         md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+        |           'https?://[^ ]+', '<URL>', 'g'),
+        |           '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+        |           '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'),
+        |           '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS redacted_md5
+        |  FROM documents)
+        |SELECT doc_id, n_email, n_phone, n_ip, n_url,
+        |       n_url + n_email + n_ip + n_phone AS n_pii, redacted_md5
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    // Lehmer/MINSTD key (doc_id * 48271 mod 2^31-1) — plain bigint
+    // arithmetic, so the sampled subset is bit-identical cross-engine
+    "ds_sample" ->
+      """WITH k AS (
+        |  SELECT doc_id, source, n_chars,
+        |         (doc_id * 48271) % 2147483647 AS sample_key,
+        |         CASE WHEN source = 'src0' THEN 50
+        |              WHEN source = 'src1' THEN 0
+        |              ELSE 10 END AS sample_pct
+        |  FROM documents)
+        |SELECT doc_id, source, n_chars, sample_key, sample_pct
+        |FROM k WHERE sample_key % 100 < sample_pct
+        |ORDER BY doc_id""".stripMargin,
+
+    // distinct 3-gram containment vs the benchmark docs (doc_id % 97 = 0):
+    // same token windows as the Spark side (short docs yield one short
+    // gram in both engines), LEFT JOIN + count(b.gram) = array_intersect
+    "dd_contamination" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(
+        |           generate_series(0, greatest(len(string_split(text, ' ')) - 3, 0)),
+        |           i -> array_to_string((string_split(text, ' '))[i+1:i+3], ' '))) AS grams
+        |  FROM documents),
+        |bench AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 97 = 0),
+        |corpus AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 97 <> 0),
+        |hits AS (
+        |  SELECT c.doc_id,
+        |         CAST(count(*) AS BIGINT) AS n_grams,
+        |         CAST(count(b.gram) AS BIGINT) AS n_overlap
+        |  FROM corpus c LEFT JOIN bench b ON c.gram = b.gram
+        |  GROUP BY c.doc_id)
+        |SELECT doc_id, n_grams, n_overlap,
+        |       CAST(n_overlap AS DOUBLE) / n_grams AS contamination,
+        |       CAST(n_overlap AS DOUBLE) / n_grams >= 0.5 AS contaminated
+        |FROM hits ORDER BY doc_id""".stripMargin,
 
     // languageId's stopword-hit scoring is pure integer counting + one
     // double division, and its struct-greatest argmax is exactly "highest

@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination (SURVEY.md §2 dd_contamination): flag corpus
+  * documents whose token n-grams overlap a held-out benchmark/eval set —
+  * the train/test-contamination sweep every LLM training-data pipeline
+  * runs before a corpus ships (n-gram containment in the GPT-3/PaLM
+  * appendix style: a document is contaminated when enough of its n-grams
+  * appear verbatim in any benchmark document).
+  *
+  * Two physical shapes for the same semantics:
+  *
+  *  - [[scan]] — the decontamination-scale shape. Benchmarks are tiny
+  *    next to a training corpus (thousands of eval questions vs billions
+  *    of documents), so the distinct benchmark grams collapse into ONE
+  *    sorted-array row that is broadcast and every corpus row scores
+  *    itself with a per-row `array_intersect` — no shuffle of corpus
+  *    data, no explode, no join on corpus keys: the 100-TB side is
+  *    touched exactly once at scan speed.
+  *  - [[scanJoin]] — the fallback when the benchmark gram set is too big
+  *    for a single in-memory array (say a benchmark suite of millions of
+  *    grams): explode corpus grams, broadcast-hash-join the distinct
+  *    benchmark grams, re-aggregate per doc_id. One corpus shuffle
+  *    (the groupBy), still never corpus×corpus.
+  *
+  * Both forms count DISTINCT grams per document, so
+  * `contamination = n_overlap / n_grams` is a containment fraction in
+  * [0,1] and the two shapes are row-identical (specced in LlmOpsSpec).
+  */
+object Contamination {
+
+  /** Distinct word n-grams per document, in the engine-neutral shape the
+    * DuckDB twin reproduces: whitespace tokens, windows starting at every
+    * position up to max(len-n, 0) (short documents yield one short gram —
+    * same degenerate form in both engines). */
+  private[graft] def gramSets(documents: DataFrame, n: Int): DataFrame = {
+    val toks = split(col("text"), " ")
+    documents.select(
+      col("doc_id"),
+      array_distinct(transform(
+        sequence(lit(0), greatest(size(toks) - n, lit(0))),
+        i => concat_ws(" ", slice(toks, i + lit(1), lit(n))))).as("grams"))
+  }
+
+  private def score(scored: DataFrame, threshold: Double): DataFrame =
+    scored
+      .withColumn("contamination",
+        col("n_overlap").cast("double") / col("n_grams"))
+      .withColumn("contaminated", col("contamination") >= threshold)
+      .select("doc_id", "n_grams", "n_overlap", "contamination", "contaminated")
+      .orderBy("doc_id")
+
+  /** Broadcast-array decontamination scan (see object doc). The benchmark
+    * side reduces to one row (`sort_array(collect_set(gram))`) that rides
+    * a broadcast nested-loop join; corpus rows never shuffle. */
+  def scan(corpus: DataFrame, benchmark: DataFrame, n: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val bench = gramSets(benchmark, n)
+      .select(explode(col("grams")).as("gram"))
+      .agg(sort_array(collect_set(col("gram"))).as("bench_grams"))
+    val scored = gramSets(corpus, n)
+      .crossJoin(broadcast(bench))
+      .select(
+        col("doc_id"),
+        size(col("grams")).cast("long").as("n_grams"),
+        size(array_intersect(col("grams"), col("bench_grams")))
+          .cast("long").as("n_overlap"))
+    score(scored, threshold)
+  }
+
+  /** Explode + broadcast-join form for benchmark gram sets beyond
+    * single-array comfort. Row-identical to [[scan]]. */
+  def scanJoin(corpus: DataFrame, benchmark: DataFrame, n: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val bench = gramSets(benchmark, n)
+      .select(explode(col("grams")).as("gram")).distinct()
+      .withColumn("hit", lit(1L))
+    val scored = gramSets(corpus, n)
+      .select(col("doc_id"), explode(col("grams")).as("gram"))
+      .join(broadcast(bench), Seq("gram"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"), sum(coalesce(col("hit"), lit(0L))).as("n_overlap"))
+    score(scored, threshold)
+  }
+}

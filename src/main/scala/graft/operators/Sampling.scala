@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus sampling (SURVEY.md §2 ds_sample): reproducible,
+  * engine-neutral subsetting for a training-data pipeline — ablation
+  * subsets, eval holdouts, per-source mixture weighting ("sample web at
+  * 10%, books at 50%") — where `df.sample()`'s RNG would give a different
+  * subset per run, per partition layout, per engine.
+  *
+  * The sampling key is a Lehmer LCG step on the row id,
+  * `(id * 48271) mod (2^31 - 1)` (the MINSTD generator; public constants
+  * from Park & Miller 1988): one integer multiply, uniform over the
+  * modulus, expressible in ANSI SQL — so the DuckDB oracle reproduces the
+  * sample bit-for-bit, and on a cluster membership is a pure per-row
+  * predicate computed at the scan (no shuffle, no RNG state, pushdown-
+  * friendly). Re-running the pipeline — or running it on a different
+  * engine — selects the SAME rows, which is what makes the subset a
+  * reproducible experiment artifact at 100 TB.
+  */
+object Sampling {
+
+  /** Lehmer/MINSTD sampling key in [0, 2^31-1). Row ids up to ~2^44 stay
+    * exact in the Long multiply (48271 < 2^16). */
+  def sampleKey(id: Column): Column =
+    (id * lit(48271L)) % lit(2147483647L)
+
+  /** Uniform deterministic sample: keep rows whose key lands in the
+    * lowest `pct` of 100 key-residue classes. */
+  def uniformSample(df: DataFrame, idCol: String, pct: Int): DataFrame = {
+    require(pct >= 0 && pct <= 100, s"pct must be in [0,100] (got $pct)")
+    df.filter(sampleKey(col(idCol)) % 100 < pct)
+  }
+
+  /** Stratified deterministic sample over the documents table: per-source
+    * percentage rates (defaulting to `defaultPct`), the mixture-weighting
+    * pass of an LLM data pipeline. Emits the surviving rows with their
+    * sampling key and effective rate — narrow, orderable, oracle-
+    * comparable. Per-row predicate work only. */
+  def stratifiedSample(documents: DataFrame, rates: Map[String, Int],
+      defaultPct: Int = 10): DataFrame = {
+    require((defaultPct +: rates.values.toSeq).forall(p => p >= 0 && p <= 100),
+      "every rate must be in [0,100]")
+    // deterministic CASE chain (sorted by source) shared with the oracle
+    val pct = rates.toSeq.sortBy(_._1).foldRight(lit(defaultPct): Column) {
+      case ((src, p), acc) => when(col("source") === src, lit(p)).otherwise(acc)
+    }
+    documents
+      .withColumn("sample_key", sampleKey(col("doc_id")))
+      .withColumn("sample_pct", pct)
+      .filter(col("sample_key") % 100 < col("sample_pct"))
+      .select("doc_id", "source", "n_chars", "sample_key", "sample_pct")
+      .orderBy("doc_id")
+  }
+}

@@ -119,6 +119,52 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** PII patterns shared verbatim with the DuckDB oracle — restricted to
+    * the regex subset where Java's engine and RE2 agree exactly (literal
+    * char classes, bounded repetition, no backtracking constructs). Order
+    * matters for redaction: URLs first (they swallow embedded host
+    * emails), then emails, IPs, phone numbers — fixed here and in the
+    * twin SQL. */
+  private[graft] val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("url",   "https?://[^ ]+",                                  "<URL>"),
+    ("email", "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}", "<EMAIL>"),
+    ("ip",    "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}", "<IP>"),
+    ("phone", "[0-9]{3}-[0-9]{3}-[0-9]{4}",                      "<PHONE>"))
+
+  /** PII scan + redaction — the scrubbing pass a training-data pipeline
+    * runs before a corpus ships: count email / phone / IPv4 / URL matches
+    * per document (on the raw text) and emit the md5 of the text with all
+    * four classes redacted in a fixed order. Counts are detection
+    * telemetry; the digest pins the exact redacted bytes cross-engine.
+    * Pure per-row regexp expression work — no shuffle, scan-speed, and
+    * the real redacted text is one `select` away (the digest keeps the
+    * query key narrow). */
+  def piiScan(documents: DataFrame): DataFrame = {
+    val counted = piiPatterns.foldLeft(documents) { case (df, (name, pat, _)) =>
+      df.withColumn(s"n_$name",
+        size(regexp_extract_all(col("text"), lit(pat), lit(0))).cast("long"))
+    }
+    val redacted = piiPatterns.foldLeft(col("text")) { case (c, (_, pat, rep)) =>
+      regexp_replace(c, pat, rep)
+    }
+    counted
+      .withColumn("n_pii",
+        col("n_url") + col("n_email") + col("n_ip") + col("n_phone"))
+      .withColumn("redacted_md5", md5(redacted.cast("binary")))
+      .select("doc_id", "n_email", "n_phone", "n_ip", "n_url", "n_pii",
+        "redacted_md5")
+      .orderBy("doc_id")
+  }
+
+  /** The redacted text itself (same patterns/order as [[piiScan]]) — the
+    * form a pipeline materializes when it rewrites the corpus. */
+  def redact(documents: DataFrame): DataFrame = {
+    val redacted = piiPatterns.foldLeft(col("text")) { case (c, (_, pat, rep)) =>
+      regexp_replace(c, pat, rep)
+    }
+    documents.withColumn("text_redacted", redacted)
+  }
+
   /** Top-k token n-gram frequencies across the corpus — the vocabulary /
     * phrase profile a training-data pipeline reports. Classic word-count
     * shape: per-row n-gram explode, hash aggregate with map-side partial

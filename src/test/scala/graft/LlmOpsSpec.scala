@@ -138,4 +138,87 @@ class LlmOpsSpec extends AnyFunSuite {
     val bytes = "hello world".getBytes("UTF-8")
     assert(Multimodal.stubDecode(bytes, 8).toSeq === Multimodal.stubDecode(bytes, 8).toSeq)
   }
+
+  test("pii scan counts planted PII and redacts it in order") {
+    val planted = Seq(
+      (1L, "contact me at jane.doe@example.com or 555-123-4567 today", "s"),
+      (2L, "server 10.0.0.1 logs to https://logs.example.com/x?id=1 hourly", "s"),
+      // the URL swallows its embedded email: redacted FIRST, so the email
+      // count (raw text) sees it but the redaction replaces the whole URL
+      (3L, "see https://u@host.com/path and mail u@host.com", "s"),
+      (4L, "no personal data here at all", "s"))
+      .toDF("doc_id", "text", "source")
+    val out = TextAnalysis.piiScan(planted).collect().sortBy(_.getLong(0))
+    assert(out(0).getAs[Long]("n_email") === 1L)
+    assert(out(0).getAs[Long]("n_phone") === 1L)
+    assert(out(1).getAs[Long]("n_ip") === 1L)
+    assert(out(1).getAs[Long]("n_url") === 1L)
+    assert(out(2).getAs[Long]("n_url") === 1L)
+    assert(out(2).getAs[Long]("n_email") === 2L) // raw-text counts see both
+    assert(out(3).getAs[Long]("n_pii") === 0L)
+    val red = TextAnalysis.redact(planted).collect().sortBy(_.getLong(0))
+      .map(_.getAs[String]("text_redacted"))
+    assert(red(0) === "contact me at <EMAIL> or <PHONE> today")
+    assert(red(1) === "server <IP> logs to <URL> hourly")
+    assert(red(2) === "see <URL> and mail <EMAIL>")
+    assert(red(3) === "no personal data here at all")
+    // idempotent: redacting redacted text changes nothing
+    val again = TextAnalysis.redact(
+      planted.select(col("doc_id"),
+        col("text"), col("source"))).withColumn("text", col("text_redacted"))
+      .drop("text_redacted")
+    val twice = TextAnalysis.redact(again).collect().sortBy(_.getLong(0))
+    assert(twice.map(_.getAs[String]("text_redacted")).toSeq === red.toSeq)
+  }
+
+  test("contamination: verbatim benchmark copy flags, disjoint text doesn't") {
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta", "b"))
+      .toDF("doc_id", "text", "source")
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", "s"),  // verbatim copy
+      (2L, "totally unrelated words only here", "s"),     // disjoint
+      (3L, "alpha beta gamma delta unrelated tail words", "s")) // partial
+      .toDF("doc_id", "text", "source")
+    val out = graft.operators.Contamination.scan(corpus, bench, n = 3, threshold = 0.5)
+      .collect().sortBy(_.getLong(0))
+    assert(out(0).getAs[Double]("contamination") === 1.0)
+    assert(out(0).getAs[Boolean]("contaminated"))
+    assert(out(1).getAs[Long]("n_overlap") === 0L)
+    assert(!out(1).getAs[Boolean]("contaminated"))
+    assert(out(2).getAs[Double]("contamination") > 0.0
+      && out(2).getAs[Double]("contamination") < 1.0)
+  }
+
+  test("contamination: broadcast scan == explode-join scan on real docs") {
+    val bench = docs.filter(col("doc_id") % 97 === 0)
+    val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+    val a = graft.operators.Contamination.scan(corpus, bench).collect()
+    val b = graft.operators.Contamination.scanJoin(corpus, bench).collect()
+    assert(a.length === b.length && a.nonEmpty)
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
+  }
+
+  test("deterministic sampling: reproducible, stratified, rate-accurate") {
+    import graft.operators.Sampling
+    val rates = Map("src0" -> 100, "src1" -> 0)
+    val s1 = Sampling.stratifiedSample(docs, rates).collect()
+    val s2 = Sampling.stratifiedSample(docs, rates).collect()
+    assert(s1.map(_.toSeq).toSeq === s2.map(_.toSeq).toSeq) // bit-reproducible
+    val bySource = s1.groupBy(_.getAs[String]("source"))
+    assert(!bySource.contains("src1"))                       // rate-0 stratum dropped
+    val src0Total = docs.filter(col("source") === "src0").count()
+    assert(bySource("src0").length.toLong === src0Total)     // rate-100 keeps all
+    // default-rate strata land near 10% (LCG uniformity; loose bounds at
+    // this corpus size)
+    val rest = s1.count(r => r.getAs[String]("source") != "src0")
+    val restTotal = docs.filter(col("source") =!= "src0" && col("source") =!= "src1").count()
+    val frac = rest.toDouble / restTotal
+    assert(frac > 0.02 && frac < 0.25, s"default-rate fraction $frac")
+    // membership is a pure function of doc_id: uniform sample at 100% is everything
+    assert(Sampling.uniformSample(docs, "doc_id", 100).count() === docs.count())
+    assert(Sampling.uniformSample(docs, "doc_id", 0).count() === 0)
+    intercept[IllegalArgumentException] {
+      Sampling.uniformSample(docs, "doc_id", 101)
+    }
+  }
 }

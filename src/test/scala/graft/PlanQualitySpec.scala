@@ -143,4 +143,27 @@ class PlanQualitySpec extends AnyFunSuite {
     // only the final presentation orderBy may exchange; no hash shuffles
     assert(!p.contains("Exchange hashpartitioning"), p)
   }
+
+  test("pii scan and deterministic sampling are shuffle-free per-row plans") {
+    val docs = Tables.documents(spark, sf)
+    val pPii = plan(TextAnalysis.piiScan(docs))
+    assert(!pPii.contains("Exchange hashpartitioning"), pPii)
+    val pSample = plan(Sampling.stratifiedSample(docs, Map("src0" -> 50)))
+    assert(!pSample.contains("Exchange hashpartitioning"), pSample)
+    // sampling predicate is pure per-row arithmetic: no join, no agg
+    assert(!pSample.contains("Join"), pSample)
+  }
+
+  test("contamination scan broadcasts the benchmark and never shuffles the corpus") {
+    val docs = Tables.documents(spark, sf)
+    val p = plan(Contamination.scan(
+      docs.filter(col("doc_id") % 97 =!= 0), docs.filter(col("doc_id") % 97 === 0)))
+    // the single-row benchmark gram array rides a broadcast nested-loop
+    // join; corpus rows score per-row — the only exchanges are the
+    // benchmark side's own (tiny) aggregation and the presentation sort
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    val corpusShuffles = "Exchange hashpartitioning\\(doc_id".r.findAllIn(p).length
+    assert(corpusShuffles === 0, s"corpus doc_id shuffle present:\n$p")
+  }
 }
