@@ -20,32 +20,57 @@ import graft.sources.Tables
   */
 object RecallProbe {
 
-  /** Recall@k at four operating points: each index family at its query-key
-    * default and at a wide (high-recall) setting. Two points per family
-    * pin the whole recall/cost dial against drift: the defaults are the
-    * sub-linear probes the keys bench, the wide points (IVF nprobe=16 of
-    * √n cells; LSH 16 tables × 4 planes) demonstrate the index reaches
-    * high recall when a caller pays for it. On this synthetic corpus the
-    * top-10 neighbors sit at the ~0.3 cosine BACKGROUND (no planted
-    * structure), so sub-linear default probes are recall-bounded by
-    * neighbor concentration — ~0.25 here — while the planted-cluster spec
-    * (ClusterIvfSpec) shows ≥0.8 at defaults once real structure exists;
-    * both facts are properties of the data, not the index. */
+  /** Recall@k at six operating points: each index family at its query-key
+    * default, at a wide (high-recall) setting, and at the default over a
+    * PLANTED-structure corpus. The points pin the whole recall/cost dial
+    * against drift: the defaults are the sub-linear probes the keys
+    * bench, the wide points (IVF nprobe=16 of √n cells; LSH 16 tables ×
+    * 4 planes) demonstrate the index reaches high recall when a caller
+    * pays for it. On this synthetic corpus the top-10 neighbors sit at
+    * the ~0.3 cosine BACKGROUND (no neighbor structure), so sub-linear
+    * default probes are recall-bounded by neighbor concentration — ~0.25
+    * here — a property of the data, not the index. The `_planted` points
+    * measure the regime ANN indexes exist for: 10 deterministic
+    * near-duplicates (±2% component jitter) of every query appended to
+    * the corpus, so each query's true top-10 IS concentrated structure —
+    * defaults must score high there, and a drop flags real parameter
+    * drift rather than background noise. */
   def run(spark: SparkSession, sfDir: String, nq: Int = 100,
       k: Int = 10): Map[String, Double] = {
     val emb = Tables.embeddings(spark, sfDir).localCheckpoint(true)
     val n = emb.count()
     val stride = math.max(n / nq, 1L)
     val qids = (0L until math.min(nq.toLong, n)).map(_ * stride)
+    val queries = emb.filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
 
-    val truth = groupTopK(
-      emb.crossJoin(broadcast(
-          emb.filter(col("vec_id").isin(qids: _*))
-            .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))))
-        .filter(col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id"),
-          VectorMath.cosineDouble(col("embedding"), col("q_emb")).as("cosine")),
-      k)
+    // planted near-dups: deterministic per-component jitter in ±2%,
+    // fresh ids far above the corpus range
+    val dups = k
+    val planted = emb.filter(col("vec_id").isin(qids: _*))
+      .crossJoin(spark.range(1, dups + 1).toDF("dup_no"))
+      .select(
+        (lit(1000000000L) + col("vec_id") * lit(64L) + col("dup_no")).as("dup_id"),
+        transform(col("embedding"), (x, i) =>
+          (x.cast("double") * (lit(1.0) +
+            (pmod(col("vec_id") * lit(131L) + col("dup_no") * lit(8191L)
+                + i.cast("long") * lit(524287L), lit(1000L)).cast("double")
+              / lit(500.0) - lit(1.0)) * lit(0.02)))
+            .cast("float")).as("embedding"),
+        col("label"))
+      .withColumnRenamed("dup_id", "vec_id")
+    val augmented = emb.unionByName(planted).localCheckpoint(true)
+
+    def bruteTruth(corpus: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      groupTopK(
+        corpus.crossJoin(broadcast(queries))
+          .filter(col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id"),
+            VectorMath.cosineDouble(col("embedding"), col("q_emb")).as("cosine")),
+        k)
+
+    val truth = bruteTruth(emb)
+    val truthPlanted = bruteTruth(augmented)
 
     val cells = math.max(2, math.ceil(math.sqrt(n.toDouble)).toInt)
     val cents = Ivf.kmeansCentroids(emb, cells, 8, inputMaterialized = true)
@@ -56,11 +81,17 @@ object RecallProbe {
       "sim_ann_lsh_wide" ->
         recallOf(collectHits(
           AnnLsh.topKBatch(emb, qids, k, tables = 16, planes = 4)), truth),
+      // default operating points over the planted corpus (centroids stay
+      // the pre-append ones — the appendToIndex serving shape)
+      "sim_ann_lsh_planted" ->
+        recallOf(collectHits(AnnLsh.topKBatch(augmented, qids, k)), truthPlanted),
       "sim_ivf" ->
         recallOf(collectHits(Ivf.topKBatch(emb, cents, qids, k)), truth),
       "sim_ivf_wide" ->
         recallOf(collectHits(
-          Ivf.topKBatch(emb, cents, qids, k, nprobe = 16)), truth))
+          Ivf.topKBatch(emb, cents, qids, k, nprobe = 16)), truth),
+      "sim_ivf_planted" ->
+        recallOf(collectHits(Ivf.topKBatch(augmented, cents, qids, k)), truthPlanted))
   }
 
   private def groupTopK(scored: org.apache.spark.sql.DataFrame,
