@@ -5,6 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualTo,
   Literal}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LeafNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.types.{IntegerType, LongType}
 
 /** Optimizer rule: derive `epoch_day` partition predicates from `ts_us`
@@ -33,22 +34,35 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   * Registered via GraftExtensions (injectOptimizerRule) or per-session
   * through `spark.experimental.extraOptimizations`.
   *
-  * GLOBAL-REGISTRATION HAZARD: the match is structural (column names +
-  * types), not provenance-based — once registered session-wide, any leaf
-  * relation that happens to expose a long `ts_us` AND an integer
-  * `epoch_day` WITHOUT the `epoch_day = ts_us div 86400000000` write-time
-  * invariant would get a derived predicate that drops rows. `ts_us` +
-  * `epoch_day` together are treated as the alert-store layout contract:
-  * keep that column pair reserved for AlertStore-written data (rename one
-  * of them on foreign tables), or register the rule only on sessions that
-  * query the alert lake.
+  * GLOBAL-REGISTRATION HAZARD (narrowed): the match additionally requires
+  * `epoch_day` to be a PARTITION column of a file-based (v1) relation —
+  * not merely present in the output. Deriving `epoch_day` predicates is
+  * only ever useful when the column prunes directories, so restricting to
+  * partition columns loses nothing and shrinks the false-positive surface
+  * to tables that are day-partitioned by an integer `epoch_day` AND carry
+  * a long `ts_us` — the alert-store layout contract. A foreign table
+  * matching even that must still uphold `epoch_day = ts_us div
+  * 86400000000` at write time; keep the column pair reserved for
+  * AlertStore-written data (rename one of them on foreign tables), or
+  * register the rule only on sessions that query the alert lake.
   */
 object AlertStorePruning extends Rule[LogicalPlan] {
 
   private val DayUs = 86400000000L
 
+  /** epoch_day must be a partition column of a v1 file relation — the only
+    * shape where the derived predicate prunes anything. */
+  private def partitionedByEpochDay(child: LogicalPlan): Boolean = child match {
+    case lr: LogicalRelation => lr.relation match {
+      case fs: HadoopFsRelation => fs.partitionSchema.exists(_.name == "epoch_day")
+      case _ => false
+    }
+    case _ => false
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
-    case f @ Filter(cond, child) if child.isInstanceOf[LeafNode] =>
+    case f @ Filter(cond, child)
+        if child.isInstanceOf[LeafNode] && partitionedByEpochDay(child) =>
       val tsAttr = child.output.find(a => a.name == "ts_us" && a.dataType == LongType)
       val dayAttr = child.output.find(a => a.name == "epoch_day"
         && (a.dataType == IntegerType || a.dataType == LongType))

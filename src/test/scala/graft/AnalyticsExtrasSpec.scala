@@ -119,6 +119,29 @@ class AnalyticsExtrasSpec extends AnyFunSuite {
     }
   }
 
+  test("AlertStorePruning ignores tables where epoch_day is not a partition column") {
+    // same column names/types as the store layout but epoch_day is a DATA
+    // column (and here deliberately violates the div invariant): the rule
+    // must not fire — there is nothing to prune and a derived predicate
+    // would drop rows
+    val dir = java.nio.file.Files.createTempDirectory("not_a_store").toString
+    spark.range(10).selectExpr(
+      "id * 86400000000 AS ts_us", "CAST(99 AS INT) AS epoch_day")
+      .write.mode("overwrite").parquet(dir)          // NOT partitioned
+    def q = spark.read.parquet(dir).filter(col("ts_us") >= 2L * 86400000000L)
+    val before = q.collect().map(_.toString).sorted
+    GraftExtensions.register(spark)
+    try {
+      val planAfter = q.queryExecution.optimizedPlan.toString
+      assert(!planAfter.contains("epoch_day >="), planAfter)
+      assert(q.collect().map(_.toString).sorted.sameElements(before))
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations
+          .filterNot(_ == graft.plans.AlertStorePruning)
+    }
+  }
+
   test("HLL approx distinct within 5% of exact") {
     val r = Headline.approxDistinct(Tables.lineitem(spark, sf)).collect()
     r.foreach { row =>
