@@ -490,6 +490,51 @@ def run_all(d):
                                ascending=[False, True]).head(50)
     bench("tx_ngram_freq", tx_ngram_freq)
 
+    PII = [(r"https?://[^ ]+", "<URL>"),
+           (r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}", "<EMAIL>"),
+           (r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}", "<IP>"),
+           (r"[0-9]{3}-[0-9]{3}-[0-9]{4}", "<PHONE>")]
+
+    def tx_pii():
+        import hashlib
+        m = docs.copy()
+        for name, (pat, _) in zip(["n_url", "n_email", "n_ip", "n_phone"], PII):
+            m[name] = m["text"].str.count(pat)
+        red = m["text"]
+        for pat, rep in PII:
+            red = red.str.replace(pat, rep, regex=True)
+        m["n_pii"] = m["n_url"] + m["n_email"] + m["n_ip"] + m["n_phone"]
+        m["redacted_md5"] = red.apply(lambda t: hashlib.md5(t.encode()).hexdigest())
+        return m.drop(columns=["text"])
+    bench("tx_pii", tx_pii)
+
+    meta = pd.read_parquet(f"{d}/documents.parquet",
+                           columns=["doc_id", "source", "n_chars"])
+
+    def ds_sample():
+        m = meta.copy()
+        m["sample_key"] = (m["doc_id"] * 48271) % 2147483647
+        m["sample_pct"] = np.select(
+            [m["source"] == "src0", m["source"] == "src1"], [50, 0], default=10)
+        return m[m["sample_key"] % 100 < m["sample_pct"]]
+    bench("ds_sample", ds_sample)
+
+    def dd_contamination():
+        def gramset(text):
+            t = text.split(" ")
+            return {" ".join(t[i:i + 3]) for i in range(max(len(t) - 2, 1))}
+        g = docs.copy()
+        g["grams"] = g["text"].apply(gramset)
+        bench_rows = g.loc[g["doc_id"] % 97 == 0, "grams"]
+        bench_set = set().union(*bench_rows) if len(bench_rows) else set()
+        c = g[g["doc_id"] % 97 != 0].copy()
+        c["n_grams"] = c["grams"].apply(len)
+        c["n_overlap"] = c["grams"].apply(lambda s: len(s & bench_set))
+        c["contamination"] = c["n_overlap"] / c["n_grams"]
+        c["contaminated"] = c["contamination"] >= 0.5
+        return c.drop(columns=["text", "grams"])
+    bench("dd_contamination", dd_contamination)
+
     total = sum(v[0] for v in keys.values())
     print(json.dumps({"metric": "baseline_total", "value": round(total, 3),
                       "unit": "sec", "n_keys": len(keys), "sf": d}), flush=True)
