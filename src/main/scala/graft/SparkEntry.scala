@@ -171,6 +171,10 @@ object SparkEntry {
       TextAnalysis.ngramFrequencies(Tables.documents(s, dir), 2, 50)),
     "tx_normalize" -> ((s, dir) => TextAnalysis.normalize(Tables.documents(s, dir))),
     "tx_pii" -> ((s, dir) => TextAnalysis.piiScan(Tables.documents(s, dir))),
+    "tx_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionSignals(Tables.documents(s, dir))),
+    "tx_corpus_stats" -> ((s, dir) =>
+      TextAnalysis.corpusStats(Tables.documents(s, dir))),
     // deterministic stratified sampling: src0 at 50%, src1 dropped,
     // everything else at the 10% default — the mixture-weighting pass
     "ds_sample" -> ((s, dir) =>
@@ -978,6 +982,41 @@ object SparkEntry {
         |SELECT doc_id, n_email, n_phone, n_ip, n_url,
         |       n_url + n_email + n_ip + n_phone AS n_pii, redacted_md5
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // integer mode-counts + single divisions — bit-identical cross-engine
+    "tx_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g AS (
+        |  SELECT doc_id, toks,
+        |         list_transform(generate_series(0, greatest(len(toks) - 2, 0)),
+        |           i -> array_to_string(toks[i+1:i+2], ' ')) AS grams
+        |  FROM t),
+        |c AS (
+        |  SELECT doc_id,
+        |         CAST(len(toks) AS BIGINT) AS n_tokens,
+        |         CAST(len(grams) AS BIGINT) AS n_2grams,
+        |         CAST(list_max(list_transform(list_distinct(toks),
+        |           y -> len(list_filter(toks, x -> x = y)))) AS BIGINT) AS top_token_count,
+        |         CAST(list_max(list_transform(list_distinct(grams),
+        |           y -> len(list_filter(grams, x -> x = y)))) AS BIGINT) AS top_2gram_count
+        |  FROM g)
+        |SELECT doc_id, n_tokens, n_2grams, top_token_count, top_2gram_count,
+        |       CAST(top_token_count AS DOUBLE) / n_tokens AS top_token_fraction,
+        |       CAST(top_2gram_count AS DOUBLE) / n_2grams AS top_2gram_fraction,
+        |       (CAST(top_2gram_count AS DOUBLE) / n_2grams > 0.18
+        |        OR CAST(top_token_count AS DOUBLE) / n_tokens > 0.3) AS repetitive
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "tx_corpus_stats" ->
+      """WITH cells AS (
+        |  SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+        |         CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |  FROM documents GROUP BY source, lang)
+        |SELECT source, lang, n_docs, total_tokens, total_chars,
+        |       CAST(n_docs AS DOUBLE) / (SELECT sum(n_docs) FROM cells) AS doc_share
+        |FROM cells ORDER BY source, lang""".stripMargin,
 
     // Lehmer/MINSTD key (doc_id * 48271 mod 2^31-1) — plain bigint
     // arithmetic, so the sampled subset is bit-identical cross-engine

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text analysis operators over the document corpus (SURVEY.md §2 tx_*):
@@ -181,6 +182,70 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_occurrences"))
       .orderBy(col("n_occurrences").desc, col("ngram"))
       .limit(k)
+  }
+
+  /** Repetition signals — the within-document repetition filters of the
+    * Gopher/MassiveText quality rules: the fraction of all token 2-grams
+    * claimed by the single most frequent 2-gram, and the fraction of
+    * tokens claimed by the most frequent token. Repetitive boilerplate
+    * (template spam, scraper loops) scores high and gets flagged.
+    *
+    * Computed entirely per-row (distinct-gram × gram count inside array
+    * expressions — documents are bounded, the corpus is not, so the
+    * quadratic term stays in the row while the job stays shuffle-free at
+    * scan speed). Counts are integers and the fractions single divisions,
+    * so the DuckDB twin reproduces them bit-for-bit. */
+  def repetitionSignals(documents: DataFrame, top2Max: Double = 0.18,
+      topTokMax: Double = 0.3): DataFrame = {
+    val toks = split(col("text"), " ")
+    val grams = transform(
+      sequence(lit(0), greatest(size(toks) - 2, lit(0))),
+      i => concat_ws(" ", slice(toks, i + lit(1), lit(2))))
+    def topCount(arr: org.apache.spark.sql.Column) =
+      array_max(transform(array_distinct(arr),
+        g => size(filter(arr, x => x === g))))
+    documents
+      .withColumn("toks", toks)
+      .withColumn("grams", grams)
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(col("grams")).cast("long").as("n_2grams"),
+        topCount(col("toks")).cast("long").as("top_token_count"),
+        topCount(col("grams")).cast("long").as("top_2gram_count"))
+      .withColumn("top_token_fraction",
+        col("top_token_count").cast("double") / col("n_tokens"))
+      .withColumn("top_2gram_fraction",
+        col("top_2gram_count").cast("double") / col("n_2grams"))
+      .withColumn("repetitive",
+        col("top_2gram_fraction") > top2Max
+          || col("top_token_fraction") > topTokMax)
+      .orderBy("doc_id")
+  }
+
+  /** Corpus mixture report — docs / tokens / chars per (source, language)
+    * cell plus each cell's document share: the table a pipeline consults
+    * to set per-source sampling rates (see Sampling.stratifiedSample).
+    * Classic partial-agg roll-up: ONE corpus pass and one shuffle over
+    * (source, lang) cells; the share denominator is a window-over-all on
+    * the aggregated cells — post-agg rows bounded by distinct cells, so
+    * the single-partition window costs nothing at any corpus size (and
+    * the corpus is never scanned twice). */
+  def corpusStats(documents: DataFrame): DataFrame = {
+    val cells = documents
+      .groupBy("source", "lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("total_tokens"),
+        sum(col("n_chars")).as("total_chars"))
+    val all = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cells
+      .withColumn("doc_share",
+        col("n_docs").cast("double") / sum(col("n_docs")).over(all))
+      .select("source", "lang", "n_docs", "total_tokens", "total_chars",
+        "doc_share")
+      .orderBy("source", "lang")
   }
 
   /** Winnowing-style document fingerprint sets: Karp-Rabin polynomial

@@ -198,6 +198,37 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
   }
 
+  test("repetition signals flag boilerplate, pass varied text") {
+    val planted = Seq(
+      (1L, "buy now buy now buy now buy now buy now", "s"),   // pure loop
+      (2L, "the quick brown fox jumps over a lazy dog", "s"), // all distinct
+      (3L, "spam spam spam eggs and ham", "s"))               // token-heavy
+      .toDF("doc_id", "text", "source")
+    val out = TextAnalysis.repetitionSignals(planted).collect().sortBy(_.getLong(0))
+    assert(out(0).getAs[Boolean]("repetitive"))
+    assert(out(0).getAs[Double]("top_2gram_fraction") > 0.4)
+    assert(!out(1).getAs[Boolean]("repetitive"))
+    assert(out(1).getAs[Long]("top_token_count") === 1L)
+    assert(out(2).getAs[Boolean]("repetitive")) // 3/6 tokens are "spam"
+    assert(out(2).getAs[Double]("top_token_fraction") === 0.5)
+    // fractions are well-formed on the real corpus
+    val real = TextAnalysis.repetitionSignals(docs)
+    assert(real.filter(col("top_token_fraction") > 1
+      || col("top_2gram_fraction") > 1).count() === 0)
+  }
+
+  test("corpus stats: shares sum to 1 and totals reconcile with token stats") {
+    val stats = TextAnalysis.corpusStats(docs).collect()
+    val shareSum = stats.map(_.getAs[Double]("doc_share")).sum
+    assert(math.abs(shareSum - 1.0) < 1e-9, s"shares sum to $shareSum")
+    val nDocs = stats.map(_.getAs[Long]("n_docs")).sum
+    assert(nDocs === docs.count())
+    val tokTotal = stats.map(_.getAs[Long]("total_tokens")).sum
+    val tokExpected = TextAnalysis.tokenStats(docs)
+      .agg(sum(col("n_tokens"))).collect().head.getLong(0)
+    assert(tokTotal === tokExpected)
+  }
+
   test("deterministic sampling: reproducible, stratified, rate-accurate") {
     import graft.operators.Sampling
     val rates = Map("src0" -> 100, "src1" -> 0)

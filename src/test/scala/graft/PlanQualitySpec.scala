@@ -154,6 +154,19 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!pSample.contains("Join"), pSample)
   }
 
+  test("repetition signals stay per-row; corpus stats shuffle once with a broadcast total") {
+    val docs = Tables.documents(spark, sf)
+    val pRep = plan(TextAnalysis.repetitionSignals(docs))
+    assert(!pRep.contains("Exchange hashpartitioning"), pRep)
+    val pStats = plan(TextAnalysis.corpusStats(docs))
+    // one corpus scan, one cell roll-up exchange; the share denominator
+    // is a window over the (tiny) aggregated cells, never a second pass
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(pStats).length
+    assert(exchanges <= 1, s"$exchanges hash exchanges:\n$pStats")
+    val scans = "Scan parquet".r.findAllIn(pStats).length
+    assert(scans === 1, s"$scans corpus scans:\n$pStats")
+  }
+
   test("contamination scan broadcasts the benchmark and never shuffles the corpus") {
     val docs = Tables.documents(spark, sf)
     val p = plan(Contamination.scan(
