@@ -147,6 +147,9 @@ object SparkEntry {
         Multimodal.binaryColumns(Tables.documents(s, dir))).toDF()
         .orderBy("doc_id", "frame_no")
     }),
+    // cross-document repeated frames: only digests shuffle, never payloads
+    "mm_frame_dedup" -> ((s, dir) =>
+      Multimodal.frameDedup(Multimodal.binaryColumns(Tables.documents(s, dir)))),
     // resize = adjacent-bin re-aggregation of the count histogram
     "mm_resize" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
@@ -175,6 +178,8 @@ object SparkEntry {
       TextAnalysis.repetitionSignals(Tables.documents(s, dir))),
     "tx_corpus_stats" -> ((s, dir) =>
       TextAnalysis.corpusStats(Tables.documents(s, dir))),
+    // the composed curation gate: quality + repetition + PII in ONE scan
+    "tx_curate" -> ((s, dir) => TextAnalysis.curate(Tables.documents(s, dir))),
     // deterministic stratified sampling: src0 at 50%, src1 dropped,
     // everything else at the 10% default — the mixture-weighting pass
     "ds_sample" -> ((s, dir) =>
@@ -934,6 +939,23 @@ object SparkEntry {
         |       md5(substring(text, CAST(ob AS INTEGER) + 1, 16)) AS frame_md5
         |FROM f ORDER BY doc_id, frame_no""".stripMargin,
 
+    "mm_frame_dedup" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |         unnest(generate_series(0, greatest(length(text) - 1, 0), 64)) AS ob,
+        |         text
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id, md5(substring(text, CAST(ob AS INTEGER) + 1, 16)) AS frame_md5
+        |  FROM f)
+        |SELECT frame_md5,
+        |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |       CAST(count(*) AS BIGINT) AS n_occurrences,
+        |       min(doc_id) AS first_doc
+        |FROM d GROUP BY frame_md5
+        |HAVING count(DISTINCT doc_id) >= 2
+        |ORDER BY frame_md5""".stripMargin,
+
     "mm_resize" ->
       """WITH c AS (
         |  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
@@ -1017,6 +1039,50 @@ object SparkEntry {
         |SELECT source, lang, n_docs, total_tokens, total_chars,
         |       CAST(n_docs AS DOUBLE) / (SELECT sum(n_docs) FROM cells) AS doc_share
         |FROM cells ORDER BY source, lang""".stripMargin,
+
+    // the curation gate composes the three proven per-row fragments
+    // (quality formula, repetition mode counts, PII counts) in one pass
+    "tx_curate" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |         CAST(length(text) AS BIGINT) AS n_chars_calc,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |         CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT) AS alpha,
+        |         CAST(len(list_filter(string_split(text, ' '),
+        |                  t -> t IN ('the','a','of','to','and','in'))) AS BIGINT) AS n_stop,
+        |         string_split(text, ' ') AS toks,
+        |         list_transform(generate_series(0, greatest(len(string_split(text, ' ')) - 2, 0)),
+        |           i -> array_to_string((string_split(text, ' '))[i+1:i+2], ' ')) AS grams,
+        |         CAST(len(regexp_extract_all(text, 'https?://[^ ]+')) AS BIGINT) AS n_url,
+        |         CAST(len(regexp_extract_all(text,
+        |           '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS BIGINT) AS n_email,
+        |         CAST(len(regexp_extract_all(text,
+        |           '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS BIGINT) AS n_ip,
+        |         CAST(len(regexp_extract_all(text,
+        |           '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phone
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |         0.5 * (CAST(alpha AS DOUBLE) / n_chars_calc)
+        |           + 0.3 * (1.0 - CAST(n_stop AS DOUBLE) / n_tokens)
+        |           + 0.2 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) AS score,
+        |         CASE WHEN 0.5 * (CAST(alpha AS DOUBLE) / n_chars_calc)
+        |                   + 0.3 * (1.0 - CAST(n_stop AS DOUBLE) / n_tokens)
+        |                   + 0.2 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) >= 0.8 THEN 'high'
+        |              WHEN 0.5 * (CAST(alpha AS DOUBLE) / n_chars_calc)
+        |                   + 0.3 * (1.0 - CAST(n_stop AS DOUBLE) / n_tokens)
+        |                   + 0.2 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) >= 0.6 THEN 'medium'
+        |              ELSE 'low' END AS quality_band,
+        |         (CAST(list_max(list_transform(list_distinct(grams),
+        |             y -> len(list_filter(grams, x -> x = y)))) AS DOUBLE) / len(grams) > 0.18
+        |          OR CAST(list_max(list_transform(list_distinct(toks),
+        |             y -> len(list_filter(toks, x -> x = y)))) AS DOUBLE) / len(toks) > 0.3)
+        |           AS repetitive,
+        |         n_url + n_email + n_ip + n_phone AS n_pii
+        |  FROM b)
+        |SELECT doc_id, score, quality_band, repetitive, n_pii,
+        |       (score >= 0.6 AND NOT repetitive) AS keep
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     // Lehmer/MINSTD key (doc_id * 48271 mod 2^31-1) — plain bigint
     // arithmetic, so the sampled subset is bit-identical cross-engine

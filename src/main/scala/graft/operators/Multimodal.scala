@@ -136,4 +136,21 @@ object Multimodal {
       }
     }
   }
+
+  /** Cross-document frame dedup — the media near-dup detection shape
+    * (shared intros/outros/segments repeated across videos): digests of
+    * sampled frames grouped corpus-wide, keeping digests seen in ≥2
+    * documents. Only the hex digests and doc ids shuffle (map-side
+    * partial aggregation; payload bytes never leave their executor), so
+    * at 100 TB the exchange carries ~48 bytes per frame, not media. */
+  def frameDedup(media: DataFrame, frameLen: Int = 16,
+      stride: Int = 64): DataFrame =
+    frameSample(media, frameLen, stride).toDF()
+      .groupBy("frame_md5")
+      .agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"),
+        min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") >= 2)
+      .orderBy("frame_md5")
 }

@@ -48,16 +48,16 @@ object TextAnalysis {
       .select("doc_id", "norm_md5", "n_tokens_norm")
       .orderBy("doc_id")
 
-  /** Quality scoring: alphabetic ratio, stopword ratio, length saturation →
-    * composite score + band. The weighted formula is written in one fixed
-    * associativity shape shared with the oracle SQL. */
-  def qualityScore(documents: DataFrame): DataFrame = {
+  /** Column stage behind [[qualityScore]] (and the one-pass [[curate]]):
+    * adds n_tokens / alpha_ratio / stop_ratio / score / quality_band,
+    * preserving the input columns. Pure per-row expressions. */
+  private[graft] def withQuality(df: DataFrame): DataFrame = {
     val nChars  = length(col("text")).cast("long")
     val toks    = split(col("text"), " ")
     val nTokens = size(toks).cast("long")
     val alpha   = length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("long")
     val nStop   = size(filter(toks, t => t.isin(stopwords.map(lit(_)): _*))).cast("long")
-    documents
+    df
       .withColumn("n_tokens", nTokens)
       .withColumn("alpha_ratio", alpha.cast("double") / nChars)
       .withColumn("stop_ratio", nStop.cast("double") / nTokens)
@@ -69,10 +69,16 @@ object TextAnalysis {
         when(col("score") >= 0.8, "high")
           .when(col("score") >= 0.6, "medium")
           .otherwise("low"))
+  }
+
+  /** Quality scoring: alphabetic ratio, stopword ratio, length saturation →
+    * composite score + band. The weighted formula is written in one fixed
+    * associativity shape shared with the oracle SQL. */
+  def qualityScore(documents: DataFrame): DataFrame =
+    withQuality(documents)
       .select("doc_id", "n_tokens", "alpha_ratio", "stop_ratio", "score",
         "quality_band")
       .orderBy("doc_id")
-  }
 
   /** Regex tokenization counts — the BPE-ish view: alphabetic runs,
     * greedy ≤4-char subword chunks (a fixed-width stand-in for BPE merges)
@@ -141,21 +147,24 @@ object TextAnalysis {
     * the real redacted text is one `select` away (the digest keeps the
     * query key narrow). */
   def piiScan(documents: DataFrame): DataFrame = {
-    val counted = piiPatterns.foldLeft(documents) { case (df, (name, pat, _)) =>
-      df.withColumn(s"n_$name",
-        size(regexp_extract_all(col("text"), lit(pat), lit(0))).cast("long"))
-    }
     val redacted = piiPatterns.foldLeft(col("text")) { case (c, (_, pat, rep)) =>
       regexp_replace(c, pat, rep)
     }
-    counted
-      .withColumn("n_pii",
-        col("n_url") + col("n_email") + col("n_ip") + col("n_phone"))
+    withPiiCounts(documents)
       .withColumn("redacted_md5", md5(redacted.cast("binary")))
       .select("doc_id", "n_email", "n_phone", "n_ip", "n_url", "n_pii",
         "redacted_md5")
       .orderBy("doc_id")
   }
+
+  /** Column stage behind [[piiScan]] (and [[curate]]): adds the four
+    * per-class match counts and their `n_pii` total. */
+  private[graft] def withPiiCounts(df: DataFrame): DataFrame =
+    piiPatterns.foldLeft(df) { case (d, (name, pat, _)) =>
+      d.withColumn(s"n_$name",
+        size(regexp_extract_all(col("text"), lit(pat), lit(0))).cast("long"))
+    }.withColumn("n_pii",
+      col("n_url") + col("n_email") + col("n_ip") + col("n_phone"))
 
   /** The redacted text itself (same patterns/order as [[piiScan]]) — the
     * form a pipeline materializes when it rewrites the corpus. */
@@ -196,7 +205,19 @@ object TextAnalysis {
     * scan speed). Counts are integers and the fractions single divisions,
     * so the DuckDB twin reproduces them bit-for-bit. */
   def repetitionSignals(documents: DataFrame, top2Max: Double = 0.18,
-      topTokMax: Double = 0.3): DataFrame = {
+      topTokMax: Double = 0.3): DataFrame =
+    withRepetition(documents, top2Max, topTokMax)
+      .select("doc_id", "n_tokens", "n_2grams", "top_token_count",
+        "top_2gram_count", "top_token_fraction", "top_2gram_fraction",
+        "repetitive")
+      .orderBy("doc_id")
+
+  /** Column stage behind [[repetitionSignals]] (and [[curate]]): adds the
+    * repetition counts/fractions and `repetitive`, preserving the input
+    * columns (n_tokens is (re)computed from the same expression the
+    * quality stage uses, so stacking the stages is idempotent). */
+  private[graft] def withRepetition(df: DataFrame, top2Max: Double,
+      topTokMax: Double): DataFrame = {
     val toks = split(col("text"), " ")
     val grams = transform(
       sequence(lit(0), greatest(size(toks) - 2, lit(0))),
@@ -204,15 +225,11 @@ object TextAnalysis {
     def topCount(arr: org.apache.spark.sql.Column) =
       array_max(transform(array_distinct(arr),
         g => size(filter(arr, x => x === g))))
-    documents
-      .withColumn("toks", toks)
-      .withColumn("grams", grams)
-      .select(
-        col("doc_id"),
-        size(col("toks")).cast("long").as("n_tokens"),
-        size(col("grams")).cast("long").as("n_2grams"),
-        topCount(col("toks")).cast("long").as("top_token_count"),
-        topCount(col("grams")).cast("long").as("top_2gram_count"))
+    df
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("n_2grams", size(grams).cast("long"))
+      .withColumn("top_token_count", topCount(toks).cast("long"))
+      .withColumn("top_2gram_count", topCount(grams).cast("long"))
       .withColumn("top_token_fraction",
         col("top_token_count").cast("double") / col("n_tokens"))
       .withColumn("top_2gram_fraction",
@@ -220,8 +237,22 @@ object TextAnalysis {
       .withColumn("repetitive",
         col("top_2gram_fraction") > top2Max
           || col("top_token_fraction") > topTokMax)
-      .orderBy("doc_id")
   }
+
+  /** One-pass corpus curation gate — the composed filter an LLM data
+    * pipeline runs before training: quality score, repetition filter and
+    * PII counts stacked over a SINGLE scan. Every stage is a per-row
+    * expression chain, so Catalyst fuses the whole gate into one
+    * whole-stage-codegen pass: curating 100 TB costs one read of the
+    * corpus, not one sweep per signal (plan pinned — no exchange, one
+    * scan). `keep` = medium-or-better quality AND not repetitive; PII
+    * rides along as telemetry for the downstream redaction pass. */
+  def curate(documents: DataFrame, minScore: Double = 0.6,
+      top2Max: Double = 0.18, topTokMax: Double = 0.3): DataFrame =
+    withPiiCounts(withRepetition(withQuality(documents), top2Max, topTokMax))
+      .withColumn("keep", col("score") >= minScore && !col("repetitive"))
+      .select("doc_id", "score", "quality_band", "repetitive", "n_pii", "keep")
+      .orderBy("doc_id")
 
   /** Corpus mixture report — docs / tokens / chars per (source, language)
     * cell plus each cell's document share: the table a pipeline consults

@@ -198,6 +198,27 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
   }
 
+  test("frame dedup finds frames shared across documents, skips within-doc repeats") {
+    // docs 1/2 share their first 16 bytes (one shared frame at offset 0);
+    // doc 3 repeats ITS OWN first frame at offset 64 (within-doc repeat —
+    // must not count: n_docs < 2); doc 4 is unique
+    val pad = "x" * 48
+    val media = Multimodal.binaryColumns(Seq(
+      (1L, "SHARED-INTRO-16B" + pad + "tail one", "s"),
+      (2L, "SHARED-INTRO-16B" + pad + "tail two", "s"),
+      (3L, "SELF-REPEAT-0123" + pad + "SELF-REPEAT-0123" + pad, "s"),
+      (4L, "totally unique content here", "s"))
+      .toDF("doc_id", "text", "source"))
+    val out = Multimodal.frameDedup(media).collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Long]("n_docs") === 2L)
+    assert(out.head.getAs[Long]("n_occurrences") === 2L)
+    assert(out.head.getAs[Long]("first_doc") === 1L)
+    // and the real corpus has cross-doc frame repeats (oracle-checked too)
+    assert(Multimodal.frameDedup(
+      Multimodal.binaryColumns(docs)).count() > 0)
+  }
+
   test("repetition signals flag boilerplate, pass varied text") {
     val planted = Seq(
       (1L, "buy now buy now buy now buy now buy now", "s"),   // pure loop
@@ -227,6 +248,29 @@ class LlmOpsSpec extends AnyFunSuite {
     val tokExpected = TextAnalysis.tokenStats(docs)
       .agg(sum(col("n_tokens"))).collect().head.getLong(0)
     assert(tokTotal === tokExpected)
+  }
+
+  test("curate agrees with its component operators on every document") {
+    val cur = TextAnalysis.curate(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val q = TextAnalysis.qualityScore(docs).collect()
+    assert(q.nonEmpty && cur.size === q.length)
+    q.foreach { r =>
+      val c = cur(r.getLong(0))
+      assert(c.getAs[Double]("score") === r.getAs[Double]("score"))
+      assert(c.getAs[String]("quality_band") === r.getAs[String]("quality_band"))
+    }
+    TextAnalysis.repetitionSignals(docs).collect().foreach { r =>
+      assert(cur(r.getLong(0)).getAs[Boolean]("repetitive")
+        === r.getAs[Boolean]("repetitive"))
+    }
+    TextAnalysis.piiScan(docs).collect().foreach { r =>
+      assert(cur(r.getLong(0)).getAs[Long]("n_pii") === r.getAs[Long]("n_pii"))
+    }
+    cur.values.foreach { c =>
+      assert(c.getAs[Boolean]("keep") ===
+        (c.getAs[Double]("score") >= 0.6 && !c.getAs[Boolean]("repetitive")))
+    }
   }
 
   test("deterministic sampling: reproducible, stratified, rate-accurate") {

@@ -167,6 +167,14 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(scans === 1, s"$scans corpus scans:\n$pStats")
   }
 
+  test("the composed curation gate fuses into one scan with no exchange") {
+    val p = plan(TextAnalysis.curate(Tables.documents(spark, sf)))
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans === 1, s"$scans corpus scans:\n$p")
+    assert(!p.contains("Join"), p)
+  }
+
   test("contamination scan broadcasts the benchmark and never shuffles the corpus") {
     val docs = Tables.documents(spark, sf)
     val p = plan(Contamination.scan(

@@ -519,6 +519,74 @@ def run_all(d):
         return m[m["sample_key"] % 100 < m["sample_pct"]]
     bench("ds_sample", ds_sample)
 
+    def tx_repetition():
+        def tops(text):
+            t = text.split(" ")
+            g = [" ".join(t[i:i + 2]) for i in range(max(len(t) - 1, 1))]
+            from collections import Counter
+            return (max(Counter(t).values()), max(Counter(g).values()),
+                    len(t), len(g))
+        m = docs.copy()
+        r = m["text"].apply(tops)
+        m["top_token_count"] = r.str[0]
+        m["top_2gram_count"] = r.str[1]
+        m["n_tokens"] = r.str[2]
+        m["n_2grams"] = r.str[3]
+        m["top_token_fraction"] = m["top_token_count"] / m["n_tokens"]
+        m["top_2gram_fraction"] = m["top_2gram_count"] / m["n_2grams"]
+        m["repetitive"] = ((m["top_2gram_fraction"] > 0.18)
+                           | (m["top_token_fraction"] > 0.3))
+        return m.drop(columns=["text"])
+    bench("tx_repetition", tx_repetition)
+
+    def tx_corpus_stats():
+        m = pd.read_parquet(f"{d}/documents.parquet",
+                            columns=["doc_id", "text", "source", "lang", "n_chars"])
+        m["n_tokens"] = m["text"].str.split(" ").apply(len)
+        cells = m.groupby(["source", "lang"]).agg(
+            n_docs=("doc_id", "size"), total_tokens=("n_tokens", "sum"),
+            total_chars=("n_chars", "sum")).reset_index()
+        cells["doc_share"] = cells["n_docs"] / cells["n_docs"].sum()
+        return cells
+    bench("tx_corpus_stats", tx_corpus_stats)
+
+    def tx_curate():
+        m = docs.copy()
+        toks = m["text"].str.split(" ")
+        m["n_tokens"] = toks.apply(len)
+        alpha = m["text"].str.count(r"[a-zA-Z]")
+        n_stop = toks.apply(lambda t: sum(1 for x in t if x in STOP))
+        m["score"] = (0.5 * (alpha / m["text"].str.len())
+                      + 0.3 * (1.0 - n_stop / m["n_tokens"])
+                      + 0.2 * np.minimum(m["n_tokens"] / 100.0, 1.0))
+        m["quality_band"] = np.select([m["score"] >= 0.8, m["score"] >= 0.6],
+                                      ["high", "medium"], default="low")
+        def rep(text):
+            from collections import Counter
+            t = text.split(" ")
+            g = [" ".join(t[i:i + 2]) for i in range(max(len(t) - 1, 1))]
+            return (max(Counter(g).values()) / len(g) > 0.18
+                    or max(Counter(t).values()) / len(t) > 0.3)
+        m["repetitive"] = m["text"].apply(rep)
+        m["n_pii"] = sum(m["text"].str.count(p) for p, _ in PII)
+        m["keep"] = (m["score"] >= 0.6) & ~m["repetitive"]
+        return m[["doc_id", "score", "quality_band", "repetitive", "n_pii", "keep"]]
+    bench("tx_curate", tx_curate)
+
+    def mm_frame_dedup():
+        import hashlib
+        rows = []
+        for did, text in zip(docs["doc_id"], docs["text"]):
+            b = text.encode()
+            for off in range(0, max(len(b), 1), 64):
+                rows.append((did, hashlib.md5(b[off:off + 16]).hexdigest()))
+        f = pd.DataFrame(rows, columns=["doc_id", "frame_md5"])
+        g = f.groupby("frame_md5").agg(
+            n_docs=("doc_id", "nunique"), n_occurrences=("doc_id", "size"),
+            first_doc=("doc_id", "min")).reset_index()
+        return g[g["n_docs"] >= 2]
+    bench("mm_frame_dedup", mm_frame_dedup)
+
     def dd_contamination():
         def gramset(text):
             t = text.split(" ")
