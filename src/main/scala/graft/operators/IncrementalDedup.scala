@@ -134,19 +134,28 @@ object IncrementalDedup {
     *
     * Intra-batch duplicates are not flagged (dedupAgainst semantics);
     * shrink the trigger or run MinHashLsh.exactPairs inside the batch if
-    * that matters. */
+    * that matters.
+    *
+    * `prepare` runs on each micro-batch BEFORE dedup — the hook where the
+    * curation gate plugs in (`TextAnalysis.curate`-style filters, PII
+    * redaction, normalization): documents it drops are neither flagged,
+    * written, nor signed, so the standard curate→dedup→append ingest
+    * pipeline is this one call. Must be a per-row transform preserving
+    * doc_id/text (stage fusion keeps the batch single-pass). */
   def streamingIngest(docsStream: DataFrame, indexPath: String,
-      outPath: String, checkpoint: String, threshold: Double = 0.9)
+      outPath: String, checkpoint: String, threshold: Double = 0.9,
+      prepare: DataFrame => DataFrame = identity)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docsStream.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
           _: Long) =>
         val spark = batch.sparkSession
         val idx = openSignatures(spark, indexPath)
+        val prepared = prepare(batch.toDF())
         // materialized: the flags are written AND drive the append filter
-        val flagged = dedupAgainst(idx, batch, threshold).localCheckpoint(true)
+        val flagged = dedupAgainst(idx, prepared, threshold).localCheckpoint(true)
         flagged.write.mode("append").parquet(outPath)
-        appendSignatures(idx, batch.join(
+        appendSignatures(idx, prepared.join(
           flagged.filter(!col("is_duplicate")).select("doc_id"), "doc_id"))
         ()
       }

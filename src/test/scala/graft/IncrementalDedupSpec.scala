@@ -125,6 +125,52 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(flags(202L) === ((false, None)))
   }
 
+  test("streamingIngest's prepare hook gates batches before dedup (curate→dedup→append)") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val root = tmp()
+    val stage = s"$root/incoming"
+    new java.io.File(stage).mkdirs()
+    IncrementalDedup.saveSignatures(Seq(
+      (1L, "shared knowledge corpus document about distributed query engines"))
+      .toDF("doc_id", "text"), s"$root/index")
+    val spam = "buy now buy now buy now buy now buy now buy now"
+    // batch 1: spam (gated out), corpus dup, fresh doc
+    Seq(
+      (300L, spam),
+      (301L, "shared knowledge corpus document about distributed query engines"),
+      (302L, "genuinely novel curated content that survives the quality gate"))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(s"$stage/b=1")
+    Thread.sleep(1500)
+    // batch 2: copy of the batch-1 survivor (must be flagged against it —
+    // proves the SURVIVOR was signed), another spam copy (gated out, so
+    // never flagged even though 300 was never signed either)
+    Seq(
+      (400L, "genuinely novel curated content that survives the quality gate"),
+      (401L, spam))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(s"$stage/b=2")
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true")
+      .parquet(stage)
+    val gate: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      d => TextAnalysis.withRepetition(d, 0.18, 0.3)
+        .filter(!col("repetitive")).select("doc_id", "text")
+    val q = IncrementalDedup.streamingIngest(stream, s"$root/index",
+      s"$root/flags", s"$root/ckpt", prepare = gate)
+    q.awaitTermination(120000)
+    val flags = spark.read.parquet(s"$root/flags")
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), Option(r.get(2)))).toMap
+    assert(flags.keySet === Set(301L, 302L, 400L),
+      s"gated docs must be neither flagged nor written: $flags")
+    assert(flags(301L) === ((true, Some(1L))))
+    assert(flags(302L) === ((false, None)))
+    assert(flags(400L) === ((true, Some(302L))),
+      "the gated batch's survivor must have been signed")
+  }
+
   test("appended batches are visible to later batches") {
     import spark.implicits._
     val corpus = Seq(
