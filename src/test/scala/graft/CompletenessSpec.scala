@@ -173,7 +173,9 @@ class CompletenessSpec extends AnyFunSuite {
     val q = stream.writeStream.outputMode("append")
       .format("memory").queryName("drift_out")
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    // drain + explicit stop: the detector's ProcessingTimeTimeout state-GC
+    // would otherwise hold the query open until the 1-hour timeout
+    TestSpark.drainAndStop(q, "drift_out")
     val got = spark.table("drift_out").select("event_id")
       .collect().map(_.getLong(0)).toSet
     val batchIds = batch.select("event_id").collect().map(_.getLong(0)).toSet

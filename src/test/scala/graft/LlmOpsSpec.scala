@@ -189,6 +189,16 @@ class LlmOpsSpec extends AnyFunSuite {
       && out(2).getAs[Double]("contamination") < 1.0)
   }
 
+  test("contamination: empty benchmark yields zero overlap in both forms") {
+    val empty = docs.filter(lit(false))
+    val a = graft.operators.Contamination.scan(docs, empty).collect()
+    val b = graft.operators.Contamination.scanJoin(docs, empty).collect()
+    assert(a.length.toLong === docs.count() && b.length === a.length)
+    assert(a.forall(r => r.getAs[Long]("n_overlap") === 0L
+      && !r.getAs[Boolean]("contaminated")))
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
+  }
+
   test("contamination: broadcast scan == explode-join scan on real docs") {
     val bench = docs.filter(col("doc_id") % 97 === 0)
     val corpus = docs.filter(col("doc_id") % 97 =!= 0)

@@ -27,7 +27,10 @@ class RocksDbStateSpec extends AnyFunSuite {
     val q = stream.writeStream.outputMode("append")
       .format("memory").queryName(queryName)
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    // ProcessingTimeTimeout state-GC keeps the query alive after the data
+    // is drained (it would sit waiting for the 1-hour timeout): poll the
+    // sink to stability, then stop explicitly (TestSpark.drainAndStop)
+    TestSpark.drainAndStop(q, queryName)
     spark.table(queryName).select("event_id").collect().map(_.getLong(0)).toSet
   }
 
