@@ -189,6 +189,31 @@ class LlmOpsSpec extends AnyFunSuite {
       && out(2).getAs[Double]("contamination") < 1.0)
   }
 
+  test("sampling is nested: raising the rate only ever adds rows") {
+    import graft.operators.Sampling
+    // key%100 < pct is monotone in pct, so samples at increasing rates
+    // form a chain — the property that makes scaling studies reproducible
+    // (the 10% sample is a subset of the 20% sample, etc.)
+    val ids = Seq(5, 10, 20, 50, 100).map { pct =>
+      pct -> Sampling.uniformSample(docs, "doc_id", pct)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    }
+    ids.sliding(2).foreach { case Seq((p1, s1), (p2, s2)) =>
+      assert(s1.subsetOf(s2), s"sample at $p1% must nest inside $p2%")
+    }
+    // rates are monotone in size and exact at the extremes
+    assert(ids.map(_._2.size) === ids.map(_._2.size).sorted)
+    assert(ids.last._2.size.toLong === docs.count())
+  }
+
+  test("contamination: a corpus scanned against itself is fully contaminated") {
+    val some = docs.filter(col("doc_id") < 50)
+    val out = graft.operators.Contamination.scan(some, some).collect()
+    assert(out.length === 50)
+    assert(out.forall(_.getAs[Double]("contamination") === 1.0))
+    assert(out.forall(_.getAs[Boolean]("contaminated")))
+  }
+
   test("contamination: empty benchmark yields zero overlap in both forms") {
     val empty = docs.filter(lit(false))
     val a = graft.operators.Contamination.scan(docs, empty).collect()
