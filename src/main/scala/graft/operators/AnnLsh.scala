@@ -156,7 +156,7 @@ object AnnLsh {
     spark.range(1).select(
         org.apache.spark.sql.graft.ColumnBridge
           .embeddingLshBuckets(typedlit(qVec), tables, planes, TableOffset).as("b"))
-      .head.getSeq[Long](0).toArray
+      .head().getSeq[Long](0).toArray
 
   /** Probe a persisted index with a query VECTOR. The (t, bucket)
     * disjunction references only partition columns, so the scan prunes to
