@@ -180,6 +180,8 @@ object SparkEntry {
       TextAnalysis.corpusStats(Tables.documents(s, dir))),
     // the composed curation gate: quality + repetition + PII in ONE scan
     "tx_curate" -> ((s, dir) => TextAnalysis.curate(Tables.documents(s, dir))),
+    "tx_boilerplate" -> ((s, dir) =>
+      TextAnalysis.boilerplate(Tables.documents(s, dir))),
     // deterministic stratified sampling: src0 at 50%, src1 dropped,
     // everything else at the 10% default — the mixture-weighting pass
     "ds_sample" -> ((s, dir) =>
@@ -1004,6 +1006,19 @@ object SparkEntry {
         |SELECT doc_id, n_email, n_phone, n_ip, n_url,
         |       n_url + n_email + n_ip + n_phone AS n_pii, redacted_md5
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // distinct-per-doc gram votes → count roll-up, same windows as the
+    // contamination oracle
+    "tx_boilerplate" ->
+      """WITH g AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(0, greatest(len(string_split(text, ' ')) - 3, 0)),
+        |    i -> array_to_string((string_split(text, ' '))[i+1:i+3], ' ')))) AS gram
+        |  FROM documents)
+        |SELECT gram, CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS first_doc
+        |FROM g GROUP BY gram
+        |HAVING count(*) >= 5
+        |ORDER BY n_docs DESC, gram""".stripMargin,
 
     // integer mode-counts + single divisions — bit-identical cross-engine
     "tx_repetition" ->

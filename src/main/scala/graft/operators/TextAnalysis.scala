@@ -239,6 +239,22 @@ object TextAnalysis {
           || col("top_token_fraction") > topTokMax)
   }
 
+  /** Corpus-level boilerplate mining — n-grams shared VERBATIM across
+    * many documents (template headers, nav chrome, scraper artifacts):
+    * the cross-document complement of [[repetitionSignals]], and the list
+    * a pipeline strips before training. Distinct-per-doc grams (one vote
+    * per document) explode into a count roll-up with map-side partials —
+    * the shuffle carries one row per distinct gram per partition, not per
+    * occurrence — thresholded at `minDocs`. Word-count shape: scales like
+    * tx_ngram_freq at any corpus size. */
+  def boilerplate(documents: DataFrame, n: Int = 3, minDocs: Int = 5): DataFrame =
+    Contamination.gramSets(documents, n)
+      .select(col("doc_id"), explode(col("grams")).as("gram"))
+      .groupBy("gram")
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") >= minDocs)
+      .orderBy(col("n_docs").desc, col("gram"))
+
   /** One-pass corpus curation gate — the composed filter an LLM data
     * pipeline runs before training: quality score, repetition filter and
     * PII counts stacked over a SINGLE scan. Every stage is a per-row

@@ -273,6 +273,23 @@ class LlmOpsSpec extends AnyFunSuite {
       || col("top_2gram_fraction") > 1).count() === 0)
   }
 
+  test("boilerplate mining finds the shared template, one vote per doc") {
+    val tpl = "subscribe to our newsletter today"
+    val planted = (1L to 6L).map(i => (i, s"$tpl tail$i mid$i end$i", "s")) :+
+      ((7L, s"$tpl $tpl $tpl", "s")) :+ // within-doc repeats still ONE vote
+      ((8L, "no template text in this one at all", "s"))
+    val out = TextAnalysis.boilerplate(
+      planted.toDF("doc_id", "text", "source"), n = 3, minDocs = 5).collect()
+    assert(out.nonEmpty)
+    val byGram = out.map(r => r.getString(0) -> r.getAs[Long]("n_docs")).toMap
+    // the full-template 3-grams appear in docs 1-7 → 7 votes (doc 7's
+    // triple repetition counts once)
+    assert(byGram("subscribe to our") === 7L)
+    assert(byGram("to our newsletter") === 7L)
+    assert(!byGram.keys.exists(_.contains("tail")), byGram.keys.mkString(","))
+    assert(out.head.getAs[Long]("first_doc") === 1L)
+  }
+
   test("corpus stats: shares sum to 1 and totals reconcile with token stats") {
     val stats = TextAnalysis.corpusStats(docs).collect()
     val shareSum = stats.map(_.getAs[Double]("doc_share")).sum

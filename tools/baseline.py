@@ -587,6 +587,18 @@ def run_all(d):
         return g[g["n_docs"] >= 2]
     bench("mm_frame_dedup", mm_frame_dedup)
 
+    def tx_boilerplate():
+        def gramset(text):
+            t = text.split(" ")
+            return {" ".join(t[i:i + 3]) for i in range(max(len(t) - 2, 1))}
+        g = docs["text"].apply(gramset)
+        f = pd.DataFrame({"doc_id": docs["doc_id"], "gram": g}).explode("gram")
+        agg = f.groupby("gram").agg(n_docs=("doc_id", "size"),
+                                    first_doc=("doc_id", "min")).reset_index()
+        return agg[agg["n_docs"] >= 5].sort_values(
+            ["n_docs", "gram"], ascending=[False, True])
+    bench("tx_boilerplate", tx_boilerplate)
+
     def dd_contamination():
         def gramset(text):
             t = text.split(" ")
