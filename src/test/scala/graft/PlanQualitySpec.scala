@@ -167,6 +167,21 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(scans === 1, s"$scans corpus scans:\n$pStats")
   }
 
+  test("frame dedup and boilerplate shuffle narrow rows, never payload/text") {
+    val docs = Tables.documents(spark, sf)
+    val pFrames = plan(Multimodal.frameDedup(Multimodal.binaryColumns(docs)))
+    // the digest roll-up shuffles Frame rows (doc_id + digest); the binary
+    // payload is projected away inside the mapPartitions stage
+    val exFrames = pFrames.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(!exFrames.contains("payload"), pFrames)
+    val pBp = plan(TextAnalysis.boilerplate(docs))
+    // one count roll-up exchange, carrying (gram, partial counts) only
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(pBp).length
+    assert(hashEx === 1, s"$hashEx hash exchanges:\n$pBp")
+    val exBp = pBp.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(!exBp.contains("text#"), pBp)
+  }
+
   test("the composed curation gate fuses into one scan with no exchange") {
     val p = plan(TextAnalysis.curate(Tables.documents(spark, sf)))
     assert(!p.contains("Exchange hashpartitioning"), p)
