@@ -189,11 +189,12 @@ object SparkEntry {
         Map("src0" -> 50, "src1" -> 0), defaultPct = 10)),
     // decontamination sweep: every 97th doc plays the held-out benchmark
     // set; the rest of the corpus scores its distinct 3-gram containment
-    // against the broadcast benchmark gram array (no corpus shuffle)
+    // against the broadcast benchmark gram array (no corpus shuffle);
+    // decontaminate auto-picks scan vs scanJoin on the benchmark size
     "dd_contamination" -> ((s, dir) => {
       import org.apache.spark.sql.functions.col
       val docs = Tables.documents(s, dir)
-      Contamination.scan(
+      Contamination.decontaminate(
         docs.filter(col("doc_id") % 97 =!= 0),
         docs.filter(col("doc_id") % 97 === 0), n = 3, threshold = 0.5)
     }),
@@ -1018,7 +1019,8 @@ object SparkEntry {
         |SELECT gram, CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS first_doc
         |FROM g GROUP BY gram
         |HAVING count(*) >= 5
-        |ORDER BY n_docs DESC, gram""".stripMargin,
+        |ORDER BY n_docs DESC, gram
+        |LIMIT 1000""".stripMargin,
 
     // integer mode-counts + single divisions — bit-identical cross-engine
     "tx_repetition" ->

@@ -133,19 +133,16 @@ object AnnLsh {
         posexplode(col("buckets")).as(Seq("t", "bucket")))
       .write.mode("overwrite").partitionBy("t", "bucket")
       .parquet(s"$path/corpus")
-    val p = new org.apache.hadoop.fs.Path(s"$path/params.bin")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val oos = new java.io.ObjectOutputStream(fs.create(p, true))
-    try oos.writeObject(Array(tables, planes)) finally oos.close()
+    IndexMeta.writeParams(spark, path,
+      Map("tables" -> tables, "planes" -> planes))
   }
 
-  /** Open an index written by [[saveIndex]]. */
+  /** Open an index written by [[saveIndex]]. The plane-family parameters
+    * come from the versioned `params.json` sidecar; a pre-v1 index
+    * (Java-serialized `params.bin`) is rejected with a rebuild message. */
   def openIndex(spark: org.apache.spark.sql.SparkSession, path: String): LshIndex = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/params.bin")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val ois = new java.io.ObjectInputStream(fs.open(p))
-    val arr = try ois.readObject().asInstanceOf[Array[Int]] finally ois.close()
-    LshIndex(spark.read.parquet(s"$path/corpus"), arr(0), arr(1))
+    val ps = IndexMeta.readParams(spark, path, Seq("tables", "planes"))
+    LshIndex(spark.read.parquet(s"$path/corpus"), ps("tables"), ps("planes"))
   }
 
   /** The query vector's per-table bucket ids, computed by the SAME kernel

@@ -25,6 +25,19 @@ import org.apache.spark.sql.functions._
   *    benchmark grams, re-aggregate per doc_id. One corpus shuffle
   *    (the groupBy), still never corpus×corpus.
   *
+  * [[decontaminate]] picks the shape automatically: one cheap count of
+  * the DISTINCT benchmark grams (a job over the tiny benchmark side only
+  * — the corpus is untouched) against `maxBroadcastGrams`. The default
+  * cutover is 1,000,000 grams: below it the sorted array is ≲50 MB
+  * broadcast-side and the per-row `array_intersect` (a binary-search
+  * merge over two SORTED arrays) stays cheaper than exploding the corpus;
+  * above it the array no longer amortizes — Spark re-evaluates the
+  * array-side structure per task and the intersect cost per corpus row
+  * grows with |bench|, while scanJoin's hash probe stays O(1) per gram —
+  * so the explode+broadcast-hash-join shape wins despite its one corpus
+  * shuffle. The two shapes are row-identical, so the switch is purely
+  * physical.
+  *
   * Both forms count DISTINCT grams per document, so
   * `contamination = n_overlap / n_grams` is a containment fraction in
   * [0,1] and the two shapes are row-identical (specced in LlmOpsSpec).
@@ -69,6 +82,24 @@ object Contamination {
           .cast("long").as("n_overlap"))
     score(scored, threshold)
   }
+
+  /** Auto-dispatching decontamination (see object doc): counts the
+    * distinct benchmark grams — one cheap job on the benchmark side,
+    * which is by definition the tiny side — and runs [[scan]] when the
+    * set fits a comfortable broadcast array, [[scanJoin]] beyond it. */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame, n: Int = 3,
+      threshold: Double = 0.5,
+      maxBroadcastGrams: Long = DefaultMaxBroadcastGrams): DataFrame = {
+    val nGrams = gramSets(benchmark, n)
+      .select(explode(col("grams")).as("gram")).distinct().count()
+    if (nGrams <= maxBroadcastGrams) scan(corpus, benchmark, n, threshold)
+    else scanJoin(corpus, benchmark, n, threshold)
+  }
+
+  /** Gram-count cutover for [[decontaminate]]: ~1M distinct grams keeps
+    * the broadcast array ≲50 MB and the per-row sorted-merge intersect
+    * bounded; beyond it the hash-join shape is cheaper per corpus row. */
+  val DefaultMaxBroadcastGrams: Long = 1000000L
 
   /** Explode + broadcast-join form for benchmark gram sets beyond
     * single-array comfort. Row-identical to [[scan]]. */

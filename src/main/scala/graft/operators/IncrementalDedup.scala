@@ -50,26 +50,23 @@ object IncrementalDedup {
           b => hash(slice(col("sig"), b * rows + lit(1), lit(rows)), b)))
   }
 
-  /** Sign `documents` once and persist the index under `path`. */
+  /** Sign `documents` once and persist the index under `path`. The
+    * signing parameters ride a versioned JSON sidecar (`params.json`,
+    * portable across JVM versions — see IndexMeta). */
   def saveSignatures(documents: DataFrame, path: String, k: Int = 128,
       bands: Int = 16): Unit = {
     require(k % bands == 0, s"bands ($bands) must divide k ($k)")
     signed(documents, k, bands)
       .write.mode("overwrite").parquet(s"$path/sigs")
-    val spark = documents.sparkSession
-    val p = new org.apache.hadoop.fs.Path(s"$path/params.bin")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val oos = new java.io.ObjectOutputStream(fs.create(p, true))
-    try oos.writeObject(Array(k, bands)) finally oos.close()
+    IndexMeta.writeParams(documents.sparkSession, path,
+      Map("k" -> k, "bands" -> bands))
   }
 
-  /** Open an index written by [[saveSignatures]]. */
+  /** Open an index written by [[saveSignatures]]. A pre-v1 index
+    * (Java-serialized `params.bin`) is rejected with a rebuild message. */
   def openSignatures(spark: SparkSession, path: String): SigIndex = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/params.bin")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val ois = new java.io.ObjectInputStream(fs.open(p))
-    val arr = try ois.readObject().asInstanceOf[Array[Int]] finally ois.close()
-    SigIndex(spark.read.parquet(s"$path/sigs"), path, arr(0), arr(1))
+    val ps = IndexMeta.readParams(spark, path, Seq("k", "bands"))
+    SigIndex(spark.read.parquet(s"$path/sigs"), path, ps("k"), ps("bands"))
   }
 
   /** Sign `newDocs` with the index's own parameters and APPEND them —
@@ -78,6 +75,33 @@ object IncrementalDedup {
   def appendSignatures(index: SigIndex, newDocs: DataFrame): Unit =
     signed(newDocs, index.k, index.bands)
       .write.mode("append").parquet(s"${index.path}/sigs")
+
+  /** Compact a signature index after append-heavy runs — the
+    * maintenance twin of Ivf.compactIndex. Every [[appendSignatures]]
+    * round (one per micro-batch under [[streamingIngest]]) leaves a new
+    * file under `sigs/`, and a replayed batch re-appends EXACT duplicate
+    * rows (same doc_id ⇒ same signature under the index's own
+    * parameters); probe cost is files-opened + rows-scanned, so both
+    * accumulate. Compaction drops duplicate doc_ids and rewrites the
+    * accumulated per-batch files into `numFiles` parquet files. The
+    * rewrite lands in a fresh `sigs_new` directory and is swapped in by
+    * rename, so a crash mid-compact leaves the live index intact (at
+    * worst a stale `sigs_old`/`sigs_new` to sweep). `dedupAgainst` over
+    * a compacted index flags identically (specced). */
+  def compact(spark: SparkSession, path: String, numFiles: Int = 32): Unit = {
+    val idx = openSignatures(spark, path)
+    idx.sigs.dropDuplicates("doc_id")
+      .repartition(numFiles)
+      .write.mode("overwrite").parquet(s"$path/sigs_new")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new org.apache.hadoop.fs.Path(s"$path/sigs")
+    val fresh = new org.apache.hadoop.fs.Path(s"$path/sigs_new")
+    val old = new org.apache.hadoop.fs.Path(s"$path/sigs_old")
+    fs.rename(live, old)
+    fs.rename(fresh, live)
+    fs.delete(old, true)
+  }
 
   /** Flag each new document against the stored corpus: one corpus-scan
     * bucket join (batch side broadcast), first-agree band dedup, minhash

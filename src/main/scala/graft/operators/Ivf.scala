@@ -191,21 +191,15 @@ object Ivf {
     * (local disk / HDFS / object stores) so an index is trained once and
     * probed by many queries/jobs — re-learning k-means per lookup would
     * dominate probe cost at any scale. */
-  def save(centroids: Array[Array[Float]], path: String, spark: SparkSession): Unit = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val oos = new java.io.ObjectOutputStream(fs.create(p, true))
-    try oos.writeObject(centroids) finally oos.close()
-  }
+  def save(centroids: Array[Array[Float]], path: String, spark: SparkSession): Unit =
+    IndexMeta.writeCentroids(spark, path, centroids)
 
   /** Load a centroid set persisted by [[save]]; probing with the loaded
-    * index is bit-identical to probing with the original (specced). */
-  def load(path: String, spark: SparkSession): Array[Array[Float]] = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val ois = new java.io.ObjectInputStream(fs.open(p))
-    try ois.readObject().asInstanceOf[Array[Array[Float]]] finally ois.close()
-  }
+    * index is bit-identical to probing with the original (specced —
+    * float values round-trip exactly through the JSON form). A pre-v1
+    * Java-serialized centroid file is rejected with a rebuild message. */
+  def load(path: String, spark: SparkSession): Array[Array[Float]] =
+    IndexMeta.readCentroids(path = path, spark = spark)
 
   /** Top-k ANN: learn k-means cells, then probe — the one-shot
     * convenience form; batch/service callers should `kmeansCentroids`
@@ -323,13 +317,29 @@ object Ivf {
       path: String): Unit = {
     withCell(embeddings, centroids)
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/corpus")
-    save(centroids, s"$path/centroids.bin", embeddings.sparkSession)
+    save(centroids, s"$path/centroids.json", embeddings.sparkSession)
   }
 
-  /** Open an index written by [[saveIndex]]. */
+  /** Open an index written by [[saveIndex]]. A pre-v1 index (Java-
+    * serialized `centroids.bin`) is rejected with a rebuild message. */
   def openIndex(spark: SparkSession, path: String): IvfIndex =
     IvfIndex(spark.read.parquet(s"$path/corpus"),
-      load(s"$path/centroids.bin", spark))
+      load(centroidsPath(spark, path), spark))
+
+  /** The live centroid sidecar under an index directory; a legacy
+    * `centroids.bin` with no JSON twin is named in the error so the
+    * failure is a rebuild message, not a missing-file stack trace. */
+  private def centroidsPath(spark: SparkSession, path: String): String = {
+    val json = new org.apache.hadoop.fs.Path(s"$path/centroids.json")
+    val fs = json.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(json) &&
+        fs.exists(new org.apache.hadoop.fs.Path(s"$path/centroids.bin")))
+      throw new IllegalStateException(
+        s"$path holds a legacy Java-serialized IVF index (centroids.bin, " +
+          "pre-v1 format); rebuild it with Ivf.saveIndex to get the " +
+          "portable centroids.json sidecar")
+    s"$path/centroids.json"
+  }
 
   /** Index maintenance: assign `newVectors` to the EXISTING cells and
     * append them to the cell-partitioned corpus — the ingest step for a
@@ -339,9 +349,11 @@ object Ivf {
     * index had been built from the union (specced). Centroids drift as
     * the distribution shifts — retrain + [[saveIndex]] when the recall
     * telemetry (RecallProbe) degrades. */
-  def appendToIndex(path: String, newVectors: DataFrame): Unit =
-    withCell(newVectors, load(s"$path/centroids.bin", newVectors.sparkSession))
+  def appendToIndex(path: String, newVectors: DataFrame): Unit = {
+    val spark = newVectors.sparkSession
+    withCell(newVectors, load(centroidsPath(spark, path), spark))
       .write.mode("append").partitionBy("cell").parquet(s"$path/corpus")
+  }
 
   /** Compact an index that has accumulated small files from many
     * [[appendToIndex]] rounds: rewrite each cell directory as one file

@@ -23,8 +23,27 @@ import graft.sources.Tables
 object Reports {
 
   /** One-row nested report document mirroring the reference's canonical
-    * JSON schema (pipeline name, categories, buildings, portfolio KPIs). */
-  def portfolioReport(metrics: DataFrame): DataFrame = {
+    * JSON schema (pipeline name, categories, buildings, portfolio KPIs).
+    *
+    * `asOf` stamps the document's `generated_at` field (reference:
+    * export_json.py:25 emits an ISO-8601 timestamp that
+    * validate_json.py:40 requires). It is caller-provided rather than
+    * wall-clock so the document stays a pure function of its inputs —
+    * pass `Some(Instant.now())` for the reference's behavior, `None`
+    * (default) for a timestamp-free deterministic document. */
+  def portfolioReport(metrics: DataFrame,
+      asOf: Option[java.time.Instant] = None): DataFrame = {
+    val doc = portfolioReportBase(metrics)
+    asOf match {
+      case Some(ts) => doc.select(
+        col("pipeline"),
+        lit(ts.toString).as("generated_at"),
+        col("benchmark_categories"), col("portfolio_summary"), col("buildings"))
+      case None => doc
+    }
+  }
+
+  private def portfolioReportBase(metrics: DataFrame): DataFrame = {
     val buildings = metrics
       .select(struct(
         col("c_custkey").as("building_id"),
@@ -68,9 +87,11 @@ object Reports {
   }
 
   /** Canonical JSON document export (reference: export_json.py writes
-    * artifacts/json/building_benchmarking.json). */
-  def exportJson(metrics: DataFrame, outDir: String): Unit =
-    portfolioReport(metrics).coalesce(1).write.mode("overwrite").json(outDir)
+    * artifacts/json/building_benchmarking.json). `asOf` stamps
+    * `generated_at` exactly as on [[portfolioReport]]. */
+  def exportJson(metrics: DataFrame, outDir: String,
+      asOf: Option[java.time.Instant] = None): Unit =
+    portfolioReport(metrics, asOf).coalesce(1).write.mode("overwrite").json(outDir)
 
   /** Report-schema validation (reference: src/validate_json.py:1 —
     * required fields present, numerics in range). Returns one row per
@@ -89,6 +110,91 @@ object Reports {
         col("n_orders") > 0 &&
           abs(col("intensity") - col("total_spend") / col("n_orders")) > 1e-6))
       .orderBy("entity", "violation")
+  }
+
+  /** Document-level schema validation over the ASSEMBLED report — the
+    * twin of the reference's validate_json.py:29
+    * `validate_building_benchmarking` (which checks the JSON document
+    * shape, where [[validateMetrics]] checks the metric rows): required
+    * top-level fields, a parseable ISO-8601 `generated_at`, the
+    * portfolio_summary KPI fields, the benchmark-category labels when the
+    * section is present, and per-item fields inside the buildings array.
+    * Accepts either the in-memory [[portfolioReport]] frame or a document
+    * read back from [[exportJson]] output. Returns one row per violation
+    * (`field`, `violation`); empty result = valid. Structure checks walk
+    * the (driver-side) schema; value checks are expressions over the
+    * single document row. */
+  def validateReport(report: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, DataType, StructType}
+    val spark = report.sparkSession
+    import spark.implicits._
+
+    def fieldAt(path: Seq[String]): Option[DataType] =
+      path.foldLeft(Option(report.schema: DataType)) {
+        case (Some(st: StructType), name) => st.find(_.name == name).map(_.dataType)
+        case _ => None
+      }
+
+    val structural = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val requiredTop = Seq("pipeline", "generated_at", "portfolio_summary", "buildings")
+    requiredTop.foreach { f =>
+      if (fieldAt(Seq(f)).isEmpty) structural += ((f, "missing_field"))
+    }
+    val summaryFields =
+      Seq("total_entities", "total_activity", "total_spend", "weighted_avg_intensity")
+    if (fieldAt(Seq("portfolio_summary")).isDefined) summaryFields.foreach { f =>
+      if (fieldAt(Seq("portfolio_summary", f)).isEmpty)
+        structural += ((s"portfolio_summary.$f", "missing_field"))
+    }
+    if (fieldAt(Seq("benchmark_categories")).isDefined)
+      Seq("excellent", "good", "average", "poor").foreach { f =>
+        if (fieldAt(Seq("benchmark_categories", f)).isEmpty)
+          structural += ((s"benchmark_categories.$f", "missing_field"))
+      }
+    val buildingFields = Seq("building_id", "building_type", "energy_intensity", "rating")
+    val buildingsOk = fieldAt(Seq("buildings")) match {
+      case Some(ArrayType(st: StructType, _)) =>
+        buildingFields.foreach { f =>
+          if (!st.fieldNames.contains(f))
+            structural += ((s"buildings.$f", "missing_field"))
+        }
+        true
+      case Some(_) => structural += (("buildings", "not_an_array")); false
+      case None => false
+    }
+
+    def check(field: String, name: String,
+        cond: org.apache.spark.sql.Column): DataFrame =
+      report.filter(cond)
+        .select(lit(field).as("field"), lit(name).as("violation"))
+
+    var checks = Seq.empty[DataFrame]
+    if (fieldAt(Seq("pipeline")).isDefined)
+      checks :+= check("pipeline", "null_or_empty",
+        col("pipeline").isNull || col("pipeline") === "")
+    if (fieldAt(Seq("generated_at")).isDefined)
+      checks :+= check("generated_at", "invalid_iso8601",
+        try_to_timestamp(col("generated_at")).isNull)
+    summaryFields.filter(f => fieldAt(Seq("portfolio_summary", f)).isDefined)
+      .foreach { f =>
+        checks :+= check(s"portfolio_summary.$f", "null_value",
+          col("portfolio_summary").getField(f).isNull)
+      }
+    if (buildingsOk) {
+      checks :+= check("buildings", "empty_array", size(col("buildings")) === 0)
+      buildingFields
+        .filter(f => fieldAt(Seq("buildings")).exists {
+          case ArrayType(st: StructType, _) => st.fieldNames.contains(f)
+          case _ => false
+        })
+        .foreach { f =>
+          checks :+= check(s"buildings.$f", "null_value",
+            exists(col("buildings"), b => b.getField(f).isNull))
+        }
+    }
+
+    val base = structural.toSeq.toDF("field", "violation")
+    checks.foldLeft(base)(_ unionByName _).orderBy("field", "violation")
   }
 
   /** Single-entity benchmark — the library twin of the reference's API

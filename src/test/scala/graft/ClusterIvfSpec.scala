@@ -160,9 +160,13 @@ class ClusterIvfSpec extends AnyFunSuite {
   test("IVF index persists: saved/loaded centroids probe identically") {
     val emb = Tables.embeddings(spark, sf)
     val cents = Ivf.kmeansCentroids(emb, 23, 8)
-    val path = java.nio.file.Files.createTempDirectory("ivf").toString + "/centroids.bin"
+    val path = java.nio.file.Files.createTempDirectory("ivf").toString + "/centroids.json"
     Ivf.save(cents, path, spark)
     val loaded = Ivf.load(path, spark)
+    // the JSON sidecar round-trips every float BIT-exactly — the loaded
+    // index is the saved one, not an approximation of it
+    assert(loaded.length === cents.length)
+    loaded.zip(cents).foreach { case (l, c) => assert(l.sameElements(c)) }
     val a = Ivf.topKWith(emb, cents, 0L, 10, nprobe = 3).collect()
       .map(r => (r.getLong(0), r.getDouble(2)))
     val b = Ivf.topKWith(emb, loaded, 0L, 10, nprobe = 3).collect()
@@ -171,6 +175,30 @@ class ClusterIvfSpec extends AnyFunSuite {
     // one learned index serves many queries without re-fitting
     val q7 = Ivf.topKWith(emb, loaded, 7L, 5, nprobe = 3).collect()
     assert(q7.length === 5 && !q7.exists(_.getLong(0) == 7L))
+  }
+
+  test("legacy Java-serialized index formats are rejected with a rebuild message") {
+    val dir = java.nio.file.Files.createTempDirectory("legacyidx").toString
+    // a pre-v1 centroid file: Java serialization, not JSON
+    val binPath = s"$dir/centroids.json"
+    val oos = new java.io.ObjectOutputStream(new java.io.FileOutputStream(binPath))
+    try oos.writeObject(Array(Array(1.0f))) finally oos.close()
+    val e1 = intercept[IllegalStateException] { Ivf.load(binPath, spark) }
+    assert(e1.getMessage.contains("legacy"))
+    // a pre-v1 signature index: params.bin present, params.json absent
+    val sigDir = java.nio.file.Files.createTempDirectory("legacysig").toString
+    val oos2 = new java.io.ObjectOutputStream(
+      new java.io.FileOutputStream(s"$sigDir/params.bin"))
+    try oos2.writeObject(Array(128, 16)) finally oos2.close()
+    val e2 = intercept[IllegalStateException] {
+      graft.operators.IncrementalDedup.openSignatures(spark, sigDir)
+    }
+    assert(e2.getMessage.contains("legacy") && e2.getMessage.contains("params.bin"))
+    // same rejection for the LSH index layout
+    val e3 = intercept[IllegalStateException] {
+      graft.operators.AnnLsh.openIndex(spark, sigDir)
+    }
+    assert(e3.getMessage.contains("legacy"))
   }
 
   test("IVF top-k self-consistency and brute-force agreement inside probed cells") {

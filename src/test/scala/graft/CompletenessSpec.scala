@@ -64,6 +64,42 @@ class CompletenessSpec extends AnyFunSuite {
     assert(back.columns.toSet.contains("portfolio_summary"))
   }
 
+  test("stamped export round-trips and passes document-level validation") {
+    // the full reference loop: export_json (with generated_at) →
+    // read back → validate_building_benchmarking — zero violations
+    val asOf = java.time.Instant.parse("2026-08-13T00:00:00Z")
+    val dir = java.nio.file.Files.createTempDirectory("jsonv").toString
+    Reports.exportJson(metrics, dir, asOf = Some(asOf))
+    val back = Tables.readJson(spark, dir)
+    assert(back.count() === 1)
+    assert(back.select("generated_at").head.getString(0) === "2026-08-13T00:00:00Z")
+    assert(Reports.validateReport(back).count() === 0)
+    // the in-memory stamped report validates identically
+    assert(Reports.validateReport(Reports.portfolioReport(metrics, Some(asOf)))
+      .count() === 0)
+  }
+
+  test("validateReport catches missing fields, bad timestamps and empty arrays") {
+    val asOf = java.time.Instant.parse("2026-08-13T00:00:00Z")
+    val report = Reports.portfolioReport(metrics, Some(asOf))
+    // unstamped document: generated_at is required (validate_json.py:40)
+    val unstamped = Reports.validateReport(Reports.portfolioReport(metrics))
+    assert(unstamped.collect().map(r => (r.getString(0), r.getString(1)))
+      .contains(("generated_at", "missing_field")))
+    // garbled timestamp
+    val badTs = Reports.validateReport(
+      report.withColumn("generated_at", lit("not-a-timestamp")))
+    assert(badTs.collect().map(r => (r.getString(0), r.getString(1)))
+      .contains(("generated_at", "invalid_iso8601")))
+    // dropped top-level section + empty buildings array
+    val gutted = Reports.validateReport(
+      report.drop("portfolio_summary")
+        .withColumn("buildings", slice(col("buildings"), 1, 0)))
+    val got = gutted.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got.contains(("portfolio_summary", "missing_field")))
+    assert(got.contains(("buildings", "empty_array")))
+  }
+
   test("single-building benchmark matches the reference's EUI semantics") {
     val r = Reports.benchmarkBuilding("B001", 1000.0, 50000.0)
     assert(r.eui === 50.0)

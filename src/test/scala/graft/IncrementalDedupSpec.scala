@@ -192,4 +192,37 @@ class IncrementalDedupSpec extends AnyFunSuite {
       .collect().map(r => (r.getBoolean(1), Option(r.get(2)))).head
     assert(after === ((true, Some(50L))))
   }
+
+  test("compact drops replayed duplicates and preserves flagging exactly") {
+    val docs = Tables.documents(spark, sf)
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val batch1 = docs.filter(col("doc_id") % 10 === 0)
+    val batch2 = docs.filter(col("doc_id") % 10 === 5)
+    val probe = docs.filter(col("doc_id") % 5 === 0)
+    val path = tmp()
+    IncrementalDedup.saveSignatures(corpus, path)
+    val idx = IncrementalDedup.openSignatures(spark, path)
+    // two append rounds, the first REPLAYED (crash-recovery double-append)
+    IncrementalDedup.appendSignatures(idx, batch1)
+    IncrementalDedup.appendSignatures(idx, batch1)
+    IncrementalDedup.appendSignatures(idx, batch2)
+    val bloated = IncrementalDedup.openSignatures(spark, path)
+    val expectedIds = bloated.sigs.select("doc_id").distinct().count()
+    assert(bloated.sigs.count() > expectedIds, "replay must leave duplicates")
+    val flagsBefore = IncrementalDedup.dedupAgainst(bloated, probe, 0.7)
+      .collect().map(_.toSeq).toSet
+
+    IncrementalDedup.compact(spark, path, numFiles = 4)
+    val compacted = IncrementalDedup.openSignatures(spark, path)
+    // duplicates gone, params sidecar intact, file count bounded
+    assert(compacted.sigs.count() === expectedIds)
+    assert((compacted.k, compacted.bands) === ((idx.k, idx.bands)))
+    val files = new java.io.File(s"$path/sigs").listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(files <= 4)
+    // flagging over the compacted index is row-identical
+    val flagsAfter = IncrementalDedup.dedupAgainst(compacted, probe, 0.7)
+      .collect().map(_.toSeq).toSet
+    assert(flagsAfter === flagsBefore)
+  }
 }

@@ -233,6 +233,25 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
   }
 
+  test("contamination: decontaminate auto-switches shape on benchmark gram count") {
+    import graft.operators.Contamination
+    val bench = docs.filter(col("doc_id") % 97 === 0)
+    val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+    def shape(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString
+    // small benchmark (default cutover): broadcast-array scan — the plan
+    // carries the single-row nested-loop broadcast, no per-gram explode join
+    val small = Contamination.decontaminate(corpus, bench)
+    assert(shape(small).contains("BroadcastNestedLoopJoin"))
+    // same benchmark declared oversized (cutover 1 gram): the hash-join
+    // shape — per-gram broadcast hash join, no nested-loop
+    val big = Contamination.decontaminate(corpus, bench, maxBroadcastGrams = 1L)
+    assert(!shape(big).contains("BroadcastNestedLoopJoin"))
+    assert(shape(big).contains("BroadcastHashJoin"))
+    // and the switch is purely physical: row-identical output
+    assert(small.collect().map(_.toSeq).toSeq === big.collect().map(_.toSeq).toSeq)
+  }
+
   test("frame dedup finds frames shared across documents, skips within-doc repeats") {
     // docs 1/2 share their first 16 bytes (one shared frame at offset 0);
     // doc 3 repeats ITS OWN first frame at offset 64 (within-doc repeat —
