@@ -23,18 +23,20 @@ object RecallProbe {
   /** Recall@k at six operating points: each index family at its query-key
     * default, at a wide (high-recall) setting, and at the default over a
     * PLANTED-structure corpus. The points pin the whole recall/cost dial
-    * against drift: the defaults are the sub-linear probes the keys
-    * bench, the wide points (IVF nprobe=16 of √n cells; LSH 16 tables ×
-    * 4 planes) demonstrate the index reaches high recall when a caller
-    * pays for it. On this synthetic corpus the top-10 neighbors sit at
-    * the ~0.3 cosine BACKGROUND (no neighbor structure), so sub-linear
-    * default probes are recall-bounded by neighbor concentration — ~0.25
-    * here — a property of the data, not the index. The `_planted` points
-    * measure the regime ANN indexes exist for: 10 deterministic
-    * near-duplicates (±2% component jitter) of every query appended to
-    * the corpus, so each query's true top-10 IS concentrated structure —
-    * defaults must score high there, and a drop flags real parameter
-    * drift rather than background noise. */
+    * against drift: the defaults (LSH 24 tables × 5 planes, IVF
+    * nprobe=12 — retuned round 6 via the RecallGrid sweep to ≥0.7
+    * background recall while staying sub-linear) are the probes the keys
+    * bench; the wide points (IVF nprobe=16 of √n cells; LSH 16 tables ×
+    * 4 planes) keep a second, differently-shaped reference point on the
+    * dial. On this synthetic corpus the top-10 neighbors sit at the ~0.3
+    * cosine BACKGROUND (no neighbor structure), so background recall is
+    * bounded by neighbor concentration and cost — a property of the
+    * data, not the index. The `_planted` points measure the regime ANN
+    * indexes exist for: 10 deterministic near-duplicates (±2% component
+    * jitter) of every query appended to the corpus, so each query's true
+    * top-10 IS concentrated structure — defaults must score 1.0 there,
+    * and a drop flags real parameter drift rather than background
+    * noise. */
   def run(spark: SparkSession, sfDir: String, nq: Int = 100,
       k: Int = 10): Map[String, Double] = {
     val emb = Tables.embeddings(spark, sfDir).localCheckpoint(true)

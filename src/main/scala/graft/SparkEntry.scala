@@ -254,8 +254,8 @@ object SparkEntry {
     // probes a PREBUILT partition-pruned index (trained+persisted once per
     // session per sf dir): the measured cost is the probe — a pruned
     // nprobe-cell scan — not in-call k-means training. Same parameters as
-    // Ivf.topK used (cells ∝ √n, 8 Lloyd's rounds, nprobe=2), so results
-    // are unchanged.
+    // Ivf.topK uses (cells ∝ √n, 8 Lloyd's rounds, nprobe=12 — the
+    // ≥0.7-recall default from the RecallGrid sweep).
     "sim_ivf" -> ((s, dir) => Ivf.topKIndexed(ivfIndexFor(s, dir), 0L, 10)),
     // batched probes: the ANN-service shape (one distributed pass for a
     // whole query set) exercised as benched keys so their one-pass plans
@@ -718,8 +718,9 @@ object SparkEntry {
          |ORDER BY vec_a, vec_b""".stripMargin,
 
 
-    // AnnLsh's plane family (tables 64..67, 6 planes) and its double
-    // cosine re-rank are both bit-reproducible: buckets via the shared
+    // AnnLsh's plane family (tables 64..87, 5 planes — the ≥0.7-recall
+    // defaults picked by the RecallGrid sweep) and its double cosine
+    // re-rank are both bit-reproducible: buckets via the shared
     // integer-LCG twin (lshBucketSql, as dd_embedding), cosine via the
     // sequential-double twin (dotDoubleSql) in the kernel's exact op shape
     "sim_ann_lsh" ->
@@ -728,8 +729,8 @@ object SparkEntry {
          |           x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS iv
          |  FROM embeddings),
          |bk AS (
-         |  SELECT vec_id, t, ${lshBucketSql(6)} AS bucket
-         |  FROM (SELECT vec_id, iv, unnest(generate_series(64, 67)) AS t FROM base)),
+         |  SELECT vec_id, t, ${lshBucketSql(5)} AS bucket
+         |  FROM (SELECT vec_id, iv, unnest(generate_series(64, 87)) AS t FROM base)),
          |qb AS (SELECT t, bucket FROM bk WHERE vec_id = 0),
          |cand AS (
          |  SELECT DISTINCT b.vec_id FROM bk b JOIN qb ON b.t = qb.t AND b.bucket = qb.bucket
@@ -748,8 +749,8 @@ object SparkEntry {
          |           x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS iv
          |  FROM embeddings),
          |bk AS (
-         |  SELECT vec_id, t, ${lshBucketSql(6)} AS bucket
-         |  FROM (SELECT vec_id, iv, unnest(generate_series(64, 67)) AS t FROM base)),
+         |  SELECT vec_id, t, ${lshBucketSql(5)} AS bucket
+         |  FROM (SELECT vec_id, iv, unnest(generate_series(64, 87)) AS t FROM base)),
          |qb AS (SELECT vec_id AS q_id, t, bucket FROM bk WHERE vec_id BETWEEN 0 AND 63),
          |cand AS (
          |  SELECT DISTINCT qb.q_id, b.vec_id

@@ -21,6 +21,15 @@ import graft.functions.VectorMath
   * works unchanged. Each table hashes a vector to a small bucket id (one
   * sign bit per plane); a probe only ever scans its own buckets, so
   * lookup cost is (corpus / 2^planes) · tables instead of corpus.
+  *
+  * Default operating point (24 tables × 5 planes): picked by the
+  * RecallGrid sweep at sf0.1 — ≥0.75 background recall@10 with planted
+  * near-duplicates at 1.0, at a 24/2⁵ = 0.75 candidate fraction (still
+  * sub-linear, and the persisted-index probe still prunes to 24 bucket
+  * directories). Recall on background-noise neighbors is a property of
+  * neighbor concentration, so a cheaper point (e.g. 4×6, fraction 0.06)
+  * suits callers probing for concentrated structure only — both dials
+  * stay honest via the per-bench RecallProbe telemetry.
   */
 object AnnLsh {
 
@@ -29,7 +38,7 @@ object AnnLsh {
   private val TableOffset = 64
 
   /** Corpus with one bucket id per hash table (single kernel pass). */
-  def index(embeddings: DataFrame, tables: Int = 4, planes: Int = 6): DataFrame =
+  def index(embeddings: DataFrame, tables: Int = 24, planes: Int = 5): DataFrame =
     embeddings.withColumn("buckets",
       org.apache.spark.sql.graft.ColumnBridge
         .embeddingLshBuckets(col("embedding"), tables, planes, TableOffset))
@@ -48,7 +57,7 @@ object AnnLsh {
     * to per-query probes (specced). Query ids must be distinct; ids
     * absent from the corpus yield no rows, exactly like [[topK]]. */
   def topKBatch(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
-      tables: Int = 4, planes: Int = 6): DataFrame = {
+      tables: Int = 24, planes: Int = 5): DataFrame = {
     require(queryIds.nonEmpty, "queryIds must not be empty")
     require(queryIds.distinct.size == queryIds.size,
       "queryIds must be distinct — duplicate ids would collapse into one group")
@@ -83,7 +92,7 @@ object AnnLsh {
   /** Top-k ANN: candidates = rows sharing any table bucket with the query,
     * exactly re-ranked by cosine. */
   def topK(embeddings: DataFrame, queryId: Long, k: Int,
-      tables: Int = 4, planes: Int = 6): DataFrame = {
+      tables: Int = 24, planes: Int = 5): DataFrame = {
     val indexed = index(embeddings, tables, planes)
     val q = indexed.filter(col("vec_id") === queryId)
       .select(col("embedding").as("q_emb"), col("buckets").as("q_buckets"))
@@ -125,8 +134,8 @@ object AnnLsh {
     * assigns buckets; the explode fans each row to its `tables`
     * directories. The full bucket array rides along each row so probes
     * can first-agree-dedup without a join back to the un-exploded corpus. */
-  def saveIndex(embeddings: DataFrame, path: String, tables: Int = 4,
-      planes: Int = 6): Unit = {
+  def saveIndex(embeddings: DataFrame, path: String, tables: Int = 24,
+      planes: Int = 5): Unit = {
     val spark = embeddings.sparkSession
     index(embeddings, tables, planes)
       .select(col("vec_id"), col("label"), col("embedding"), col("buckets"),

@@ -205,7 +205,7 @@ object Ivf {
     * convenience form; batch/service callers should `kmeansCentroids`
     * (or [[load]]) once and [[topKWith]] per query. `cells` defaults to
     * ⌈√n⌉. */
-  def topK(embeddings: DataFrame, queryId: Long, k: Int, nprobe: Int = 2,
+  def topK(embeddings: DataFrame, queryId: Long, k: Int, nprobe: Int = 12,
       cells: Int = 0, iters: Int = 8): DataFrame = {
     // one materialization serves the size probe, the k-means rounds and
     // the final cell-pruned search
@@ -230,7 +230,7 @@ object Ivf {
     * query vectors (materialized, so the two broadcasts don't each
     * re-run the scan) and one, cell-pruned, for the hits. */
   def topKBatch(embeddings: DataFrame, centroids: Array[Array[Float]],
-      queryIds: Seq[Long], k: Int, nprobe: Int = 2): DataFrame = {
+      queryIds: Seq[Long], k: Int, nprobe: Int = 12): DataFrame = {
     require(queryIds.nonEmpty, "queryIds must not be empty")
     import org.apache.spark.sql.expressions.Window
     val spark = embeddings.sparkSession
@@ -267,7 +267,7 @@ object Ivf {
   /** Probe an existing index: rank cells by centroid cosine to the
     * query, search the best `nprobe` cells exactly. */
   def topKWith(embeddings: DataFrame, centroids: Array[Array[Float]],
-      queryId: Long, k: Int, nprobe: Int = 2): DataFrame = {
+      queryId: Long, k: Int, nprobe: Int = 12): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val assigned = withCell(embeddings, centroids)
@@ -405,7 +405,7 @@ object Ivf {
     * partition filter — PlanQualitySpec pins PartitionFilters on this
     * plan). Row-identical to [[topKWith]] over the same corpus/centroids
     * when `excludeId` carries the query's own id. */
-  def topKVec(index: IvfIndex, qVec: Array[Float], k: Int, nprobe: Int = 2,
+  def topKVec(index: IvfIndex, qVec: Array[Float], k: Int, nprobe: Int = 12,
       excludeId: Option[Long] = None): DataFrame = {
     val cells = rankCells(index.centroids, qVec, nprobe)
     val pruned = index.corpus.filter(col("cell").isin(cells.map(Int.box): _*))
@@ -420,7 +420,7 @@ object Ivf {
     * query vector (point read; at scale keep a vec_id-keyed side table or
     * pass the vector to [[topKVec]] directly), then the pruned probe. */
   def topKIndexed(index: IvfIndex, queryId: Long, k: Int,
-      nprobe: Int = 2): DataFrame = {
+      nprobe: Int = 12): DataFrame = {
     val rows = index.corpus.filter(col("vec_id") === queryId)
       .select(col("embedding")).limit(1).collect()
     require(rows.nonEmpty, s"query id $queryId not present in the index corpus")

@@ -84,7 +84,7 @@ class PersistedIndexSpec extends AnyFunSuite {
     val dir = java.nio.file.Files.createTempDirectory("lshidx").toString
     AnnLsh.saveIndex(emb, dir)
     val idx = AnnLsh.openIndex(spark, dir)
-    assert(idx.tables === 4 && idx.planes === 6)
+    assert(idx.tables === 24 && idx.planes === 5)
 
     val probe = AnnLsh.topKVec(idx, embVec(0L), 10, excludeId = Some(0L))
     assertPartitionPruned(probe, "bucket")
