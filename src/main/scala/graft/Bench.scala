@@ -51,7 +51,19 @@ object Bench {
           .map { case (k, v) => s"\"$k\":$v" }.mkString(",")
         s""","recall":{$r}"""
       } catch { case _: Throwable => "" }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")}$recall,"sf":"$sfDir"}""")
+    // per-batch ingest-loop slope (constant batches vs a growing
+    // signature index) rides along too — near-flat batch_secs is the
+    // measured form of the O(batch + collisions) ingest claim.
+    // SPARK_GRAFT_INGEST=0 skips it.
+    val ingest =
+      if (sys.env.get("SPARK_GRAFT_INGEST").contains("0") || only.nonEmpty) ""
+      else try {
+        val r = IngestBench.run(spark, sfDir)
+        val bs = r.batchSecs.map(s => f"$s%.3f").mkString("[", ",", "]")
+        s""","ingest":{"batch_rows":${r.batchRows.mkString("[", ",", "]")},""" +
+          s""""batch_secs":$bs,"index_rows":${r.indexRows.mkString("[", ",", "]")}}"""
+      } catch { case _: Throwable => "" }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")}$recall$ingest,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

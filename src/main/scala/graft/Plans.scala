@@ -73,7 +73,12 @@ object Plans {
       "tx_curate" -> ("the composed curation gate: quality + repetition + " +
         "PII stacked as per-row column stages — Catalyst fuses all three " +
         "into ONE whole-stage-codegen project over a single scan, so the " +
-        "full gate costs one corpus read, not one sweep per signal"))
+        "full gate costs one corpus read, not one sweep per signal"),
+      "tx_boilerplate" -> ("corpus template mining: distinct-per-doc gram " +
+        "votes explode into a count roll-up with map-side partials; the " +
+        "bounded final ordering (topK through limit, r6) plans as " +
+        "TakeOrderedAndProject — per-partition top-k heaps + one k-row " +
+        "merge, never a full sort of every surviving gram"))
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of the headline queries\n\n")

@@ -23,12 +23,12 @@ object RecallProbe {
   /** Recall@k at six operating points: each index family at its query-key
     * default, at a wide (high-recall) setting, and at the default over a
     * PLANTED-structure corpus. The points pin the whole recall/cost dial
-    * against drift: the defaults (LSH 24 tables × 5 planes, IVF
-    * nprobe=12 — retuned round 6 via the RecallGrid sweep to ≥0.7
-    * background recall while staying sub-linear) are the probes the keys
-    * bench; the wide points (IVF nprobe=16 of √n cells; LSH 16 tables ×
-    * 4 planes) keep a second, differently-shaped reference point on the
-    * dial. On this synthetic corpus the top-10 neighbors sit at the ~0.3
+    * against drift: the defaults (LSH 24 tables × 5 planes, IVF auto
+    * nprobe = ⌈0.27·cells⌉ — retuned round 6 via the RecallGrid sweep to
+    * ≥0.7 background recall while staying sub-linear/pruned) are the
+    * probes the keys bench; the wide points (IVF nprobe=16 of √n cells;
+    * LSH 16 tables × 4 planes) keep a second, differently-shaped
+    * reference point on the dial. On this synthetic corpus the top-10 neighbors sit at the ~0.3
     * cosine BACKGROUND (no neighbor structure), so background recall is
     * bounded by neighbor concentration and cost — a property of the
     * data, not the index. The `_planted` points measure the regime ANN

@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic scale-up of a driver-generated sf directory — the data
+  * side of the sf1 scaling study (SURVEY §5): replicates each table
+  * `factor`× with per-replica key shifts so every intra-replica join
+  * relationship (orders↔lineitem↔customer, part/supplier FKs) is
+  * preserved exactly, while cross-replica keys never collide. The result
+  * is a corpus with the SAME per-key statistical shape at `factor`× the
+  * rows — what the per-key scaling-slope measurement needs.
+  *
+  * Shape-preserving choices, per table family:
+  *   - region/nation stay single-copy (fixed-size dimensions, as in
+  *     TPC-H's own scaling rules).
+  *   - documents: replica 0 is verbatim; other replicas salt every token
+  *     with a replica tag, so each replica's INTERNAL near-duplicate
+  *     structure is identical to the original corpus while cross-replica
+  *     token overlap is zero — duplicate/candidate-pair density scales
+  *     linearly, the way a bigger crawl actually behaves (10 verbatim
+  *     copies would instead explode pair counts quadratically and
+  *     falsely flag the dedup family as super-linear).
+  *   - embeddings: replica r cyclically rotates each vector's components
+  *     by 7·r positions — norms, within-replica cosine structure and
+  *     per-replica cell geometry are preserved exactly, while
+  *     cross-replica cosines fall to the background (a rotated random
+  *     vector decorrelates), so ANN candidate volume scales linearly.
+  *   - events: user_id shifts per replica (10× users, each with the
+  *     original per-user event stream) — sessionization and windowed
+  *     state scale by key count, their true scaling axis.
+  *
+  * Usage: runMain graft.ScaleUp <srcDir> <destDir> [factor]
+  */
+object ScaleUp {
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: ScaleUp <srcDir> <destDir> [factor]")
+    val (src, dest) = (args(0), args(1))
+    val factor = if (args.length > 2) args(2).toInt else 10
+    val spark = SparkSession.builder()
+      .appName("graft-scale-up").master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", false)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try run(spark, src, dest, factor) finally spark.stop()
+  }
+
+  def run(spark: SparkSession, src: String, dest: String, factor: Int): Unit = {
+    def read(name: String): DataFrame = spark.read.parquet(s"$src/$name.parquet")
+    def write(df: DataFrame, name: String): Unit = {
+      df.write.mode("overwrite").parquet(s"$dest/$name.parquet")
+      println(s"[scaleup] $name: ${spark.read.parquet(s"$dest/$name.parquet").count()} rows")
+    }
+    // one key-domain offset per shifted id, from the source data itself
+    def off(df: DataFrame, c: String): Long =
+      df.agg(max(col(c)).cast("long")).head.getLong(0) + 1L
+
+    def replicate(df: DataFrame, shifts: Map[String, Long],
+        extra: (DataFrame, Int) => DataFrame = (d, _) => d): DataFrame =
+      (0 until factor).map { r =>
+        val shifted = shifts.foldLeft(df) { case (d, (c, o)) =>
+          d.withColumn(c, (col(c) + lit(o * r)).cast(d.schema(c).dataType))
+        }
+        extra(shifted, r)
+      }.reduce(_ unionByName _)
+
+    // fixed-size dimensions: single copy
+    write(read("region"), "region")
+    write(read("nation"), "nation")
+
+    val customer = read("customer")
+    val orders = read("orders")
+    val part = read("part")
+    val supplier = read("supplier")
+    val custOff = off(customer, "c_custkey")
+    val orderOff = off(orders, "o_orderkey")
+    val partOff = off(part, "p_partkey")
+    val suppOff = off(supplier, "s_suppkey")
+
+    write(replicate(customer, Map("c_custkey" -> custOff)), "customer")
+    write(replicate(supplier, Map("s_suppkey" -> suppOff)), "supplier")
+    write(replicate(part, Map("p_partkey" -> partOff)), "part")
+    write(replicate(orders,
+      Map("o_orderkey" -> orderOff, "o_custkey" -> custOff)), "orders")
+    write(replicate(read("lineitem"),
+      Map("l_orderkey" -> orderOff, "l_partkey" -> partOff,
+        "l_suppkey" -> suppOff)), "lineitem")
+
+    // events: ts stays (stored as raw ns longs — read them as such so the
+    // written table round-trips through Tables.events unchanged)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val events = read("events")
+    write(replicate(events,
+      Map("event_id" -> off(events, "event_id"),
+        "user_id" -> off(events, "user_id"))), "events")
+
+    val documents = read("documents")
+    write(replicate(documents, Map("doc_id" -> off(documents, "doc_id")),
+      extra = (d, r) =>
+        if (r == 0) d
+        else d
+          .withColumn("text", array_join(
+            transform(split(col("text"), " "), t => concat(lit(s"r$r"), t)), " "))
+          .withColumn("n_chars", length(col("text")).cast("long"))),
+      "documents")
+
+    val embeddings = read("embeddings")
+    val dim = embeddings.select(size(col("embedding"))).head.getInt(0)
+    write(replicate(embeddings, Map("vec_id" -> off(embeddings, "vec_id")),
+      extra = (d, r) => {
+        val shift = (7 * r) % dim
+        if (shift == 0) d
+        else d.withColumn("embedding", concat(
+          slice(col("embedding"), shift + 1, dim - shift),
+          slice(col("embedding"), 1, shift)))
+      }), "embeddings")
+  }
+}

@@ -254,8 +254,9 @@ object SparkEntry {
     // probes a PREBUILT partition-pruned index (trained+persisted once per
     // session per sf dir): the measured cost is the probe — a pruned
     // nprobe-cell scan — not in-call k-means training. Same parameters as
-    // Ivf.topK uses (cells ∝ √n, 8 Lloyd's rounds, nprobe=12 — the
-    // ≥0.7-recall default from the RecallGrid sweep).
+    // Ivf.topK uses (cells ∝ √n, 8 Lloyd's rounds, auto nprobe =
+    // ⌈0.27·cells⌉ — the ≥0.7-recall fraction from the RecallGrid sweep,
+    // scale-invariant by construction).
     "sim_ivf" -> ((s, dir) => Ivf.topKIndexed(ivfIndexFor(s, dir), 0L, 10)),
     // batched probes: the ANN-service shape (one distributed pass for a
     // whole query set) exercised as benched keys so their one-pass plans

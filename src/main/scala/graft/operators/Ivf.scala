@@ -30,6 +30,25 @@ object Ivf {
 
   private val sumDec = DecimalType(28, 10)
 
+  /** Default probe width as a FRACTION of the cell count — the auto
+    * default (`nprobe = 0`) probes ⌈0.27·cells⌉ cells, the operating
+    * point the RecallGrid sweep measured at ≥0.7 background recall@10
+    * (12 of 45 cells at sf0.1). A fixed nprobe is a shrinking fraction
+    * of the √n cell count as the corpus grows — measured at 10× data,
+    * nprobe=12 of 142 cells had dropped to 0.44 background recall — so
+    * the default scales with the index instead: recall stays at the
+    * measured point at any corpus size, and probe cost stays a constant
+    * fraction of the corpus (the price of background recall on
+    * unconcentrated neighbors; callers probing for planted/concentrated
+    * structure can pass a small explicit nprobe and read far less). */
+  val DefaultProbeFraction: Double = 0.27
+
+  /** `nprobe = 0` (the default) resolves to [[DefaultProbeFraction]] of
+    * the cell count; explicit positive values pass through. */
+  private[graft] def resolveNprobe(nprobe: Int, cells: Int): Int =
+    if (nprobe > 0) nprobe
+    else math.max(1, math.ceil(cells * DefaultProbeFraction).toInt)
+
   /** Above this many centroid floats (k×dim), assignment switches from the
     * expression-embedded array to the torrent-broadcast kernel: a literal
     * table this size would be re-serialized into every task binary and
@@ -205,17 +224,18 @@ object Ivf {
     * convenience form; batch/service callers should `kmeansCentroids`
     * (or [[load]]) once and [[topKWith]] per query. `cells` defaults to
     * ⌈√n⌉. */
-  def topK(embeddings: DataFrame, queryId: Long, k: Int, nprobe: Int = 12,
+  def topK(embeddings: DataFrame, queryId: Long, k: Int, nprobe: Int = 0,
       cells: Int = 0, iters: Int = 8): DataFrame = {
     // one materialization serves the size probe, the k-means rounds and
     // the final cell-pruned search
     val corpus = embeddings.localCheckpoint(true)
     val nCells =
       if (cells > 0) cells
-      else math.max(nprobe, math.ceil(math.sqrt(corpus.count().toDouble)).toInt)
+      else math.max(math.max(nprobe, 2),
+        math.ceil(math.sqrt(corpus.count().toDouble)).toInt)
     topKWith(corpus,
       kmeansCentroids(corpus, nCells, iters, inputMaterialized = true),
-      queryId, k, nprobe)
+      queryId, k, resolveNprobe(nprobe, nCells))
   }
 
   /** Batched probe: top-k ANN for EVERY id in `queryIds` in ONE
@@ -230,8 +250,9 @@ object Ivf {
     * query vectors (materialized, so the two broadcasts don't each
     * re-run the scan) and one, cell-pruned, for the hits. */
   def topKBatch(embeddings: DataFrame, centroids: Array[Array[Float]],
-      queryIds: Seq[Long], k: Int, nprobe: Int = 12): DataFrame = {
+      queryIds: Seq[Long], k: Int, nprobe: Int = 0): DataFrame = {
     require(queryIds.nonEmpty, "queryIds must not be empty")
+    val np = resolveNprobe(nprobe, centroids.length)
     import org.apache.spark.sql.expressions.Window
     val spark = embeddings.sparkSession
     import spark.implicits._
@@ -248,7 +269,7 @@ object Ivf {
     val wCells = Window.partitionBy("q_id")
       .orderBy(col("c_cos").desc, col("cell"))
     val probed = cellRank.withColumn("rn", row_number().over(wCells))
-      .filter(col("rn") <= nprobe)
+      .filter(col("rn") <= np)
       .select("q_id", "cell")
     val hits = assigned
       .join(broadcast(probed), "cell")
@@ -267,7 +288,8 @@ object Ivf {
   /** Probe an existing index: rank cells by centroid cosine to the
     * query, search the best `nprobe` cells exactly. */
   def topKWith(embeddings: DataFrame, centroids: Array[Array[Float]],
-      queryId: Long, k: Int, nprobe: Int = 12): DataFrame = {
+      queryId: Long, k: Int, nprobe: Int = 0): DataFrame = {
+    val np = resolveNprobe(nprobe, centroids.length)
     val spark = embeddings.sparkSession
     import spark.implicits._
     val assigned = withCell(embeddings, centroids)
@@ -280,7 +302,7 @@ object Ivf {
       .select(col("cell"),
         VectorMath.cosineDouble(col("centroid"), col("q_emb")).as("c_cos"))
       .orderBy(col("c_cos").desc, col("cell"))
-      .limit(nprobe)
+      .limit(np)
       .select("cell")
     assigned
       .join(broadcast(cellRank), "cell")
@@ -405,9 +427,10 @@ object Ivf {
     * partition filter — PlanQualitySpec pins PartitionFilters on this
     * plan). Row-identical to [[topKWith]] over the same corpus/centroids
     * when `excludeId` carries the query's own id. */
-  def topKVec(index: IvfIndex, qVec: Array[Float], k: Int, nprobe: Int = 12,
+  def topKVec(index: IvfIndex, qVec: Array[Float], k: Int, nprobe: Int = 0,
       excludeId: Option[Long] = None): DataFrame = {
-    val cells = rankCells(index.centroids, qVec, nprobe)
+    val cells = rankCells(index.centroids, qVec,
+      resolveNprobe(nprobe, index.centroids.length))
     val pruned = index.corpus.filter(col("cell").isin(cells.map(Int.box): _*))
     val base = excludeId.fold(pruned)(id => pruned.filter(col("vec_id") =!= id))
     base.select(col("vec_id"), col("label"),
@@ -420,7 +443,7 @@ object Ivf {
     * query vector (point read; at scale keep a vec_id-keyed side table or
     * pass the vector to [[topKVec]] directly), then the pruned probe. */
   def topKIndexed(index: IvfIndex, queryId: Long, k: Int,
-      nprobe: Int = 12): DataFrame = {
+      nprobe: Int = 0): DataFrame = {
     val rows = index.corpus.filter(col("vec_id") === queryId)
       .select(col("embedding")).limit(1).collect()
     require(rows.nonEmpty, s"query id $queryId not present in the index corpus")
