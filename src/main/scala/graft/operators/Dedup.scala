@@ -131,9 +131,33 @@ object Dedup {
       .select(col("vec_id"), col("bkts"),
         posexplode(col("bkts")).as(Seq("t", "bucket")))
 
+  /** Bucket occupancy the auto plane count targets: ~32 rows per bucket
+    * per table keeps in-bucket pair volume (occupancy²/2 per bucket)
+    * bounded as the corpus grows. */
+  private[graft] val TargetBucketOccupancy = 32L
+
+  /** `planes = 0` (the default) resolves to max(6, ⌈log₂(n/32)⌉) — the
+    * corpus-size-scaled geometry. A FIXED plane count means bucket
+    * occupancy, and with it in-bucket candidate volume, grows linearly
+    * (quadratically in pairs) with the corpus: the r6 scaling study
+    * measured the 6-plane geometry at 13× cost for 10× data. Scaling
+    * planes with log₂(n) holds occupancy — and per-row probe cost —
+    * constant instead. Bucket geometry is part of an approximate-dedup
+    * op's SEMANTICS (more planes → finer sign patterns → fewer
+    * low-cosine candidates surface), so callers needing bit-stable
+    * output across corpus sizes pass an explicit plane count; at the
+    * oracle/bench sizes (n ≤ 2000) the auto value resolves to the
+    * original 6, keeping dd_embedding's oracle bit-exact. */
+  private[graft] def resolvePlanes(planes: Int, n: Long): Int =
+    if (planes > 0) planes
+    else math.max(6, math.ceil(
+      math.log(math.max(1L, n).toDouble / TargetBucketOccupancy)
+        / math.log(2.0)).toInt)
+
   def embeddingNearDupLsh(embeddings: DataFrame, threshold: Double = 0.3,
-      tables: Int = 8, planes: Int = 6, maxBucket: Int = 4096): DataFrame = {
-    val bucketed = embeddingBuckets(embeddings, tables, planes)
+      tables: Int = 8, planes: Int = 0, maxBucket: Int = 4096): DataFrame = {
+    val bucketed = embeddingBuckets(embeddings, tables,
+      resolvePlanes(planes, embeddings.count()))
     // bucket-local pairing behind the same hot-bucket guard as the text
     // path: a degenerate sign-pattern bucket (e.g. a corpus of
     // near-constant vectors) pairs linearly, not quadratically — and

@@ -24,14 +24,14 @@ private[graft] object IndexMeta {
   private def fs(spark: SparkSession, p: Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def writeText(spark: SparkSession, path: String, text: String): Unit = {
+  private[graft] def writeText(spark: SparkSession, path: String, text: String): Unit = {
     val p = new Path(path)
     val out = fs(spark, p).create(p, true)
     try out.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
   }
 
-  private def readText(spark: SparkSession, path: String): String = {
+  private[graft] def readText(spark: SparkSession, path: String): String = {
     val p = new Path(path)
     val in = fs(spark, p).open(p)
     try {

@@ -106,21 +106,67 @@ object IsolationForest {
   /** Persist a fitted model through the Hadoop filesystem API, so the same
     * call works against local disk, HDFS or object stores — the
     * save_model/load_model pair of the reference (models.py:359-385), which
-    * pickles the sklearn pipeline for reuse across jobs. */
+    * pickles the sklearn pipeline for reuse across jobs. Unlike a pickle,
+    * the format is versioned JSON (doubles in shortest-decimal form, which
+    * round-trips bit-exactly), so a saved model survives JVM upgrades and
+    * is readable outside the JVM; a legacy Java-serialized model file is
+    * rejected with a rebuild message. */
   def save(model: Model, path: String, spark: SparkSession): Unit = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val oos = new java.io.ObjectOutputStream(fs.create(p, true))
-    try oos.writeObject(model) finally oos.close()
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def nodeJson(n: Node): com.fasterxml.jackson.databind.JsonNode = n match {
+      case Leaf(size) =>
+        val o = mapper.createObjectNode(); o.put("leaf", size); o
+      case Split(f, v, lo, hi) =>
+        val o = mapper.createObjectNode()
+        o.put("f", f); o.put("v", v)
+        o.set[com.fasterxml.jackson.databind.JsonNode]("lo", nodeJson(lo))
+        o.set[com.fasterxml.jackson.databind.JsonNode]("hi", nodeJson(hi))
+        o
+    }
+    val root = mapper.createObjectNode()
+    root.put("format", IndexMeta.FormatVersion)
+    root.put("kind", "isolation-forest")
+    root.put("subsample", model.subsample)
+    root.set[com.fasterxml.jackson.databind.JsonNode](
+      "means", mapper.valueToTree(model.means))
+    root.set[com.fasterxml.jackson.databind.JsonNode](
+      "stds", mapper.valueToTree(model.stds))
+    val trees = mapper.createArrayNode()
+    model.trees.foreach(t => trees.add(nodeJson(t)))
+    root.set[com.fasterxml.jackson.databind.JsonNode]("trees", trees)
+    IndexMeta.writeText(spark, path, root.toString)
   }
 
   /** Load a model persisted by [[save]]; scoring with the loaded model is
     * bit-identical to scoring with the original (specced). */
   def load(path: String, spark: SparkSession): Model = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val ois = new java.io.ObjectInputStream(fs.open(p))
-    try ois.readObject().asInstanceOf[Model] finally ois.close()
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val text = IndexMeta.readText(spark, path)
+    val root =
+      try mapper.readTree(text)
+      catch {
+        case _: com.fasterxml.jackson.core.JacksonException =>
+          throw new IllegalStateException(
+            s"$path is not JSON — likely a legacy Java-serialized model " +
+              "(pre-v1 format); re-save it with IsolationForest.save to get " +
+              "the portable JSON form")
+      }
+    if (root == null || !root.isObject || root.get("trees") == null)
+      throw new IllegalStateException(
+        s"$path is not a v${IndexMeta.FormatVersion} isolation-forest document")
+    val fmt = Option(root.get("format")).map(_.asInt(-1)).getOrElse(-1)
+    if (fmt != IndexMeta.FormatVersion)
+      throw new IllegalStateException(
+        s"$path has format version $fmt; this reader supports ${IndexMeta.FormatVersion}")
+    def nodeOf(n: com.fasterxml.jackson.databind.JsonNode): Node =
+      if (n.has("leaf")) Leaf(n.get("leaf").asInt)
+      else Split(n.get("f").asInt, n.get("v").asDouble,
+        nodeOf(n.get("lo")), nodeOf(n.get("hi")))
+    val trees = (0 until root.get("trees").size())
+      .map(i => nodeOf(root.get("trees").get(i))).toArray
+    def doubles(name: String): Array[Double] =
+      mapper.treeToValue(root.get(name), classOf[Array[Double]])
+    Model(trees, root.get("subsample").asInt, doubles("means"), doubles("stds"))
   }
 
   /** Forest flattened to parallel arrays for the codegen scoring kernel:

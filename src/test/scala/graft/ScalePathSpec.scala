@@ -37,6 +37,39 @@ class ScalePathSpec extends AnyFunSuite {
     assert(pairs.exists(_.getAs[Long]("hamming") === 0L))
   }
 
+  test("embedding dedup auto-planes scale with corpus size, fixed at oracle scales") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // the resolution rule itself: max(6, ceil(log2(n/32))) — 6 at every
+    // oracle/bench size (so dd_embedding stays bit-exact), growing with
+    // log2(n) beyond to hold bucket occupancy ~constant
+    assert(Dedup.resolvePlanes(0, 200L) === 6)
+    assert(Dedup.resolvePlanes(0, 2000L) === 6)
+    assert(Dedup.resolvePlanes(0, 20000L) === 10)
+    assert(Dedup.resolvePlanes(0, 1L << 20) === 15)
+    assert(Dedup.resolvePlanes(4, 1L << 20) === 4) // explicit wins
+
+    // at a corpus size where auto resolves ABOVE 6 (n=3000 → 7 planes),
+    // planted near-identical pairs still surface: near-zero angle means
+    // per-plane collision probability ~1 at any plane count
+    val vecs = ((0 until 3000).map { i =>
+      (i.toLong,
+        Array.tabulate(8)(d => (((i * 31 + d * 17) % 1000) / 500.0 - 1.0).toFloat),
+        i % 5)
+    } :+ ((9001L,
+      Array.tabulate(8)(d => ((((0 * 31) + d * 17) % 1000) / 500.0 - 1.0 + 1e-4).toFloat),
+      0))).toDF("vec_id", "embedding", "label")
+    assert(Dedup.resolvePlanes(0, vecs.count()) === 7)
+    val pairs = Dedup.embeddingNearDupLsh(vecs, threshold = 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((0L, 9001L)),
+      s"planted near-dup not found under auto planes; got ${pairs.length} pairs")
+    // and auto output is exactly the explicit-planes output it resolves to
+    val explicit = Dedup.embeddingNearDupLsh(vecs, threshold = 0.999, planes = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq === explicit.toSeq)
+  }
+
   test("simhash fingerprints differ for disjoint-vocabulary docs") {
     import spark.implicits._
     val two = Seq((1L, "aa bb cc dd ee", "s"), (2L, "vv ww xx yy zz", "s"))
@@ -93,9 +126,17 @@ class ScalePathSpec extends AnyFunSuite {
     val feats = TimeSeries.rollingFeatures(TimeSeries.base(spark, sf)).cache()
     val model = IsolationForest.fit(feats, featureCols,
       trainFilter = col("event_type") =!= "error")
-    val path = java.nio.file.Files.createTempDirectory("ifm").toString + "/model.bin"
+    val dir = java.nio.file.Files.createTempDirectory("ifm").toString
+    val path = dir + "/model.json"
     IsolationForest.save(model, path, spark)
     val loaded = IsolationForest.load(path, spark)
+    // legacy Java-serialized model files are rejected with a rebuild
+    // message, same as the index sidecars
+    val legacy = dir + "/model.bin"
+    val oos = new java.io.ObjectOutputStream(new java.io.FileOutputStream(legacy))
+    try oos.writeObject(model) finally oos.close()
+    val e = intercept[IllegalStateException] { IsolationForest.load(legacy, spark) }
+    assert(e.getMessage.contains("legacy"))
     val a = IsolationForest.score(spark, feats, featureCols, model)
       .select("event_id", "if_score").collect()
       .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
