@@ -596,7 +596,7 @@ def run_all(d):
         agg = f.groupby("gram").agg(n_docs=("doc_id", "size"),
                                     first_doc=("doc_id", "min")).reset_index()
         return agg[agg["n_docs"] >= 5].sort_values(
-            ["n_docs", "gram"], ascending=[False, True])
+            ["n_docs", "gram"], ascending=[False, True]).head(1000)
     bench("tx_boilerplate", tx_boilerplate)
 
     def dd_contamination():
