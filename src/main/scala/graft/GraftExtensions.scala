@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.{EmbeddingLshBuckets, FloatDotProduct, LongArrayMatchCount, SimHashBits, SortedStringArrayIntersectCount}
+import org.apache.spark.sql.graft.{EmbeddingLshBuckets, FloatDotProduct, LongArrayMatchCount, SimHashBits, SortedStringArrayIntersectCount, WordNGrams}
 
 /** Session extension installing the native kernels as SQL functions, so
   * `spark.sql("SELECT float_dot(a, b) ...")` works for SQL-first users —
@@ -48,7 +48,11 @@ object GraftExtensions {
         es => SortedStringArrayIntersectCount(es(0), es(1))),
     // default LSH shape (8 tables × 6 planes) for the SQL surface
     "embedding_lsh_buckets" ->
-      arity("embedding_lsh_buckets", 1)(es => EmbeddingLshBuckets(es(0), 8, 6)))
+      arity("embedding_lsh_buckets", 1)(es => EmbeddingLshBuckets(es(0), 8, 6)),
+    // word_ngrams(text, n, distinct) — n and distinct must be literals
+    "word_ngrams" -> arity("word_ngrams", 3)(es => WordNGrams(es(0),
+      es(1).eval().asInstanceOf[Int],
+      es(2).eval().asInstanceOf[Boolean])))
 
   /** Register on an already-running session. */
   def register(spark: SparkSession): Unit = {

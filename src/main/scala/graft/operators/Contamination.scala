@@ -47,15 +47,15 @@ object Contamination {
   /** Distinct word n-grams per document, in the engine-neutral shape the
     * DuckDB twin reproduces: whitespace tokens, windows starting at every
     * position up to max(len-n, 0) (short documents yield one short gram —
-    * same degenerate form in both engines). */
-  private[graft] def gramSets(documents: DataFrame, n: Int): DataFrame = {
-    val toks = split(col("text"), " ")
+    * same degenerate form in both engines). Computed by the native
+    * word_ngrams codegen kernel — one pass over the string instead of the
+    * interpreted split/sequence/transform/slice/concat_ws HOF chain
+    * (row-identical by the kernel's equivalence property, specced). */
+  private[graft] def gramSets(documents: DataFrame, n: Int): DataFrame =
     documents.select(
       col("doc_id"),
-      array_distinct(transform(
-        sequence(lit(0), greatest(size(toks) - n, lit(0))),
-        i => concat_ws(" ", slice(toks, i + lit(1), lit(n))))).as("grams"))
-  }
+      org.apache.spark.sql.graft.ColumnBridge
+        .wordNGrams(col("text"), n, distinct = true).as("grams"))
 
   private def score(scored: DataFrame, threshold: Double): DataFrame =
     scored

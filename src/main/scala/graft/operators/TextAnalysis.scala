@@ -182,11 +182,9 @@ object TextAnalysis {
     * partition, not per occurrence), deterministic top-k via
     * TakeOrderedAndProject. */
   def ngramFrequencies(documents: DataFrame, n: Int = 2, k: Int = 50): DataFrame = {
-    val toks = split(col("text"), " ")
     documents
-      .select(explode(transform(
-        sequence(lit(0), greatest(size(toks) - n, lit(0))),
-        i => concat_ws(" ", slice(toks, i + lit(1), lit(n))))).as("ngram"))
+      .select(explode(org.apache.spark.sql.graft.ColumnBridge
+        .wordNGrams(col("text"), n)).as("ngram"))
       .groupBy("ngram")
       .agg(count(lit(1)).as("n_occurrences"))
       .orderBy(col("n_occurrences").desc, col("ngram"))
@@ -219,9 +217,8 @@ object TextAnalysis {
   private[graft] def withRepetition(df: DataFrame, top2Max: Double,
       topTokMax: Double): DataFrame = {
     val toks = split(col("text"), " ")
-    val grams = transform(
-      sequence(lit(0), greatest(size(toks) - 2, lit(0))),
-      i => concat_ws(" ", slice(toks, i + lit(1), lit(2))))
+    val grams = org.apache.spark.sql.graft.ColumnBridge
+      .wordNGrams(col("text"), 2)
     def topCount(arr: org.apache.spark.sql.Column) =
       array_max(transform(array_distinct(arr),
         g => size(filter(arr, x => x === g))))

@@ -92,6 +92,10 @@ object ColumnBridge {
   def simhashBits(hs: Column): Column =
     column(SimHashBits(expression(hs)))
 
+  /** word_ngrams(text, n, distinct) as a Column. */
+  def wordNGrams(text: Column, n: Int, distinct: Boolean = false): Column =
+    column(WordNGrams(expression(text), n, distinct))
+
   /** minhash_signature(hs) as a Column. */
   def minhashSig(hs: Column, as: Array[Long], bs: Array[Long], p: Long): Column =
     column(MinHashSignature(expression(hs), as, bs, p))

@@ -29,6 +29,33 @@ class KernelPropertySpec extends AnyFunSuite {
     assert(bad.count() === 0)
   }
 
+  test("word_ngrams equals the split/transform/slice/concat_ws expression chain") {
+    // adversarial strings: consecutive/leading/trailing spaces (empty
+    // tokens), single tokens, empty string, unicode, gram-boundary sizes
+    val vocab = Seq("alpha", "beta", "gamma", "δelta", "ε", "x", "", "longish-token")
+    val cases = (1 to 1000).map { i =>
+      val nTok = rnd.nextInt(8)
+      val text = (0 until nTok).map(_ => vocab(rnd.nextInt(vocab.length)))
+        .mkString(" ") + (if (rnd.nextBoolean()) " " else "")
+      (i.toLong, text)
+    } :+ (2000L, "") :+ (2001L, " ") :+ (2002L, "a  b   c")
+    val df = cases.toDF("id", "text").cache()
+    for (n <- Seq(1, 2, 3, 5); distinct <- Seq(false, true)) {
+      val toks = split(col("text"), " ")
+      val expected0 = transform(
+        sequence(lit(0), greatest(size(toks) - n, lit(0))),
+        i => concat_ws(" ", slice(toks, i + lit(1), lit(n))))
+      val expected = if (distinct) array_distinct(expected0) else expected0
+      val bad = df.filter(
+        ColumnBridge.wordNGrams(col("text"), n, distinct) =!= expected)
+      assert(bad.count() === 0, s"n=$n distinct=$distinct: kernel diverges")
+    }
+    // null text → null, matching the expression chain's null contract
+    val nulls = spark.sql("SELECT CAST(NULL AS STRING) AS text")
+      .select(ColumnBridge.wordNGrams(col("text"), 3, distinct = true).as("g"))
+    assert(nulls.head.isNullAt(0))
+  }
+
   test("long_array_match_count equals element-wise equality count") {
     val cases = (1 to 1000).map { i =>
       val n = 1 + rnd.nextInt(64)
