@@ -45,9 +45,8 @@ object IncrementalDedup {
   private def signed(documents: DataFrame, k: Int, bands: Int): DataFrame = {
     val rows = k / bands
     MinHashLsh.signatures(documents, k)
-      .withColumn("bkts",
-        transform(sequence(lit(0), lit(bands - 1)),
-          b => hash(slice(col("sig"), b * rows + lit(1), lit(rows)), b)))
+      .withColumn("bkts", org.apache.spark.sql.graft.ColumnBridge
+        .bandBuckets(col("sig"), bands, rows))
   }
 
   /** Sign `documents` once and persist the index under `path`. The

@@ -147,8 +147,11 @@ object MinHashLsh {
       rng.nextInt(Int.MaxValue).toLong))
     toks.select(
       col("doc_id"),
-      transform(col("toks"),
-        t => pmod(hash(t).cast("long"), lit(p))).as("hs"))
+      // native token-hash kernel: murmur3 + pmod in one codegen loop
+      // (bit-identical to transform(toks, t -> pmod(hash(t)::long, p)),
+      // property-specced)
+      org.apache.spark.sql.graft.ColumnBridge
+        .tokenHashesMod(col("toks"), p).as("hs"))
       .select(
         col("doc_id"),
         // one native codegen pass: k×tokens tight loop per row
@@ -166,9 +169,10 @@ object MinHashLsh {
     val rows = k / bands
     sigs.select(
       col("doc_id"),
-      transform(sequence(lit(0), lit(bands - 1)),
-        b => hash(slice(col("sig"), b * rows + lit(1), lit(rows)), b))
-        .as("bkts"))
+      // native band-bucket kernel (≡ transform(sequence(...),
+      // b -> hash(slice(sig, b·rows+1, rows), b)), property-specced)
+      org.apache.spark.sql.graft.ColumnBridge
+        .bandBuckets(col("sig"), bands, rows).as("bkts"))
       .select(col("doc_id"), col("bkts"),
         posexplode(col("bkts")).as(Seq("band", "bucket")))
   }

@@ -43,7 +43,7 @@ object SimHash {
     documents
       .withColumn("bits",
         org.apache.spark.sql.graft.ColumnBridge.simhashBits(
-          transform(toks, t => xxhash64(t))))
+          org.apache.spark.sql.graft.ColumnBridge.tokenHashes64(toks)))
       .withColumn("fp",
         aggregate(col("bits"), lit(0L),
           (acc, x) => shiftleft(acc, 1).bitwiseOR(x)))

@@ -96,6 +96,18 @@ object ColumnBridge {
   def wordNGrams(text: Column, n: Int, distinct: Boolean = false): Column =
     column(WordNGrams(expression(text), n, distinct))
 
+  /** token_hashes_mod(toks, p) as a Column (murmur3 seed 42, pmod p). */
+  def tokenHashesMod(toks: Column, p: Long): Column =
+    column(TokenHashesMod(expression(toks), p))
+
+  /** token_hashes64(toks) as a Column (xxhash64 seed 42). */
+  def tokenHashes64(toks: Column): Column =
+    column(TokenHashes64(expression(toks)))
+
+  /** band_buckets(sig, bands, rows) as a Column. */
+  def bandBuckets(sig: Column, bands: Int, rows: Int): Column =
+    column(BandBuckets(expression(sig), bands, rows))
+
   /** minhash_signature(hs) as a Column. */
   def minhashSig(hs: Column, as: Array[Long], bs: Array[Long], p: Long): Column =
     column(MinHashSignature(expression(hs), as, bs, p))

@@ -56,6 +56,41 @@ class KernelPropertySpec extends AnyFunSuite {
     assert(nulls.head.isNullAt(0))
   }
 
+  test("token-hash kernels are bit-identical to their HOF expression chains") {
+    val vocab = (1 to 50).map(i => s"tok$i") ++ Seq("", "δelta", "ünïcode")
+    val cases = (1 to 500).map { i =>
+      (i.toLong, (0 until rnd.nextInt(40)).map(_ => vocab(rnd.nextInt(vocab.length))))
+    }
+    val df = cases.toDF("id", "toks").cache()
+    val p = 2147483647L
+    // murmur3 + pmod (the MinHash token-hash step)
+    val badMod = df.filter(
+      ColumnBridge.tokenHashesMod(col("toks"), p) =!=
+        transform(col("toks"), t => pmod(hash(t).cast("long"), lit(p))))
+    assert(badMod.count() === 0)
+    // xxhash64 (the SimHash token-hash step)
+    val bad64 = df.filter(
+      ColumnBridge.tokenHashes64(col("toks")) =!=
+        transform(col("toks"), t => xxhash64(t)))
+    assert(bad64.count() === 0)
+  }
+
+  test("band_buckets kernel is bit-identical to the hash(slice(...)) fold") {
+    val k = 128
+    val cases = (1 to 500).map { i =>
+      (i.toLong, Seq.fill(k)(rnd.nextLong().abs % 2147483647L))
+    }
+    val df = cases.toDF("id", "sig").cache()
+    for (bands <- Seq(8, 16, 32)) {
+      val rows = k / bands
+      val bad = df.filter(
+        ColumnBridge.bandBuckets(col("sig"), bands, rows) =!=
+          transform(sequence(lit(0), lit(bands - 1)),
+            b => hash(slice(col("sig"), b * rows + lit(1), lit(rows)), b)))
+      assert(bad.count() === 0, s"bands=$bands diverges")
+    }
+  }
+
   test("long_array_match_count equals element-wise equality count") {
     val cases = (1 to 1000).map { i =>
       val n = 1 + rnd.nextInt(64)
