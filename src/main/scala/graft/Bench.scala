@@ -59,7 +59,11 @@ object Bench {
       if (sys.env.get("SPARK_GRAFT_INGEST").contains("0") || only.nonEmpty) ""
       else try {
         val r = IngestBench.run(spark, sfDir)
-        val bs = r.batchSecs.map(s => f"$s%.3f").mkString("[", ",", "]")
+        // Locale.ROOT: the f-interpolator honors the default locale, and a
+        // comma decimal separator would corrupt the machine-parsed JSON
+        val bs = r.batchSecs.map(s =>
+          String.format(java.util.Locale.ROOT, "%.3f", Double.box(s)))
+          .mkString("[", ",", "]")
         s""","ingest":{"batch_rows":${r.batchRows.mkString("[", ",", "]")},""" +
           s""""batch_secs":$bs,"index_rows":${r.indexRows.mkString("[", ",", "]")}}"""
       } catch { case _: Throwable => "" }

@@ -49,10 +49,24 @@ object GraftExtensions {
     // default LSH shape (8 tables × 6 planes) for the SQL surface
     "embedding_lsh_buckets" ->
       arity("embedding_lsh_buckets", 1)(es => EmbeddingLshBuckets(es(0), 8, 6)),
-    // word_ngrams(text, n, distinct) — n and distinct must be literals
-    "word_ngrams" -> arity("word_ngrams", 3)(es => WordNGrams(es(0),
-      es(1).eval().asInstanceOf[Int],
-      es(2).eval().asInstanceOf[Boolean])))
+    // word_ngrams(text, n, distinct) — n and distinct must be literals;
+    // validated here so misuse yields a targeted error, not a bare
+    // ClassCastException / UnresolvedException out of eval()
+    "word_ngrams" -> arity("word_ngrams", 3) { es =>
+      def lit[T](e: Expression, what: String)(pf: PartialFunction[Any, T]): T = {
+        if (!e.foldable) throw new IllegalArgumentException(
+          s"word_ngrams: $what must be a literal, got ${e.sql}")
+        val v = e.eval()
+        pf.applyOrElse(v, (other: Any) => throw new IllegalArgumentException(
+          s"word_ngrams: $what must be ${if (what == "n") "an int" else "a boolean"}, got $other"))
+      }
+      WordNGrams(es(0),
+        lit[Int](es(1), "n") {
+          case i: Int => i
+          case l: Long if l.isValidInt => l.toInt
+        },
+        lit[Boolean](es(2), "distinct") { case b: Boolean => b })
+    })
 
   /** Register on an already-running session. */
   def register(spark: SparkSession): Unit = {

@@ -32,29 +32,36 @@ object IngestBench {
     val rest = docs.filter(col("doc_id") % 5 =!= 0)
     val maxId = docs.agg(max("doc_id")).head.getLong(0)
     val step = (maxId + nBatches) / nBatches
-    val path = java.nio.file.Files
-      .createTempDirectory("graft-ingest-bench").toString
-    IncrementalDedup.saveSignatures(corpus, path)
-
-    val rows = scala.collection.mutable.ArrayBuffer.empty[Long]
-    val secs = scala.collection.mutable.ArrayBuffer.empty[Double]
-    val idxRows = scala.collection.mutable.ArrayBuffer.empty[Long]
-    for (i <- 0 until nBatches) {
-      // the batch is materialized OUTSIDE the timing — arrival cost
-      // belongs to the source, not the ingest cycle under measurement
-      val batch = rest.filter(col("doc_id") >= i.toLong * step &&
-        col("doc_id") < (i + 1).toLong * step).localCheckpoint(true)
-      val t0 = System.nanoTime()
-      val idx = IncrementalDedup.openSignatures(spark, path)
-      val flagged = IncrementalDedup.dedupAgainst(idx, batch, threshold)
-        .localCheckpoint(true)
-      flagged.write.mode("append").parquet(s"$path/flags")
-      IncrementalDedup.appendSignatures(idx, batch.join(
-        flagged.filter(!col("is_duplicate")).select("doc_id"), "doc_id"))
-      secs += (System.nanoTime() - t0) / 1e9
-      rows += batch.count()
-      idxRows += spark.read.parquet(s"$path/sigs").count()
+    val pathDir = java.nio.file.Files.createTempDirectory("graft-ingest-bench")
+    val path = pathDir.toString
+    try {
+      IncrementalDedup.saveSignatures(corpus, path)
+      val rows = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val secs = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val idxRows = scala.collection.mutable.ArrayBuffer.empty[Long]
+      for (i <- 0 until nBatches) {
+        // the batch is materialized OUTSIDE the timing — arrival cost
+        // belongs to the source, not the ingest cycle under measurement
+        val batch = rest.filter(col("doc_id") >= i.toLong * step &&
+          col("doc_id") < (i + 1).toLong * step).localCheckpoint(true)
+        val t0 = System.nanoTime()
+        val idx = IncrementalDedup.openSignatures(spark, path)
+        val flagged = IncrementalDedup.dedupAgainst(idx, batch, threshold)
+          .localCheckpoint(true)
+        flagged.write.mode("append").parquet(s"$path/flags")
+        IncrementalDedup.appendSignatures(idx, batch.join(
+          flagged.filter(!col("is_duplicate")).select("doc_id"), "doc_id"))
+        secs += (System.nanoTime() - t0) / 1e9
+        rows += batch.count()
+        idxRows += spark.read.parquet(s"$path/sigs").count()
+      }
+      Result(rows.toSeq, secs.toSeq, idxRows.toSeq)
+    } finally {
+      // the scratch index is a full corpus signature set plus per-batch
+      // appends — left behind on every bench run it would accumulate
+      // unbounded parquet data in the temp filesystem
+      org.apache.commons.io.FileUtils.deleteQuietly(pathDir.toFile)
+      ()
     }
-    Result(rows.toSeq, secs.toSeq, idxRows.toSeq)
   }
 }

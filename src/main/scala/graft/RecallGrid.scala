@@ -75,8 +75,8 @@ object RecallGrid {
         AnnLsh.topKBatch(augmented, qids, k, tables = tables, planes = planes)),
         truthPlanted)
       val frac = tables.toDouble / (1 << planes)
-      println(f"""{"family":"lsh","tables":$tables,"planes":$planes,""" +
-        f""""frac":$frac%.3f,"recall_bg":$bg%.3f,"recall_planted":$pl%.3f}""")
+      println(s"""{"family":"lsh","tables":$tables,"planes":$planes,""" +
+        s""""frac":${jnum(frac)},"recall_bg":${jnum(bg)},"recall_planted":${jnum(pl)}}""")
     }
 
     val cells = math.max(2, math.ceil(math.sqrt(n.toDouble)).toInt)
@@ -87,10 +87,15 @@ object RecallGrid {
       val pl = recallOf(collectHits(
         Ivf.topKBatch(augmented, cents, qids, k, nprobe = nprobe)), truthPlanted)
       val frac = nprobe.toDouble / cells
-      println(f"""{"family":"ivf","nprobe":$nprobe,"cells":$cells,""" +
-        f""""frac":$frac%.3f,"recall_bg":$bg%.3f,"recall_planted":$pl%.3f}""")
+      println(s"""{"family":"ivf","nprobe":$nprobe,"cells":$cells,""" +
+        s""""frac":${jnum(frac)},"recall_bg":${jnum(bg)},"recall_planted":${jnum(pl)}}""")
     }
   }
+
+  /** Locale-independent 3-decimal JSON number (the f-interpolator honors
+    * the default locale; a comma separator would corrupt the JSON). */
+  private def jnum(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
 
   private def collectHits(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
     df.select("q_id", "vec_id").collect()

@@ -97,20 +97,31 @@ object ScaleUp {
         "user_id" -> off(events, "user_id"))), "events")
 
     val documents = read("documents")
+    // the salt ends in '§' so a verbatim replica-0 token can only collide
+    // with a salted one if it itself starts with "r<digit>§" — without
+    // the separator, an original token like "r1x" would equal replica 1's
+    // salting of "x", breaking the zero-cross-replica-overlap invariant
+    // the linear duplicate-density claim rests on
     write(replicate(documents, Map("doc_id" -> off(documents, "doc_id")),
       extra = (d, r) =>
         if (r == 0) d
         else d
           .withColumn("text", array_join(
-            transform(split(col("text"), " "), t => concat(lit(s"r$r"), t)), " "))
+            transform(split(col("text"), " "), t => concat(lit(s"r$r§"), t)), " "))
           .withColumn("n_chars", length(col("text")).cast("long"))),
       "documents")
 
     val embeddings = read("embeddings")
     val dim = embeddings.select(size(col("embedding"))).head.getInt(0)
+    // non-zero rotation for every replica r > 0: a raw (7·r) % dim is 0
+    // whenever dim divides 7·r (dim=14, r=2, …), which would write a
+    // VERBATIM cross-replica copy of every vector — exactly the
+    // quadratic-duplicate artifact the rotation exists to prevent. The
+    // (dim-1)-modulus form cycles through 1..dim-1 and never lands on 0.
     write(replicate(embeddings, Map("vec_id" -> off(embeddings, "vec_id")),
       extra = (d, r) => {
-        val shift = (7 * r) % dim
+        val shift =
+          if (r == 0 || dim < 2) 0 else ((7 * r - 1) % (dim - 1)) + 1
         if (shift == 0) d
         else d.withColumn("embedding", concat(
           slice(col("embedding"), shift + 1, dim - shift),

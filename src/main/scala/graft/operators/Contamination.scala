@@ -69,9 +69,12 @@ object Contamination {
     * side reduces to one row (`sort_array(collect_set(gram))`) that rides
     * a broadcast nested-loop join; corpus rows never shuffle. */
   def scan(corpus: DataFrame, benchmark: DataFrame, n: Int = 3,
-      threshold: Double = 0.5): DataFrame = {
-    val bench = gramSets(benchmark, n)
-      .select(explode(col("grams")).as("gram"))
+      threshold: Double = 0.5): DataFrame =
+    scanWithGrams(corpus, distinctGrams(benchmark, n), n, threshold)
+
+  private def scanWithGrams(corpus: DataFrame, benchGrams: DataFrame,
+      n: Int, threshold: Double): DataFrame = {
+    val bench = benchGrams
       .agg(sort_array(collect_set(col("gram"))).as("bench_grams"))
     val scored = gramSets(corpus, n)
       .crossJoin(broadcast(bench))
@@ -85,16 +88,23 @@ object Contamination {
 
   /** Auto-dispatching decontamination (see object doc): counts the
     * distinct benchmark grams — one cheap job on the benchmark side,
-    * which is by definition the tiny side — and runs [[scan]] when the
-    * set fits a comfortable broadcast array, [[scanJoin]] beyond it. */
+    * which is by definition the tiny side — and runs the [[scan]] shape
+    * when the set fits a comfortable broadcast array, the [[scanJoin]]
+    * shape beyond it. The distinct gram frame is materialized ONCE
+    * (localCheckpoint) and feeds both the count and the chosen shape, so
+    * the dispatch adds no second benchmark tokenization. */
   def decontaminate(corpus: DataFrame, benchmark: DataFrame, n: Int = 3,
       threshold: Double = 0.5,
       maxBroadcastGrams: Long = DefaultMaxBroadcastGrams): DataFrame = {
-    val nGrams = gramSets(benchmark, n)
-      .select(explode(col("grams")).as("gram")).distinct().count()
-    if (nGrams <= maxBroadcastGrams) scan(corpus, benchmark, n, threshold)
-    else scanJoin(corpus, benchmark, n, threshold)
+    val grams = distinctGrams(benchmark, n).localCheckpoint(true)
+    if (grams.count() <= maxBroadcastGrams) scanWithGrams(corpus, grams, n, threshold)
+    else scanJoinWithGrams(corpus, grams, n, threshold)
   }
+
+  /** One row per DISTINCT benchmark gram — the shared input of both
+    * physical shapes. */
+  private def distinctGrams(benchmark: DataFrame, n: Int): DataFrame =
+    gramSets(benchmark, n).select(explode(col("grams")).as("gram")).distinct()
 
   /** Gram-count cutover for [[decontaminate]]: ~1M distinct grams keeps
     * the broadcast array ≲50 MB and the per-row sorted-merge intersect
@@ -104,10 +114,12 @@ object Contamination {
   /** Explode + broadcast-join form for benchmark gram sets beyond
     * single-array comfort. Row-identical to [[scan]]. */
   def scanJoin(corpus: DataFrame, benchmark: DataFrame, n: Int = 3,
-      threshold: Double = 0.5): DataFrame = {
-    val bench = gramSets(benchmark, n)
-      .select(explode(col("grams")).as("gram")).distinct()
-      .withColumn("hit", lit(1L))
+      threshold: Double = 0.5): DataFrame =
+    scanJoinWithGrams(corpus, distinctGrams(benchmark, n), n, threshold)
+
+  private def scanJoinWithGrams(corpus: DataFrame, benchGrams: DataFrame,
+      n: Int, threshold: Double): DataFrame = {
+    val bench = benchGrams.withColumn("hit", lit(1L))
     val scored = gramSets(corpus, n)
       .select(col("doc_id"), explode(col("grams")).as("gram"))
       .join(broadcast(bench), Seq("gram"), "left")

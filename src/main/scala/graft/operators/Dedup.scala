@@ -156,8 +156,11 @@ object Dedup {
 
   def embeddingNearDupLsh(embeddings: DataFrame, threshold: Double = 0.3,
       tables: Int = 8, planes: Int = 0, maxBucket: Int = 4096): DataFrame = {
-    val bucketed = embeddingBuckets(embeddings, tables,
-      resolvePlanes(planes, embeddings.count()))
+    // the corpus count (a full action) runs ONLY when auto resolution
+    // needs it — an explicit plane count must not pay a discarded scan
+    val resolvedPlanes =
+      if (planes > 0) planes else resolvePlanes(0, embeddings.count())
+    val bucketed = embeddingBuckets(embeddings, tables, resolvedPlanes)
     // bucket-local pairing behind the same hot-bucket guard as the text
     // path: a degenerate sign-pattern bucket (e.g. a corpus of
     // near-constant vectors) pairs linearly, not quadratically — and

@@ -89,16 +89,30 @@ object IncrementalDedup {
     * a compacted index flags identically (specced). */
   def compact(spark: SparkSession, path: String, numFiles: Int = 32): Unit = {
     val idx = openSignatures(spark, path)
-    idx.sigs.dropDuplicates("doc_id")
-      .repartition(numFiles)
-      .write.mode("overwrite").parquet(s"$path/sigs_new")
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val live = new org.apache.hadoop.fs.Path(s"$path/sigs")
     val fresh = new org.apache.hadoop.fs.Path(s"$path/sigs_new")
     val old = new org.apache.hadoop.fs.Path(s"$path/sigs_old")
-    fs.rename(live, old)
-    fs.rename(fresh, live)
+    // sweep leftovers of an earlier crashed compact BEFORE writing, so
+    // the renames below cannot silently no-op against a stale target
+    if (fs.exists(old)) fs.delete(old, true)
+    idx.sigs.dropDuplicates("doc_id")
+      .repartition(numFiles)
+      .write.mode("overwrite").parquet(s"$path/sigs_new")
+    // every rename result is CHECKED: Hadoop's rename reports failure by
+    // returning false (dst exists, src missing), not by throwing — an
+    // unchecked swap can corrupt the live index while looking successful
+    if (!fs.rename(live, old))
+      throw new java.io.IOException(
+        s"compact: failed to archive $live to $old — live index untouched")
+    if (!fs.rename(fresh, live)) {
+      // restore the live index before failing: the archive rename
+      // succeeded, so rolling back cannot hit an existing target
+      fs.rename(old, live)
+      throw new java.io.IOException(
+        s"compact: failed to swap $fresh into place — live index restored")
+    }
     fs.delete(old, true)
   }
 

@@ -175,12 +175,18 @@ object Reports {
     if (fieldAt(Seq("generated_at")).isDefined)
       checks :+= check("generated_at", "invalid_iso8601",
         try_to_timestamp(col("generated_at")).isNull)
+    if (fieldAt(Seq("portfolio_summary")).isDefined)
+      checks :+= check("portfolio_summary", "null_value",
+        col("portfolio_summary").isNull)
     summaryFields.filter(f => fieldAt(Seq("portfolio_summary", f)).isDefined)
       .foreach { f =>
         checks :+= check(s"portfolio_summary.$f", "null_value",
           col("portfolio_summary").getField(f).isNull)
       }
     if (buildingsOk) {
+      // a NULL array slips past both size(...)===0 (null comparison) and
+      // exists(...) (null, dropped by filter) — flag it explicitly
+      checks :+= check("buildings", "null_value", col("buildings").isNull)
       checks :+= check("buildings", "empty_array", size(col("buildings")) === 0)
       buildingFields
         .filter(f => fieldAt(Seq("buildings")).exists {

@@ -98,6 +98,13 @@ class CompletenessSpec extends AnyFunSuite {
     val got = gutted.collect().map(r => (r.getString(0), r.getString(1))).toSet
     assert(got.contains(("portfolio_summary", "missing_field")))
     assert(got.contains(("buildings", "empty_array")))
+    // a NULL buildings array (field present, value null) must be flagged —
+    // size(null)===0 and exists(null, ...) both evaluate to null and would
+    // silently pass without the explicit null check
+    val nulled = Reports.validateReport(report.withColumn("buildings",
+      lit(null).cast(Reports.portfolioReport(metrics).schema("buildings").dataType)))
+    assert(nulled.collect().map(r => (r.getString(0), r.getString(1)))
+      .contains(("buildings", "null_value")))
   }
 
   test("single-building benchmark matches the reference's EUI semantics") {

@@ -212,7 +212,12 @@ class IncrementalDedupSpec extends AnyFunSuite {
     val flagsBefore = IncrementalDedup.dedupAgainst(bloated, probe, 0.7)
       .collect().map(_.toSeq).toSet
 
+    // a stale sigs_old from an earlier crashed compact must not make the
+    // swap silently no-op (Hadoop rename reports failure by returning
+    // false when the target exists)
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(s"$path/sigs_old"))
     IncrementalDedup.compact(spark, path, numFiles = 4)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/sigs_old")))
     val compacted = IncrementalDedup.openSignatures(spark, path)
     // duplicates gone, params sidecar intact, file count bounded
     assert(compacted.sigs.count() === expectedIds)
