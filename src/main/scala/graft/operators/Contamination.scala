@@ -90,13 +90,15 @@ object Contamination {
     * distinct benchmark grams — one cheap job on the benchmark side,
     * which is by definition the tiny side — and runs the [[scan]] shape
     * when the set fits a comfortable broadcast array, the [[scanJoin]]
-    * shape beyond it. The distinct gram frame is materialized ONCE
-    * (localCheckpoint) and feeds both the count and the chosen shape, so
-    * the dispatch adds no second benchmark tokenization. */
+    * shape beyond it. The same (lazy) distinct-gram frame feeds the
+    * count and the chosen shape; the shape's action re-derives it rather
+    * than checkpointing — the benchmark is the tiny side by definition,
+    * and a measured A/B showed the eager checkpoint's extra
+    * materialization job costing more than the re-derivation. */
   def decontaminate(corpus: DataFrame, benchmark: DataFrame, n: Int = 3,
       threshold: Double = 0.5,
       maxBroadcastGrams: Long = DefaultMaxBroadcastGrams): DataFrame = {
-    val grams = distinctGrams(benchmark, n).localCheckpoint(true)
+    val grams = distinctGrams(benchmark, n)
     if (grams.count() <= maxBroadcastGrams) scanWithGrams(corpus, grams, n, threshold)
     else scanJoinWithGrams(corpus, grams, n, threshold)
   }
