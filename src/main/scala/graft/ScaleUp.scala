@@ -48,6 +48,20 @@ object ScaleUp {
   }
 
   def run(spark: SparkSession, src: String, dest: String, factor: Int): Unit = {
+    // the events read below needs nanosAsLong; the conf is session-wide,
+    // so restore the caller's value afterwards instead of leaking it into
+    // later reads on a shared session (e.g. other suites behind TestSpark)
+    val nanosKey = "spark.sql.legacy.parquet.nanosAsLong"
+    val prevNanos = spark.conf.getOption(nanosKey)
+    try runInner(spark, src, dest, factor)
+    finally prevNanos match {
+      case Some(v) => spark.conf.set(nanosKey, v)
+      case None => spark.conf.unset(nanosKey)
+    }
+  }
+
+  private def runInner(spark: SparkSession, src: String, dest: String,
+      factor: Int): Unit = {
     def read(name: String): DataFrame = spark.read.parquet(s"$src/$name.parquet")
     def write(df: DataFrame, name: String): Unit = {
       df.write.mode("overwrite").parquet(s"$dest/$name.parquet")
@@ -113,15 +127,22 @@ object ScaleUp {
 
     val embeddings = read("embeddings")
     val dim = embeddings.select(size(col("embedding"))).head.getInt(0)
-    // non-zero rotation for every replica r > 0: a raw (7·r) % dim is 0
-    // whenever dim divides 7·r (dim=14, r=2, …), which would write a
-    // VERBATIM cross-replica copy of every vector — exactly the
-    // quadratic-duplicate artifact the rotation exists to prevent. The
-    // (dim-1)-modulus form cycles through 1..dim-1 and never lands on 0.
+    // DISTINCT non-zero rotation for every replica r > 0: shift = r walks
+    // the permutation 1..dim-1 directly, so no two replicas share a
+    // rotation (a shared shift — the old ((7·r−1) % (dim−1))+1 form
+    // repeated with period (dim−1)/gcd(7, dim−1) — writes VERBATIM
+    // cross-replica vector copies, exactly the quadratic-duplicate
+    // artifact the rotation exists to prevent). Distinctness holds only
+    // for factor ≤ dim, so larger factors fail fast instead of silently
+    // degrading the linear-candidate-density invariant.
+    require(dim < 2 || factor <= dim,
+      s"embedding rotation supports at most dim=$dim replicas " +
+        s"(factor=$factor): replicas beyond dim-1 would repeat a rotation " +
+        "and plant verbatim cross-replica duplicates")
     write(replicate(embeddings, Map("vec_id" -> off(embeddings, "vec_id")),
       extra = (d, r) => {
         val shift =
-          if (r == 0 || dim < 2) 0 else ((7 * r - 1) % (dim - 1)) + 1
+          if (r == 0 || dim < 2) 0 else ((r - 1) % (dim - 1)) + 1
         if (shift == 0) d
         else d.withColumn("embedding", concat(
           slice(col("embedding"), shift + 1, dim - shift),

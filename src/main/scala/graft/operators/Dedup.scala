@@ -154,6 +154,14 @@ object Dedup {
       math.log(math.max(1L, n).toDouble / TargetBucketOccupancy)
         / math.log(2.0)).toInt)
 
+  /** LSH-blocked embedding near-dup pairs — the unsupervised scale path.
+    * NOTE: the auto plane count (`planes = 0`) runs `embeddings.count()`
+    * — a full action on the input plan — before the dedup itself, so an
+    * expensive un-cached upstream pipeline would be computed twice.
+    * Cache/checkpoint the input first when using auto planes (bench/
+    * oracle callers read a materialized parquet table, where the extra
+    * count is a cheap metadata-only scan), or pass an explicit plane
+    * count derived from an already-known corpus size. */
   def embeddingNearDupLsh(embeddings: DataFrame, threshold: Double = 0.3,
       tables: Int = 8, planes: Int = 0, maxBucket: Int = 4096): DataFrame = {
     // the corpus count (a full action) runs ONLY when auto resolution

@@ -32,6 +32,11 @@ import org.apache.spark.unsafe.types.UTF8String
 case class WordNGrams(child: Expression, n: Int, distinct: Boolean)
     extends UnaryExpression with ExpectsInputTypes {
 
+  // plan-time guard: n = 0 would make `last` negative in compute and
+  // throw ArrayIndexOutOfBoundsException mid-task — misuse through the
+  // registered word_ngrams SQL function must fail at analysis instead
+  require(n >= 1, s"word_ngrams requires n >= 1 (got $n)")
+
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)

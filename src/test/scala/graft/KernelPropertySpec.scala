@@ -54,6 +54,12 @@ class KernelPropertySpec extends AnyFunSuite {
     val nulls = spark.sql("SELECT CAST(NULL AS STRING) AS text")
       .select(ColumnBridge.wordNGrams(col("text"), 3, distinct = true).as("g"))
     assert(nulls.head.isNullAt(0))
+    // n = 0 must fail at plan construction (targeted message), not throw
+    // ArrayIndexOutOfBoundsException mid-task
+    val guard = intercept[IllegalArgumentException] {
+      df.select(ColumnBridge.wordNGrams(col("text"), 0, distinct = false))
+    }
+    assert(guard.getMessage.contains("n >= 1"))
   }
 
   test("token-hash kernels are bit-identical to their HOF expression chains") {

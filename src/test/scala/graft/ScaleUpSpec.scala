@@ -23,10 +23,17 @@ class ScaleUpSpec extends AnyFunSuite {
   }
 
   test("row counts scale by the factor; dimensions stay single-copy") {
+    // events carries raw-nanos timestamps, readable only through the
+    // canonical Tables.events reader (ScaleUp no longer leaks the
+    // nanosAsLong conf into the shared session, so a bare parquet read
+    // of it rightly fails here)
+    def count(dir: String, t: String): Long =
+      if (t == "events") Tables.events(spark, dir).count()
+      else spark.read.parquet(s"$dir/$t.parquet").count()
     for (t <- Seq("customer", "supplier", "part", "orders", "lineitem",
         "events", "documents", "embeddings")) {
-      val n0 = spark.read.parquet(s"$src/$t.parquet").count()
-      val n1 = spark.read.parquet(s"$dest/$t.parquet").count()
+      val n0 = count(src, t)
+      val n1 = count(dest, t)
       assert(n1 === 2 * n0, s"$t scaled ${n1.toDouble / n0}x, expected 2x")
     }
     for (t <- Seq("region", "nation"))
@@ -36,7 +43,8 @@ class ScaleUpSpec extends AnyFunSuite {
 
   test("keys stay unique and every FK relationship survives replication") {
     def ids(t: String, c: String) =
-      spark.read.parquet(s"$dest/$t.parquet").select(col(c))
+      (if (t == "events") Tables.events(spark, dest)
+       else spark.read.parquet(s"$dest/$t.parquet")).select(col(c))
     // primary keys unique across replicas (no collision from the shift)
     for ((t, c) <- Seq("customer" -> "c_custkey", "orders" -> "o_orderkey",
         "part" -> "p_partkey", "supplier" -> "s_suppkey",
