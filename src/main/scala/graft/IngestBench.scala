@@ -8,30 +8,60 @@ import graft.sources.Tables
 
 /** Per-batch cost telemetry for the incremental-ingest loop — the
   * operational claim behind IncrementalDedup.streamingIngest measured,
-  * not argued: N constant-size micro-batches are probed against and
-  * appended to a GROWING signature index (each timed cycle is exactly
+  * not argued: N CONSTANT-SIZE micro-batches are probed against and
+  * appended to a growing signature index (each timed cycle is exactly
   * the foreachBatch body: open index → dedupAgainst → write flags →
   * append clean signatures), so the emitted per-batch seconds pin the
   * slope as the index grows. The design says per-batch cost is
-  * O(batch + collisions) plus one signature-index scan — near-flat while
-  * the index multiplies in size; a visibly rising slope here flags a
-  * corpus re-tokenization or self-join sneaking into the path.
+  * O(batch + collisions) — near-flat while the index multiplies in
+  * size; a visibly rising slope here flags a corpus re-tokenization,
+  * an unpruned index scan, or a self-join sneaking into the path.
   *
-  * The initial corpus is the SMALL residue class (doc_id % 5 == 0) so
-  * the appended batches multiply the index several times over within one
-  * sf dir — maximum growth signal from the fixed test data. */
+  * Batch size is FIXED at [[BatchSize]] docs at every sf (the r6 form
+  * sliced the non-corpus docs into nBatches, so batches grew 10× with
+  * the corpus and the cross-sf comparison conflated batch growth with
+  * index growth). The batch pool is the LOW doc-id range; the signed
+  * corpus is everything above it — so the corpus grows ~46× from sf0.1
+  * to sf1 while every timed batch stays 500 docs, and "flat batch_secs
+  * across sf dirs" is exactly the sub-linear-probe claim. */
 object IngestBench {
 
   final case class Result(batchRows: Seq[Long], batchSecs: Seq[Double],
       indexRows: Seq[Long])
 
+  /** Standalone runner for scale profiling: `runMain graft.IngestBench
+    * <sfDir>` (set SPARK_GRAFT_INGEST_PROF=1 for the per-stage split)
+    * without paying for the full Bench sweep. */
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      val r = run(spark, sfDir)
+      println(s"[ingestbench] rows=${r.batchRows.mkString(",")}")
+      println(s"[ingestbench] secs=${r.batchSecs.map(s => f"$s%.2f").mkString(",")}")
+      println(s"[ingestbench] index=${r.indexRows.mkString(",")}")
+    } finally spark.stop()
+  }
+
+  /** Docs per timed batch (degraded only when the sf dir is too small to
+    * leave a corpus behind the batch pool). */
+  val BatchSize = 500L
+
   def run(spark: SparkSession, sfDir: String, nBatches: Int = 8,
       threshold: Double = 0.9): Result = {
     val docs = Tables.documents(spark, sfDir).localCheckpoint(true)
-    val corpus = docs.filter(col("doc_id") % 5 === 0)
-    val rest = docs.filter(col("doc_id") % 5 =!= 0)
-    val maxId = docs.agg(max("doc_id")).head.getLong(0)
-    val step = (maxId + nBatches) / nBatches
+    val n = docs.count()
+    // fixed 500-doc batches at sf>=0.1; tiny dirs shrink the batch so the
+    // corpus (everything above the pool) stays non-empty
+    val bs = math.max(1L, math.min(BatchSize, n / 10L))
+    val pool = bs * nBatches
+    val corpus = docs.filter(col("doc_id") >= pool)
     val pathDir = java.nio.file.Files.createTempDirectory("graft-ingest-bench")
     val path = pathDir.toString
     try {
@@ -42,18 +72,29 @@ object IngestBench {
       for (i <- 0 until nBatches) {
         // the batch is materialized OUTSIDE the timing — arrival cost
         // belongs to the source, not the ingest cycle under measurement
-        val batch = rest.filter(col("doc_id") >= i.toLong * step &&
-          col("doc_id") < (i + 1).toLong * step).localCheckpoint(true)
+        val batch = docs.filter(col("doc_id") >= i * bs &&
+          col("doc_id") < (i + 1) * bs).localCheckpoint(true)
         val t0 = System.nanoTime()
         val idx = IncrementalDedup.openSignatures(spark, path)
+        val t1 = System.nanoTime()
         val flagged = IncrementalDedup.dedupAgainst(idx, batch, threshold)
           .localCheckpoint(true)
+        val t2 = System.nanoTime()
         flagged.write.mode("append").parquet(s"$path/flags")
+        val t3 = System.nanoTime()
         IncrementalDedup.appendSignatures(idx, batch.join(
           flagged.filter(!col("is_duplicate")).select("doc_id"), "doc_id"))
-        secs += (System.nanoTime() - t0) / 1e9
+        val t4 = System.nanoTime()
+        // optional stage breakdown (open / probe / flag-write / append)
+        // for scale diagnosis — off in normal bench output
+        if (sys.env.get("SPARK_GRAFT_INGEST_PROF").contains("1"))
+          println(f"[ingestprof] batch=$i%d open=${(t1 - t0) / 1e9}%.2f " +
+            f"probe=${(t2 - t1) / 1e9}%.2f flags=${(t3 - t2) / 1e9}%.2f " +
+            f"append=${(t4 - t3) / 1e9}%.2f")
+        secs += (t4 - t0) / 1e9
         rows += batch.count()
-        idxRows += spark.read.parquet(s"$path/sigs").count()
+        // logical index size = partitioned base + un-compacted deltas
+        idxRows += IncrementalDedup.openSignatures(spark, path).sigs.count()
       }
       Result(rows.toSeq, secs.toSeq, idxRows.toSeq)
     } finally {

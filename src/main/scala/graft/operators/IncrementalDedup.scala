@@ -6,8 +6,8 @@ import org.apache.spark.sql.functions._
 /** Incremental (batch-vs-corpus) near-duplicate detection over a
   * PERSISTED MinHash signature index — the shape a production ingest
   * pipeline actually runs: the historical corpus is signed ONCE, each new
-  * crawl batch is signed at its own (small) size and joined against the
-  * stored signatures, so per-batch cost is O(batch + collisions), never a
+  * crawl batch is signed at its own (small) size and probed against the
+  * stored index, so per-batch cost is O(batch + collisions), never a
   * corpus re-tokenization and never corpus×corpus work.
   *
   * Reference analog: the reference dedups only within one static frame
@@ -15,16 +15,42 @@ import org.apache.spark.sql.functions._
   * (SURVEY §2 dd_*), reusing MinHashLsh's signature family so estimates
   * agree bit-for-bit with the batch path.
   *
+  * On-disk layout (v2 — the partition-pruned form):
+  *   - `buckets/` — NARROW exploded rows (doc_id, band, bucket), one per
+  *     (doc, band), `partitionBy("pb")` where `pb = pmod(bucket, P)` is a
+  *     bucket-prefix: a probe restricts the scan to the batch's pb set,
+  *     so the candidate join reads corpus·(touched/P) narrow rows at the
+  *     SOURCE (PartitionFilters, pinned in IncrementalDedupSpec) — the
+  *     same layout pattern as AnnLsh.saveIndex. Row width is 3 longs, so
+  *     even an unpruned scan costs ~50× less than streaming the wide
+  *     signature rows through the join (the v1 shape, measured ~6× per
+  *     batch at 10× corpus).
+  *   - `sigs/` — (doc_id, sig, bkts) wide rows, `partitionBy("sp")` with
+  *     `sp = pmod(doc_id, SP)`: the agreement estimate fetches signatures
+  *     ONLY for candidate doc_ids, pruned to the candidates' sp dirs, so
+  *     the wide rows are read per-collision, never per-corpus-row.
+  *   - `delta/` — unpartitioned (doc_id, sig, bkts) rows appended by
+  *     [[appendSignatures]], ONE file per micro-batch (fanning a
+  *     500-doc batch into the partitioned base would write one tiny
+  *     file per touched directory — hundreds per batch at scale).
+  *     Probes scan deltas in full, but deltas are micro-batch-sized
+  *     between [[compact]] runs, which fold them into the base.
+  *   - P and SP auto-scale with the corpus at build/compact time
+  *     (~[[BucketRowsPerDir]] narrow rows / [[DocsPerSigDir]] docs per
+  *     directory, capped at [[MaxDirs]]); each is stored INSIDE its data
+  *     directory (IndexMeta.writeDirMeta) so compact's rename swap
+  *     carries the count atomically with the layout it describes.
+  *
   * Scale design:
-  *   - The batch side (signatures + exploded band buckets) is BROADCAST;
-  *     the stored corpus signatures stream through one scan with no
-  *     shuffle and no self-join — the bipartite candidate volume is
+  *   - The batch side (signatures + exploded band buckets) is BROADCAST
+  *     into the bucket join; the bipartite candidate volume is
   *     Σ_buckets |corpus ∩ bucket|·|batch ∩ bucket|, linear in bucket
   *     collisions (the self-join's m² hub blow-up cannot happen here).
-  *   - (corpus, batch) pairs colliding in several bands are kept only at
-  *     the FIRST agreeing band — the same carried-bucket-array first-agree
-  *     as MinHashLsh.bandedPairs, flat codegen arithmetic, no distinct
-  *     over the candidate stream.
+  *   - Pairs colliding in several bands are collapsed with one
+  *     `dropDuplicates` over the candidate set — candidates are
+  *     collision-bounded (≈ batch-sized), so this shuffle is tiny; the
+  *     estimate is per-pair either way, so the result is row-identical
+  *     to the v1 first-agree form (specced against brute force).
   *   - The duplicate decision is the k-minhash agreement estimate
   *     (LongArrayMatchCount / k ≥ threshold): signatures alone decide, so
   *     the index stores ~1 KB/doc and raw text is never read again.
@@ -36,89 +62,238 @@ import org.apache.spark.sql.functions._
   */
 object IncrementalDedup {
 
-  /** An opened signature index: (doc_id, sig, bkts) rows plus the
+  /** An opened signature index: logical (doc_id, sig, bkts) rows plus the
     * signature/banding parameters they were built with. */
   final case class SigIndex(sigs: DataFrame, path: String, k: Int, bands: Int)
 
+  /** Target narrow bucket rows per `buckets/` partition directory. */
+  private[graft] val BucketRowsPerDir = 8192L
+
+  /** Target documents per `sigs/` partition directory. */
+  private[graft] val DocsPerSigDir = 1024L
+
+  /** Directory-count cap for both layouts: beyond this, directories grow
+    * instead (file-count ceilings matter more than perfect pruning). */
+  private[graft] val MaxDirs = 65536L
+
+  /** Candidate-pair count up to which the candidate side is explicitly
+    * broadcast into the signature-fetch join (2 longs/row → ≤64 MB). */
+  private[graft] val MaxBroadcastCandidates = 4000000L
+
+  private[graft] def autoParts(rows: Long, target: Long): Int =
+    math.max(1L, math.min(MaxDirs, (math.max(0L, rows) + target - 1) / target)).toInt
+
   /** (doc_id, sig, bkts): signatures plus per-doc band bucket array,
     * computed by the SAME kernels as the self-join path. */
-  private def signed(documents: DataFrame, k: Int, bands: Int): DataFrame = {
+  private[graft] def signed(documents: DataFrame, k: Int, bands: Int): DataFrame = {
     val rows = k / bands
     MinHashLsh.signatures(documents, k)
       .withColumn("bkts", org.apache.spark.sql.graft.ColumnBridge
         .bandBuckets(col("sig"), bands, rows))
   }
 
+  private def withSp(sigRows: DataFrame, sp: Int): DataFrame =
+    sigRows.withColumn("sp", pmod(col("doc_id"), lit(sp.toLong)).cast("int"))
+
+  /** Derive and write the narrow bucket rows for `sigRows`. `files`
+    * bounds the writing tasks, CLUSTERED on the partition column — with
+    * free-form task layout every task writes a file into every directory
+    * it touches (tasks × dirs small files, and the file count is what
+    * every later probe pays to list), whereas clustering pins each `pb`
+    * to one task so the write adds at most one file per directory. */
+  private def writeBuckets(sigRows: DataFrame, dir: String, p: Int,
+      mode: String, files: Int): Unit =
+    sigRows
+      .select(col("doc_id"), posexplode(col("bkts")).as(Seq("band", "bucket")))
+      .withColumn("pb", pmod(col("bucket"), lit(p.toLong)).cast("int"))
+      .repartition(files, col("pb"))
+      .write.mode(mode).partitionBy("pb").parquet(dir)
+
   /** Sign `documents` once and persist the index under `path`. The
-    * signing parameters ride a versioned JSON sidecar (`params.json`,
-    * portable across JVM versions — see IndexMeta). */
+    * signing parameters ride a versioned JSON sidecar (`params.json`);
+    * the partition counts ride inside their data directories. Runs one
+    * `count()` action on `documents` to auto-size the layout (pass
+    * `parts`/`sigParts` explicitly to skip it); the input plan is then
+    * scanned once more for signing — cache upstream pipelines first. */
   def saveSignatures(documents: DataFrame, path: String, k: Int = 128,
-      bands: Int = 16): Unit = {
+      bands: Int = 16, parts: Int = 0, sigParts: Int = 0): Unit = {
     require(k % bands == 0, s"bands ($bands) must divide k ($k)")
-    signed(documents, k, bands)
-      .write.mode("overwrite").parquet(s"$path/sigs")
-    IndexMeta.writeParams(documents.sparkSession, path,
-      Map("k" -> k, "bands" -> bands))
+    val spark = documents.sparkSession
+    val (p, sp) =
+      if (parts > 0 && sigParts > 0) (parts, sigParts)
+      else {
+        val n = documents.count()
+        (if (parts > 0) parts else autoParts(n * bands, BucketRowsPerDir),
+          if (sigParts > 0) sigParts else autoParts(n, DocsPerSigDir))
+      }
+    // clustered on the partition column: one writing task per sp value,
+    // so the layout lands as ~one file per directory (free-form task
+    // layout would write tasks × dirs small files, and every later
+    // probe pays the listing)
+    withSp(signed(documents, k, bands), sp).repartition(sp, col("sp"))
+      .write.mode("overwrite").partitionBy("sp").parquet(s"$path/sigs")
+    IndexMeta.writeDirMeta(spark, s"$path/sigs", sp)
+    // bucket rows derive from the just-written sigs — one cheap re-read
+    // instead of a second signing pass over the raw documents
+    writeBuckets(spark.read.parquet(s"$path/sigs"), s"$path/buckets", p,
+      "overwrite", files = p)
+    IndexMeta.writeDirMeta(spark, s"$path/buckets", p)
+    IndexMeta.writeParams(spark, path, Map("k" -> k, "bands" -> bands))
   }
 
-  /** Open an index written by [[saveSignatures]]. A pre-v1 index
-    * (Java-serialized `params.bin`) is rejected with a rebuild message. */
+  /** Open an index written by [[saveSignatures]]. A pre-v2 index (no
+    * `buckets/` layout) or pre-v1 index (Java-serialized `params.bin`)
+    * is rejected with a rebuild message. */
   def openSignatures(spark: SparkSession, path: String): SigIndex = {
     val ps = IndexMeta.readParams(spark, path, Seq("k", "bands"))
-    SigIndex(spark.read.parquet(s"$path/sigs"), path, ps("k"), ps("bands"))
+    val buckets = new org.apache.hadoop.fs.Path(s"$path/buckets")
+    if (!buckets.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(buckets))
+      throw new IllegalStateException(
+        s"$path has no buckets/ layout (pre-v2 signature index); rebuild " +
+          "it with saveSignatures to get the partition-pruned probe layout")
+    val base = spark.read.parquet(s"$path/sigs").drop("sp")
+    val all = deltaSigs(spark, path).map(base.unionByName(_)).getOrElse(base)
+    SigIndex(all, path, ps("k"), ps("bands"))
   }
 
   /** Sign `newDocs` with the index's own parameters and APPEND them —
     * the accept step of the ingest loop (dedup the batch, then append the
-    * survivors so the next batch sees them). Reopen to read the new rows. */
+    * survivors so the next batch sees them). The batch lands as ONE file
+    * in the unpartitioned `delta/` side table — never re-shaped into the
+    * partitioned base (a micro-batch fanned into the base layout writes
+    * one file per touched directory, hundreds of tiny files per batch at
+    * scale; folding deltas into the base is [[compact]]'s job). Reopen to
+    * read the new rows. */
   def appendSignatures(index: SigIndex, newDocs: DataFrame): Unit =
-    signed(newDocs, index.k, index.bands)
-      .write.mode("append").parquet(s"${index.path}/sigs")
+    signed(newDocs, index.k, index.bands).coalesce(1)
+      .write.mode("append").parquet(s"${index.path}/delta")
+
+  /** The `delta/` side table, when any batch has been appended since the
+    * last compact. Rows are (doc_id, sig, bkts) like the base minus the
+    * layout column. */
+  private def deltaSigs(spark: SparkSession, path: String): Option[DataFrame] = {
+    val d = new org.apache.hadoop.fs.Path(s"$path/delta")
+    if (d.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(d))
+      Some(spark.read.parquet(s"$path/delta"))
+    else None
+  }
 
   /** Compact a signature index after append-heavy runs — the
     * maintenance twin of Ivf.compactIndex. Every [[appendSignatures]]
-    * round (one per micro-batch under [[streamingIngest]]) leaves a new
-    * file under `sigs/`, and a replayed batch re-appends EXACT duplicate
-    * rows (same doc_id ⇒ same signature under the index's own
+    * round (one per micro-batch under [[streamingIngest]]) leaves new
+    * files under both layout dirs, and a replayed batch re-appends EXACT
+    * duplicate rows (same doc_id ⇒ same signature under the index's own
     * parameters); probe cost is files-opened + rows-scanned, so both
-    * accumulate. Compaction drops duplicate doc_ids and rewrites the
-    * accumulated per-batch files into `numFiles` parquet files. The
-    * rewrite lands in a fresh `sigs_new` directory and is swapped in by
-    * rename, so a crash mid-compact leaves the live index intact (at
-    * worst a stale `sigs_old`/`sigs_new` to sweep). `dedupAgainst` over
-    * a compacted index flags identically (specced). */
+    * accumulate. Compaction folds the `delta/` side table into the
+    * partitioned base, drops duplicate doc_ids, RE-SIZES the partition
+    * counts to the compacted corpus (this is where a grown index regains
+    * its per-directory row targets), and rewrites both layouts with
+    * ≤ `numFiles` writing tasks (≈ one file per partition directory). The
+    * rewrites land in fresh `*_new` directories and are swapped in by
+    * checked renames, and the folded delta is deleted LAST; each
+    * directory carries its own partition count, and duplicate rows are
+    * semantically inert (bucket dupes collapse in dropDuplicates, sig
+    * dupes agg away), so a crash between the swaps — or after them but
+    * before the delta delete — leaves a CORRECT index at worst
+    * accompanied by stale dirs/rows the next compact sweeps.
+    * `dedupAgainst` over a compacted index flags identically (specced). */
   def compact(spark: SparkSession, path: String, numFiles: Int = 32): Unit = {
-    val idx = openSignatures(spark, path)
+    val ps = IndexMeta.readParams(spark, path, Seq("k", "bands"))
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val live = new org.apache.hadoop.fs.Path(s"$path/sigs")
-    val fresh = new org.apache.hadoop.fs.Path(s"$path/sigs_new")
-    val old = new org.apache.hadoop.fs.Path(s"$path/sigs_old")
     // sweep leftovers of an earlier crashed compact BEFORE writing, so
     // the renames below cannot silently no-op against a stale target
-    if (fs.exists(old)) fs.delete(old, true)
-    idx.sigs.dropDuplicates("doc_id")
-      .repartition(numFiles)
-      .write.mode("overwrite").parquet(s"$path/sigs_new")
-    // every rename result is CHECKED: Hadoop's rename reports failure by
-    // returning false (dst exists, src missing), not by throwing — an
-    // unchecked swap can corrupt the live index while looking successful
+    for (d <- Seq("sigs_old", "sigs_new", "buckets_old", "buckets_new")) {
+      val stale = new org.apache.hadoop.fs.Path(s"$path/$d")
+      if (fs.exists(stale)) fs.delete(stale, true)
+    }
+    val base = spark.read.parquet(s"$path/sigs").drop("sp")
+    val deduped = deltaSigs(spark, path).map(base.unionByName(_))
+      .getOrElse(base)
+      .dropDuplicates("doc_id")
+    val n = deduped.count()
+    val sp2 = autoParts(n, DocsPerSigDir)
+    val p2 = autoParts(n * ps("bands"), BucketRowsPerDir)
+    withSp(deduped, sp2).repartition(numFiles, col("sp"))
+      .write.mode("overwrite").partitionBy("sp").parquet(s"$path/sigs_new")
+    IndexMeta.writeDirMeta(spark, s"$path/sigs_new", sp2)
+    writeBuckets(spark.read.parquet(s"$path/sigs_new"), s"$path/buckets_new",
+      p2, "overwrite", files = numFiles)
+    IndexMeta.writeDirMeta(spark, s"$path/buckets_new", p2)
+    swapDir(fs, path, "buckets")
+    swapDir(fs, path, "sigs")
+    // the delta is now folded into the base; delete it LAST so a crash
+    // anywhere above leaves every delta row still visible somewhere
+    val delta = new org.apache.hadoop.fs.Path(s"$path/delta")
+    if (fs.exists(delta)) fs.delete(delta, true)
+    ()
+  }
+
+  /** Checked three-way rename swap of `$path/$name` ← `$path/${name}_new`.
+    * Hadoop's rename reports failure by returning false (dst exists, src
+    * missing), not by throwing — an unchecked swap can corrupt the live
+    * index while looking successful. */
+  private def swapDir(fs: org.apache.hadoop.fs.FileSystem, path: String,
+      name: String): Unit = {
+    val live = new org.apache.hadoop.fs.Path(s"$path/$name")
+    val fresh = new org.apache.hadoop.fs.Path(s"$path/${name}_new")
+    val old = new org.apache.hadoop.fs.Path(s"$path/${name}_old")
     if (!fs.rename(live, old))
       throw new java.io.IOException(
         s"compact: failed to archive $live to $old — live index untouched")
     if (!fs.rename(fresh, live)) {
-      // restore the live index before failing: the archive rename
+      // restore the live dir before failing: the archive rename
       // succeeded, so rolling back cannot hit an existing target
       fs.rename(old, live)
       throw new java.io.IOException(
-        s"compact: failed to swap $fresh into place — live index restored")
+        s"compact: failed to swap $fresh into place — live dir restored")
     }
     fs.delete(old, true)
+    ()
   }
 
-  /** Flag each new document against the stored corpus: one corpus-scan
-    * bucket join (batch side broadcast), first-agree band dedup, minhash
-    * agreement estimate ≥ `threshold` decides.
+  /** The batch's exploded (q_id, band, bucket, pb) rows for a bucket
+    * prefix count `p` — the broadcast side of the candidate join. */
+  private[graft] def batchBuckets(batchSigned: DataFrame, p: Int): DataFrame =
+    batchSigned
+      .select(col("doc_id").as("q_id"), posexplode(col("bkts")).as(Seq("band", "bucket")))
+      .withColumn("pb", pmod(col("bucket"), lit(p.toLong)).cast("int"))
+
+  /** Distinct (c_id, q_id) candidate pairs: the `buckets/` scan PRUNED to
+    * the batch's pb set (partition filter — pinned in spec) plus the
+    * on-the-fly exploded delta rows (deltas are micro-batch-sized between
+    * compacts — no persisted layout to prune), equi-joined with the
+    * broadcast batch buckets on (band, bucket). Lazy. */
+  private[graft] def candidates(spark: SparkSession, path: String,
+      batchB: DataFrame, pbs: Seq[Int],
+      delta: Option[DataFrame] = None): DataFrame = {
+    val base = spark.read.parquet(s"$path/buckets")
+      .filter(col("pb").isin(pbs.map(Int.box): _*))
+      .select("doc_id", "band", "bucket")
+    val all = delta.map { d =>
+      base.unionByName(d.select(col("doc_id"),
+        posexplode(col("bkts")).as(Seq("band", "bucket"))))
+    }.getOrElse(base)
+    all
+      .join(broadcast(batchB.select("q_id", "band", "bucket")),
+        Seq("band", "bucket"))
+      .select(col("doc_id").as("c_id"), col("q_id"))
+      .dropDuplicates("c_id", "q_id")
+  }
+
+  /** The `sigs/` scan pruned to the given sp dirs (partition filter),
+    * projected to (c_id, sig). Lazy. */
+  private[graft] def prunedSigs(spark: SparkSession, path: String,
+      sps: Seq[Int]): DataFrame =
+    spark.read.parquet(s"$path/sigs")
+      .filter(col("sp").isin(sps.map(Int.box): _*))
+      .select(col("doc_id").as("c_id"), col("sig"))
+
+  /** Flag each new document against the stored corpus: one PRUNED bucket
+    * scan (batch side broadcast) yields candidate pairs, signatures are
+    * fetched for candidates only (pruned again, by doc-id partition), and
+    * the minhash agreement estimate ≥ `threshold` decides.
     *
     * Returns one row per `newDocs` id:
     * (doc_id, is_duplicate, dup_of, match_est) where `dup_of` is the
@@ -129,31 +304,45 @@ object IncrementalDedup {
     * for ids the corpus has not seen. */
   def dedupAgainst(index: SigIndex, newDocs: DataFrame,
       threshold: Double = 0.9): DataFrame = {
-    val bands = index.bands
-    val batch = signed(newDocs, index.k, bands).localCheckpoint(true)
-    val batchB = batch.select(col("doc_id").as("q_id"), col("sig").as("q_sig"),
-      col("bkts").as("q_bkts"), posexplode(col("bkts")).as(Seq("band", "bucket")))
-    val corpusB = index.sigs.select(col("doc_id").as("c_id"), col("sig"),
-      col("bkts"), posexplode(col("bkts")).as(Seq("band", "bucket")))
-    // first agreeing band: the joined band always agrees; keep the row
-    // only if no LOWER band agrees — flat element_at arithmetic in
-    // whole-stage codegen over the two carried bucket arrays
-    val agreeBits = (0 until bands).map { b =>
-      when(element_at(col("bkts"), b + 1) === element_at(col("q_bkts"), b + 1),
-        lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    val earlierMask = expr("shiftleft(CAST(1 AS BIGINT), band)") - lit(1L)
-    val matches = corpusB.join(broadcast(batchB), Seq("band", "bucket"))
-      .filter(agreeBits.bitwiseAND(earlierMask) === 0L)
+    val spark = index.sigs.sparkSession
+    val p = IndexMeta.readDirMeta(spark, s"${index.path}/buckets")
+    val sp = IndexMeta.readDirMeta(spark, s"${index.path}/sigs")
+    val batch = signed(newDocs, index.k, index.bands).localCheckpoint(true)
+    val batchB = batchBuckets(batch, p).localCheckpoint(true)
+    // the pb set is bounded by min(P, batch·bands) — driver-tiny
+    val pbs = batchB.select("pb").distinct().collect().map(_.getInt(0)).toSeq
+    val delta = deltaSigs(spark, index.path)
+    val cand = candidates(spark, index.path, batchB, pbs, delta)
+      .localCheckpoint(true)
+    // one job yields both the candidate count (broadcast decision) and
+    // the sp dirs the signature fetch must read
+    val spCounts = cand
+      .groupBy(pmod(col("c_id"), lit(sp.toLong)).cast("int").as("s"))
+      .count().collect()
+    val candN = spCounts.map(_.getLong(1)).sum
+    val sps = spCounts.map(_.getInt(0)).toSeq
+    val basePruned = prunedSigs(spark, index.path, sps)
+    // delta ids may prove candidates too; deltas are small, so the union
+    // costs a micro-batch-sized scan, not a corpus one
+    val corpusSigs = delta.map(d => basePruned.unionByName(
+      d.select(col("doc_id").as("c_id"), col("sig")))).getOrElse(basePruned)
+    // candidate side broadcast while it is provably small (checkpointed,
+    // collision-bounded); beyond that, let the planner shuffle — a probe
+    // that collides with millions of corpus rows is real work either way
+    val withSigs =
+      if (candN <= MaxBroadcastCandidates) corpusSigs.join(broadcast(cand), "c_id")
+      else corpusSigs.join(cand, "c_id")
+    val matches = withSigs
+      .join(broadcast(batch.select(col("doc_id").as("q_id"),
+        col("sig").as("q_sig"))), "q_id")
       .withColumn("est",
         org.apache.spark.sql.graft.ColumnBridge
           .matchCount(col("sig"), col("q_sig")).cast("double") / lit(index.k))
       .filter(col("est") >= threshold)
       .groupBy(col("q_id").as("doc_id"))
       .agg(min(col("c_id")).as("dup_of"), max(col("est")).as("match_est"))
-    // matches is at most batch-sized (one row per flagged new doc) — the
-    // same side already broadcast into the bucket join — so the flag join
-    // broadcasts too instead of shuffling newDocs
+    // matches is at most batch-sized (one row per flagged new doc), so
+    // the flag join broadcasts too instead of shuffling newDocs
     newDocs.select(col("doc_id")).join(broadcast(matches), Seq("doc_id"), "left")
       .select(col("doc_id"), col("dup_of").isNotNull.as("is_duplicate"),
         col("dup_of"), col("match_est"))
@@ -167,7 +356,7 @@ object IncrementalDedup {
     * execute sequentially, so the read-probe-append cycle needs no
     * locking, and the checkpoint makes the loop restartable (a replayed
     * batch re-flags identically; its re-appended signatures are exact
-    * duplicates that only cost index space until the next rebuild).
+    * duplicates that only cost index space until the next [[compact]]).
     *
     * Intra-batch duplicates are not flagged (dedupAgainst semantics);
     * shrink the trigger or run MinHashLsh.exactPairs inside the batch if

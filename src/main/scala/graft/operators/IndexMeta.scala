@@ -48,6 +48,37 @@ private[graft] object IndexMeta {
     fs(spark, p).exists(p)
   }
 
+  /** Per-layout-directory partition-count sidecar, stored INSIDE the
+    * partitioned data directory as `_graft_meta.json` (underscore-prefixed
+    * files are invisible to Spark's parquet reader, like `_SUCCESS`). The
+    * count travels with the directory through compact's rename swap, so a
+    * crash between the two table swaps can never pair a directory with a
+    * stale partition count — each live dir always describes itself. */
+  def writeDirMeta(spark: SparkSession, dir: String, parts: Int): Unit = {
+    val node = mapper.createObjectNode()
+    node.put("format", FormatVersion)
+    node.put("parts", parts)
+    writeText(spark, s"$dir/_graft_meta.json", node.toString)
+  }
+
+  /** Read the partition count written by [[writeDirMeta]]. */
+  def readDirMeta(spark: SparkSession, dir: String): Int = {
+    val path = s"$dir/_graft_meta.json"
+    if (!exists(spark, path))
+      throw new IllegalStateException(
+        s"$dir has no _graft_meta.json partition sidecar (pre-v2 layout); " +
+          "rebuild the index with the current writer")
+    val node = mapper.readTree(readText(spark, path))
+    val fmt = Option(node.get("format")).map(_.asInt(-1)).getOrElse(-1)
+    if (fmt != FormatVersion)
+      throw new IllegalStateException(
+        s"$path has format version $fmt; this reader supports $FormatVersion")
+    val v = node.get("parts")
+    if (v == null)
+      throw new IllegalStateException(s"$path is missing 'parts'")
+    v.asInt
+  }
+
   /** Write `{"format":1,"k1":v1,…}` to `$dir/params.json`. */
   def writeParams(spark: SparkSession, dir: String, params: Map[String, Int]): Unit = {
     val node = mapper.createObjectNode()

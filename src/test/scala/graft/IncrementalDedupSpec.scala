@@ -171,6 +171,43 @@ class IncrementalDedupSpec extends AnyFunSuite {
       "the gated batch's survivor must have been signed")
   }
 
+  test("probe prunes both layout scans at the source (PartitionFilters)") {
+    val docs = Tables.documents(spark, sf)
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val batch = docs.filter(col("doc_id") % 100 === 0) // small → sparse pb set
+    val path = tmp()
+    // explicit partition counts far above the batch's footprint, so the
+    // pb/sp sets are strict subsets and pruning is observable
+    IncrementalDedup.saveSignatures(corpus, path, parts = 64, sigParts = 16)
+    val idx = IncrementalDedup.openSignatures(spark, path)
+    def partitionFilter(df: org.apache.spark.sql.DataFrame,
+        partCol: String): String = {
+      val plan = df.queryExecution.executedPlan.toString
+      val pf = "PartitionFilters: \\[([^\\]]*)\\]".r
+        .findAllMatchIn(plan).map(_.group(1)).toSeq
+      val hit = pf.filter(f => f.contains(partCol) && f.trim.nonEmpty)
+      assert(hit.nonEmpty, s"no $partCol partition filter at the scan:\n$plan")
+      hit.head
+    }
+    // compose the probe exactly as dedupAgainst does, stopping before the
+    // eager checkpoints so the scans stay inspectable
+    val p = graft.operators.IndexMeta.readDirMeta(spark, s"$path/buckets")
+    val sp = graft.operators.IndexMeta.readDirMeta(spark, s"$path/sigs")
+    val signedBatch = IncrementalDedup.signed(batch, idx.k, idx.bands)
+    val batchB = IncrementalDedup.batchBuckets(signedBatch, p)
+      .localCheckpoint(true)
+    val pbs = batchB.select("pb").distinct().collect().map(_.getInt(0)).toSeq
+    assert(pbs.size < p, "batch pb set must be a strict subset for this spec")
+    val cand = IncrementalDedup.candidates(spark, path, batchB, pbs)
+    partitionFilter(cand, "pb")
+    val sps = cand.select(pmod(col("c_id"), lit(sp.toLong)).cast("int").as("s"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    partitionFilter(IncrementalDedup.prunedSigs(spark, path, sps), "sp")
+    // and the full probe over this pruned layout flags real duplicates
+    val flagged = IncrementalDedup.dedupAgainst(idx, batch, 0.7)
+    assert(flagged.filter(col("is_duplicate")).count() > 0)
+  }
+
   test("appended batches are visible to later batches") {
     import spark.implicits._
     val corpus = Seq(
@@ -222,9 +259,16 @@ class IncrementalDedupSpec extends AnyFunSuite {
     // duplicates gone, params sidecar intact, file count bounded
     assert(compacted.sigs.count() === expectedIds)
     assert((compacted.k, compacted.bands) === ((idx.k, idx.bands)))
-    val files = new java.io.File(s"$path/sigs").listFiles()
-      .count(f => f.getName.endsWith(".parquet"))
-    assert(files <= 4)
+    // v2 layout nests parquet files under sp=… partition dirs; numFiles
+    // bounds the writing tasks, so each dir holds at most numFiles files
+    def parquetFiles(dir: String): Seq[java.io.File] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+      walk(new java.io.File(dir))
+    }
+    val perDir = parquetFiles(s"$path/sigs").groupBy(_.getParentFile).values
+    assert(perDir.nonEmpty && perDir.forall(_.size <= 4))
     // flagging over the compacted index is row-identical
     val flagsAfter = IncrementalDedup.dedupAgainst(compacted, probe, 0.7)
       .collect().map(_.toSeq).toSet
