@@ -21,22 +21,28 @@ import graft.sources.Tables
 object RecallProbe {
 
   /** Recall@k at six operating points: each index family at its query-key
-    * default, at a wide (high-recall) setting, and at the default over a
+    * default, at the wide (high-recall) dial, and at the default over a
     * PLANTED-structure corpus. The points pin the whole recall/cost dial
-    * against drift: the defaults (LSH 24 tables × 5 planes, IVF auto
-    * nprobe = ⌈0.27·cells⌉ — retuned round 6 via the RecallGrid sweep to
-    * ≥0.7 background recall while staying sub-linear/pruned) are the
-    * probes the keys bench; the wide points (IVF nprobe=16 of √n cells;
-    * LSH 16 tables × 4 planes) keep a second, differently-shaped
-    * reference point on the dial. On this synthetic corpus the top-10 neighbors sit at the ~0.3
+    * against drift: the defaults (LSH 24 tables × auto planes, IVF auto
+    * nprobe from the constant row budget — round-7 scale-safe geometry,
+    * constant per-probe rows at any corpus size) are the probes the keys
+    * bench; the wide points are FRACTION-based (LSH explicit 5 planes =
+    * a 24/2⁵ = 0.75 candidate fraction; IVF `wideNprobe` = ⌈0.27·cells⌉)
+    * so each reads the same corpus fraction at every scale factor and
+    * its recall is comparable across sf dirs — a fixed-count wide point
+    * (r6's nprobe=16) decayed with √n cell growth and read as a
+    * regression at sf1 when it was the demonstration. On this synthetic
+    * corpus the top-10 neighbors sit at the ~0.3
     * cosine BACKGROUND (no neighbor structure), so background recall is
     * bounded by neighbor concentration and cost — a property of the
-    * data, not the index. The `_planted` points measure the regime ANN
-    * indexes exist for: 10 deterministic near-duplicates (±2% component
-    * jitter) of every query appended to the corpus, so each query's true
-    * top-10 IS concentrated structure — defaults must score 1.0 there,
-    * and a drop flags real parameter drift rather than background
-    * noise. */
+    * data, not the index: expect the default points to FALL as the
+    * corpus outgrows the tuning anchor (constant rows over more corpus)
+    * while the wide points hold. The `_planted` points measure the
+    * regime ANN indexes exist for: 10 deterministic near-duplicates
+    * (±2% component jitter) of every query appended to the corpus, so
+    * each query's true top-10 IS concentrated structure — defaults must
+    * score 1.0 there, and a drop flags real parameter drift rather than
+    * background noise. */
   def run(spark: SparkSession, sfDir: String, nq: Int = 100,
       k: Int = 10): Map[String, Double] = {
     val emb = Tables.embeddings(spark, sfDir).localCheckpoint(true)
@@ -82,7 +88,7 @@ object RecallProbe {
         recallOf(collectHits(AnnLsh.topKBatch(emb, qids, k)), truth),
       "sim_ann_lsh_wide" ->
         recallOf(collectHits(
-          AnnLsh.topKBatch(emb, qids, k, tables = 16, planes = 4)), truth),
+          AnnLsh.topKBatch(emb, qids, k, planes = 5)), truth),
       // default operating points over the planted corpus (centroids stay
       // the pre-append ones — the appendToIndex serving shape)
       "sim_ann_lsh_planted" ->
@@ -91,7 +97,7 @@ object RecallProbe {
         recallOf(collectHits(Ivf.topKBatch(emb, cents, qids, k)), truth),
       "sim_ivf_wide" ->
         recallOf(collectHits(
-          Ivf.topKBatch(emb, cents, qids, k, nprobe = 16)), truth),
+          Ivf.topKBatch(emb, cents, qids, k, nprobe = Ivf.wideNprobe(cells))), truth),
       "sim_ivf_planted" ->
         recallOf(collectHits(Ivf.topKBatch(augmented, cents, qids, k)), truthPlanted))
   }

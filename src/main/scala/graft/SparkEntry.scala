@@ -254,9 +254,10 @@ object SparkEntry {
     // probes a PREBUILT partition-pruned index (trained+persisted once per
     // session per sf dir): the measured cost is the probe — a pruned
     // nprobe-cell scan — not in-call k-means training. Same parameters as
-    // Ivf.topK uses (cells ∝ √n, 8 Lloyd's rounds, auto nprobe =
-    // ⌈0.27·cells⌉ — the ≥0.7-recall fraction from the RecallGrid sweep,
-    // scale-invariant by construction).
+    // Ivf.topK uses (cells ∝ √n, 8 Lloyd's rounds, auto nprobe from the
+    // constant DefaultProbeRows budget — constant rows per probe at any
+    // corpus size; the ⌈0.27·cells⌉ recall fraction is the opt-in
+    // wideNprobe dial).
     "sim_ivf" -> ((s, dir) => Ivf.topKIndexed(ivfIndexFor(s, dir), 0L, 10)),
     // batched probes: the ANN-service shape (one distributed pass for a
     // whole query set) exercised as benched keys so their one-pass plans
@@ -719,8 +720,8 @@ object SparkEntry {
          |ORDER BY vec_a, vec_b""".stripMargin,
 
 
-    // AnnLsh's plane family (tables 64..87, 5 planes — the ≥0.7-recall
-    // defaults picked by the RecallGrid sweep) and its double cosine
+    // AnnLsh's plane family (tables 64..87; 5 planes — what the auto
+    // plane count resolves to at every oracle corpus size) and its double cosine
     // re-rank are both bit-reproducible: buckets via the shared
     // integer-LCG twin (lshBucketSql, as dd_embedding), cosine via the
     // sequential-double twin (dotDoubleSql) in the kernel's exact op shape

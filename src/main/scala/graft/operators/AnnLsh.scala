@@ -22,14 +22,21 @@ import graft.functions.VectorMath
   * sign bit per plane); a probe only ever scans its own buckets, so
   * lookup cost is (corpus / 2^planes) · tables instead of corpus.
   *
-  * Default operating point (24 tables × 5 planes): picked by the
-  * RecallGrid sweep at sf0.1 — ≥0.75 background recall@10 with planted
-  * near-duplicates at 1.0, at a 24/2⁵ = 0.75 candidate fraction (still
-  * sub-linear, and the persisted-index probe still prunes to 24 bucket
-  * directories). Recall on background-noise neighbors is a property of
-  * neighbor concentration, so a cheaper point (e.g. 4×6, fraction 0.06)
-  * suits callers probing for concentrated structure only — both dials
-  * stay honest via the per-bench RecallProbe telemetry.
+  * Default operating point: 24 tables × AUTO planes. The plane count
+  * grows with the corpus — planes = max(5, ⌊log₂(n / 64)⌋), the same
+  * corpus-scaled geometry as dd_embedding's auto planes — so expected
+  * bucket occupancy stays in [64, 128) and a default probe reads a
+  * CONSTANT number of candidate rows per table at any corpus size
+  * (a fixed plane count is a constant candidate *fraction*: measured
+  * 7.6× probe cost at 10× data in the round-6 scaling study). At the
+  * tuning scale (sf0.1, n=2000) auto resolves to the RecallGrid-picked
+  * 24×5 point (≥0.75 background recall@10, planted 1.0), and oracle
+  * corpora resolve there too, so the SQL twins stay bit-exact.
+  * Background recall at a constant row budget necessarily falls as the
+  * corpus grows — callers who want the measured ≥0.7-background-recall
+  * point at LINEAR cost opt into the wide dial (explicit `planes = 5`,
+  * a constant 24/2⁵ = 0.75 candidate fraction); both dials stay honest
+  * via the per-bench RecallProbe telemetry.
   */
 object AnnLsh {
 
@@ -37,11 +44,30 @@ object AnnLsh {
     * dedup path's (tables 0..7 are dd_embedding's, oracle-twinned). */
   private val TableOffset = 64
 
-  /** Corpus with one bucket id per hash table (single kernel pass). */
-  def index(embeddings: DataFrame, tables: Int = 24, planes: Int = 5): DataFrame =
+  /** Bucket occupancy the auto plane count targets: n / 2^planes lands
+    * in [TargetBucketRows, 2·TargetBucketRows). 64 anchors the auto
+    * geometry to the RecallGrid operating point (2000 / 2⁵ = 62.5). */
+  private[graft] val TargetBucketRows = 64.0
+
+  /** Corpus-scaled default plane count: one more plane per corpus
+    * doubling, never below the 5-plane tuning anchor. */
+  private[graft] def autoPlanes(n: Long): Int =
+    math.max(5, (math.log(math.max(1L, n).toDouble / TargetBucketRows)
+      / math.log(2.0)).floor.toInt)
+
+  /** `planes = 0` (the default) resolves via [[autoPlanes]] — one
+    * count() action on `embeddings` (cache upstream pipelines first, or
+    * pass an explicit plane count to skip it). */
+  private def resolvePlanes(embeddings: DataFrame, planes: Int): Int =
+    if (planes > 0) planes else autoPlanes(embeddings.count())
+
+  /** Corpus with one bucket id per hash table (single kernel pass).
+    * `planes = 0` auto-scales with the corpus (see [[autoPlanes]]). */
+  def index(embeddings: DataFrame, tables: Int = 24, planes: Int = 0): DataFrame =
     embeddings.withColumn("buckets",
       org.apache.spark.sql.graft.ColumnBridge
-        .embeddingLshBuckets(col("embedding"), tables, planes, TableOffset))
+        .embeddingLshBuckets(col("embedding"), tables,
+          resolvePlanes(embeddings, planes), TableOffset))
 
   /** Batched probe: top-k for EVERY id in `queryIds` in one pass — the
     * ANN-service shape (see Ivf.topKBatch). The corpus side explodes its
@@ -57,12 +83,12 @@ object AnnLsh {
     * to per-query probes (specced). Query ids must be distinct; ids
     * absent from the corpus yield no rows, exactly like [[topK]]. */
   def topKBatch(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
-      tables: Int = 24, planes: Int = 5): DataFrame = {
+      tables: Int = 24, planes: Int = 0): DataFrame = {
     require(queryIds.nonEmpty, "queryIds must not be empty")
     require(queryIds.distinct.size == queryIds.size,
       "queryIds must be distinct — duplicate ids would collapse into one group")
     import org.apache.spark.sql.expressions.Window
-    val indexed = index(embeddings, tables, planes)
+    val indexed = index(embeddings, tables, resolvePlanes(embeddings, planes))
     val queries = indexed.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("buckets").as("q_buckets"))
@@ -92,8 +118,8 @@ object AnnLsh {
   /** Top-k ANN: candidates = rows sharing any table bucket with the query,
     * exactly re-ranked by cosine. */
   def topK(embeddings: DataFrame, queryId: Long, k: Int,
-      tables: Int = 24, planes: Int = 5): DataFrame = {
-    val indexed = index(embeddings, tables, planes)
+      tables: Int = 24, planes: Int = 0): DataFrame = {
+    val indexed = index(embeddings, tables, resolvePlanes(embeddings, planes))
     val q = indexed.filter(col("vec_id") === queryId)
       .select(col("embedding").as("q_emb"), col("buckets").as("q_buckets"))
     // candidate: any table agrees on the bucket — flat element_at
@@ -135,15 +161,19 @@ object AnnLsh {
     * directories. The full bucket array rides along each row so probes
     * can first-agree-dedup without a join back to the un-exploded corpus. */
   def saveIndex(embeddings: DataFrame, path: String, tables: Int = 24,
-      planes: Int = 5): Unit = {
+      planes: Int = 0): Unit = {
     val spark = embeddings.sparkSession
-    index(embeddings, tables, planes)
+    // the resolved count is FROZEN into params.json: appends and probes
+    // against this index keep the build-time geometry (rebuild when the
+    // corpus outgrows it — see docs/indexes.md)
+    val p = resolvePlanes(embeddings, planes)
+    index(embeddings, tables, p)
       .select(col("vec_id"), col("label"), col("embedding"), col("buckets"),
         posexplode(col("buckets")).as(Seq("t", "bucket")))
       .write.mode("overwrite").partitionBy("t", "bucket")
       .parquet(s"$path/corpus")
     IndexMeta.writeParams(spark, path,
-      Map("tables" -> tables, "planes" -> planes))
+      Map("tables" -> tables, "planes" -> p))
   }
 
   /** Open an index written by [[saveIndex]]. The plane-family parameters

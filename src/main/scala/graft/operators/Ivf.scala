@@ -30,24 +30,40 @@ object Ivf {
 
   private val sumDec = DecimalType(28, 10)
 
-  /** Default probe width as a FRACTION of the cell count — the auto
-    * default (`nprobe = 0`) probes ⌈0.27·cells⌉ cells, the operating
-    * point the RecallGrid sweep measured at ≥0.7 background recall@10
-    * (12 of 45 cells at sf0.1). A fixed nprobe is a shrinking fraction
-    * of the √n cell count as the corpus grows — measured at 10× data,
-    * nprobe=12 of 142 cells had dropped to 0.44 background recall — so
-    * the default scales with the index instead: recall stays at the
-    * measured point at any corpus size, and probe cost stays a constant
-    * fraction of the corpus (the price of background recall on
-    * unconcentrated neighbors; callers probing for planted/concentrated
-    * structure can pass a small explicit nprobe and read far less). */
-  val DefaultProbeFraction: Double = 0.27
+  /** Per-probe ROW budget behind the auto default (`nprobe = 0`): the
+    * probe reads ⌈DefaultProbeRows / cellSize⌉ cells, so its cost is a
+    * constant number of corpus rows at ANY corpus size — under the
+    * √n-cells convention (cellSize ≈ cells), nprobe ≈ ⌈576 / cells⌉
+    * with no count() needed. 576 anchors the budget to the RecallGrid
+    * operating point (13 cells × ~44 rows/cell at sf0.1). A fraction
+    * default (round 6's ⌈0.27·cells⌉) holds background recall but reads
+    * a constant 27% of the corpus per probe — a linear scan at 100×
+    * (measured 4.3× probe cost at 10× data); background recall at a
+    * constant row budget instead falls with corpus growth, which is the
+    * honest default for planted/concentrated-structure probing. Callers
+    * who want the measured ≥0.7-background-recall point at linear cost
+    * opt in with `nprobe = wideNprobe(cells)`. */
+  val DefaultProbeRows: Int = 576
 
-  /** `nprobe = 0` (the default) resolves to [[DefaultProbeFraction]] of
-    * the cell count; explicit positive values pass through. */
+  /** The wide (high-background-recall) dial: ⌈0.27·cells⌉ — a constant
+    * candidate FRACTION, so recall holds at the RecallGrid-measured
+    * ≥0.7 at any corpus size while probe cost grows linearly with it.
+    * Explicit opt-in; the telemetry `_wide` points use it so they stay
+    * comparable across scale factors. */
+  val WideProbeFraction: Double = 0.27
+
+  /** ⌈[[WideProbeFraction]]·cells⌉, the fraction-based wide probe. */
+  def wideNprobe(cells: Int): Int =
+    math.max(1, math.ceil(cells * WideProbeFraction).toInt)
+
+  /** `nprobe = 0` (the default) resolves the [[DefaultProbeRows]] budget
+    * against the √n-cells convention (cellSize ≈ cells, so n ≈ cells²);
+    * explicit positive values pass through. Indexes built with a custom
+    * cell count off the √n convention should pass nprobe explicitly. */
   private[graft] def resolveNprobe(nprobe: Int, cells: Int): Int =
     if (nprobe > 0) nprobe
-    else math.max(1, math.ceil(cells * DefaultProbeFraction).toInt)
+    else math.max(1, math.min(cells,
+      math.ceil(DefaultProbeRows.toDouble / math.max(1, cells)).toInt))
 
   /** Above this many centroid floats (k×dim), assignment switches from the
     * expression-embedded array to the torrent-broadcast kernel: a literal

@@ -70,6 +70,42 @@ class ScalePathSpec extends AnyFunSuite {
     assert(pairs.toSeq === explicit.toSeq)
   }
 
+  test("ANN auto geometry: anchored at oracle scales, constant-rows beyond") {
+    import spark.implicits._
+    // AnnLsh auto planes: max(5, floor(log2(n/64))) — 5 at every oracle
+    // corpus size (sf0.01 n=500, sf0.1 n=2000: the RecallGrid 24×5 point,
+    // so the SQL twins stay bit-exact), one more plane per corpus
+    // doubling beyond (bucket occupancy held in [64, 128))
+    assert(AnnLsh.autoPlanes(500L) === 5)
+    assert(AnnLsh.autoPlanes(2000L) === 5)
+    assert(AnnLsh.autoPlanes(20000L) === 8)
+    assert(AnnLsh.autoPlanes(40000L) === 9)
+    assert(AnnLsh.autoPlanes(1L << 20) === 14)
+    // Ivf auto nprobe: ⌈DefaultProbeRows/cells⌉ capped at cells — the
+    // sf0.1 anchor (45 cells) resolves to the same 13 cells the round-6
+    // fraction default read, small corpora degenerate to a full (exact)
+    // probe, and big ones hold per-probe rows ~constant
+    assert(Ivf.resolveNprobe(0, 45) === 13)
+    assert(Ivf.resolveNprobe(0, 23) === 23)
+    assert(Ivf.resolveNprobe(0, 142) === 5)
+    assert(Ivf.resolveNprobe(0, 1000) === 1)
+    assert(Ivf.resolveNprobe(7, 1000) === 7) // explicit wins
+    assert(Ivf.wideNprobe(45) === 13)        // the fraction dial
+    assert(Ivf.wideNprobe(142) === 39)
+
+    // auto output is exactly the explicit-planes output it resolves to,
+    // at a size where auto resolves ABOVE the anchor (n=9000 → 7 planes)
+    val vecs = (0 until 9000).map { i =>
+      (i.toLong,
+        Array.tabulate(8)(d => (((i * 37 + d * 13) % 1000) / 500.0 - 1.0).toFloat),
+        s"l${i % 4}")
+    }.toDF("vec_id", "embedding", "label")
+    assert(AnnLsh.autoPlanes(vecs.count()) === 7)
+    val auto = AnnLsh.topK(vecs, 0L, 10).collect().map(_.toSeq)
+    val explicit = AnnLsh.topK(vecs, 0L, 10, planes = 7).collect().map(_.toSeq)
+    assert(auto.toSeq === explicit.toSeq)
+  }
+
   test("simhash fingerprints differ for disjoint-vocabulary docs") {
     import spark.implicits._
     val two = Seq((1L, "aa bb cc dd ee", "s"), (2L, "vv ww xx yy zz", "s"))

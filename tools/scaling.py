@@ -1,15 +1,50 @@
 #!/usr/bin/env python3
 """Per-key scaling slopes between two bench JSON lines (sf0.1 vs sf1).
 
-Usage: python3 tools/scaling.py BENCH_sf01.json BENCH_sf1.json
+Usage: python3 tools/scaling.py BENCH_sf01.json BENCH_sf1.json [--check]
 
 Each input is either a raw one-line bench JSON ({"metric":...,"queries":
 {...}}) or a driver wrapper with a "tail" field containing that line.
 Prints a markdown table of per-key times and the sf1/sf0.1 slope,
 sorted by slope descending, plus the ingest/recall blocks if present.
+
+--check turns the report into a GATE: any key whose slope exceeds its
+threshold (DEFAULT_MAX_SLOPE, or a named WAIVERS entry) fails the run
+with exit 1 — the round-6 study caught a 13x defect (dd_embedding's
+fixed plane count) that this gate would have flagged; without it the
+slopes can silently regress. Keys under MIN_SF1_SECONDS at sf1 are
+exempt: at sub-second absolute cost the "slope" is scheduling noise,
+not data growth. The ingest block is gated too (steady-state per-batch
+cost across the two scales), since the ingest loop is the operator a
+production pipeline runs continuously.
 """
 import json
 import sys
+
+# Per-key slope thresholds above the default, each with the reason the
+# excess is understood (mirrored in SURVEY.md's waiver list). A waiver
+# is a NAMED finding, not an exemption from measurement.
+WAIVERS = {
+    # Verify volume grows with the planted duplicate mass (pair count is
+    # linear in corpus by ScaleUp construction, but each verify pair costs
+    # a signature comparison); bucket occupancy itself is held constant by
+    # the auto plane count. VERDICT r6: "watch, not weak".
+    "dd_embedding": 5.0,
+}
+
+# Keys faster than this at the LARGER scale are noise-exempt: a 0.1s ->
+# 0.4s "4x slope" is scheduler jitter, not a scale signal.
+MIN_SF1_SECONDS = 0.5
+
+# 10x data may honestly cost up to ~3x on keys with real aggregation
+# growth emerging from a small base; beyond that is a scale defect
+# unless a waiver names why.
+DEFAULT_MAX_SLOPE = 3.0
+
+# Steady-state ingest per-batch cost may grow at most this much across
+# the two scales (constant batch size; the index is ~17x bigger at sf1,
+# so flat-ish per-batch cost is the sub-linear-probe claim).
+INGEST_MAX_RATIO = 2.5
 
 
 def load(path):
@@ -31,8 +66,22 @@ def load(path):
     raise SystemExit(f"no bench JSON line found in {path}")
 
 
+def steady_batch_mean(d):
+    """Mean per-batch seconds, skipping the first (warm-up) batch."""
+    secs = d.get("ingest", {}).get("batch_secs") or []
+    tail = secs[1:] if len(secs) > 1 else secs
+    return sum(tail) / len(tail) if tail else None
+
+
 def main():
-    a, b = load(sys.argv[1]), load(sys.argv[2])
+    args = [x for x in sys.argv[1:] if x != "--check"]
+    check = "--check" in sys.argv[1:]
+    if len(args) == 1:
+        # the combined study artifact: {"sf0.1": {...}, "sf1": {...}}
+        d = json.load(open(args[0]))
+        a, b = d["sf0.1"], d["sf1"]
+    else:
+        a, b = load(args[0]), load(args[1])
     qa, qb = a["queries"], b["queries"]
     keys = sorted(set(qa) & set(qb))
     rows = []
@@ -41,10 +90,21 @@ def main():
         slope = tb / ta if ta > 0 else float("inf")
         rows.append((slope, k, ta, tb))
     rows.sort(reverse=True)
-    print("| key | sf0.1 s | sf1 s | slope (sf1/sf0.1) |")
-    print("|---|---|---|---|")
+    violations = []
+    print("| key | sf0.1 s | sf1 s | slope (sf1/sf0.1) | gate |")
+    print("|---|---|---|---|---|")
     for slope, k, ta, tb in rows:
-        print(f"| {k} | {ta:.2f} | {tb:.2f} | {slope:.1f}x |")
+        limit = WAIVERS.get(k, DEFAULT_MAX_SLOPE)
+        if tb < MIN_SF1_SECONDS:
+            gate = "noise-exempt"
+        elif slope <= limit:
+            gate = "ok" if k not in WAIVERS else f"ok (waiver {limit:.0f}x)"
+        else:
+            gate = f"FAIL (> {limit:.0f}x)"
+            violations.append(
+                f"{k}: slope {slope:.1f}x > {limit:.0f}x "
+                f"({ta:.2f}s -> {tb:.2f}s)")
+        print(f"| {k} | {ta:.2f} | {tb:.2f} | {slope:.1f}x | {gate} |")
     ta_tot = sum(t for t in qa.values() if t >= 0)
     tb_tot = sum(t for t in qb.values() if t >= 0)
     print(f"\ntotals: sf0.1 {ta_tot:.1f}s, sf1 {tb_tot:.1f}s, "
@@ -53,6 +113,23 @@ def main():
         for name, d in (("sf0.1", a), ("sf1", b)):
             if blk in d:
                 print(f"{blk} @ {name}: {json.dumps(d[blk])}")
+    ia, ib = steady_batch_mean(a), steady_batch_mean(b)
+    if ia and ib:
+        ratio = ib / ia
+        print(f"ingest steady-state per-batch: {ia:.2f}s -> {ib:.2f}s "
+              f"({ratio:.2f}x across scales, limit {INGEST_MAX_RATIO}x)")
+        if check and ratio > INGEST_MAX_RATIO:
+            violations.append(
+                f"ingest: steady per-batch {ratio:.2f}x > {INGEST_MAX_RATIO}x "
+                f"({ia:.2f}s -> {ib:.2f}s at constant batch size)")
+    if check:
+        if violations:
+            print("\nSCALING GATE: FAIL")
+            for v in violations:
+                print(f"  - {v}")
+            raise SystemExit(1)
+        print("\nSCALING GATE: PASS "
+              f"({len(keys)} keys, {len(WAIVERS)} named waivers)")
 
 
 if __name__ == "__main__":
