@@ -97,15 +97,18 @@ object AnnLsh {
       posexplode(col("q_buckets")).as(Seq("t", "bucket")))
     val cb = indexed.select(col("vec_id"), col("label"), col("embedding"),
       col("buckets"), posexplode(col("buckets")).as(Seq("t", "bucket")))
-    // first-agree over the carried bucket arrays: bit b set iff table b collides
-    val agreeBits = (0 until tables).map { b =>
-      when(element_at(col("buckets"), b + 1) === element_at(col("q_buckets"), b + 1),
-        lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    // first-agree over the carried bucket arrays: keep a colliding pair
+    // only at its FIRST agreeing table. Each array is referenced exactly
+    // ONCE (zip_with + array_position): the corpus-side array is a
+    // projected kernel expression, and a per-element element_at chain
+    // would re-inline — and re-evaluate — that kernel once per reference
+    // in this codegen pipeline (the same measured pathology as topK's
+    // old candidate filter).
+    val firstAgree = array_position(
+      zip_with(col("buckets"), col("q_buckets"), (a, b) => a === b),
+      lit(true)) === col("t").cast("long") + lit(1L)
     val hits = cb.join(broadcast(qb), Seq("t", "bucket"))
-      .filter(col("vec_id") =!= col("q_id") &&
-        agreeBits.bitwiseAND(
-          expr("shiftleft(CAST(1 AS BIGINT), t)") - lit(1L)) === 0L)
+      .filter(col("vec_id") =!= col("q_id") && firstAgree)
       .select(col("q_id"), col("vec_id"), col("label"),
         VectorMath.cosineDouble(col("embedding"), col("q_emb")).as("cosine"))
     val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))
@@ -122,13 +125,17 @@ object AnnLsh {
     val indexed = index(embeddings, tables, resolvePlanes(embeddings, planes))
     val q = indexed.filter(col("vec_id") === queryId)
       .select(col("embedding").as("q_emb"), col("buckets").as("q_buckets"))
-    // candidate: any table agrees on the bucket — flat element_at
-    // comparisons (whole-stage codegen) over the tiny fixed-size arrays,
-    // evaluated once per corpus row; an exists(zip_with(...)) here runs
-    // interpreted with boxing on the probe's hot path
-    val anyAgree = (0 until tables).map { b =>
-      element_at(col("buckets"), b + 1) === element_at(col("q_buckets"), b + 1)
-    }.reduce(_ || _)
+    // candidate: any table agrees on the bucket. The predicate references
+    // `buckets` exactly ONCE (zip_with + exists): in this cross-join
+    // pipeline the projected column is not materialized — codegen inlines
+    // the producing expression into each reference — so a 24-way
+    // element_at disjunction evaluates the tables×planes×dim bucket
+    // KERNEL 24 times per corpus row (measured 18 s vs 0.5 s at sf1 for
+    // this exact plan). The 24-element interpreted lambda is noise next
+    // to one kernel evaluation.
+    val anyAgree = exists(
+      zip_with(col("buckets"), col("q_buckets"), (a, b) => a === b),
+      x => x)
     indexed
       .filter(col("vec_id") =!= queryId)
       .crossJoin(broadcast(q))

@@ -208,6 +208,26 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(flagged.filter(col("is_duplicate")).count() > 0)
   }
 
+  test("pruned and streamed probe paths are row-identical") {
+    val docs = Tables.documents(spark, sf)
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    val path = tmp()
+    IncrementalDedup.saveSignatures(corpus, path)
+    val idx = IncrementalDedup.openSignatures(spark, path)
+    val sp = graft.operators.IndexMeta.readDirMeta(spark, s"$path/sigs")
+    val signedBatch = IncrementalDedup.signed(batch, idx.k, idx.bands)
+      .localCheckpoint(true)
+    // drive BOTH match paths on the identical signed batch: the path
+    // dedupAgainst picks is a cost decision, never a semantic one
+    val pruned = IncrementalDedup.prunedMatches(idx, signedBatch, sp, 0.8)
+      .collect().map(_.toSeq).toSet
+    val streamed = IncrementalDedup.streamedMatches(idx, signedBatch, 0.8)
+      .collect().map(_.toSeq).toSet
+    assert(pruned.nonEmpty, "threshold 0.8 must flag something on this corpus")
+    assert(pruned === streamed)
+  }
+
   test("appended batches are visible to later batches") {
     import spark.implicits._
     val corpus = Seq(
