@@ -181,7 +181,7 @@ object SparkEntry {
     // the composed curation gate: quality + repetition + PII in ONE scan
     "tx_curate" -> ((s, dir) => TextAnalysis.curate(Tables.documents(s, dir))),
     "tx_boilerplate" -> ((s, dir) =>
-      TextAnalysis.boilerplate(Tables.documents(s, dir))),
+      TextAnalysis.boilerplate(Tables.documents(s, dir), topK = 1000)),
     // deterministic stratified sampling: src0 at 50%, src1 dropped,
     // everything else at the 10% default — the mixture-weighting pass
     "ds_sample" -> ((s, dir) =>
@@ -284,9 +284,13 @@ object SparkEntry {
     }),
     // custom physical operator (heap top-k; rows-only — heap tie-breaks
     // are arrival-order; set-equality vs the window form is specced)
+    // the custom bounded-heap operator with its total order (intensity
+    // desc, c_custkey): deterministic under any partitioning, so the
+    // row_number window is an exact DuckDB oracle (bit-exact key)
     "q_topk_custom" -> ((s, dir) =>
       org.apache.spark.sql.graft.TopKPerKeyApi.topKPerKey(
-        Benchmarking.metricsFor(s, dir), Seq("c_mktsegment"), "intensity", 3)
+        Benchmarking.metricsFor(s, dir), Seq("c_mktsegment"), "intensity", 3,
+        tieBreak = Some("c_custkey"))
         .select("c_mktsegment", "c_custkey", "intensity")
         .orderBy("c_mktsegment", "c_custkey")),
   )
@@ -1274,6 +1278,18 @@ object SparkEntry {
          |         WHEN rating = 'Good' THEN ['Consider LED lighting upgrades']
          |         ELSE CAST([] AS VARCHAR[]) END) AS recommendation
          |FROM m ORDER BY c_custkey, recommendation""".stripMargin,
+
+    // TopKPerKey's (ord desc, unique id) total order makes the heap
+    // output deterministic and exactly the row_number window's rows
+    "q_topk_custom" ->
+      s"""$metricsCte,
+         |r AS (
+         |  SELECT c_mktsegment, c_custkey, intensity,
+         |         row_number() OVER (PARTITION BY c_mktsegment
+         |                            ORDER BY intensity DESC, c_custkey) AS rn
+         |  FROM m)
+         |SELECT c_mktsegment, c_custkey, intensity FROM r WHERE rn <= 3
+         |ORDER BY c_mktsegment, c_custkey""".stripMargin,
 
     "bm_top_entities" ->
       s"""$metricsCte,

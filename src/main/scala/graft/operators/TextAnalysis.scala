@@ -243,22 +243,27 @@ object TextAnalysis {
     * per document) explode into a count roll-up with map-side partials —
     * the shuffle carries one row per distinct gram per partition, not per
     * occurrence — thresholded at `minDocs`. Word-count shape: scales like
-    * tx_ngram_freq at any corpus size. The final ordering is bounded by
-    * `topK` through `limit`, so it plans as TakeOrderedAndProject (a
-    * per-partition top-k heap + one k-row merge on the driver) instead of
-    * a full sort of every surviving gram — the strip-list a pipeline
-    * ships is bounded anyway, and at corpus scale the surviving template
-    * set need not be. Ties break on the gram itself, so the cut is
-    * deterministic. */
+    * tx_ngram_freq at any corpus size. The default returns the FULL
+    * ≥minDocs template set (a behavior-compatible default — callers that
+    * consumed everything still do); pass `topK` to bound the output, and
+    * the ordering then plans as TakeOrderedAndProject (a per-partition
+    * top-k heap + one k-row merge on the driver) instead of a full sort
+    * of every surviving gram — at corpus scale the surviving template
+    * set is unbounded, so bounded callers (the tx_boilerplate key passes
+    * 1000) get the scale-safe plan. Ties break on the gram itself, so
+    * any cut is deterministic. */
   def boilerplate(documents: DataFrame, n: Int = 3, minDocs: Int = 5,
-      topK: Int = 1000): DataFrame =
-    Contamination.gramSets(documents, n)
+      topK: Int = Int.MaxValue): DataFrame = {
+    val ranked = Contamination.gramSets(documents, n)
       .select(col("doc_id"), explode(col("grams")).as("gram"))
       .groupBy("gram")
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
       .filter(col("n_docs") >= minDocs)
       .orderBy(col("n_docs").desc, col("gram"))
-      .limit(topK)
+    // limit(Int.MaxValue) would still plan a driver-side k-row merge
+    // with k = 2^31 — only bound when the caller actually bounded
+    if (topK == Int.MaxValue) ranked else ranked.limit(topK)
+  }
 
   /** One-pass corpus curation gate — the composed filter an LLM data
     * pipeline runs before training: quality score, repetition filter and

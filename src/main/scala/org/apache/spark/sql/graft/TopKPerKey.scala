@@ -26,14 +26,14 @@ import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
   * the output is unspecified (callers order for presentation).
   */
 case class TopKPerKeyNode(k: Int, keys: Seq[Expression], ord: Expression,
-    child: LogicalPlan) extends UnaryNode {
+    tie: Option[Expression], child: LogicalPlan) extends UnaryNode {
   override def output: Seq[Attribute] = child.output
   override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKeyNode =
     copy(child = newChild)
 }
 
 case class TopKPerKeyExec(k: Int, keys: Seq[Expression], ord: Expression,
-    child: SparkPlan) extends UnaryExecNode {
+    tie: Option[Expression], child: SparkPlan) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
 
@@ -46,16 +46,28 @@ case class TopKPerKeyExec(k: Int, keys: Seq[Expression], ord: Expression,
     val kLocal = k
     val keysLocal = keys
     val ordLocal = ord
+    val tieLocal = tie
     child.execute().mapPartitionsInternal { iter =>
       val keyProj = UnsafeProjection.create(keysLocal, childOutput)
       val boundOrd = org.apache.spark.sql.catalyst.expressions.BindReferences
         .bindReference(ordLocal, childOutput)
+      val boundTie = tieLocal.map(org.apache.spark.sql.catalyst.expressions
+        .BindReferences.bindReference(_, childOutput))
       // per-key bounded min-heap on the order value: the root is the
-      // weakest of the current top-k, evicted when something better shows
-      final class Entry(val score: Double, val row: UnsafeRow)
+      // weakest of the current top-k, evicted when something better
+      // shows. With a tie-break column the heap order is the total order
+      // (score asc, tie DESC) — the root is the row the (score desc,
+      // tie asc) ranking drops first — so the output is exactly the
+      // row_number()-window top-k regardless of arrival order. Without
+      // one, equal scores keep the first arrival (partition-order
+      // dependent at ties).
+      final class Entry(val score: Double, val tieId: Long, val row: UnsafeRow)
       val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[Entry]]()
       val javaCmp = new java.util.Comparator[Entry] {
-        def compare(a: Entry, b: Entry): Int = java.lang.Double.compare(a.score, b.score)
+        def compare(a: Entry, b: Entry): Int = {
+          val c = java.lang.Double.compare(a.score, b.score)
+          if (c != 0) c else java.lang.Long.compare(b.tieId, a.tieId)
+        }
       }
       iter.foreach { row =>
         val key = keyProj(row)
@@ -78,11 +90,29 @@ case class TopKPerKeyExec(k: Int, keys: Seq[Expression], ord: Expression,
               s"TopKPerKey: unsupported ord value ${other.getClass} — " +
                 "the API validates types at plan time; this is a bug")
           }
+          // a NULL tie id sorts as the weakest among its score ties
+          // (Long.MaxValue under tie-desc), matching NULLS LAST in the
+          // window form's ascending tie-break
+          val tieId = boundTie.map { t =>
+            val v = t.eval(row)
+            if (v == null) Long.MaxValue else v match {
+              case l: java.lang.Long => l.longValue()
+              case i: java.lang.Integer => i.longValue()
+              case s: java.lang.Short => s.longValue()
+              case b: java.lang.Byte => b.longValue()
+              case other => throw new IllegalStateException(
+                s"TopKPerKey: unsupported tie value ${other.getClass} — " +
+                  "the API validates types at plan time; this is a bug")
+            }
+          }.getOrElse(0L)
+          def better(peek: Entry): Boolean =
+            peek.score < score || (boundTie.isDefined && peek.score == score &&
+              tieId < peek.tieId)
           if (heap.size < kLocal) {
-            heap.add(new Entry(score, row.asInstanceOf[UnsafeRow].copy()))
-          } else if (heap.peek().score < score) {
+            heap.add(new Entry(score, tieId, row.asInstanceOf[UnsafeRow].copy()))
+          } else if (better(heap.peek())) {
             heap.poll()
-            heap.add(new Entry(score, row.asInstanceOf[UnsafeRow].copy()))
+            heap.add(new Entry(score, tieId, row.asInstanceOf[UnsafeRow].copy()))
           }
         }
       }
@@ -98,8 +128,8 @@ case class TopKPerKeyExec(k: Int, keys: Seq[Expression], ord: Expression,
 
 object TopKPerKeyStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerKeyNode(k, keys, ord, child) =>
-      TopKPerKeyExec(k, keys, ord, planLater(child)) :: Nil
+    case TopKPerKeyNode(k, keys, ord, tie, child) =>
+      TopKPerKeyExec(k, keys, ord, tie, planLater(child)) :: Nil
     case _ => Nil
   }
 }
@@ -115,8 +145,17 @@ object TopKPerKeyApi {
     * validated here at plan time, not per-row in the executor. Rows whose
     * ord value is NULL are dropped (a null score can never be in the
     * top-k); this differs from the `row_number` window form, which keeps
-    * null rows when a group has fewer than k non-null scores. */
-  def topKPerKey(df: DataFrame, keys: Seq[String], ord: String, k: Int): DataFrame = {
+    * null rows when a group has fewer than k non-null scores.
+    *
+    * `tieBreak` names an integral column establishing a TOTAL order
+    * (ord desc, tieBreak asc): with it the output is deterministic under
+    * any partitioning — exactly the rows a `row_number() OVER (PARTITION
+    * BY keys ORDER BY ord DESC, tieBreak) <= k` window keeps (NULL tie
+    * ids rank last among their score ties) — which is what makes the
+    * operator oracle-comparable. Without it, score ties keep the first
+    * arrival (partition-order dependent). */
+  def topKPerKey(df: DataFrame, keys: Seq[String], ord: String, k: Int,
+      tieBreak: Option[String] = None): DataFrame = {
     val session = df.sparkSession
     if (!session.experimental.extraStrategies.contains(TopKPerKeyStrategy)) {
       session.experimental.extraStrategies =
@@ -131,7 +170,18 @@ object TopKPerKeyApi {
       throw new IllegalArgumentException(
         s"TopKPerKey: ord column '$ord' must be numeric, got ${ordAttr.dataType.sql}")
     }
+    val tieAttr = tieBreak.map { name =>
+      val a = attr(name)
+      if (!Seq(org.apache.spark.sql.types.LongType,
+          org.apache.spark.sql.types.IntegerType,
+          org.apache.spark.sql.types.ShortType,
+          org.apache.spark.sql.types.ByteType).contains(a.dataType)) {
+        throw new IllegalArgumentException(
+          s"TopKPerKey: tieBreak column '$name' must be integral, got ${a.dataType.sql}")
+      }
+      a
+    }
     Dataset.ofRows(session.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
-      TopKPerKeyNode(k, keys.map(attr), ordAttr, lp))
+      TopKPerKeyNode(k, keys.map(attr), ordAttr, tieAttr, lp))
   }
 }

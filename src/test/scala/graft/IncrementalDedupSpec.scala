@@ -208,6 +208,31 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(flagged.filter(col("is_duplicate")).count() > 0)
   }
 
+  test("frozen build-time geometry never changes answers, only cost") {
+    val docs = Tables.documents(spark, sf)
+    // build at SMALL n (60 docs → tiny auto partition counts), then grow
+    // the index far past build size through appends
+    val small = docs.filter(col("doc_id") < 60)
+    val grown = docs.filter(col("doc_id") >= 60 && col("doc_id") % 5 =!= 0)
+    val probe = docs.filter(col("doc_id") % 5 === 0 && col("doc_id") >= 60)
+    val frozenPath = tmp()
+    IncrementalDedup.saveSignatures(small, frozenPath)
+    val frozen = IncrementalDedup.openSignatures(spark, frozenPath)
+    IncrementalDedup.appendSignatures(frozen, grown)
+    val frozenFlags = IncrementalDedup.dedupAgainst(
+        IncrementalDedup.openSignatures(spark, frozenPath), probe, 0.8)
+      .collect().map(_.toSeq).toSet
+    // the same corpus indexed FRESH (auto geometry resolved at full size)
+    val freshPath = tmp()
+    IncrementalDedup.saveSignatures(small.unionByName(grown), freshPath)
+    val freshFlags = IncrementalDedup.dedupAgainst(
+        IncrementalDedup.openSignatures(spark, freshPath), probe, 0.8)
+      .collect().map(_.toSeq).toSet
+    assert(frozenFlags.exists(_(1) == true), "probe must flag something")
+    assert(frozenFlags === freshFlags,
+      "geometry affects cost and recall telemetry, never the flags")
+  }
+
   test("pruned and streamed probe paths are row-identical") {
     val docs = Tables.documents(spark, sf)
     val corpus = docs.filter(col("doc_id") % 5 =!= 0)

@@ -57,6 +57,38 @@ class TopKPerKeySpec extends AnyFunSuite {
     }
   }
 
+  test("tieBreak makes tied scores deterministic under any partitioning") {
+    import org.apache.spark.sql.expressions.Window
+    // every score appears twice per segment, so the top-3 boundary ALWAYS
+    // cuts through a tie — the regime where the un-tie-broken heap keeps
+    // whichever row arrived first
+    val rows = for (seg <- Seq("a", "b"); s <- 0 until 50; dup <- 0 until 2)
+      yield (seg, (s.toLong * 2 + dup) + (if (seg == "a") 0L else 1000L), s.toDouble)
+    val want = {
+      val df = rows.toDF("seg", "id", "score")
+      val w = Window.partitionBy("seg").orderBy(col("score").desc, col("id"))
+      df.withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+        .filter(col("rn") <= 3).select("seg", "id")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    }
+    // several partitionings/arrival orders, same deterministic output
+    for (shuffleSeed <- Seq(1, 2, 3)) {
+      val permuted = new scala.util.Random(shuffleSeed).shuffle(rows)
+        .toDF("seg", "id", "score").repartition(shuffleSeed + 2)
+      val got = TopKPerKeyApi.topKPerKey(permuted, Seq("seg"), "score", 3,
+        tieBreak = Some("id"))
+        .select("seg", "id")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(got === want, s"seed $shuffleSeed")
+    }
+    // non-integral tie column rejected at plan time
+    val e = intercept[IllegalArgumentException] {
+      TopKPerKeyApi.topKPerKey(rows.toDF("seg", "id", "score"), Seq("seg"),
+        "score", 3, tieBreak = Some("score"))
+    }
+    assert(e.getMessage.contains("must be integral"))
+  }
+
   test("heap keeps the true top-k on a large skewed group") {
     val big = spark.range(10000).select(
       lit("hot").as("seg"), col("id"), (col("id") % 997).cast("double").as("score"))
