@@ -30,15 +30,38 @@ object VectorMath {
   private val d9   = DecimalType(9, 7)
   private val dAcc = DecimalType(28, 14)
 
-  /** Exact decimal dot product of two float-array columns. */
+  /** Exact decimal dot product of two float-array columns — the native
+    * kernel pair (quantize per vector, long-arithmetic dot per pair),
+    * bit-identical to [[dotDecExpr]] (property-specced). Callers joining
+    * many pairs per vector should project [[quantize7]] once per side
+    * and dot the quantized columns directly — the per-element
+    * shortest-decimal conversion is the expensive step. */
   def dotDec(a: Column, b: Column): Column =
+    quantizedDot(quantize7(a), quantize7(b))
+
+  /** Scale-7 unscaled quantization of a float-array column (the
+    * double→DECIMAL(9,7) cast per element, as longs). */
+  def quantize7(a: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.decimalQuantize7(a)
+
+  /** DECIMAL(28,14) dot of two [[quantize7]] columns. */
+  def quantizedDot(qa: Column, qb: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.quantizedDot14(qa, qb)
+
+  /** The original interpreted expression-chain form of [[dotDec]] — the
+    * semantic REFERENCE the kernels are specced bit-identical to (and
+    * the shape the DuckDB oracle SQL mirrors); not on any hot path. */
+  private[graft] def dotDecExpr(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double").cast(d9) * y.cast("double").cast(d9)),
       lit(java.math.BigDecimal.ZERO).cast(dAcc),
       (acc, x) => (acc + x).cast(dAcc))
 
   /** Exact decimal squared norm. */
-  def normSqDec(a: Column): Column = dotDec(a, a)
+  def normSqDec(a: Column): Column = {
+    val q = quantize7(a)
+    quantizedDot(q, q)
+  }
 
   /** Cosine from a decimal dot and two decimal squared norms — the final
     * scalar ops run in double with a fixed shape both engines reproduce. */

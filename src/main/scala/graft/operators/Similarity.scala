@@ -22,16 +22,20 @@ object Similarity {
     * by id). The single-row query side is broadcast. */
   def bruteForceTopK(embeddings: DataFrame, queryId: Long, k: Int): DataFrame = {
     val q = embeddings.filter(col("vec_id") === queryId)
-      .select(col("embedding").as("q_emb"),
+      .select(VectorMath.quantize7(col("embedding")).as("q_q"),
         VectorMath.normSqDec(col("embedding")).as("q_nrm"))
     embeddings
       .filter(col("vec_id") =!= queryId)
+      // quantize each corpus vector once; the per-row exact dot and norm
+      // are then long arithmetic (see VectorMath.dotDec)
+      .select(col("vec_id"), col("label"),
+        VectorMath.quantize7(col("embedding")).as("qv"))
       .crossJoin(broadcast(q))
       .select(
         col("vec_id"), col("label"),
         VectorMath.cosineFromDec(
-          VectorMath.dotDec(col("embedding"), col("q_emb")),
-          VectorMath.normSqDec(col("embedding")), col("q_nrm")).as("cosine"))
+          VectorMath.quantizedDot(col("qv"), col("q_q")),
+          VectorMath.quantizedDot(col("qv"), col("qv")), col("q_nrm")).as("cosine"))
       .orderBy(col("cosine").desc, col("vec_id"))
       .limit(k)
   }

@@ -1,0 +1,164 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DecimalType, FloatType, LongType}
+
+/** Native kernels for the EXACT-decimal dot product (VectorMath.dotDec's
+  * former interpreted chain):
+  *
+  *   aggregate(
+  *     zip_with(a, b, (x, y) -> x::double::dec(9,7) * y::double::dec(9,7)),
+  *     0::dec(28,14), (acc, x) -> (acc + x)::dec(28,14))
+  *
+  * The chain's semantics reduce to integer arithmetic: a dec(9,7) value
+  * is an unscaled long in [-999999999, 999999999], the dec(19,14)
+  * element product of two such longs is their exact 128-bit-free product
+  * (≤ 999999999² < 2⁶³), and the dec(28,14) sum accumulates those
+  * products at the shared scale 14. So the split is:
+  *
+  *  - [[DecimalQuantize7]] ≡ `transform(a, x -> x::double::dec(9,7))` as
+  *    scale-7 unscaled longs, computed ONCE per vector (null element
+  *    where the cast yields null: NaN/±Inf/|x| ≥ 100). The per-element
+  *    shortest-decimal conversion (Double.toString semantics — what
+  *    Spark's double→decimal cast does) is the expensive part of the
+  *    chain; quantizing per VECTOR instead of per PAIR amortizes it
+  *    across the O(pairs) verify joins.
+  *  - [[QuantizedDot14]] — the per-pair kernel: a pure primitive long
+  *    loop (multiply + addExact), returning dec(28,14). Null exactly
+  *    when the chain is null: either array null, any element null up to
+  *    the LONGER length (zip_with pads the shorter side with nulls, and
+  *    a null product nullifies the whole aggregate), or the dec(28,14)
+  *    precision check failing. Sums that overflow the scale-14 long
+  *    range (|Σ| > 92233.72…, unreachable for unit-norm embeddings)
+  *    fall back to the exact BigDecimal replication of the chain.
+  *
+  * Bit-identity with the interpreted chain — including the null contract,
+  * rounding midpoints, -0.0f, and the overflow fallback — is
+  * property-specced in KernelPropertySpec, so every oracle-checked
+  * consumer (sim_topk, dd_embedding, dd_embedding_exact) stays bit-exact.
+  *
+  * One deliberate divergence: the kernels implement the TOTAL (non-ANSI)
+  * cast semantics — NaN/±Inf/|x| ≥ 100 quantize to null — where the
+  * chain under Spark 4's ANSI default would THROW. A dedup/similarity
+  * scan over a 100-TB corpus should skip a malformed vector, not abort
+  * the job; in-range values (every real embedding) are bit-identical
+  * either way.
+  */
+object DecimalDot {
+
+  private val MaxUnscaled7 = 999999999L // dec(9,7): 9 digits
+
+  /** Scale-7 unscaled long of one float under the chain's cast semantics,
+    * or null (boxed) where the cast is null. */
+  private def quantize1(f: Float): java.lang.Long = {
+    val d = f.toDouble
+    if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d)) return null
+    // Spark's Cast(double → decimal) goes through the double's shortest
+    // decimal form (BigDecimal.valueOf == Double.toString), then rounds
+    // HALF_UP to the target scale and null-overflows past the precision
+    val q = java.math.BigDecimal.valueOf(d)
+      .setScale(7, java.math.RoundingMode.HALF_UP)
+    val u = q.unscaledValue()
+    if (u.bitLength() > 63) return null
+    val l = u.longValue()
+    if (l > MaxUnscaled7 || l < -MaxUnscaled7) null else java.lang.Long.valueOf(l)
+  }
+
+  /** transform-equivalent over a float array; null elements stay null. */
+  def quantize7(a: ArrayData): GenericArrayData = {
+    val n = a.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      out(i) = if (a.isNullAt(i)) null else quantize1(a.getFloat(i))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Exact dec(28,14) dot of two quantized arrays, or null per the
+    * chain's null contract. Returns a boxed Decimal or null. */
+  def dot14(a: ArrayData, b: ArrayData): org.apache.spark.sql.types.Decimal = {
+    val la = a.numElements()
+    val lb = b.numElements()
+    val n = math.max(la, lb)
+    // zip_with pads the shorter side with null ⇒ null product ⇒ the
+    // aggregate goes null at that step and stays null
+    if (la != lb) return null
+    var sum = 0L
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val p = a.getLong(i) * b.getLong(i) // |q| ≤ 999999999 ⇒ exact in long
+      try sum = Math.addExact(sum, p)
+      catch { case _: ArithmeticException => return dot14Slow(a, b) }
+      i += 1
+    }
+    // the chain's per-step (28,14) cast nulls at |unscaled| ≥ 10^28 —
+    // beyond the long range, so inside the fast path it cannot trigger
+    org.apache.spark.sql.types.Decimal(sum, 28, 14)
+  }
+
+  /** Exact replication of the chain for sums past the long range: per-step
+    * add at scale 14 with the dec(28,14) precision check (null on
+    * overflow — matching the non-ANSI cast). */
+  private def dot14Slow(a: ArrayData, b: ArrayData): org.apache.spark.sql.types.Decimal = {
+    val n = a.numElements()
+    val bound = java.math.BigInteger.TEN.pow(28)
+    var acc = java.math.BigInteger.ZERO
+    var i = 0
+    while (i < n) {
+      val p = java.math.BigInteger.valueOf(a.getLong(i))
+        .multiply(java.math.BigInteger.valueOf(b.getLong(i)))
+      acc = acc.add(p)
+      if (acc.abs().compareTo(bound) >= 0) return null
+      i += 1
+    }
+    org.apache.spark.sql.types.Decimal(new java.math.BigDecimal(acc, 14), 28, 14)
+  }
+}
+
+case class DecimalQuantize7(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def prettyName: String = "decimal_quantize7"
+
+  override protected def nullSafeEval(input: Any): Any =
+    DecimalDot.quantize7(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = org.apache.spark.sql.graft.DecimalDot.quantize7($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): DecimalQuantize7 =
+    copy(child = newChild)
+}
+
+case class QuantizedDot14(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = DecimalType(28, 14)
+  override def nullable: Boolean = true
+  override def prettyName: String = "quantized_dot14"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    DecimalDot.dot14(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |${ev.value} = org.apache.spark.sql.graft.DecimalDot.dot14($a, $b);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): QuantizedDot14 =
+    copy(left = newLeft, right = newRight)
+}

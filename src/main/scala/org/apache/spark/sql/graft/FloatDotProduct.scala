@@ -80,6 +80,14 @@ object ColumnBridge {
   def floatDot(a: Column, b: Column): Column =
     column(FloatDotProduct(expression(a), expression(b)))
 
+  /** decimal_quantize7(a) as a Column. */
+  def decimalQuantize7(a: Column): Column =
+    column(DecimalQuantize7(expression(a)))
+
+  /** quantized_dot14(a, b) as a Column. */
+  def quantizedDot14(a: Column, b: Column): Column =
+    column(QuantizedDot14(expression(a), expression(b)))
+
   /** long_array_match_count(a, b) as a Column. */
   def matchCount(a: Column, b: Column): Column =
     column(LongArrayMatchCount(expression(a), expression(b)))

@@ -97,6 +97,65 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("quantized decimal dot is bit-identical to the aggregate(zip_with) chain") {
+    // adversarial: rounding midpoints at scale 7, -0.0, huge values past
+    // DECIMAL(9,7) (cast → null), NaN/±Inf (cast → null), null elements,
+    // null arrays, length mismatches (zip_with pads with null → null
+    // total), empty arrays (zero), plus mixed-magnitude randoms
+    val specials = Seq(0.05e-6f, -0.05e-6f, 1.5e-7f, 0.0f, -0.0f, 123.456f,
+      99.9999999f, 100.0f, -100.0f, Float.NaN, Float.PositiveInfinity,
+      Float.NegativeInfinity, Float.MinPositiveValue, 1.0e-38f, 3.4e38f,
+      0.123456789f, -0.987654321f)
+    def arr(): Seq[Option[Float]] = {
+      val n = rnd.nextInt(6)
+      (0 until n).map { _ =>
+        if (rnd.nextInt(20) == 0) None
+        else if (rnd.nextInt(3) == 0) Some(specials(rnd.nextInt(specials.length)))
+        else Some((rnd.nextFloat() - 0.5f) * 4f)
+      }
+    }
+    val cases = (1 to 2000).map { i =>
+      val a = arr()
+      // same length most of the time so non-null sums actually happen
+      val b = if (rnd.nextInt(4) == 0) arr() else a.map(_ =>
+        if (rnd.nextInt(20) == 0) None
+        else Some((rnd.nextFloat() - 0.5f) * 4f))
+      (i.toLong, if (rnd.nextInt(50) == 0) null else a,
+        if (rnd.nextInt(50) == 0) null else b)
+    }
+    val df = cases.toDF("id", "a", "b")
+    val kernel = graft.functions.VectorMath.dotDec(col("a"), col("b"))
+    val chain = graft.functions.VectorMath.dotDecExpr(col("a"), col("b"))
+    // the kernel implements the TOTAL (non-ANSI) cast semantics — null on
+    // NaN/±Inf/past-DECIMAL(9,7) — so the chain must be evaluated under
+    // ansi=false for the comparison (under ANSI the chain THROWS on those
+    // inputs; production embedding values never reach either branch)
+    val ansiBefore = spark.conf.get("spark.sql.ansi.enabled")
+    try {
+      spark.conf.set("spark.sql.ansi.enabled", "false")
+      val bad = df.select(col("id"), kernel.as("k"), chain.as("c"))
+        .filter(!(col("k") <=> col("c")))
+      assert(bad.count() === 0, bad.collect().take(5).mkString("\n"))
+      // non-null sums must actually occur, or the identity is vacuous
+      val nonNull = df.select(kernel.as("k")).filter(col("k").isNotNull).count()
+      assert(nonNull > 200, s"only $nonNull non-null dots")
+
+      // the long-overflow fallback: values near the DECIMAL(9,7) cap whose
+      // products (≈1e18 each) overflow the scale-14 long accumulator within
+      // a few elements — the slow path must still match the chain exactly
+      val big = (1 to 50).map { i =>
+        val n = 3 + rnd.nextInt(30)
+        val a = (0 until n).map(_ => Some(90f + rnd.nextFloat() * 9.9f))
+        (i.toLong, a, a.map(v => v.map(x => (x * (if (rnd.nextBoolean()) 1 else -1)))))
+      }.toDF("id", "a", "b")
+      val badBig = big.select(col("id"), kernel.as("k"), chain.as("c"))
+        .filter(!(col("k") <=> col("c")))
+      assert(badBig.count() === 0, badBig.collect().take(5).mkString("\n"))
+      val bigNonNull = big.select(kernel.as("k")).filter(col("k").isNotNull).count()
+      assert(bigNonNull === 50, s"overflow-fallback rows must all be non-null")
+    } finally spark.conf.set("spark.sql.ansi.enabled", ansiBefore)
+  }
+
   test("long_array_match_count equals element-wise equality count") {
     val cases = (1 to 1000).map { i =>
       val n = 1 + rnd.nextInt(64)

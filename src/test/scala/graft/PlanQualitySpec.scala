@@ -72,8 +72,12 @@ class PlanQualitySpec extends AnyFunSuite {
   }
 
   test("native kernels appear in the similarity plans (no interpreted HOF)") {
+    // the exact verify runs the quantized-long kernel pair: quantization
+    // per VECTOR (below the pair join), the long dot per pair — and no
+    // interpreted aggregate(zip_with) chain anywhere in the plan
     val pEmb = plan(Dedup.embeddingNearDup(Tables.embeddings(spark, sf)))
-    assert(pEmb.contains("float_dot"), pEmb)
+    assert(pEmb.contains("decimal_quantize7") && pEmb.contains("quantized_dot14"), pEmb)
+    assert(!pEmb.contains("lambdafunction"), pEmb)
     // signatures are checkpointed before banding, so the signature kernel
     // lives in the (eager) signature stage plan and the match-count kernel
     // in the verify plan downstream of the checkpoint

@@ -23,14 +23,11 @@ import sys
 
 # Per-key slope thresholds above the default, each with the reason the
 # excess is understood (mirrored in SURVEY.md's waiver list). A waiver
-# is a NAMED finding, not an exemption from measurement.
-WAIVERS = {
-    # Verify volume grows with the planted duplicate mass (pair count is
-    # linear in corpus by ScaleUp construction, but each verify pair costs
-    # a signature comparison); bucket occupancy itself is held constant by
-    # the auto plane count. VERDICT r6: "watch, not weak".
-    "dd_embedding": 5.0,
-}
+# is a NAMED finding, not an exemption from measurement. Round 7 emptied
+# the list: dd_embedding's 4.8x (verify-pair volume) dropped to ~2.6x
+# once the quantized-dot kernels removed the per-pair decimal chain and
+# the now-redundant double prefilter narrowed the pair-stream payload.
+WAIVERS = {}
 
 # Keys faster than this at the LARGER scale are noise-exempt: a 0.1s ->
 # 0.4s "4x slope" is scheduler jitter, not a scale signal.
