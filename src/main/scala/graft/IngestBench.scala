@@ -65,7 +65,12 @@ object IngestBench {
     val pathDir = java.nio.file.Files.createTempDirectory("graft-ingest-bench")
     val path = pathDir.toString
     try {
-      IncrementalDedup.saveSignatures(corpus, path)
+      // explicit partition counts pin every batch probe onto the PRUNED
+      // path at every sf dir (auto counts at the toy sf0.1 corpus would
+      // route micro-batches to the small-corpus streaming fallback, and
+      // the cross-sf "flat per-batch" gate would then compare two
+      // different probe implementations instead of one design)
+      IncrementalDedup.saveSignatures(corpus, path, parts = 256, sigParts = 64)
       val rows = scala.collection.mutable.ArrayBuffer.empty[Long]
       val secs = scala.collection.mutable.ArrayBuffer.empty[Double]
       val idxRows = scala.collection.mutable.ArrayBuffer.empty[Long]

@@ -177,12 +177,11 @@ object Dedup {
         Seq("t", "bucket"), "vec_id", maxBucket, tables)
       .withColumnRenamed("id_a", "vec_a")
       .withColumnRenamed("id_b", "vec_b")
-    // quantized once per VECTOR (scale-7 unscaled longs): the per-pair
-    // exact dot is then pure long arithmetic — as cheap as the double
-    // prefilter this path used to run, so the prefilter is GONE and the
-    // verify joins carry only the quantized array + decimal norm (the
-    // raw embedding and the double norm no longer ride the pair stream —
-    // ~40% fewer shuffled bytes per pair).
+    // quantized once per VECTOR (scale-7 unscaled ints — same width as
+    // the float vector): the per-pair exact dot is then pure integer
+    // arithmetic, as cheap as the double prefilter this path used to
+    // run, so the prefilter is GONE and the verify joins carry only the
+    // quantized array + decimal norm instead of embedding + two norms.
     val e = embeddings.select(
       col("vec_id"),
       VectorMath.quantize7(col("embedding")).as("q"),

@@ -303,6 +303,15 @@ object IncrementalDedup {
     * point) stay pruned. */
   private[graft] val StreamingBatchFraction = 16L
 
+  /** Absolute ceiling on the streaming path's batch size: its exploded
+    * batch side is BROADCAST (bands rows/doc, each carrying the k-long
+    * signature + bucket array ≈ bands·(k+bands)·8 B/doc ≈ 18 KB/doc at
+    * the defaults), so a fraction test alone would route a huge batch
+    * over a huge corpus onto a multi-GB broadcast that dies at Spark's
+    * 8 GB hard limit. Past the cap (~1 GB broadcast) the pruned path's
+    * shuffle joins handle any batch size. */
+  private[graft] val MaxStreamedBatchDocs = 50000L
+
   /** Flag each new document against the stored corpus. Micro-batches run
     * the PRUNED probe: one pruned bucket scan (batch side broadcast)
     * yields candidate pairs, signatures are fetched for candidates only
@@ -326,9 +335,15 @@ object IncrementalDedup {
     val sp = IndexMeta.readDirMeta(spark, s"${index.path}/sigs")
     val batch = signed(newDocs, index.k, index.bands).localCheckpoint(true)
     val batchN = batch.count() // instant: checkpointed
-    val corpusApprox = sp.toLong * DocsPerSigDir
+    // the base estimate comes from the build/compact-time partition
+    // count; un-compacted deltas must be counted too (metadata-only
+    // parquet count), or an append-grown index would keep routing
+    // batches to the full-scan path its growth has made expensive
+    val deltaN = deltaSigs(spark, index.path).map(_.count()).getOrElse(0L)
+    val corpusApprox = sp.toLong * DocsPerSigDir + deltaN
     val matches =
-      if (batchN * StreamingBatchFraction >= corpusApprox)
+      if (batchN * StreamingBatchFraction >= corpusApprox &&
+          batchN <= MaxStreamedBatchDocs)
         streamedMatches(index, batch, threshold)
       else prunedMatches(index, batch, sp, threshold)
     // matches is at most batch-sized (one row per flagged new doc), so

@@ -3,7 +3,7 @@ package org.apache.spark.sql.graft
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DecimalType, FloatType, LongType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DecimalType, FloatType, IntegerType}
 
 /** Native kernels for the EXACT-decimal dot product (VectorMath.dotDec's
   * former interpreted chain):
@@ -19,7 +19,9 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, Decima
   * products at the shared scale 14. So the split is:
   *
   *  - [[DecimalQuantize7]] ≡ `transform(a, x -> x::double::dec(9,7))` as
-  *    scale-7 unscaled longs, computed ONCE per vector (null element
+  *    scale-7 unscaled INTS (|unscaled| ≤ 999999999 < 2³¹, so the
+  *    quantized array costs the same bytes as the float vector it
+  *    replaces in the verify joins), computed ONCE per vector (null element
   *    where the cast yields null: NaN/±Inf/|x| ≥ 100). The per-element
   *    shortest-decimal conversion (Double.toString semantics — what
   *    Spark's double→decimal cast does) is the expensive part of the
@@ -50,9 +52,9 @@ object DecimalDot {
 
   private val MaxUnscaled7 = 999999999L // dec(9,7): 9 digits
 
-  /** Scale-7 unscaled long of one float under the chain's cast semantics,
+  /** Scale-7 unscaled int of one float under the chain's cast semantics,
     * or null (boxed) where the cast is null. */
-  private def quantize1(f: Float): java.lang.Long = {
+  private def quantize1(f: Float): java.lang.Integer = {
     val d = f.toDouble
     if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d)) return null
     // Spark's Cast(double → decimal) goes through the double's shortest
@@ -63,7 +65,8 @@ object DecimalDot {
     val u = q.unscaledValue()
     if (u.bitLength() > 63) return null
     val l = u.longValue()
-    if (l > MaxUnscaled7 || l < -MaxUnscaled7) null else java.lang.Long.valueOf(l)
+    if (l > MaxUnscaled7 || l < -MaxUnscaled7) null
+    else java.lang.Integer.valueOf(l.toInt)
   }
 
   /** transform-equivalent over a float array; null elements stay null. */
@@ -91,7 +94,7 @@ object DecimalDot {
     var i = 0
     while (i < n) {
       if (a.isNullAt(i) || b.isNullAt(i)) return null
-      val p = a.getLong(i) * b.getLong(i) // |q| ≤ 999999999 ⇒ exact in long
+      val p = a.getInt(i).toLong * b.getInt(i).toLong // |q| ≤ 1e9 ⇒ exact
       try sum = Math.addExact(sum, p)
       catch { case _: ArithmeticException => return dot14Slow(a, b) }
       i += 1
@@ -103,15 +106,20 @@ object DecimalDot {
 
   /** Exact replication of the chain for sums past the long range: per-step
     * add at scale 14 with the dec(28,14) precision check (null on
-    * overflow — matching the non-ANSI cast). */
+    * overflow — matching the non-ANSI cast). Re-checks element nulls from
+    * the start: the fast path only vetted the prefix it accumulated
+    * before overflowing, and a null AFTER the overflow point must still
+    * null the whole result (reading a null slot would fabricate a
+    * value). */
   private def dot14Slow(a: ArrayData, b: ArrayData): org.apache.spark.sql.types.Decimal = {
     val n = a.numElements()
     val bound = java.math.BigInteger.TEN.pow(28)
     var acc = java.math.BigInteger.ZERO
     var i = 0
     while (i < n) {
-      val p = java.math.BigInteger.valueOf(a.getLong(i))
-        .multiply(java.math.BigInteger.valueOf(b.getLong(i)))
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val p = java.math.BigInteger.valueOf(a.getInt(i).toLong)
+        .multiply(java.math.BigInteger.valueOf(b.getInt(i).toLong))
       acc = acc.add(p)
       if (acc.abs().compareTo(bound) >= 0) return null
       i += 1
@@ -124,7 +132,7 @@ case class DecimalQuantize7(child: Expression)
     extends UnaryExpression with ExpectsInputTypes {
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
-  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = true)
   override def prettyName: String = "decimal_quantize7"
 
   override protected def nullSafeEval(input: Any): Any =
@@ -142,7 +150,7 @@ case class QuantizedDot14(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
 
   override def inputTypes: Seq[AbstractDataType] =
-    Seq(ArrayType(LongType), ArrayType(LongType))
+    Seq(ArrayType(IntegerType), ArrayType(IntegerType))
   override def dataType: DataType = DecimalType(28, 14)
   override def nullable: Boolean = true
   override def prettyName: String = "quantized_dot14"

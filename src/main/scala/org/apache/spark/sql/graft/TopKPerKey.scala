@@ -91,8 +91,8 @@ case class TopKPerKeyExec(k: Int, keys: Seq[Expression], ord: Expression,
                 "the API validates types at plan time; this is a bug")
           }
           // a NULL tie id sorts as the weakest among its score ties
-          // (Long.MaxValue under tie-desc), matching NULLS LAST in the
-          // window form's ascending tie-break
+          // (Long.MaxValue under tie-desc) — ASC NULLS LAST semantics;
+          // see the API scaladoc for the Spark-vs-DuckDB default caveat
           val tieId = boundTie.map { t =>
             val v = t.eval(row)
             if (v == null) Long.MaxValue else v match {
@@ -148,12 +148,16 @@ object TopKPerKeyApi {
     * null rows when a group has fewer than k non-null scores.
     *
     * `tieBreak` names an integral column establishing a TOTAL order
-    * (ord desc, tieBreak asc): with it the output is deterministic under
-    * any partitioning — exactly the rows a `row_number() OVER (PARTITION
-    * BY keys ORDER BY ord DESC, tieBreak) <= k` window keeps (NULL tie
-    * ids rank last among their score ties) — which is what makes the
-    * operator oracle-comparable. Without it, score ties keep the first
-    * arrival (partition-order dependent). */
+    * (ord desc, tieBreak ASC NULLS LAST): with it the output is
+    * deterministic under any partitioning — exactly the rows a
+    * `row_number() OVER (PARTITION BY keys ORDER BY ord DESC, tieBreak
+    * ASC NULLS LAST) <= k` window keeps. Note the explicit NULLS LAST:
+    * a NULL tie id ranks WEAKEST among its score ties (mapped to
+    * Long.MaxValue), matching DuckDB's ascending default but NOT
+    * Spark's (ascending sorts NULLS FIRST) — pass a non-null tie column
+    * when twinning against a default-order Spark window. Without a
+    * tieBreak, score ties keep the first arrival (partition-order
+    * dependent). */
   def topKPerKey(df: DataFrame, keys: Seq[String], ord: String, k: Int,
       tieBreak: Option[String] = None): DataFrame = {
     val session = df.sparkSession

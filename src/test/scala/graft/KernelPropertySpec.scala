@@ -153,6 +153,19 @@ class KernelPropertySpec extends AnyFunSuite {
       assert(badBig.count() === 0, badBig.collect().take(5).mkString("\n"))
       val bigNonNull = big.select(kernel.as("k")).filter(col("k").isNotNull).count()
       assert(bigNonNull === 50, s"overflow-fallback rows must all be non-null")
+
+      // overflow-THEN-null: enough cap-magnitude products to overflow the
+      // long accumulator, followed by a null element — the slow path must
+      // re-check nulls from the start and return null, never a fabricated
+      // sum (the chain nulls on any null element regardless of position)
+      val overNull = (1 to 20).map { i =>
+        val head: Seq[Option[Float]] = (0 until 15).map(_ => Some(99.9f))
+        val a = head :+ (None: Option[Float])
+        (i.toLong, a, head :+ Some(1.0f))
+      }.toDF("id", "a", "b")
+      val kNulls = overNull.select(kernel.as("k"), chain.as("c"))
+        .filter(col("k").isNotNull || col("c").isNotNull).count()
+      assert(kNulls === 0, "a null element after the overflow point must null both forms")
     } finally spark.conf.set("spark.sql.ansi.enabled", ansiBefore)
   }
 

@@ -90,9 +90,16 @@ def main():
     violations = []
     print("| key | sf0.1 s | sf1 s | slope (sf1/sf0.1) | gate |")
     print("|---|---|---|---|---|")
+    failed = set(a.get("failed", [])) | set(b.get("failed", []))
     for slope, k, ta, tb in rows:
         limit = WAIVERS.get(k, DEFAULT_MAX_SLOPE)
-        if tb < MIN_SF1_SECONDS:
+        if k in failed or ta < 0 or tb < 0:
+            # Bench records a crashed key as -1.0 and lists it in
+            # "failed" — a key that no longer RUNS at scale is the
+            # hardest possible regression, never noise
+            gate = "FAIL (key failed to run)"
+            violations.append(f"{k}: failed to run (ta={ta}, tb={tb})")
+        elif tb < MIN_SF1_SECONDS:
             gate = "noise-exempt"
         elif slope <= limit:
             gate = "ok" if k not in WAIVERS else f"ok (waiver {limit:.0f}x)"
@@ -120,6 +127,11 @@ def main():
                 f"ingest: steady per-batch {ratio:.2f}x > {INGEST_MAX_RATIO}x "
                 f"({ia:.2f}s -> {ib:.2f}s at constant batch size)")
     if check:
+        lopsided = sorted(set(qa) ^ set(qb))
+        if lopsided:
+            violations.append(
+                f"keys present at only one scale (silently uncompared): "
+                f"{', '.join(lopsided)}")
         if violations:
             print("\nSCALING GATE: FAIL")
             for v in violations:
