@@ -368,8 +368,11 @@ object IncrementalDedup {
     // the pb set is bounded by min(P, batch·bands) — driver-tiny
     val pbs = batchB.select("pb").distinct().collect().map(_.getInt(0)).toSeq
     val delta = deltaSigs(spark, index.path)
+    // lazy: the spCounts job below materializes nothing, and the final
+    // estimate join recomputes the pruned candidate scan instead of
+    // paying an eager checkpoint job per probe — at micro-batch sizes
+    // the recompute is a bounded pruned read, the barrier is not
     val cand = candidates(spark, index.path, batchB, pbs, delta)
-      .localCheckpoint(true)
     // one job yields both the candidate count (broadcast decision) and
     // the sp dirs the signature fetch must read
     val spCounts = cand
@@ -382,7 +385,7 @@ object IncrementalDedup {
     // costs a micro-batch-sized scan, not a corpus one
     val corpusSigs = delta.map(d => basePruned.unionByName(
       d.select(col("doc_id").as("c_id"), col("sig")))).getOrElse(basePruned)
-    // candidate side broadcast while it is provably small (checkpointed,
+    // candidate side broadcast while it is provably small (counted above,
     // collision-bounded); beyond that, let the planner shuffle — a probe
     // that collides with millions of corpus rows is real work either way
     val withSigs =

@@ -23,11 +23,16 @@ import sys
 
 # Per-key slope thresholds above the default, each with the reason the
 # excess is understood (mirrored in SURVEY.md's waiver list). A waiver
-# is a NAMED finding, not an exemption from measurement. Round 7 emptied
-# the list: dd_embedding's 4.8x (verify-pair volume) dropped to ~2.6x
-# once the quantized-dot kernels removed the per-pair decimal chain and
-# the now-redundant double prefilter narrowed the pair-stream payload.
-WAIVERS = {}
+# is a NAMED finding, not an exemption from measurement.
+WAIVERS = {
+    # Verify-pair volume: candidates = corpus x occupancy x tables, and
+    # ScaleUp's planted duplicate mass is linear in corpus, so the pair
+    # stream (and the output) grows ~5x per 10x data at the chosen
+    # occupancy target — measured 2.6x-3.3x across runs after the round-7
+    # quantized-dot kernels halved the constant (was 4.8x). Linear in its
+    # own output; not a scan/shuffle defect.
+    "dd_embedding": 4.0,
+}
 
 # Keys faster than this at the LARGER scale are noise-exempt: a 0.1s ->
 # 0.4s "4x slope" is scheduler jitter, not a scale signal.
