@@ -145,13 +145,16 @@ class CompletenessSpec extends AnyFunSuite {
         |       sorted_intersect_count(array('a','b','c'), array('b','c','d')) AS i,
         |       long_array_match_count(array(1L, 2L, 3L), array(1L, 9L, 3L)) AS m,
         |       size(embedding_lsh_buckets(array(CAST(0.5 AS FLOAT), CAST(-1.5 AS FLOAT)))) AS nb,
-        |       word_ngrams('a b a b', 2, true) AS ng
+        |       word_ngrams('a b a b', 2, true) AS ng,
+        |       quantized_dot14(decimal_quantize7(array(CAST(1.5 AS FLOAT))),
+        |                       decimal_quantize7(array(CAST(2.0 AS FLOAT)))) AS qd
         |""".stripMargin).collect().head
     assert(r.getDouble(0) === 11.0)
     assert(r.getInt(1) === 2)
     assert(r.getInt(2) === 2)
     assert(r.getInt(3) === 8)
     assert(r.getSeq[String](4) === Seq("a b", "b a"))
+    assert(r.getDecimal(5) === new java.math.BigDecimal("3.00000000000000"))
   }
 
   test("validateMetrics passes clean data and catches corrupted rows") {
