@@ -155,20 +155,26 @@ object Dedup {
         / math.log(2.0)).toInt)
 
   /** LSH-blocked embedding near-dup pairs — the unsupervised scale path.
-    * NOTE: the auto plane count (`planes = 0`) runs `embeddings.count()`
-    * — a full action on the input plan — before the dedup itself, so an
-    * expensive un-cached upstream pipeline would be computed twice.
-    * Cache/checkpoint the input first when using auto planes (bench/
-    * oracle callers read a materialized parquet table, where the extra
-    * count is a cheap metadata-only scan), or pass an explicit plane
-    * count derived from an already-known corpus size. */
+    * The auto plane count (`planes = 0`) needs the corpus size: pass
+    * `corpusSize` when it is already known (no action runs), else the
+    * input is localCheckpoint'ed ONCE and counted — the checkpoint is
+    * not an extra cost, because the pipeline below reads its input twice
+    * anyway (bucketing and quantize-verify), so materializing it turns
+    * count + 2 plan executions into 1 execution + 3 cheap reads. An
+    * explicit `planes` count skips both the count and the checkpoint. */
   def embeddingNearDupLsh(embeddings: DataFrame, threshold: Double = 0.3,
-      tables: Int = 8, planes: Int = 0, maxBucket: Int = 4096): DataFrame = {
+      tables: Int = 8, planes: Int = 0, maxBucket: Int = 4096,
+      corpusSize: Long = 0L): DataFrame = {
     // the corpus count (a full action) runs ONLY when auto resolution
-    // needs it — an explicit plane count must not pay a discarded scan
-    val resolvedPlanes =
-      if (planes > 0) planes else resolvePlanes(0, embeddings.count())
-    val bucketed = embeddingBuckets(embeddings, tables, resolvedPlanes)
+    // needs it and the caller did not supply the size
+    val (src, resolvedPlanes) =
+      if (planes > 0) (embeddings, planes)
+      else if (corpusSize > 0L) (embeddings, resolvePlanes(0, corpusSize))
+      else {
+        val mat = embeddings.localCheckpoint()
+        (mat, resolvePlanes(0, mat.count()))
+      }
+    val bucketed = embeddingBuckets(src, tables, resolvedPlanes)
     // bucket-local pairing behind the same hot-bucket guard as the text
     // path: a degenerate sign-pattern bucket (e.g. a corpus of
     // near-constant vectors) pairs linearly, not quadratically — and
@@ -182,7 +188,7 @@ object Dedup {
     // arithmetic, as cheap as the double prefilter this path used to
     // run, so the prefilter is GONE and the verify joins carry only the
     // quantized array + decimal norm instead of embedding + two norms.
-    val e = embeddings.select(
+    val e = src.select(
       col("vec_id"),
       VectorMath.quantize7(col("embedding")).as("q"),
       VectorMath.normSqDec(col("embedding")).as("nrm"))

@@ -121,20 +121,25 @@ object IncrementalDedup {
       bands: Int = 16, parts: Int = 0, sigParts: Int = 0): Unit = {
     require(k % bands == 0, s"bands ($bands) must divide k ($k)")
     val spark = documents.sparkSession
+    val n0 = if (parts > 0 && sigParts > 0) -1L else documents.count()
     val (p, sp) =
       if (parts > 0 && sigParts > 0) (parts, sigParts)
-      else {
-        val n = documents.count()
-        (if (parts > 0) parts else autoParts(n * bands, BucketRowsPerDir),
-          if (sigParts > 0) sigParts else autoParts(n, DocsPerSigDir))
-      }
+      else
+        (if (parts > 0) parts else autoParts(n0 * bands, BucketRowsPerDir),
+          if (sigParts > 0) sigParts else autoParts(n0, DocsPerSigDir))
     // clustered on the partition column: one writing task per sp value,
     // so the layout lands as ~one file per directory (free-form task
     // layout would write tasks × dirs small files, and every later
     // probe pays the listing)
     withSp(signed(documents, k, bands), sp).repartition(sp, col("sp"))
       .write.mode("overwrite").partitionBy("sp").parquet(s"$path/sigs")
-    IndexMeta.writeDirMeta(spark, s"$path/sigs", sp)
+    // the sidecar records the REAL row count (metadata-only count of the
+    // just-written layout when the auto path did not already count) —
+    // probe routing must not infer corpus size from the partition count,
+    // which callers may pin explicitly (e.g. the bench)
+    val nRows =
+      if (n0 >= 0L) n0 else spark.read.parquet(s"$path/sigs").count()
+    IndexMeta.writeDirMeta(spark, s"$path/sigs", sp, nRows)
     // bucket rows derive from the just-written sigs — one cheap re-read
     // instead of a second signing pass over the raw documents
     writeBuckets(spark.read.parquet(s"$path/sigs"), s"$path/buckets", p,
@@ -204,8 +209,32 @@ object IncrementalDedup {
     val ps = IndexMeta.readParams(spark, path, Seq("k", "bands"))
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // sweep leftovers of an earlier crashed compact BEFORE writing, so
-    // the renames below cannot silently no-op against a stale target
+    // FIRST recover from a compact that crashed between swapDir's two
+    // renames: that window leaves the live dir MISSING with the only
+    // full copies in `*_new` (written-complete — the swap runs after the
+    // writes) and `*_old`; sweeping those before checking would delete
+    // both archives and permanently lose the base. Prefer `_new` (the
+    // newer consistent state — its folded delta rows are inert against
+    // the still-present delta/), fall back to `_old` (pre-compact state,
+    // delta intact).
+    for (name <- Seq("sigs", "buckets")) {
+      val live = new org.apache.hadoop.fs.Path(s"$path/$name")
+      if (!fs.exists(live)) {
+        val fresh = new org.apache.hadoop.fs.Path(s"$path/${name}_new")
+        val old = new org.apache.hadoop.fs.Path(s"$path/${name}_old")
+        val src = if (fs.exists(fresh)) Some(fresh)
+          else if (fs.exists(old)) Some(old) else None
+        src.foreach { s =>
+          if (!fs.rename(s, live))
+            throw new java.io.IOException(
+              s"compact: live $live is missing (crashed earlier compact) " +
+                s"and recovery rename $s -> $live failed; recover manually " +
+                "before compacting")
+        }
+      }
+    }
+    // now sweep leftovers of an earlier crashed compact BEFORE writing,
+    // so the renames below cannot silently no-op against a stale target
     for (d <- Seq("sigs_old", "sigs_new", "buckets_old", "buckets_new")) {
       val stale = new org.apache.hadoop.fs.Path(s"$path/$d")
       if (fs.exists(stale)) fs.delete(stale, true)
@@ -219,7 +248,7 @@ object IncrementalDedup {
     val p2 = autoParts(n * ps("bands"), BucketRowsPerDir)
     withSp(deduped, sp2).repartition(numFiles, col("sp"))
       .write.mode("overwrite").partitionBy("sp").parquet(s"$path/sigs_new")
-    IndexMeta.writeDirMeta(spark, s"$path/sigs_new", sp2)
+    IndexMeta.writeDirMeta(spark, s"$path/sigs_new", sp2, n)
     writeBuckets(spark.read.parquet(s"$path/sigs_new"), s"$path/buckets_new",
       p2, "overwrite", files = numFiles)
     IndexMeta.writeDirMeta(spark, s"$path/buckets_new", p2)
@@ -335,12 +364,16 @@ object IncrementalDedup {
     val sp = IndexMeta.readDirMeta(spark, s"${index.path}/sigs")
     val batch = signed(newDocs, index.k, index.bands).localCheckpoint(true)
     val batchN = batch.count() // instant: checkpointed
-    // the base estimate comes from the build/compact-time partition
-    // count; un-compacted deltas must be counted too (metadata-only
-    // parquet count), or an append-grown index would keep routing
-    // batches to the full-scan path its growth has made expensive
+    // the base size comes from the build/compact-time row count in the
+    // sidecar (partition counts may be pinned by the caller, so parts ×
+    // rows-per-dir is unreliable); un-compacted deltas must be counted
+    // too (metadata-only parquet count), or an append-grown index would
+    // keep routing batches to the full-scan path its growth has made
+    // expensive. Pre-rows-sidecar indexes fall back to the old estimate.
     val deltaN = deltaSigs(spark, index.path).map(_.count()).getOrElse(0L)
-    val corpusApprox = sp.toLong * DocsPerSigDir + deltaN
+    val baseN = IndexMeta.readDirRows(spark, s"${index.path}/sigs")
+      .getOrElse(sp.toLong * DocsPerSigDir)
+    val corpusApprox = baseN + deltaN
     val matches =
       if (batchN * StreamingBatchFraction >= corpusApprox &&
           batchN <= MaxStreamedBatchDocs)

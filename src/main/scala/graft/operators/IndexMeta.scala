@@ -54,10 +54,16 @@ private[graft] object IndexMeta {
     * count travels with the directory through compact's rename swap, so a
     * crash between the two table swaps can never pair a directory with a
     * stale partition count — each live dir always describes itself. */
-  def writeDirMeta(spark: SparkSession, dir: String, parts: Int): Unit = {
+  def writeDirMeta(spark: SparkSession, dir: String, parts: Int,
+      rows: Long = -1L): Unit = {
     val node = mapper.createObjectNode()
     node.put("format", FormatVersion)
     node.put("parts", parts)
+    // optional: the build/compact-time row count. Partition counts are
+    // sometimes chosen explicitly (bench pins, caller overrides), so
+    // parts × rows-per-dir is NOT a reliable size estimate — routing
+    // decisions (pruned vs streamed probe) need the real count.
+    if (rows >= 0L) node.put("rows", rows)
     writeText(spark, s"$dir/_graft_meta.json", node.toString)
   }
 
@@ -77,6 +83,16 @@ private[graft] object IndexMeta {
     if (v == null)
       throw new IllegalStateException(s"$path is missing 'parts'")
     v.asInt
+  }
+
+  /** The build/compact-time row count recorded by [[writeDirMeta]], when
+    * present (indexes written before the key existed return None — the
+    * caller falls back to its partition-count heuristic). */
+  def readDirRows(spark: SparkSession, dir: String): Option[Long] = {
+    val path = s"$dir/_graft_meta.json"
+    if (!exists(spark, path)) None
+    else Option(mapper.readTree(readText(spark, path)).get("rows"))
+      .map(_.asLong)
   }
 
   /** Write `{"format":1,"k1":v1,…}` to `$dir/params.json`. */

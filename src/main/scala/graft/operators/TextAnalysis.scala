@@ -243,9 +243,10 @@ object TextAnalysis {
     * per document) explode into a count roll-up with map-side partials —
     * the shuffle carries one row per distinct gram per partition, not per
     * occurrence — thresholded at `minDocs`. Word-count shape: scales like
-    * tx_ngram_freq at any corpus size. The default returns the FULL
-    * ≥minDocs template set (a behavior-compatible default — callers that
-    * consumed everything still do); pass `topK` to bound the output, and
+    * tx_ngram_freq at any corpus size. BREAKING in round 7: the default
+    * changed from `topK = 1000` to the FULL ≥minDocs template set —
+    * callers that relied on the old bounded default must now pass
+    * `topK = 1000` explicitly. Pass `topK` to bound the output, and
     * the ordering then plans as TakeOrderedAndProject (a per-partition
     * top-k heap + one k-row merge on the driver) instead of a full sort
     * of every surviving gram — at corpus scale the surviving template

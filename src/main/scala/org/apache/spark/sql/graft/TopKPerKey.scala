@@ -69,6 +69,11 @@ case class TopKPerKeyExec(k: Int, keys: Seq[Expression], ord: Expression,
           if (c != 0) c else java.lang.Long.compare(b.tieId, a.tieId)
         }
       }
+      // hoisted out of the row loop: the Option match (and the lambda
+      // it would allocate) must not run per input row — the hot path
+      // below does only primitive comparisons and virtual eval calls
+      val tieExpr = boundTie.orNull
+      val hasTie = tieExpr != null
       iter.foreach { row =>
         val key = keyProj(row)
         var heap = heaps.get(key)
@@ -93,8 +98,8 @@ case class TopKPerKeyExec(k: Int, keys: Seq[Expression], ord: Expression,
           // a NULL tie id sorts as the weakest among its score ties
           // (Long.MaxValue under tie-desc) — ASC NULLS LAST semantics;
           // see the API scaladoc for the Spark-vs-DuckDB default caveat
-          val tieId = boundTie.map { t =>
-            val v = t.eval(row)
+          val tieId = if (!hasTie) 0L else {
+            val v = tieExpr.eval(row)
             if (v == null) Long.MaxValue else v match {
               case l: java.lang.Long => l.longValue()
               case i: java.lang.Integer => i.longValue()
@@ -104,15 +109,16 @@ case class TopKPerKeyExec(k: Int, keys: Seq[Expression], ord: Expression,
                 s"TopKPerKey: unsupported tie value ${other.getClass} — " +
                   "the API validates types at plan time; this is a bug")
             }
-          }.getOrElse(0L)
-          def better(peek: Entry): Boolean =
-            peek.score < score || (boundTie.isDefined && peek.score == score &&
-              tieId < peek.tieId)
+          }
           if (heap.size < kLocal) {
             heap.add(new Entry(score, tieId, row.asInstanceOf[UnsafeRow].copy()))
-          } else if (better(heap.peek())) {
-            heap.poll()
-            heap.add(new Entry(score, tieId, row.asInstanceOf[UnsafeRow].copy()))
+          } else {
+            val peek = heap.peek()
+            if (peek.score < score ||
+                (hasTie && peek.score == score && tieId < peek.tieId)) {
+              heap.poll()
+              heap.add(new Entry(score, tieId, row.asInstanceOf[UnsafeRow].copy()))
+            }
           }
         }
       }

@@ -319,4 +319,53 @@ class IncrementalDedupSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSet
     assert(flagsAfter === flagsBefore)
   }
+
+  test("compact recovers a live dir lost between swap renames instead of sweeping it") {
+    import java.nio.file.{Files, Paths}
+    val docs = Tables.documents(spark, sf)
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val probe = docs.filter(col("doc_id") % 5 === 0)
+    val path = tmp()
+    IncrementalDedup.saveSignatures(corpus, path)
+    val idx = IncrementalDedup.openSignatures(spark, path)
+    val flagsBefore = IncrementalDedup.dedupAgainst(idx, probe, 0.7)
+      .collect().map(_.toSeq).toSet
+
+    // simulate a compact that crashed between swapDir's two renames:
+    // live sigs/ is GONE, the only complete copy sits in sigs_new (the
+    // written-complete rewrite), plus a stale junk sigs_old. The old
+    // sweep-first code deleted BOTH archives and then failed on the
+    // missing live dir — permanent loss of the signature base.
+    Files.move(Paths.get(s"$path/sigs"), Paths.get(s"$path/sigs_new"))
+    Files.createDirectory(Paths.get(s"$path/sigs_old"))
+    IncrementalDedup.compact(spark, path, numFiles = 4)
+    val afterNew = IncrementalDedup.dedupAgainst(
+      IncrementalDedup.openSignatures(spark, path), probe, 0.7)
+      .collect().map(_.toSeq).toSet
+    assert(afterNew === flagsBefore)
+
+    // fallback leg: only the pre-compact archive survives (_old, no _new)
+    Files.move(Paths.get(s"$path/buckets"), Paths.get(s"$path/buckets_old"))
+    IncrementalDedup.compact(spark, path, numFiles = 4)
+    val afterOld = IncrementalDedup.dedupAgainst(
+      IncrementalDedup.openSignatures(spark, path), probe, 0.7)
+      .collect().map(_.toSeq).toSet
+    assert(afterOld === flagsBefore)
+  }
+
+  test("sidecar records real row counts so probe routing survives pinned partition counts") {
+    val docs = Tables.documents(spark, sf)
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val n = corpus.count()
+    val path = tmp()
+    // a pinned sigParts way above the auto size: the old corpus estimate
+    // (sp × DocsPerSigDir) would be ~64×1024 regardless of real size
+    IncrementalDedup.saveSignatures(corpus, path, parts = 8, sigParts = 64)
+    assert(graft.operators.IndexMeta.readDirRows(spark, s"$path/sigs")
+      === Some(n))
+    // compact refreshes the count
+    IncrementalDedup.compact(spark, path, numFiles = 4)
+    assert(graft.operators.IndexMeta.readDirRows(spark, s"$path/sigs")
+      === Some(n))
+  }
 }

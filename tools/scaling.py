@@ -123,7 +123,7 @@ def main():
             if blk in d:
                 print(f"{blk} @ {name}: {json.dumps(d[blk])}")
     ia, ib = steady_batch_mean(a), steady_batch_mean(b)
-    if ia and ib:
+    if ia is not None and ib is not None and ia > 0:
         ratio = ib / ia
         print(f"ingest steady-state per-batch: {ia:.2f}s -> {ib:.2f}s "
               f"({ratio:.2f}x across scales, limit {INGEST_MAX_RATIO}x)")
@@ -131,6 +131,14 @@ def main():
             violations.append(
                 f"ingest: steady per-batch {ratio:.2f}x > {INGEST_MAX_RATIO}x "
                 f"({ia:.2f}s -> {ib:.2f}s at constant batch size)")
+    elif check:
+        # the docstring promises the ingest block is GATED — a bench run
+        # that dropped the telemetry (SPARK_GRAFT_INGEST=0, a crashed
+        # ingest loop, a non-positive baseline mean) must fail loudly,
+        # not silently skip the comparison
+        violations.append(
+            "ingest: telemetry missing or non-positive at one scale "
+            f"(sf0.1 mean={ia}, sf1 mean={ib}) — gate cannot run")
     if check:
         lopsided = sorted(set(qa) ^ set(qb))
         if lopsided:
