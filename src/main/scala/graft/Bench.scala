@@ -67,7 +67,15 @@ object Bench {
         s""","ingest":{"batch_rows":${r.batchRows.mkString("[", ",", "]")},""" +
           s""""batch_secs":$bs,"index_rows":${r.indexRows.mkString("[", ",", "]")}}"""
       } catch { case _: Throwable => "" }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")}$recall$ingest,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")}$recall$ingest,"sf":"$sfDir"}"""
+    println(line)
+    // the JSON also lands in a FILE: the driver's per-round artifact is a
+    // captured stdout tail, and a 72-key line overflows the tail window —
+    // BENCH_r07.json survived only truncated mid-JSON. The file is the
+    // complete, parseable record regardless of how much stdout survives.
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

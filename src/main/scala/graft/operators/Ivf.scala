@@ -353,9 +353,15 @@ object Ivf {
     * cells use a coarser `cells` or a two-level layout). */
   def saveIndex(embeddings: DataFrame, centroids: Array[Array[Float]],
       path: String): Unit = {
+    val spark = embeddings.sparkSession
     withCell(embeddings, centroids)
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/corpus")
-    save(centroids, s"$path/centroids.json", embeddings.sparkSession)
+    save(centroids, s"$path/centroids.json", spark)
+    // build-time corpus size sidecar (metadata-only count of the written
+    // layout): append/compact compare the grown corpus against it to
+    // warn when the frozen geometry is outdated (docs/indexes.md)
+    IndexMeta.writeDirMeta(spark, s"$path/corpus", centroids.length,
+      spark.read.parquet(s"$path/corpus").count())
   }
 
   /** Open an index written by [[saveIndex]]. A pre-v1 index (Java-
@@ -391,7 +397,37 @@ object Ivf {
     val spark = newVectors.sparkSession
     withCell(newVectors, load(centroidsPath(spark, path), spark))
       .write.mode("append").partitionBy("cell").parquet(s"$path/corpus")
+    outgrowWarning(spark, path).foreach(log.warn)
   }
+
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** How far an appended corpus may outgrow its build-time size before
+    * append/compact warn that the frozen geometry (cell count, centroid
+    * positions) is outdated. Geometry affects cost and recall, never
+    * correctness, so this is a warning, not an error. */
+  private[graft] val GeometryOutgrowFactor = 4L
+
+  /** The maintenance warning behind [[appendToIndex]]/[[compactIndex]]:
+    * Some(message) when the live corpus has outgrown the build-time row
+    * count (recorded by [[saveIndex]]) by more than
+    * [[GeometryOutgrowFactor]]. The live count is a metadata-only
+    * parquet count; pre-sidecar indexes (no recorded build size) return
+    * None. Factored out of the logging call so the rule is speccable. */
+  private[graft] def outgrowWarning(spark: SparkSession,
+      path: String): Option[String] =
+    IndexMeta.readDirRows(spark, s"$path/corpus").collect {
+      case built if built > 0 =>
+        val now = spark.read.parquet(s"$path/corpus").count()
+        (built, now)
+    }.collect {
+      case (built, now) if now > built * GeometryOutgrowFactor =>
+        f"IVF index at $path has grown to $now rows, ${now.toDouble / built}%.1fx " +
+          s"its build-time $built: the frozen cell geometry (and centroid " +
+          "positions) are now sized for a much smaller corpus — probes read " +
+          "oversized cells and recall drifts. Retrain + Ivf.saveIndex " +
+          "(compactIndex only rewrites files); see docs/indexes.md"
+    }
 
   /** Compact an index that has accumulated small files from many
     * [[appendToIndex]] rounds: rewrite each cell directory as one file
@@ -404,6 +440,12 @@ object Ivf {
     val corpus = spark.read.parquet(s"$path/corpus")
     corpus.repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/corpus_new")
+    // the BUILD-TIME sidecar travels across the swap unchanged: compact
+    // rewrites files, not geometry, so the outgrow baseline must survive
+    IndexMeta.readDirRows(spark, s"$path/corpus").foreach { built =>
+      val parts = IndexMeta.readDirMeta(spark, s"$path/corpus")
+      IndexMeta.writeDirMeta(spark, s"$path/corpus_new", parts, built)
+    }
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val live = new org.apache.hadoop.fs.Path(s"$path/corpus")
@@ -412,6 +454,9 @@ object Ivf {
     fs.rename(live, old)
     fs.rename(fresh, live)
     fs.delete(old, true)
+    // compaction is small-file hygiene only — if the corpus outgrew the
+    // build geometry, say so here too (this is NOT the fix for that)
+    outgrowWarning(spark, path).foreach(log.warn)
   }
 
   /** Rank cells for a query vector ON THE DRIVER — the centroid table is

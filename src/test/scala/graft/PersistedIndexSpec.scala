@@ -155,6 +155,28 @@ class PersistedIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("outgrow warning fires only when the corpus exceeds build size by the factor") {
+    val emb = Tables.embeddings(spark, sf)
+    val seed = emb.filter(col("vec_id") < 100)
+    val cents = Ivf.kmeansCentroids(seed, 8, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("ivfgrow").toString
+    Ivf.saveIndex(seed, cents, dir)
+    // within factor: no warning
+    assert(Ivf.outgrowWarning(spark, dir).isEmpty)
+    Ivf.appendToIndex(dir, emb.filter(col("vec_id") >= 100 && col("vec_id") < 300))
+    assert(Ivf.outgrowWarning(spark, dir).isEmpty,
+      "3x build size is inside the 4x factor")
+    // past factor: warning names the growth and the fix
+    Ivf.appendToIndex(dir, emb.filter(col("vec_id") >= 300))
+    val w = Ivf.outgrowWarning(spark, dir)
+    assert(w.isDefined, "past 4x build size the maintenance warning must fire")
+    assert(w.get.contains("saveIndex"))
+    // the build-time baseline survives compaction (compact rewrites
+    // files, not geometry — the warning must keep firing after it)
+    Ivf.compactIndex(dir, spark)
+    assert(Ivf.outgrowWarning(spark, dir).isDefined)
+  }
+
   test("broadcast centroid kernel assigns identically to the literal kernel") {
     val rnd = new scala.util.Random(7)
     val dim = 12; val k = 19
