@@ -416,9 +416,119 @@ object SparkEntry {
       |         CASE WHEN value > 250 THEN 'high' ELSE 'medium' END AS severity
       |  FROM f WHERE value > 150 AND mean_3 > 100)""".stripMargin
 
+  /** SQL twin of MinHashLsh.candidatePairs(threshold = 0.95) — possible
+    * because every stage of the chain is ENGINE-NEUTRAL by construction
+    * (TokenHashes's doc): 31-poly token hash mod 2³¹−1, the SAME 128
+    * Carter-Wegman (a,b) constants embedded as literals, the seeded-LCG
+    * band fold, DISTINCT co-bucket pairs (≡ the Spark side's first-agree
+    * dedup), and the signature-agreement estimate m/128 (exact in
+    * binary). Hub-star degradation cannot fire at oracle scale (bucket
+    * cap 4096 > corpus), so the guarded and exhaustive forms coincide. */
+  private lazy val minhashOracleSql: String = {
+    val p = 2147483647L
+    val a = org.apache.spark.sql.graft.TokenHashes.BandMixA
+    val sigExprs = graft.operators.MinHashLsh.cwParams(128).map {
+      case (ai, bi) =>
+        s"list_min(list_transform(hs, h -> ($ai * h + $bi) % $p))"
+    }.mkString(",\n      ")
+    s"""WITH hs AS (
+       |  SELECT doc_id,
+       |    list_transform(list_distinct(string_split(text, ' ')), t ->
+       |      CASE WHEN length(t) = 0 THEN 0
+       |           ELSE list_reduce(
+       |             list_transform(generate_series(1, length(t)),
+       |               i -> unicode(substr(t, i, 1))::BIGINT),
+       |             (acc, c) -> (acc * 31 + c) % $p)
+       |      END) AS hs
+       |  FROM documents),
+       |sigs AS (
+       |  SELECT doc_id, [
+       |      $sigExprs
+       |    ] AS sig FROM hs),
+       |banded AS (
+       |  SELECT doc_id, band,
+       |    list_reduce([band::BIGINT] || sig[band*16+1 : band*16+16],
+       |      (acc, v) -> (acc * $a + v) % $p) AS bucket
+       |  FROM sigs CROSS JOIN (SELECT unnest(range(8)) AS band)),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM banded x JOIN banded y
+       |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id)
+       |SELECT doc_a, doc_b,
+       |  len(list_filter(range(1, 129), i -> sa.sig[i] = sb.sig[i]))::DOUBLE / 128
+       |    AS jaccard_est
+       |FROM cand
+       |JOIN sigs sa ON sa.doc_id = cand.doc_a
+       |JOIN sigs sb ON sb.doc_id = cand.doc_b
+       |WHERE len(list_filter(range(1, 129), i -> sa.sig[i] = sb.sig[i]))::DOUBLE / 128 >= 0.95
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** SQL twin of SimHash.nearDupPairs (maxDist = 6). The two-chunk
+    * pigeonhole blocking has EXACT coverage (a pair at Hamming ≤ d
+    * agrees on ≥2 of d+2 chunks), so the Spark output equals the plain
+    * all-pairs filter `bit_count(xor(fp_a, fp_b)) <= 6` — the oracle
+    * needs only the fingerprints, which are engine-neutral by
+    * construction (TokenHashes.hash64: wrapping 31-poly + splitmix64;
+    * reproduced here in HUGEINT mod-2⁶⁴ arithmetic, 64-bit multiplies
+    * decomposed into 32-bit halves to stay inside HUGEINT range). Vote
+    * rule: bit set iff strictly more than half the token hashes have it
+    * set (ties → 0), bit i of the hash (LSB-indexed) landing at fp bit
+    * 63−i — exactly the kernel + MSB-first fold on the Spark side. */
+  private lazy val simhashOracleSql: String = {
+    val m64 = "18446744073709551616" // 2^64
+    // (z * c) mod 2^64 with c split into 32-bit halves so no product
+    // exceeds ~2^96 (HUGEINT holds < 2^127)
+    def mulMod64(z: String, c: Long): String = {
+      val bh = (c >>> 32) & 0xFFFFFFFFL
+      val bl = c & 0xFFFFFFFFL
+      s"((($z) * $bl) % $m64 + ((($z) * $bh) % 4294967296) * 4294967296) % $m64"
+    }
+    // xor-shift on the unsigned view, back to HUGEINT for the next stage
+    def xs(z: String, s: Int): String =
+      s"xor(($z)::UBIGINT, ($z)::UBIGINT >> $s)::HUGEINT"
+    s"""WITH polys AS (
+       |  SELECT doc_id,
+       |    list_transform(list_distinct(string_split(text, ' ')), t ->
+       |      CASE WHEN length(t) = 0 THEN 0::HUGEINT
+       |           ELSE list_reduce(
+       |             list_transform(generate_series(1, length(t)),
+       |               i -> unicode(substr(t, i, 1))::HUGEINT),
+       |             (acc, c) -> (acc * 31 + c) % $m64)
+       |      END) AS ps
+       |  FROM documents),
+       |z1 AS (SELECT doc_id,
+       |  list_transform(ps, x -> (x + 11400714819323198485) % $m64) AS zs FROM polys),
+       |z2 AS (SELECT doc_id,
+       |  list_transform(zs, z -> ${mulMod64(xs("z", 30), 0xBF58476D1CE4E5B9L)}) AS zs FROM z1),
+       |z3 AS (SELECT doc_id,
+       |  list_transform(zs, z -> ${mulMod64(xs("z", 27), 0x94D049BB133111EBL)}) AS zs FROM z2),
+       |hh AS (SELECT doc_id,
+       |  list_transform(zs, z -> xor(z::UBIGINT, z::UBIGINT >> 31)) AS hs FROM z3),
+       |tok AS (SELECT doc_id, unnest(hs) AS h FROM hh),
+       |votes AS (
+       |  SELECT tok.doc_id, b.i,
+       |         count(*) FILTER (WHERE ((tok.h >> b.i) & 1::UBIGINT) = 1) AS ones,
+       |         count(*) AS n
+       |  FROM tok CROSS JOIN (SELECT unnest(range(64)) AS i) b
+       |  GROUP BY tok.doc_id, b.i),
+       |fp AS (
+       |  SELECT doc_id,
+       |    sum(CASE WHEN 2 * ones > n THEN (1::UBIGINT << (63 - i))
+       |             ELSE 0::UBIGINT END)::UBIGINT AS fp
+       |  FROM votes GROUP BY doc_id)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |       bit_count(xor(a.fp, b.fp))::BIGINT AS hamming
+       |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.fp, b.fp)) <= 6
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   /** For each key in queries, equivalent SQL runnable by DuckDB on the
     * same parquet tables. Omitted keys → driver records rows-only check. */
   def oracleSql: Map[String, String] = Map(
+    "dd_minhash_lsh" -> minhashOracleSql,
+    "dd_simhash" -> simhashOracleSql,
     "ts_clean" ->
       s"""$eventsCte
          |SELECT event_id, user_id, ts_us, value_filled FROM (

@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
   * (SURVEY.md §2 dd_minhash_lsh). Estimates the same token-set Jaccard as
   * Dedup.ngramJaccard but never enumerates non-candidate pairs:
   *
-  *   1. k seeded murmur3 min-hashes per doc → signature (one narrow map).
+  *   1. k Carter-Wegman min-hashes per doc → signature (one narrow map).
   *   2. signatures cut into b bands of r rows; each band hashed to a
   *      bucket key → docs exploded to b rows.
   *   3. docs sharing any (band, bucket) become candidate pairs — the only
@@ -119,14 +119,23 @@ object MinHashLsh {
     (smallPairs.unionByName(bigPairs), overStats.getLong(0), src)
   }
 
-  /** Signature: each token is murmur-hashed ONCE, then run through k
-    * Carter-Wegman affine permutations h_i(x) = (a_i·x + b_i) mod (2³¹−1)
-    * — a 2-universal family, and ~100× cheaper than k independent murmurs.
-    * The modular form also stays inside ANSI-mode arithmetic (no Long
-    * overflow). Entirely per-row: signature computation needs no shuffle
-    * at any corpus size. */
+  /** Signature: each token is hashed ONCE (engine-neutral 31-polynomial
+    * mod 2³¹−1 — reproducible in plain SQL, see TokenHashes), then run
+    * through k Carter-Wegman affine permutations h_i(x) = (a_i·x + b_i)
+    * mod (2³¹−1) — a 2-universal family, so the minhash guarantees hold
+    * over any distinct token-hash values. The modular form also stays
+    * inside ANSI-mode arithmetic (no Long overflow). Entirely per-row:
+    * signature computation needs no shuffle at any corpus size. */
   def signatures(documents: DataFrame, k: Int = 128): DataFrame =
     signaturesFromToks(tokenize(documents), k)
+
+  /** The k seeded Carter-Wegman (a, b) pairs behind [[signaturesFromToks]]
+    * — exposed so the DuckDB oracle embeds the SAME constants. */
+  private[graft] def cwParams(k: Int): Array[(Long, Long)] = {
+    val rng = new scala.util.Random(42)
+    Array.fill(k)((1L + rng.nextInt(Int.MaxValue - 1).toLong,
+      rng.nextInt(Int.MaxValue).toLong))
+  }
 
   /** (doc_id, toks, n): sorted distinct token array + set size per doc —
     * the ONE tokenization pass every Jaccard-family stage consumes
@@ -142,14 +151,12 @@ object MinHashLsh {
     * as raw tokenization. */
   def signaturesFromToks(toks: DataFrame, k: Int = 128): DataFrame = {
     val p = 2147483647L // Mersenne prime 2^31 - 1
-    val rng = new scala.util.Random(42)
-    val ab = Array.fill(k)((1L + rng.nextInt(Int.MaxValue - 1).toLong,
-      rng.nextInt(Int.MaxValue).toLong))
+    val ab = cwParams(k)
     toks.select(
       col("doc_id"),
-      // native token-hash kernel: murmur3 + pmod in one codegen loop
-      // (bit-identical to transform(toks, t -> pmod(hash(t)::long, p)),
-      // property-specced)
+      // native token-hash kernel: engine-neutral 31-poly rolling hash
+      // in one codegen loop (contract + SQL twin in TokenHashes's doc,
+      // property-specced against a driver-side reference)
       org.apache.spark.sql.graft.ColumnBridge
         .tokenHashesMod(col("toks"), p).as("hs"))
       .select(

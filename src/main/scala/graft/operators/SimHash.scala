@@ -4,9 +4,10 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** SimHash near-dup detection (SURVEY.md §2 dd_simhash): every token's
-  * 64-bit xxhash votes ±1 per bit position; the sign pattern is the doc's
-  * 64-bit fingerprint, and near-dups are pairs within a small Hamming
-  * distance.
+  * 64-bit hash (engine-neutral poly+splitmix64 — see TokenHashes, which
+  * is what lets the DuckDB oracle reproduce the fingerprints bit-exactly)
+  * votes ±1 per bit position; the sign pattern is the doc's 64-bit
+  * fingerprint, and near-dups are pairs within a small Hamming distance.
   *
   * The fingerprint lives as ONE packed long: the sign bits from the
   * native SimHashBits kernel are folded MSB-first with shift/or (bitwise

@@ -108,7 +108,7 @@ object ColumnBridge {
   def tokenHashesMod(toks: Column, p: Long): Column =
     column(TokenHashesMod(expression(toks), p))
 
-  /** token_hashes64(toks) as a Column (xxhash64 seed 42). */
+  /** token_hashes64(toks) as a Column (engine-neutral poly+splitmix64). */
   def tokenHashes64(toks: Column): Column =
     column(TokenHashes64(expression(toks)))
 

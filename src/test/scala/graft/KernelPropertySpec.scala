@@ -62,37 +62,54 @@ class KernelPropertySpec extends AnyFunSuite {
     assert(guard.getMessage.contains("n >= 1"))
   }
 
-  test("token-hash kernels are bit-identical to their HOF expression chains") {
-    val vocab = (1 to 50).map(i => s"tok$i") ++ Seq("", "δelta", "ünïcode")
+  test("token-hash kernels match their reference forms (poly mod p / xxhash64)") {
+    val vocab = (1 to 50).map(i => s"tok$i") ++
+      Seq("", "δelta", "ünïcode", "a b", "𝔘supplementary")
     val cases = (1 to 500).map { i =>
       (i.toLong, (0 until rnd.nextInt(40)).map(_ => vocab(rnd.nextInt(vocab.length))))
     }
     val df = cases.toDF("id", "toks").cache()
     val p = 2147483647L
-    // murmur3 + pmod (the MinHash token-hash step)
-    val badMod = df.filter(
-      ColumnBridge.tokenHashesMod(col("toks"), p) =!=
-        transform(col("toks"), t => pmod(hash(t).cast("long"), lit(p))))
-    assert(badMod.count() === 0)
-    // xxhash64 (the SimHash token-hash step)
-    val bad64 = df.filter(
-      ColumnBridge.tokenHashes64(col("toks")) =!=
-        transform(col("toks"), t => xxhash64(t)))
-    assert(bad64.count() === 0)
+    // engine-neutral 31-poly over code points (the MinHash token-hash
+    // step) — checked against an independent driver-side fold, including
+    // a supplementary-plane character (code point ≠ UTF-16 unit)
+    def ref(t: String): Long =
+      t.codePoints().toArray.foldLeft(0L)((h, cp) => (h * 31L + cp) % p)
+    val got = df.select(col("id"),
+        ColumnBridge.tokenHashesMod(col("toks"), p).as("hs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    cases.foreach { case (id, toks) =>
+      assert(got(id) === toks.map(ref), s"id=$id")
+    }
+    // engine-neutral 64-bit hash (the SimHash token-hash step): wrapping
+    // poly64 + splitmix64 against an independent driver-side fold
+    def ref64(t: String): Long =
+      org.apache.spark.sql.graft.TokenHashes.mix64(
+        t.codePoints().toArray.foldLeft(0L)((h, cp) => h * 31L + cp))
+    val got64 = df.select(col("id"),
+        ColumnBridge.tokenHashes64(col("toks")).as("hs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    cases.foreach { case (id, toks) =>
+      assert(got64(id) === toks.map(ref64), s"id=$id")
+    }
   }
 
-  test("band_buckets kernel is bit-identical to the hash(slice(...)) fold") {
+  test("band_buckets kernel is bit-identical to the seeded-LCG aggregate fold") {
     val k = 128
+    val p = 2147483647L
     val cases = (1 to 500).map { i =>
       (i.toLong, Seq.fill(k)(rnd.nextLong().abs % 2147483647L))
     }
     val df = cases.toDF("id", "sig").cache()
+    val a = org.apache.spark.sql.graft.TokenHashes.BandMixA
     for (bands <- Seq(8, 16, 32)) {
       val rows = k / bands
       val bad = df.filter(
         ColumnBridge.bandBuckets(col("sig"), bands, rows) =!=
           transform(sequence(lit(0), lit(bands - 1)),
-            b => hash(slice(col("sig"), b * rows + lit(1), lit(rows)), b)))
+            b => aggregate(slice(col("sig"), b * rows + lit(1), lit(rows)),
+              b.cast("long"),
+              (acc, v) => pmod(acc * lit(a) + v, lit(p))).cast("int")))
       assert(bad.count() === 0, s"bands=$bands diverges")
     }
   }
