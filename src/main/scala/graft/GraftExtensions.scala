@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.{DecimalQuantize7, EmbeddingLshBuckets, FloatDotProduct, LongArrayMatchCount, QuantizedDot14, SimHashBits, SortedStringArrayIntersectCount, WordNGrams}
+import org.apache.spark.sql.graft.{DecimalQuantize7, EmbeddingLshBuckets, FloatDotProduct, LongArrayMatchCount, QuantizedCosine14, QuantizedDot14, SimHashBits, SortedStringArrayIntersectCount, WordNGrams}
 
 /** Session extension installing the native kernels as SQL functions, so
   * `spark.sql("SELECT float_dot(a, b) ...")` works for SQL-first users —
@@ -47,6 +47,9 @@ object GraftExtensions {
       arity("decimal_quantize7", 1)(es => DecimalQuantize7(es(0))),
     "quantized_dot14" ->
       arity("quantized_dot14", 2)(es => QuantizedDot14(es(0), es(1))),
+    "quantized_cosine14" ->
+      arity("quantized_cosine14", 4)(
+        es => QuantizedCosine14(es(0), es(1), es(2), es(3))),
     "sorted_intersect_count" ->
       arity("sorted_intersect_count", 2)(
         es => SortedStringArrayIntersectCount(es(0), es(1))),

@@ -131,12 +131,17 @@ object Dedup {
       .select(col("vec_id"), col("bkts"),
         posexplode(col("bkts")).as(Seq("t", "bucket")))
 
-  /** Bucket occupancy the auto plane count targets: ~32 rows per bucket
+  /** Bucket occupancy the auto plane count targets: ~16 rows per bucket
     * per table keeps in-bucket pair volume (occupancy²/2 per bucket)
-    * bounded as the corpus grows. */
-  private[graft] val TargetBucketOccupancy = 32L
+    * bounded as the corpus grows. Halved from the original 32 by the r8
+    * scaling study: candidate volume only shrinks ~0.58× per two added
+    * planes on clustered sign patterns (heavy-tailed buckets), so the
+    * tighter target buys ~2× less verify volume at every corpus size for
+    * one extra plane (~15% recall loss per plane at cosine 0.9 — the
+    * true-near-dup operating point). */
+  private[graft] val TargetBucketOccupancy = 16L
 
-  /** `planes = 0` (the default) resolves to max(6, ⌈log₂(n/32)⌉) — the
+  /** `planes = 0` (the default) resolves to max(6, ⌈log₂(n/16)⌉) — the
     * corpus-size-scaled geometry. A FIXED plane count means bucket
     * occupancy, and with it in-bucket candidate volume, grows linearly
     * (quadratically in pairs) with the corpus: the r6 scaling study
@@ -146,8 +151,8 @@ object Dedup {
     * op's SEMANTICS (more planes → finer sign patterns → fewer
     * low-cosine candidates surface), so callers needing bit-stable
     * output across corpus sizes pass an explicit plane count; at the
-    * oracle/bench sizes (n ≤ 2000) the auto value resolves to the
-    * original 6, keeping dd_embedding's oracle bit-exact. */
+    * oracle sizes (n ≤ 1024) the auto value resolves to the original 6,
+    * keeping dd_embedding's oracle bit-exact. */
   private[graft] def resolvePlanes(planes: Int, n: Long): Int =
     if (planes > 0) planes
     else math.max(6, math.ceil(
@@ -156,24 +161,21 @@ object Dedup {
 
   /** LSH-blocked embedding near-dup pairs — the unsupervised scale path.
     * The auto plane count (`planes = 0`) needs the corpus size: pass
-    * `corpusSize` when it is already known (no action runs), else the
-    * input is localCheckpoint'ed ONCE and counted — the checkpoint is
-    * not an extra cost, because the pipeline below reads its input twice
-    * anyway (bucketing and quantize-verify), so materializing it turns
-    * count + 2 plan executions into 1 execution + 3 cheap reads. An
-    * explicit `planes` count skips both the count and the checkpoint. */
+    * `corpusSize` when it is already known and the input pipeline is
+    * expensive — with neither, `embeddings.count()` runs as an extra
+    * action, which is a metadata-only scan for the common
+    * materialized-parquet input but re-executes an un-cached upstream
+    * pipeline (cache/checkpoint such an input first, or pass
+    * `corpusSize`/an explicit `planes`). */
   def embeddingNearDupLsh(embeddings: DataFrame, threshold: Double = 0.3,
       tables: Int = 8, planes: Int = 0, maxBucket: Int = 4096,
       corpusSize: Long = 0L): DataFrame = {
     // the corpus count (a full action) runs ONLY when auto resolution
     // needs it and the caller did not supply the size
-    val (src, resolvedPlanes) =
-      if (planes > 0) (embeddings, planes)
-      else if (corpusSize > 0L) (embeddings, resolvePlanes(0, corpusSize))
-      else {
-        val mat = embeddings.localCheckpoint()
-        (mat, resolvePlanes(0, mat.count()))
-      }
+    val src = embeddings
+    val resolvedPlanes =
+      if (planes > 0) planes
+      else resolvePlanes(0, if (corpusSize > 0L) corpusSize else src.count())
     val bucketed = embeddingBuckets(src, tables, resolvedPlanes)
     // bucket-local pairing behind the same hot-bucket guard as the text
     // path: a degenerate sign-pattern bucket (e.g. a corpus of
@@ -184,23 +186,24 @@ object Dedup {
       .withColumnRenamed("id_a", "vec_a")
       .withColumnRenamed("id_b", "vec_b")
     // quantized once per VECTOR (scale-7 unscaled ints — same width as
-    // the float vector): the per-pair exact dot is then pure integer
-    // arithmetic, as cheap as the double prefilter this path used to
-    // run, so the prefilter is GONE and the verify joins carry only the
-    // quantized array + decimal norm instead of embedding + two norms.
+    // the float vector), and the norm carried as its PRECOMPUTED
+    // sqrt-double (one sqrt per vector, not two per pair): the per-pair
+    // verify is then the fused quantized_cosine14 kernel — one primitive
+    // int loop + one division, no per-pair Decimal allocation, yet
+    // bit-identical to the cosineFromDec(quantizedDot(...)) chain the
+    // DuckDB oracle replicates (exactness argument in DecimalDot).
     val e = src.select(
       col("vec_id"),
       VectorMath.quantize7(col("embedding")).as("q"),
-      VectorMath.normSqDec(col("embedding")).as("nrm"))
+      sqrt(VectorMath.normSqDec(col("embedding")).cast("double")).as("snrm"))
     val ea = e.select(col("vec_id").as("vec_a"),
-      col("q").as("q_a"), col("nrm").as("nrm_a"))
+      col("q").as("q_a"), col("snrm").as("snrm_a"))
     val eb = e.select(col("vec_id").as("vec_b"),
-      col("q").as("q_b"), col("nrm").as("nrm_b"))
+      col("q").as("q_b"), col("snrm").as("snrm_b"))
     pairs.join(ea, "vec_a").join(eb, "vec_b")
       .select(col("vec_a"), col("vec_b"),
-        VectorMath.cosineFromDec(
-          VectorMath.quantizedDot(col("q_a"), col("q_b")),
-          col("nrm_a"), col("nrm_b")).as("cosine"))
+        org.apache.spark.sql.graft.ColumnBridge.quantizedCosine14(
+          col("q_a"), col("q_b"), col("snrm_a"), col("snrm_b")).as("cosine"))
       .filter(col("cosine") >= threshold)
       .orderBy("vec_a", "vec_b")
   }

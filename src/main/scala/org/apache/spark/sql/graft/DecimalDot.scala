@@ -1,9 +1,9 @@
 package org.apache.spark.sql.graft
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, QuaternaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DecimalType, FloatType, IntegerType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DecimalType, DoubleType, FloatType, IntegerType}
 
 /** Native kernels for the EXACT-decimal dot product (VectorMath.dotDec's
   * former interpreted chain):
@@ -111,6 +111,47 @@ object DecimalDot {
     * before overflowing, and a null AFTER the overflow point must still
     * null the whole result (reading a null slot would fabricate a
     * value). */
+  /** Fused pair-verify cosine: the EXACT [[dot14]] value converted to
+    * double exactly as `Decimal(28,14).cast(double)` would, divided by
+    * the two PRECOMPUTED per-vector sqrt-norm doubles. Bit-identical to
+    * `cosineFromDec(quantizedDot(qa, qb), na, nb)` with
+    * `sqrt(na.cast(double))` hoisted out of the pair loop — but with NO
+    * per-pair Decimal/BigDecimal allocation on the fast path, which at
+    * candidate volumes of 10⁷+/scan is the verify stage's cost.
+    *
+    * Double-conversion exactness: when |Σ| ≤ 2⁵³ both the unscaled sum
+    * and 10¹⁴ are exact doubles, so ONE correctly-rounded IEEE division
+    * equals BigDecimal(Σ, 14).doubleValue (what Decimal.toDouble runs);
+    * past 2⁵³ the BigDecimal form is used directly. Null exactly when
+    * [[dot14]] is null (the filter then drops the pair, as it dropped
+    * the null cosine before). */
+  def cosine14(a: ArrayData, b: ArrayData, sa: Double, sb: Double): java.lang.Double = {
+    val la = a.numElements()
+    val lb = b.numElements()
+    if (la != lb) return null
+    var sum = 0L
+    var i = 0
+    while (i < la) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val p = a.getInt(i).toLong * b.getInt(i).toLong
+      try sum = Math.addExact(sum, p)
+      catch { case _: ArithmeticException => return cosine14Slow(a, b, sa, sb) }
+      i += 1
+    }
+    val d =
+      if (sum <= (1L << 53) && sum >= -(1L << 53)) sum.toDouble / 1e14
+      else new java.math.BigDecimal(
+        java.math.BigInteger.valueOf(sum), 14).doubleValue()
+    java.lang.Double.valueOf(d / (sa * sb))
+  }
+
+  private def cosine14Slow(a: ArrayData, b: ArrayData, sa: Double,
+      sb: Double): java.lang.Double = {
+    val dec = dot14Slow(a, b)
+    if (dec == null) null
+    else java.lang.Double.valueOf(dec.toDouble / (sa * sb))
+  }
+
   private def dot14Slow(a: ArrayData, b: ArrayData): org.apache.spark.sql.types.Decimal = {
     val n = a.numElements()
     val bound = java.math.BigInteger.TEN.pow(28)
@@ -169,4 +210,41 @@ case class QuantizedDot14(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): QuantizedDot14 =
     copy(left = newLeft, right = newRight)
+}
+
+/** `quantized_cosine14(qa, qb, sqrtNormA, sqrtNormB)` — the fused
+  * pair-verify cosine (see [[DecimalDot.cosine14]] for the exactness
+  * argument). The sqrt-norm doubles are per-VECTOR values the caller
+  * projects once (`sqrt(normSqDec(v).cast("double"))`), so the per-pair
+  * work is one primitive int loop and one division. */
+case class QuantizedCosine14(first: Expression, second: Expression,
+    third: Expression, fourth: Expression)
+    extends QuaternaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(IntegerType), ArrayType(IntegerType), DoubleType, DoubleType)
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "quantized_cosine14"
+
+  override protected def nullSafeEval(a: Any, b: Any, sa: Any, sb: Any): Any =
+    DecimalDot.cosine14(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      sa.asInstanceOf[Double], sb.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, sa, sb) => {
+      val tmp = ctx.freshName("cos")
+      s"""
+         |java.lang.Double $tmp =
+         |  org.apache.spark.sql.graft.DecimalDot.cosine14($a, $b, $sa, $sb);
+         |${ev.isNull} = $tmp == null;
+         |${ev.value} = ${ev.isNull} ? -1.0 : $tmp.doubleValue();
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression,
+      newFourth: Expression): QuantizedCosine14 =
+    copy(first = newFirst, second = newSecond, third = newThird,
+      fourth = newFourth)
 }

@@ -88,6 +88,11 @@ object ColumnBridge {
   def quantizedDot14(a: Column, b: Column): Column =
     column(QuantizedDot14(expression(a), expression(b)))
 
+  /** quantized_cosine14(qa, qb, sqrtNormA, sqrtNormB) as a Column. */
+  def quantizedCosine14(qa: Column, qb: Column, sa: Column, sb: Column): Column =
+    column(QuantizedCosine14(expression(qa), expression(qb),
+      expression(sa), expression(sb)))
+
   /** long_array_match_count(a, b) as a Column. */
   def matchCount(a: Column, b: Column): Column =
     column(LongArrayMatchCount(expression(a), expression(b)))

@@ -147,7 +147,10 @@ class CompletenessSpec extends AnyFunSuite {
         |       size(embedding_lsh_buckets(array(CAST(0.5 AS FLOAT), CAST(-1.5 AS FLOAT)))) AS nb,
         |       word_ngrams('a b a b', 2, true) AS ng,
         |       quantized_dot14(decimal_quantize7(array(CAST(1.5 AS FLOAT))),
-        |                       decimal_quantize7(array(CAST(2.0 AS FLOAT)))) AS qd
+        |                       decimal_quantize7(array(CAST(2.0 AS FLOAT)))) AS qd,
+        |       quantized_cosine14(decimal_quantize7(array(CAST(1.5 AS FLOAT))),
+        |                          decimal_quantize7(array(CAST(2.0 AS FLOAT))),
+        |                          CAST(1.5 AS DOUBLE), CAST(2.0 AS DOUBLE)) AS qc
         |""".stripMargin).collect().head
     assert(r.getDouble(0) === 11.0)
     assert(r.getInt(1) === 2)
@@ -155,6 +158,7 @@ class CompletenessSpec extends AnyFunSuite {
     assert(r.getInt(3) === 8)
     assert(r.getSeq[String](4) === Seq("a b", "b a"))
     assert(r.getDecimal(5) === new java.math.BigDecimal("3.00000000000000"))
+    assert(r.getDouble(6) === 1.0)
   }
 
   test("validateMetrics passes clean data and catches corrupted rows") {

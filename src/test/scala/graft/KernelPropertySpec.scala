@@ -186,6 +186,42 @@ class KernelPropertySpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.ansi.enabled", ansiBefore)
   }
 
+  test("quantized_cosine14 is bit-identical to the cosineFromDec chain") {
+    import graft.functions.VectorMath
+    // three regimes of the double conversion: |sum| < 2^53 (pure-double
+    // fast path), 2^53 < |sum| < Long.Max (BigDecimal branch), and long
+    // overflow (dot14Slow); plus nulls and length mismatches
+    def vec(mag: Float, n: Int): Seq[Option[Float]] =
+      (0 until n).map(_ => Some((rnd.nextFloat() - 0.5f) * mag))
+    val cases = (1 to 1500).map { i =>
+      val n = 1 + rnd.nextInt(64)
+      val mag = rnd.nextInt(3) match {
+        case 0 => 2f    // unit-ish: sums well under 2^53
+        case 1 => 60f   // q ~ 3e8: products ~1e17, sums past 2^53
+        case _ => 199f  // past the (9,7) cast cap → null elements too
+      }
+      val a = if (rnd.nextInt(40) == 0) null else vec(mag, n)
+      val b = if (rnd.nextInt(40) == 0) null
+        else if (rnd.nextInt(5) == 0) vec(mag, 1 + rnd.nextInt(64))
+        else vec(mag, n)
+      (i.toLong, a, b)
+    }
+    val df = cases.toDF("id", "a", "b").cache()
+    val qa = VectorMath.quantize7(col("a"))
+    val qb = VectorMath.quantize7(col("b"))
+    val na = VectorMath.normSqDec(col("a"))
+    val nb = VectorMath.normSqDec(col("b"))
+    val fused = ColumnBridge.quantizedCosine14(qa, qb,
+      sqrt(na.cast("double")), sqrt(nb.cast("double")))
+    val chain = VectorMath.cosineFromDec(
+      VectorMath.quantizedDot(qa, qb), na, nb)
+    val bad = df.select(col("id"), fused.as("f"), chain.as("c"))
+      .filter(!(col("f") <=> col("c")))
+    assert(bad.count() === 0, bad.collect().take(5).mkString("\n"))
+    val nonNull = df.select(fused.as("f")).filter(col("f").isNotNull).count()
+    assert(nonNull > 300, s"only $nonNull non-null cosines — identity near-vacuous")
+  }
+
   test("long_array_match_count equals element-wise equality count") {
     val cases = (1 to 1000).map { i =>
       val n = 1 + rnd.nextInt(64)

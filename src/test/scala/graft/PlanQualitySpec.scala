@@ -111,6 +111,9 @@ class PlanQualitySpec extends AnyFunSuite {
     val pEmb = plan(Dedup.embeddingNearDupLsh(Tables.embeddings(spark, sf)))
     assert(!pEmb.contains("CartesianProduct")
       && !pEmb.contains("BroadcastNestedLoopJoin"), pEmb)
+    // pair verify runs the fused cosine kernel (one int loop + one division
+    // per pair), not the per-pair Decimal cosineFromDec chain
+    assert(pEmb.contains("quantized_cosine14"), pEmb)
   }
 
   test("ANN index buckets come from the native kernel, not interpreted HOFs") {

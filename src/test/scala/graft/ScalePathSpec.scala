@@ -40,16 +40,17 @@ class ScalePathSpec extends AnyFunSuite {
   test("embedding dedup auto-planes scale with corpus size, fixed at oracle scales") {
     import spark.implicits._
     import graft.operators.Dedup
-    // the resolution rule itself: max(6, ceil(log2(n/32))) — 6 at every
-    // oracle/bench size (so dd_embedding stays bit-exact), growing with
+    // the resolution rule itself: max(6, ceil(log2(n/16))) — 6 at every
+    // oracle size (so dd_embedding stays bit-exact), growing with
     // log2(n) beyond to hold bucket occupancy ~constant
     assert(Dedup.resolvePlanes(0, 200L) === 6)
-    assert(Dedup.resolvePlanes(0, 2000L) === 6)
-    assert(Dedup.resolvePlanes(0, 20000L) === 10)
-    assert(Dedup.resolvePlanes(0, 1L << 20) === 15)
+    assert(Dedup.resolvePlanes(0, 1024L) === 6)
+    assert(Dedup.resolvePlanes(0, 2000L) === 7)
+    assert(Dedup.resolvePlanes(0, 20000L) === 11)
+    assert(Dedup.resolvePlanes(0, 1L << 20) === 16)
     assert(Dedup.resolvePlanes(4, 1L << 20) === 4) // explicit wins
 
-    // at a corpus size where auto resolves ABOVE 6 (n=3000 → 7 planes),
+    // at a corpus size where auto resolves ABOVE 6 (n=3000 → 8 planes),
     // planted near-identical pairs still surface: near-zero angle means
     // per-plane collision probability ~1 at any plane count
     val vecs = ((0 until 3000).map { i =>
@@ -59,7 +60,7 @@ class ScalePathSpec extends AnyFunSuite {
     } :+ ((9001L,
       Array.tabulate(8)(d => ((((0 * 31) + d * 17) % 1000) / 500.0 - 1.0 + 1e-4).toFloat),
       0))).toDF("vec_id", "embedding", "label")
-    assert(Dedup.resolvePlanes(0, vecs.count()) === 7)
+    assert(Dedup.resolvePlanes(0, vecs.count()) === 8)
     val pairs = Dedup.embeddingNearDupLsh(vecs, threshold = 0.999)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.contains((0L, 9001L)),

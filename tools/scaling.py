@@ -24,15 +24,16 @@ import sys
 # Per-key slope thresholds above the default, each with the reason the
 # excess is understood (mirrored in SURVEY.md's waiver list). A waiver
 # is a NAMED finding, not an exemption from measurement.
-WAIVERS = {
-    # Verify-pair volume: candidates = corpus x occupancy x tables, and
-    # ScaleUp's planted duplicate mass is linear in corpus, so the pair
-    # stream (and the output) grows ~5x per 10x data at the chosen
-    # occupancy target — measured 2.6x-3.3x across runs after the round-7
-    # quantized-dot kernels halved the constant (was 4.8x). Linear in its
-    # own output; not a scan/shuffle defect.
-    "dd_embedding": 4.0,
-}
+# (r8: the dd_embedding 4x waiver was retired. The r8 measurements
+# showed its TRUE output is quadratic in the corpus — at threshold 0.3
+# the accepted pairs are the background tail of the cosine distribution,
+# uniform across replica pairs (~4.7k per replica combination at sf1) —
+# so the honest fix was geometry, not a prefilter: the occupancy target
+# was halved to 16 (one extra plane per scale), cutting candidate volume
+# ~2x at every corpus size, and the fused quantized_cosine14 kernel
+# removed the per-pair Decimal machinery. Measured slope fell to
+# ~1.7-2.7x, inside the default gate.)
+WAIVERS = {}
 
 # Keys faster than this at the LARGER scale are noise-exempt: a 0.1s ->
 # 0.4s "4x slope" is scheduler jitter, not a scale signal.
