@@ -341,15 +341,39 @@ object IncrementalDedup {
     * shuffle joins handle any batch size. */
   private[graft] val MaxStreamedBatchDocs = 50000L
 
-  /** Flag each new document against the stored corpus. Micro-batches run
-    * the PRUNED probe: one pruned bucket scan (batch side broadcast)
-    * yields candidate pairs, signatures are fetched for candidates only
-    * (pruned again, by doc-id partition), and the minhash agreement
-    * estimate ≥ `threshold` decides. Batches within
-    * 1/[[StreamingBatchFraction]] of the corpus size stream the whole
+  /** Below this corpus size the streamed probe wins for ANY batch size:
+    * the pruned path's floor is ~6 driver-scheduled jobs plus the
+    * layout-directory listings (256 + 64 dirs at the default caps) —
+    * measured 1.8-2.2 s per 500-doc probe against a 46k-doc index —
+    * while the streamed path's one-scan cost is linear in the index
+    * (measured 0.44-0.54 s at the same 46k docs ≈ 46 MB of signatures).
+    * Extrapolating both curves puts the crossover near 150-200k docs;
+    * 2¹⁷ keeps a safety margin on the pruned side. Partition pruning is
+    * the 100-TB design — it just should not tax indexes small enough to
+    * scan outright. */
+  private[graft] val StreamedCorpusDocsFloor = 131072L
+
+  /** The probe-path routing rule, extracted for direct spec coverage:
+    * stream when the index is below [[StreamedCorpusDocsFloor]] (small
+    * enough that one scan undercuts the pruned path's fixed job floor)
+    * OR the batch is a corpus-scale fraction of it — but never past the
+    * broadcast-size batch ceiling. */
+  private[graft] def useStreamedProbe(batchN: Long, corpusApprox: Long): Boolean =
+    (corpusApprox <= StreamedCorpusDocsFloor ||
+      batchN * StreamingBatchFraction >= corpusApprox) &&
+      batchN <= MaxStreamedBatchDocs
+
+  /** Flag each new document against the stored corpus. Micro-batches
+    * against a LARGE index run the PRUNED probe: one pruned bucket scan
+    * (batch side broadcast) yields candidate pairs, signatures are
+    * fetched for candidates only (pruned again, by doc-id partition),
+    * and the minhash agreement estimate ≥ `threshold` decides. Indexes
+    * below [[StreamedCorpusDocsFloor]], and batches within
+    * 1/[[StreamingBatchFraction]] of the corpus size, stream the whole
     * index through one broadcast bucket join instead (first-agree band
-    * dedup, estimate inline — no candidate materialization); both paths
-    * are row-identical (specced).
+    * dedup, estimate inline — no candidate materialization, no pruning
+    * jobs); both paths are row-identical (specced), and
+    * [[useStreamedProbe]] is the measured routing rule.
     *
     * Returns one row per `newDocs` id:
     * (doc_id, is_duplicate, dup_of, match_est) where `dup_of` is the
@@ -375,8 +399,7 @@ object IncrementalDedup {
       .getOrElse(sp.toLong * DocsPerSigDir)
     val corpusApprox = baseN + deltaN
     val matches =
-      if (batchN * StreamingBatchFraction >= corpusApprox &&
-          batchN <= MaxStreamedBatchDocs)
+      if (useStreamedProbe(batchN, corpusApprox))
         streamedMatches(index, batch, threshold)
       else prunedMatches(index, batch, sp, threshold)
     // matches is at most batch-sized (one row per flagged new doc), so
@@ -398,16 +421,25 @@ object IncrementalDedup {
     // derived lazily from the checkpointed batch — a recompute is a
     // per-row explode, cheaper than the eager-checkpoint job it replaces
     val batchB = batchBuckets(batch, p)
-    // the pb set is bounded by min(P, batch·bands) — driver-tiny
-    val pbs = batchB.select("pb").distinct().collect().map(_.getInt(0)).toSeq
+    // the pb set (bounded by min(P, batch·bands)) comes from ONE narrow
+    // collect of the checkpointed batch's bucket arrays — batch·bands
+    // ints — with the pmod applied on the driver: the former
+    // explode→distinct→collect spent a shuffle plus an extra stage per
+    // probe on what is pure arithmetic over driver-tiny data
+    val pbs = batch.select("bkts").collect().iterator
+      .flatMap(_.getSeq[Int](0))
+      .map(b => ((b % p) + p) % p).toSet.toSeq
     val delta = deltaSigs(spark, index.path)
-    // lazy: the spCounts job below materializes nothing, and the final
-    // estimate join recomputes the pruned candidate scan instead of
-    // paying an eager checkpoint job per probe — at micro-batch sizes
-    // the recompute is a bounded pruned read, the barrier is not
+    // lazily local-checkpointed: the spCounts job below materializes the
+    // bounded candidate set (2 ints/row, collision-bounded) as its side
+    // effect, so the final estimate join reads those blocks instead of
+    // re-running the pruned scan + bucket join — one scan execution per
+    // probe, with no standalone checkpoint job (the r7 form re-executed
+    // the scan; the recompute grew with corpus collision density)
     val cand = candidates(spark, index.path, batchB, pbs, delta)
-    // one job yields both the candidate count (broadcast decision) and
-    // the sp dirs the signature fetch must read
+      .localCheckpoint(false)
+    // one job yields the candidate count (broadcast decision) and the sp
+    // dirs the signature fetch must read, and materializes `cand`
     val spCounts = cand
       .groupBy(pmod(col("c_id"), lit(sp.toLong)).cast("int").as("s"))
       .count().collect()

@@ -253,6 +253,21 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(pruned === streamed)
   }
 
+  test("probe routing: streamed below the corpus floor, pruned above, capped by batch size") {
+    import IncrementalDedup.{useStreamedProbe, StreamedCorpusDocsFloor, MaxStreamedBatchDocs, StreamingBatchFraction}
+    // any micro-batch streams while the index is small enough that one
+    // scan undercuts the pruned path's fixed job floor
+    assert(useStreamedProbe(500L, StreamedCorpusDocsFloor))
+    assert(useStreamedProbe(1L, StreamedCorpusDocsFloor))
+    // past the floor, micro-batches go pruned...
+    assert(!useStreamedProbe(500L, StreamedCorpusDocsFloor + 1))
+    // ...but corpus-scale batches still stream
+    val big = StreamedCorpusDocsFloor * 4
+    assert(useStreamedProbe(big / StreamingBatchFraction, big))
+    // the broadcast-size ceiling overrides both stream triggers
+    assert(!useStreamedProbe(MaxStreamedBatchDocs + 1, MaxStreamedBatchDocs + 1))
+  }
+
   test("appended batches are visible to later batches") {
     import spark.implicits._
     val corpus = Seq(
