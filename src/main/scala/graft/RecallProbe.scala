@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorMath
-import graft.operators.{AnnLsh, Ivf}
+import graft.operators.{AdaptiveAnn, AnnLsh, Ivf}
 import graft.sources.Tables
 
 /** Sampled ANN recall telemetry for the bench: recall@k of the two
@@ -83,9 +83,27 @@ object RecallProbe {
     val cells = math.max(2, math.ceil(math.sqrt(n.toDouble)).toInt)
     val cents = Ivf.kmeansCentroids(emb, cells, 8, inputMaterialized = true)
 
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val (lshDefault, lshDefaultSecs) =
+      timed(collectHits(AnnLsh.topKBatch(emb, qids, k)))
+    val (ivfDefault, ivfDefaultSecs) =
+      timed(collectHits(Ivf.topKBatch(emb, cents, qids, k)))
+    // the concentration-escalation dial (AdaptiveAnn): on this
+    // background corpus every query escalates, so its recall must track
+    // the wide point and its cost ratio (vs the default probe) is the
+    // measured price of the recall floor; on the planted corpus nothing
+    // escalates, so recall and cost track the default
+    val (lshAuto, lshAutoSecs) =
+      timed(collectHits(AdaptiveAnn.lshTopKBatchAuto(emb, qids, k)))
+    val (ivfAuto, ivfAutoSecs) =
+      timed(collectHits(AdaptiveAnn.ivfTopKBatchAuto(emb, cents, qids, k)))
+
     Map(
-      "sim_ann_lsh" ->
-        recallOf(collectHits(AnnLsh.topKBatch(emb, qids, k)), truth),
+      "sim_ann_lsh" -> recallOf(lshDefault, truth),
       "sim_ann_lsh_wide" ->
         recallOf(collectHits(
           AnnLsh.topKBatch(emb, qids, k, planes = 5)), truth),
@@ -93,13 +111,24 @@ object RecallProbe {
       // the pre-append ones — the appendToIndex serving shape)
       "sim_ann_lsh_planted" ->
         recallOf(collectHits(AnnLsh.topKBatch(augmented, qids, k)), truthPlanted),
-      "sim_ivf" ->
-        recallOf(collectHits(Ivf.topKBatch(emb, cents, qids, k)), truth),
+      "sim_ann_lsh_auto" -> recallOf(lshAuto, truth),
+      "sim_ann_lsh_auto_planted" ->
+        recallOf(collectHits(
+          AdaptiveAnn.lshTopKBatchAuto(augmented, qids, k)), truthPlanted),
+      "sim_ann_lsh_auto_cost_x" ->
+        (if (lshDefaultSecs > 0) lshAutoSecs / lshDefaultSecs else -1.0),
+      "sim_ivf" -> recallOf(ivfDefault, truth),
       "sim_ivf_wide" ->
         recallOf(collectHits(
           Ivf.topKBatch(emb, cents, qids, k, nprobe = Ivf.wideNprobe(cells))), truth),
       "sim_ivf_planted" ->
-        recallOf(collectHits(Ivf.topKBatch(augmented, cents, qids, k)), truthPlanted))
+        recallOf(collectHits(Ivf.topKBatch(augmented, cents, qids, k)), truthPlanted),
+      "sim_ivf_auto" -> recallOf(ivfAuto, truth),
+      "sim_ivf_auto_planted" ->
+        recallOf(collectHits(
+          AdaptiveAnn.ivfTopKBatchAuto(augmented, cents, qids, k)), truthPlanted),
+      "sim_ivf_auto_cost_x" ->
+        (if (ivfDefaultSecs > 0) ivfAutoSecs / ivfDefaultSecs else -1.0))
   }
 
   private def groupTopK(scored: org.apache.spark.sql.DataFrame,
