@@ -38,7 +38,9 @@ object Plans {
         "global top-k as per-partition TakeOrdered merge"),
       "dd_embedding" -> ("embedding near-dup scale path: native " +
         "embedding_lsh_buckets kernel, bucket self-join on (t,bucket) ints " +
-        "only, double prefilter then exact decimal cosine on candidates"),
+        "only, per-pair verify through the fused quantized_cosine14 kernel " +
+        "(one primitive int loop + one division; per-vector sqrt-norms " +
+        "hoisted above the pair join)"),
       "dd_cluster" -> ("exact cluster sweep: one shared tokenization pass " +
         "(norm-hash rep collapse + signatures + token verify all read it), " +
         "banded-LSH candidates with first-agree dedup + signature " +
@@ -51,7 +53,12 @@ object Plans {
       "sim_ivf" -> ("pruned probe of the PERSISTED cell-partitioned index: " +
         "the nprobe cell list lands in the scan's PartitionFilters (only " +
         "those directories are read), exact cosine re-rank on the pruned " +
-        "rows — a lookup costs nprobe directories, not a corpus scan"),
+        "rows — a lookup costs nprobe directories, not a corpus scan. " +
+        "Dumped at sf0.1, where the row-budget default resolves to " +
+        "nprobe=13 of 45 cells, so the INSET below is a STRICT subset " +
+        "(at sf0.01's 500-row corpus the budget legitimately covers all " +
+        "23 cells — a full probe of a tiny index is the correct dial, " +
+        "but it demonstrates nothing about pruning)"),
       "dd_incremental" -> ("incremental ingest dedup: the batch side " +
         "(signatures + exploded band buckets) is broadcast; the stored " +
         "corpus signatures stream through ONE scan with no shuffle; " +
@@ -84,8 +91,11 @@ object Plans {
     sb.append("# PLANS — physical plans of the headline queries\n\n")
     sb.append("Generated by `sbt 'runMain graft.Plans'` at sf0.01; the\n")
     sb.append("properties called out here are pinned by PlanQualitySpec.\n")
+    // sim_ivf dumps at sf0.1: nprobe < cells there, so the pinned
+    // PartitionFilters evidence shows a strict-subset INSET
+    val dirOverrides = Map("sim_ivf" -> "/root/testdata/sf0.1")
     picks.foreach { case (name, note) =>
-      val df = SparkEntry.queries(name)(spark, dir)
+      val df = SparkEntry.queries(name)(spark, dirOverrides.getOrElse(name, dir))
       sb.append(s"\n## $name\n\n$note\n\n```\n")
       sb.append(df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))

@@ -23,14 +23,27 @@ class PersistedIndexSpec extends AnyFunSuite {
       .select("embedding").head.getSeq[Float](0).toArray
 
   /** The probe plan's scan must carry a non-empty partition filter over
-    * the given column — pruning happens at planning, not post-scan. */
+    * the given column — pruning happens at planning, not post-scan.
+    * With `strictUnder` set, the filter's INSET must also name FEWER
+    * values than the full partition domain: presence alone would pass a
+    * degenerate all-cells list, which reads every directory and
+    * demonstrates nothing. */
   private def assertPartitionPruned(df: org.apache.spark.sql.DataFrame,
-      partCol: String): Unit = {
+      partCol: String, strictUnder: Option[Int] = None): Unit = {
     val plan = df.queryExecution.executedPlan.toString
     val pf = "PartitionFilters: \\[([^\\]]*)\\]".r
       .findFirstMatchIn(plan).map(_.group(1))
     assert(pf.exists(f => f.contains(partCol) && f.trim.nonEmpty),
       s"no $partCol partition filter at the scan:\n$plan")
+    strictUnder.foreach { domain =>
+      val inset = s"$partCol[^ ]* IN(SET)? \\(?([0-9, ]+)".r
+        .findFirstMatchIn(pf.get).map(_.group(2))
+      assert(inset.nonEmpty, s"no INSET over $partCol in: ${pf.get}")
+      val values = inset.get.split(",").count(_.trim.nonEmpty)
+      assert(values < domain,
+        s"partition filter names all $values of $domain $partCol values " +
+          s"(a full-domain INSET prunes nothing): ${pf.get}")
+    }
   }
 
   test("persisted IVF probe prunes cell partitions and matches the in-memory path") {
@@ -42,7 +55,9 @@ class PersistedIndexSpec extends AnyFunSuite {
 
     val probe = Ivf.topKVec(idx, embVec(0L), 10, nprobe = 3,
       excludeId = Some(0L))
-    assertPartitionPruned(probe, "cell")
+    // a strict subset of the 16 cells — nprobe=3 must plan as a 3-value
+    // INSET, never a full-domain list
+    assertPartitionPruned(probe, "cell", strictUnder = Some(16))
 
     val got = probe.collect().map(r =>
       (r.getAs[Long]("vec_id"), r.getAs[String]("label"), r.getAs[Double]("cosine")))
