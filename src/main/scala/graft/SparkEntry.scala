@@ -176,6 +176,14 @@ object SparkEntry {
     "tx_pii" -> ((s, dir) => TextAnalysis.piiScan(Tables.documents(s, dir))),
     "tx_repetition" -> ((s, dir) =>
       TextAnalysis.repetitionSignals(Tables.documents(s, dir))),
+    // corpus-bigram LM fluency proxy: mean corpus frequency of the doc's
+    // bigrams (integers + one division — the log-free CCNet analog)
+    "tx_lm_score" -> ((s, dir) =>
+      TextAnalysis.lmScore(Tables.documents(s, dir))),
+    // per-doc top-3 tf·idf salient terms (linear idf — log-free so the
+    // score is two IEEE ops and the oracle bit-exact)
+    "tx_tfidf" -> ((s, dir) =>
+      TextAnalysis.salientTerms(Tables.documents(s, dir))),
     "tx_corpus_stats" -> ((s, dir) =>
       TextAnalysis.corpusStats(Tables.documents(s, dir))),
     // the composed curation gate: quality + repetition + PII in ONE scan
@@ -187,6 +195,10 @@ object SparkEntry {
     "ds_sample" -> ((s, dir) =>
       Sampling.stratifiedSample(Tables.documents(s, dir),
         Map("src0" -> 50, "src1" -> 0), defaultPct = 10)),
+    // deterministic train/val/test carve: fixed Lehmer residue ranges per
+    // split, so the holdout set is reproducible cross-run and cross-engine
+    "ds_split" -> ((s, dir) =>
+      Sampling.splitAssignments(Tables.documents(s, dir))),
     // decontamination sweep: every 97th doc plays the held-out benchmark
     // set; the rest of the corpus scores its distinct 3-gram containment
     // against the broadcast benchmark gram array (no corpus shuffle);
@@ -1231,6 +1243,54 @@ object SparkEntry {
         |SELECT doc_id, source, n_chars, sample_key, sample_pct
         |FROM k WHERE sample_key % 100 < sample_pct
         |ORDER BY doc_id""".stripMargin,
+
+    // bigram build shared verbatim with tx_ngram_freq's twin (short docs
+    // yield one truncated gram in both engines — the word_ngrams
+    // contract); sum/count are integers, the mean one double division
+    "tx_lm_score" ->
+      """WITH g AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |           generate_series(0, greatest(len(string_split(text, ' ')) - 2, 0)),
+        |           i -> array_to_string((string_split(text, ' '))[i+1:i+2], ' '))) AS gram
+        |  FROM documents),
+        |m AS (SELECT gram, CAST(count(*) AS BIGINT) AS gram_freq FROM g GROUP BY gram)
+        |SELECT g.doc_id,
+        |       CAST(count(*) AS BIGINT) AS n_grams,
+        |       CAST(sum(m.gram_freq) AS BIGINT) AS sum_freq,
+        |       CAST(sum(m.gram_freq) AS DOUBLE) / count(*) AS avg_gram_freq
+        |FROM g JOIN m USING (gram)
+        |GROUP BY g.doc_id
+        |ORDER BY g.doc_id""".stripMargin,
+
+    // tf in-row over the token list, df via distinct (doc, term) counts,
+    // linear idf N/df — score shape tf * (N / df) shared with the Spark
+    // side (parens matter: one divide then one multiply)
+    "tx_tfidf" ->
+      """WITH tr AS (
+        |  SELECT doc_id, t.term,
+        |         CAST(len(list_filter(string_split(text, ' '), x -> x = t.term)) AS BIGINT) AS tf
+        |  FROM documents, unnest(list_distinct(string_split(text, ' '))) AS t(term)),
+        |d AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tr GROUP BY term),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+        |s AS (
+        |  SELECT tr.doc_id, tr.term, tr.tf, d.df,
+        |         CAST(tr.tf AS DOUBLE) * (n.n_docs / CAST(d.df AS DOUBLE)) AS tfidf
+        |  FROM tr JOIN d USING (term) CROSS JOIN n),
+        |r AS (SELECT s.*, CAST(row_number() OVER (PARTITION BY doc_id
+        |                       ORDER BY tfidf DESC, term) AS INTEGER) AS rank FROM s)
+        |SELECT doc_id, rank, term, tf, df, tfidf
+        |FROM r WHERE rank <= 3
+        |ORDER BY doc_id, rank""".stripMargin,
+
+    // the same Lehmer key walked through cumulative split thresholds:
+    // test = residues 0-1, val = 2-3, train = the rest
+    "ds_split" ->
+      """SELECT doc_id, source,
+        |       (doc_id * 48271) % 2147483647 AS sample_key,
+        |       CASE WHEN ((doc_id * 48271) % 2147483647) % 100 < 2 THEN 'test'
+        |            WHEN ((doc_id * 48271) % 2147483647) % 100 < 4 THEN 'val'
+        |            ELSE 'train' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // distinct 3-gram containment vs the benchmark docs (doc_id % 97 = 0):
     // same token windows as the Spark side (short docs yield one short

@@ -33,6 +33,43 @@ object Sampling {
     df.filter(sampleKey(col(idCol)) % 100 < pct)
   }
 
+  /** Deterministic train/val/test split assignment — the holdout-carving
+    * pass of a training-data pipeline, where "which rows are eval" must be
+    * reproducible across runs, engines and cluster layouts (a holdout that
+    * drifts between pipeline versions silently contaminates evals).
+    *
+    * `splits` is an ordered (name, pct) list; each row's Lehmer key residue
+    * class `key % 100` is walked through the cumulative pct thresholds and
+    * the remainder falls to `defaultSplit`. Assignment is a pure per-row
+    * expression (no shuffle, no RNG state), and because every split owns a
+    * FIXED residue range, growing one split's pct only moves boundary
+    * residue classes — the earlier splits' membership is stable under
+    * later-split growth, and a split at p% is always a superset of the
+    * same split at q% < p (specced). */
+  def assignSplits(df: DataFrame, idCol: String,
+      splits: Seq[(String, Int)], defaultSplit: String = "train"): DataFrame = {
+    require(splits.nonEmpty, "splits must name at least one (name, pct)")
+    require(splits.forall { case (_, p) => p >= 0 && p <= 100 },
+      "every split pct must be in [0,100]")
+    require(splits.map(_._2).sum <= 100,
+      s"split pcts sum to ${splits.map(_._2).sum} > 100")
+    val bucket = sampleKey(col(idCol)) % 100
+    val cums = splits.scanLeft(0) { case (acc, (_, p)) => acc + p }.tail
+    val assign = splits.zip(cums).foldRight(lit(defaultSplit): Column) {
+      case (((name, _), cum), acc) => when(bucket < cum, lit(name)).otherwise(acc)
+    }
+    df.withColumn("sample_key", sampleKey(col(idCol)))
+      .withColumn("split", assign)
+  }
+
+  /** Query view of [[assignSplits]] over the documents table: the standard
+    * 2% test / 2% val carve with everything else in train. */
+  def splitAssignments(documents: DataFrame, testPct: Int = 2,
+      valPct: Int = 2): DataFrame =
+    assignSplits(documents, "doc_id", Seq("test" -> testPct, "val" -> valPct))
+      .select("doc_id", "source", "sample_key", "split")
+      .orderBy("doc_id")
+
   /** Stratified deterministic sample over the documents table: per-source
     * percentage rates (defaulting to `defaultPct`), the mixture-weighting
     * pass of an LLM data pipeline. Emits the surviving rows with their

@@ -191,6 +191,39 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Corpus-LM fluency scoring — the quality signal CCNet-style pipelines
+    * compute with a reference language model: documents whose n-grams are
+    * COMMON across the corpus read as fluent/natural, documents built from
+    * rare or garbled n-grams score low and get filtered (or routed to a
+    * heavier quality model). Here the "LM" is the corpus's own bigram
+    * table, and the score an exact arithmetic mean of corpus-wide bigram
+    * frequencies — integers plus ONE double division, so the oracle
+    * reproduces it bit-for-bit (a log-perplexity variant would hit libm
+    * differences between engines; the mean-frequency form ranks documents
+    * identically for the filter's purpose).
+    *
+    * Shape at scale: classic two-pass word-count — per-row n-gram build
+    * (native word_ngrams kernel) into a map-side-combined count aggregate
+    * (the "model"), then the same gram stream joins the model and
+    * re-aggregates per document. Three narrow shuffles (gram counts, the
+    * gram join, the per-doc roll-up); gram rows carry (doc_id, gram) only.
+    * Documents shorter than `n` tokens keep word_ngrams' one truncated
+    * gram (the tx_ngram_freq contract), so every document stays in the
+    * quality report. */
+  def lmScore(documents: DataFrame, n: Int = 2): DataFrame = {
+    val grams = documents.select(col("doc_id"),
+      explode(org.apache.spark.sql.graft.ColumnBridge
+        .wordNGrams(col("text"), n)).as("gram"))
+    val model = grams.groupBy("gram").agg(count(lit(1)).as("gram_freq"))
+    grams.join(model, "gram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"), sum(col("gram_freq")).as("sum_freq"))
+      .withColumn("avg_gram_freq",
+        col("sum_freq").cast("double") / col("n_grams"))
+      .select("doc_id", "n_grams", "sum_freq", "avg_gram_freq")
+      .orderBy("doc_id")
+  }
+
   /** Repetition signals — the within-document repetition filters of the
     * Gopher/MassiveText quality rules: the fraction of all token 2-grams
     * claimed by the single most frequent 2-gram, and the fraction of
@@ -234,6 +267,44 @@ object TextAnalysis {
       .withColumn("repetitive",
         col("top_2gram_fraction") > top2Max
           || col("top_token_fraction") > topTokMax)
+  }
+
+  /** Per-document salient terms — tf·idf keyword extraction, the ranking
+    * pass behind corpus topic profiling, near-dup triage and retrieval
+    * indexing. Emits each document's top-`k` distinct terms by
+    * tf · (N / df): term frequency computed IN-ROW over the bounded token
+    * array (the withRepetition trick — quadratic in the document, linear
+    * in the corpus), document frequency from one map-side-combined count
+    * over distinct (doc, term) rows, N broadcast as a single-row count.
+    * The idf is the LINEAR form N/df rather than log(N/df): the ranking a
+    * filter consumes is order-isomorphic for fixed tf (both decrease in
+    * df), and the score stays two IEEE ops (one divide, one multiply) so
+    * the DuckDB oracle reproduces it bit-for-bit — a log would hit libm
+    * rounding differences between engines (SURVEY §4).
+    *
+    * Shape at scale: explode distinct terms (one row per (doc, term)), df
+    * aggregate, term join, and the per-doc top-k window — three shuffles,
+    * all on narrow (doc_id, term, counts) rows; ties break on the term
+    * string so any cut is deterministic. */
+  def salientTerms(documents: DataFrame, k: Int = 3): DataFrame = {
+    val toks = split(col("text"), " ")
+    val termRows = documents.select(col("doc_id"),
+        explode(transform(array_distinct(toks), t =>
+          struct(t.as("term"),
+            size(filter(toks, x => x === t)).cast("long").as("tf")))).as("tt"))
+      .select(col("doc_id"), col("tt.term").as("term"), col("tt.tf").as("tf"))
+    val dfTab = termRows.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = documents.agg(count(lit(1)).cast("double").as("n_docs"))
+    val scored = termRows.join(dfTab, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        col("tf").cast("double") * (col("n_docs") / col("df").cast("double")))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("doc_id", "rank", "term", "tf", "df", "tfidf")
+      .orderBy("doc_id", "rank")
   }
 
   /** Corpus-level boilerplate mining — n-grams shared VERBATIM across

@@ -206,6 +206,87 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(ids.last._2.size.toLong === docs.count())
   }
 
+  test("lm score: common-phrasing docs outrank garbled ones; mean is exact") {
+    val base = Seq(
+      (1L, "the quick brown fox", "s"),
+      (2L, "the quick brown fox", "s"),
+      (3L, "the quick brown fox", "s"),
+      (4L, "zxq wvu tsr qpo", "s"),      // bigrams unique in the corpus
+      (5L, "one", "s"))                  // short doc: one truncated gram
+      .toDF("doc_id", "text", "source")
+    val out = TextAnalysis.lmScore(base).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // short docs keep word_ngrams' one truncated gram (the same contract
+    // as tx_ngram_freq / dd_contamination), so no document silently
+    // vanishes from the quality report
+    assert(out(5L).getAs[Long]("n_grams") === 1L)
+    // docs 1-3 share every bigram (freq 3 each); doc 4's are singletons
+    Seq(1L, 2L, 3L).foreach { id =>
+      assert(out(id).getAs[Double]("avg_gram_freq") === 3.0)
+      assert(out(id).getAs[Long]("n_grams") === 3L)
+    }
+    assert(out(4L).getAs[Double]("avg_gram_freq") === 1.0)
+    // the mean is sum/count exactly
+    out.values.foreach { r =>
+      assert(r.getAs[Double]("avg_gram_freq") ===
+        r.getAs[Long]("sum_freq").toDouble / r.getAs[Long]("n_grams"))
+    }
+  }
+
+  test("salient terms: rare terms outrank common ones, ties break on term") {
+    val base = Seq(
+      (1L, "common common common rare", "s"),
+      (2L, "common other", "s"),
+      (3L, "common other", "s"))
+      .toDF("doc_id", "text", "source")
+    val out = TextAnalysis.salientTerms(base, k = 2).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    // doc 1: 'rare' df=1 tf=1 → 3.0; 'common' df=3 tf=3 → 3.0; the tie
+    // breaks lexicographically ('common' < 'rare')
+    val d1 = out(1L).sortBy(_.getAs[Int]("rank"))
+    assert(d1.map(_.getAs[String]("term")).toSeq === Seq("common", "rare"))
+    assert(d1.map(_.getAs[Double]("tfidf")).toSeq === Seq(3.0, 3.0))
+    // docs 2/3: 'other' (df=2, tf=1 → 1.5) beats 'common' (df=3 → 1.0)
+    Seq(2L, 3L).foreach { id =>
+      val rows = out(id).sortBy(_.getAs[Int]("rank"))
+      assert(rows.map(_.getAs[String]("term")).toSeq === Seq("other", "common"))
+      assert(rows.head.getAs[Double]("tfidf") === 1.5)
+    }
+    // every doc emits at most k rows with dense ranks from 1
+    out.values.foreach { rows =>
+      assert(rows.length <= 2)
+      assert(rows.map(_.getAs[Int]("rank")).sorted.toSeq === (1 to rows.length))
+    }
+  }
+
+  test("split assignment: exhaustive, disjoint, reproducible, stable holdouts") {
+    import graft.operators.Sampling
+    val out = Sampling.splitAssignments(docs).collect()
+    // every doc gets exactly one split — the assignment partitions the corpus
+    assert(out.length.toLong === docs.count())
+    val bySplit = out.groupBy(_.getAs[String]("split"))
+    assert(bySplit.keySet.subsetOf(Set("train", "val", "test")))
+    assert(bySplit.values.map(_.length).sum === out.length)
+    // reproducible: a second run yields bit-identical assignments
+    val again = Sampling.splitAssignments(docs).collect()
+    assert(out.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+    // a split's membership at p% contains its membership at q% < p —
+    // growing the eval carve never swaps holdout rows, only adds
+    val test2 = bySplit.getOrElse("test", Array.empty)
+      .map(_.getAs[Long]("doc_id")).toSet
+    val test6 = Sampling.splitAssignments(docs, testPct = 6).collect()
+      .filter(_.getAs[String]("split") == "test")
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(test2.subsetOf(test6))
+    // guards: pcts must be sane
+    intercept[IllegalArgumentException] {
+      Sampling.assignSplits(docs, "doc_id", Seq("a" -> 60, "b" -> 60))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.assignSplits(docs, "doc_id", Seq.empty)
+    }
+  }
+
   test("contamination: a corpus scanned against itself is fully contaminated") {
     val some = docs.filter(col("doc_id") < 50)
     val out = graft.operators.Contamination.scan(some, some).collect()
