@@ -137,6 +137,10 @@ object SparkEntry {
     // LlmOpsSpec) but no longer run as query keys, because their O(m²/
     // blocks) plans are exactly what the scale design exists to avoid.
     "dd_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir))),
+    // directional subset-duplication (|A∩B|/|A| >= 0.8): prefix-filter
+    // candidates are EXACT, so the oracle is the plain all-pairs form
+    "dd_containment" -> ((s, dir) =>
+      Dedup.containment(Tables.documents(s, dir))),
     "dd_embedding" -> ((s, dir) => Dedup.embeddingNearDupLsh(Tables.embeddings(s, dir))),
     "sim_topk" -> ((s, dir) => Similarity.bruteForceTopK(Tables.embeddings(s, dir), 0L, 20)),
     // frame-sampling plumbing: fixed windows at a regular stride, digested
@@ -1261,6 +1265,25 @@ object SparkEntry {
         |FROM g JOIN m USING (gram)
         |GROUP BY g.doc_id
         |ORDER BY g.doc_id""".stripMargin,
+
+    // exhaustive twin of the prefix-filtered containment join (the prefix
+    // candidates have zero false negatives, so all-pairs is the same set);
+    // the threshold is the shared integer predicate, exact in both engines
+    "dd_containment" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |         list_sort(list_distinct(list_transform(
+        |           generate_series(0, greatest(len(string_split(text, ' ')) - 3, 0)),
+        |           i -> array_to_string((string_split(text, ' '))[i+1:i+3], ' ')))) AS toks
+        |  FROM documents),
+        |t AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM g)
+        |SELECT a.doc_id AS contained_id, b.doc_id AS container_id,
+        |       a.n AS n_a, b.n AS n_b,
+        |       CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS n_common,
+        |       CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / a.n AS containment
+        |FROM t a JOIN t b ON a.doc_id <> b.doc_id
+        |WHERE len(list_intersect(a.toks, b.toks)) * 100 >= 80 * a.n
+        |ORDER BY contained_id, container_id""".stripMargin,
 
     // tf in-row over the token list, df via distinct (doc, term) counts,
     // linear idf N/df — score shape tf * (N / df) shared with the Spark

@@ -208,6 +208,85 @@ object Dedup {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** Directional containment near-dup pairs — |A∩B| / |A| ≥ `threshold`
+    * over distinct word-`n`-gram shingle sets: the SUBSET-duplication
+    * detector. A document quoted wholesale inside a larger one (news wire
+    * + site chrome, a doc plus appended boilerplate) has Jaccard
+    * |A∩B|/|A∪B| ≈ |A|/|B| — far below any near-dup threshold — so the
+    * symmetric families (MinHash/SimHash) structurally miss it;
+    * containment is the standard complement a training-data pipeline runs
+    * beside them. Shingles (not single tokens) are the unit: on a
+    * shared-vocabulary corpus token-SET containment is dense vocabulary
+    * overlap (measured: ~58% of all ordered pairs at τ=0.8 on the test
+    * corpus), while n-gram containment means B reproduces A's actual
+    * phrasing — sparse, and the thing a dedup pass is after.
+    *
+    * EXACT by construction via prefix filtering (the PPJoin family): order
+    * each doc's tokens by ascending global document frequency (rarest
+    * first, ties on the token string) and emit only its first
+    * n − ⌈τ·n⌉ + 1 tokens as probe keys. If |A∩B| ≥ τ|A| then fewer than
+    * n − ⌈τ·n⌉ + 1 of A's tokens lie outside B, so by pigeonhole at least
+    * one PREFIX token of A is in B — the candidate join (A-prefix tokens ×
+    * B-all tokens) has zero false negatives, and the verify stage's exact
+    * integer predicate (n_common·100 ≥ τ₁₀₀·n_a) decides. The DuckDB
+    * oracle is therefore the plain exhaustive all-pairs form — bit-exact.
+    *
+    * Scale shape: one tokenization pass (materialized), a narrow df
+    * aggregate, the per-doc ordered-prefix rebuild (one shuffle of
+    * (token, df) rows), the candidate equi-join on prefix tokens, and
+    * token-array verify joins only for surviving candidate ids. Probe
+    * keys are each doc's RAREST tokens, so candidate volume tracks
+    * rare-token co-occurrence, not corpus². Degenerate corpora (every doc
+    * drawn from the same tiny vocabulary) make prefixes common tokens —
+    * but such corpora are containment-duplicates of each other, so the
+    * candidate volume is output-bound, not a silent blow-up. */
+  def containment(documents: DataFrame, threshold: Double = 0.8,
+      n: Int = 3): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0,1] (got $threshold)")
+    val t100 = math.round(threshold * 100)
+    val toks = Contamination.gramSets(documents, n)
+      .select(col("doc_id"), array_sort(col("grams")).as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .localCheckpoint(true)
+    val tokRows = toks.select(col("doc_id"), col("n"),
+      explode(col("toks")).as("token"))
+    val dfTab = tokRows.groupBy("token").agg(count(lit(1)).as("df"))
+    // rebuild each doc's tokens ordered by (df, token); keep the
+    // n − ⌈τ·n⌉ + 1 rarest as probe keys (exact in double: values ≪ 2^53)
+    val prefLen = (col("n")
+      - floor((lit(t100) * col("n") + lit(99L)) / lit(100.0)).cast("long")
+      + lit(1L)).cast("int")
+    val prefix = tokRows.join(dfTab, "token")
+      .groupBy("doc_id", "n")
+      .agg(array_sort(collect_list(struct(col("df"), col("token")))).as("ord"))
+      .select(col("doc_id").as("doc_a"),
+        explode(slice(col("ord"), lit(1), prefLen)).as("p"))
+      .select(col("doc_a"), col("p.token").as("token"))
+    val cand = prefix
+      .join(tokRows.select(col("doc_id").as("doc_b"), col("token")), "token")
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val a = toks.select(col("doc_id").as("doc_a"),
+      col("toks").as("toks_a"), col("n").as("n_a"))
+    val b = toks.select(col("doc_id").as("doc_b"),
+      col("toks").as("toks_b"), col("n").as("n_b"))
+    cand.join(a, "doc_a").join(b, "doc_b")
+      // size prefilter ahead of the intersect kernel: A∩B ≤ |B|, so
+      // containment ≥ τ needs |B|·100 ≥ τ₁₀₀·|A| — pairs the size gap
+      // rules out never run the O(n+m) merge
+      .filter(col("n_b") * lit(100L) >= lit(t100) * col("n_a"))
+      .select(col("doc_a").as("contained_id"), col("doc_b").as("container_id"),
+        col("n_a"), col("n_b"),
+        org.apache.spark.sql.graft.ColumnBridge
+          .sortedIntersectCount(col("toks_a"), col("toks_b"))
+          .cast("long").as("n_common"))
+      .filter(col("n_common") * lit(100L) >= lit(t100) * col("n_a"))
+      .withColumn("containment",
+        col("n_common").cast("double") / col("n_a"))
+      .orderBy("contained_id", "container_id")
+  }
+
   /** Full exact dedup-cluster sweep at `threshold`, with exact-duplicate
     * collapse first: docs sharing a normalized token set are represented
     * by their min doc_id, the (much smaller) representative corpus runs

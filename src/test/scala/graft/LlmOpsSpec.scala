@@ -206,6 +206,47 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(ids.last._2.size.toLong === docs.count())
   }
 
+  test("containment: catches subset duplication Jaccard misses; equals exhaustive") {
+    // B swallows A whole (plus 16 extra tokens): containment(A→B) = 1.0
+    // while jaccard = 4/20 = 0.2 — structurally invisible to the
+    // symmetric near-dup families
+    val extra = (1 to 16).map(i => s"filler$i").mkString(" ")
+    val base = Seq(
+      (1L, "alpha beta gamma delta", "s"),
+      (2L, s"alpha beta gamma delta $extra", "s"),
+      (3L, "unrelated words entirely here", "s"))
+      .toDF("doc_id", "text", "source")
+    val out = Dedup.containment(base, 0.9).collect()
+      .map(r => (r.getAs[Long]("contained_id"), r.getAs[Long]("container_id")) -> r)
+      .toMap
+    assert(out.keySet === Set((1L, 2L))) // directional: A⊂B only, B⊄A
+    assert(out((1L, 2L)).getAs[Double]("containment") === 1.0)
+    assert(out((1L, 2L)).getAs[Long]("n_common") === 2L) // A's two 3-grams
+
+    // prefix-filter completeness: identical to the exhaustive all-pairs
+    // form on real documents (3-gram shingle sets, word_ngrams contract:
+    // short docs yield one truncated gram)
+    val docs001 = docs.limit(200).cache()
+    val got = Dedup.containment(docs001, 0.8).collect()
+      .map(r => (r.getAs[Long]("contained_id"), r.getAs[Long]("container_id"),
+        r.getAs[Long]("n_common")))
+      .toSet
+    def gramSet(text: String): Set[String] = {
+      val t = text.split(" ", -1)
+      if (t.length <= 3) Set(t.mkString(" "))
+      else t.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val tokSets = docs001.collect().map(r =>
+      r.getAs[Long]("doc_id") -> gramSet(r.getAs[String]("text"))).toMap
+    val want = (for {
+      (ia, ta) <- tokSets; (ib, tb) <- tokSets if ia != ib
+      common = (ta intersect tb).size.toLong
+      if common * 100 >= 80 * ta.size.toLong
+    } yield (ia, ib, common)).toSet
+    assert(got === want)
+    assert(want.nonEmpty, "exhaustive ground truth should find pairs here")
+  }
+
   test("lm score: common-phrasing docs outrank garbled ones; mean is exact") {
     val base = Seq(
       (1L, "the quick brown fox", "s"),
