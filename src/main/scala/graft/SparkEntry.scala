@@ -252,15 +252,19 @@ object SparkEntry {
       TextAnalysis.regexTokenStats(Tables.documents(s, dir))),
     // clusters over the UNSUPERVISED scale path: exact-dup collapse →
     // banded-LSH candidates → exact verify at j >= 0.9 → min-label
-    // components — no blocked quadratic join anywhere in the plan
-    // (cluster equality with an exhaustive pair scan specced in
+    // components — no blocked quadratic join anywhere in the plan.
+    // Oracle since r8: every stage is LCG/integer-exact, and the DuckDB
+    // twin runs the components as a recursive-CTE closure (cluster
+    // equality with an exhaustive pair scan remains specced in
     // ClusterIvfSpec)
     "dd_cluster" -> ((s, dir) => Dedup.clusterExact(Tables.documents(s, dir), 0.9)),
     // incremental ingest dedup: every 5th doc arrives as the "new batch"
     // and is probed against the persisted signature index of the rest
-    // (batch broadcast, one corpus-signature scan, estimate decides;
-    // rows-only — murmur3 signatures have no DuckDB twin; equality vs the
-    // brute-force bipartite form + append round-trip specced)
+    // (batch broadcast, one corpus-signature scan, estimate decides).
+    // Oracle since r8's LCG hash family: the DuckDB twin rebuilds the
+    // bipartite probe — shared band bucket + agreement est >= 0.9 —
+    // bit-exactly (equality vs the brute-force bipartite form + append
+    // round-trip remain specced)
     "dd_incremental" -> ((s, dir) => {
       import org.apache.spark.sql.functions.col
       IncrementalDedup.dedupAgainst(sigIndexFor(s, dir),
@@ -440,14 +444,22 @@ object SparkEntry {
     * dedup), and the signature-agreement estimate m/128 (exact in
     * binary). Hub-star degradation cannot fire at oracle scale (bucket
     * cap 4096 > corpus), so the guarded and exhaustive forms coincide. */
-  private lazy val minhashOracleSql: String = {
+  /** The shared hs → sigs → banded CTE chain at the given banding (128
+    * hashes split into `bands` bands of 128/bands rows) — the bit-exact
+    * DuckDB twin of MinHashLsh.signatures + bandBuckets. Composed by the
+    * self-join (dd_minhash_lsh, 8 bands) and bipartite (dd_incremental,
+    * 16 bands — saveSignatures' default) oracles. */
+  private def minhashCtes(bands: Int, prelude: String = "",
+      src: String = "documents", recursive: Boolean = false): String = {
     val p = 2147483647L
     val a = org.apache.spark.sql.graft.TokenHashes.BandMixA
+    val rows = 128 / bands
+    val rec = if (recursive) "RECURSIVE " else ""
     val sigExprs = graft.operators.MinHashLsh.cwParams(128).map {
       case (ai, bi) =>
         s"list_min(list_transform(hs, h -> ($ai * h + $bi) % $p))"
     }.mkString(",\n      ")
-    s"""WITH hs AS (
+    s"""WITH $rec$prelude hs AS (
        |  SELECT doc_id,
        |    list_transform(list_distinct(string_split(text, ' ')), t ->
        |      CASE WHEN length(t) = 0 THEN 0
@@ -456,16 +468,20 @@ object SparkEntry {
        |               i -> unicode(substr(t, i, 1))::BIGINT),
        |             (acc, c) -> (acc * 31 + c) % $p)
        |      END) AS hs
-       |  FROM documents),
+       |  FROM $src),
        |sigs AS (
        |  SELECT doc_id, [
        |      $sigExprs
        |    ] AS sig FROM hs),
        |banded AS (
        |  SELECT doc_id, band,
-       |    list_reduce([band::BIGINT] || sig[band*16+1 : band*16+16],
+       |    list_reduce([band::BIGINT] || sig[band*$rows+1 : band*$rows+$rows],
        |      (acc, v) -> (acc * $a + v) % $p) AS bucket
-       |  FROM sigs CROSS JOIN (SELECT unnest(range(8)) AS band)),
+       |  FROM sigs CROSS JOIN (SELECT unnest(range($bands)) AS band))""".stripMargin
+  }
+
+  private lazy val minhashOracleSql: String = {
+    s"""${minhashCtes(8)},
        |cand AS (
        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
        |  FROM banded x JOIN banded y
@@ -478,6 +494,93 @@ object SparkEntry {
        |JOIN sigs sb ON sb.doc_id = cand.doc_b
        |WHERE len(list_filter(range(1, 129), i -> sa.sig[i] = sb.sig[i]))::DOUBLE / 128 >= 0.95
        |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** DuckDB twin of the full IVF pipeline behind sim_ivf / sim_ivf_batch:
+    * Lloyd's k-means REPLAYED in SQL — Lehmer-key init (the engine-neutral
+    * seed Ivf.kmeansCentroids uses), then `iters` unrolled rounds of
+    * (assignment, mean) CTEs, then the probe.
+    *
+    * Why every stage reproduces bit-for-bit (SURVEY §4 machinery):
+    *  - assignment = argmax of dot(vec, cᵢ)·invNormᵢ with ties to the
+    *    smaller index: both engines run the same ascending-index
+    *    left-to-right double chain (list_sum folds sequentially — the
+    *    proven dotDoubleSql shape), so `row_number() ORDER BY score DESC,
+    *    cell` equals the kernel's strict-> scan.
+    *  - means: components quantize through the scale-7 decimal cast the
+    *    dd_embedding oracle already proves engine-equal, sums are exact
+    *    integers (unscaled ×10⁷ as HUGEINT), and the HALF_UP scale-7
+    *    division is the pure integer form (2S+c)÷(2c) — matching the
+    *    driver's BigDecimal.divide(count, 7, HALF_UP) digit for digit.
+    *  - float round-trip: CAST(mu AS DOUBLE)/1e7 is two exact/correctly-
+    *    rounded ops (mu < 2⁵³), equal to BigDecimal.doubleValue; the REAL
+    *    cast is the same double→float rounding on both engines.
+    *  - the probe is the sim_ann-proven cosineDouble chain + row-number
+    *    windows with the (cosine DESC, vec_id) tie-break.
+    * Cells that lose all members keep their previous centroid (the LEFT
+    * JOIN + coalesce mirrors the Spark loop's no-member branch). */
+  private def ivfCtes(iters: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH prm AS (
+        |  SELECT CAST(greatest(2, ceil(sqrt(count(*)))) AS INTEGER) AS cells
+        |  FROM embeddings),
+        |np AS (
+        |  SELECT greatest(1, least(cells,
+        |           CAST(ceil(576.0 / cells) AS INTEGER))) AS np
+        |  FROM prm),
+        |cent0 AS (
+        |  SELECT CAST(row_number() OVER (
+        |           ORDER BY (vec_id * 48271) % 2147483647, vec_id) - 1
+        |         AS INTEGER) AS cell,
+        |         list_transform(embedding, v -> CAST(v AS DOUBLE)) AS cd
+        |  FROM embeddings
+        |  QUALIFY row_number() OVER (
+        |            ORDER BY (vec_id * 48271) % 2147483647, vec_id)
+        |          <= (SELECT cells FROM prm)),
+        |qs AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding, v ->
+        |           CAST(CAST(CAST(v AS DOUBLE) AS DECIMAL(9,7)) * 10000000
+        |                AS HUGEINT)) AS q
+        |  FROM embeddings),""".stripMargin)
+    def assignCte(name: String, cent: String): String =
+      s"""$name AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT e.vec_id, c.cell,
+         |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |             (list_sum(list_transform(generate_series(1, len(e.embedding)),
+         |                j -> CAST(e.embedding[j] AS DOUBLE) * c.cd[j]))
+         |              * (CASE WHEN list_sum(list_transform(c.cd, x -> x * x)) > 0
+         |                      THEN 1.0 / sqrt(list_sum(list_transform(c.cd, x -> x * x)))
+         |                      ELSE 0.0 END)) DESC, c.cell) AS rn
+         |    FROM embeddings e CROSS JOIN $cent c)
+         |  WHERE rn = 1)""".stripMargin
+    for (r <- 1 to iters) {
+      sb.append("\n").append(assignCte(s"a$r", s"cent${r - 1}")).append(",")
+      sb.append(s"""
+         |sc$r AS (
+         |  SELECT a.cell, t.j, sum(q.q[t.j]) AS sv,
+         |         CAST(count(*) AS HUGEINT) AS c
+         |  FROM a$r a JOIN qs q USING (vec_id),
+         |       unnest(generate_series(1, len(q.q))) AS t(j)
+         |  GROUP BY a.cell, t.j),
+         |m$r AS (
+         |  SELECT cell,
+         |         list(CASE WHEN sv >= 0 THEN (2 * sv + c) // (2 * c)
+         |                   ELSE -((2 * (-sv) + c) // (2 * c)) END
+         |              ORDER BY j) AS mu
+         |  FROM sc$r GROUP BY cell),
+         |cent$r AS (
+         |  SELECT p.cell,
+         |         coalesce(list_transform(m.mu, u ->
+         |           CAST(CAST(CAST(u AS DOUBLE) / 10000000 AS REAL) AS DOUBLE)),
+         |           p.cd) AS cd
+         |  FROM cent${r - 1} p LEFT JOIN m$r m USING (cell)),""".stripMargin)
+    }
+    // final assignment against the learned centroids = the saved layout
+    sb.append("\n").append(assignCte("afin", s"cent$iters"))
+    sb.toString
   }
 
   /** SQL twin of SimHash.nearDupPairs (maxDist = 6). The two-chunk
@@ -545,6 +648,149 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "dd_minhash_lsh" -> minhashOracleSql,
     "dd_simhash" -> simhashOracleSql,
+    // bipartite twin of dedupAgainst over the persisted signature index
+    // (16 bands — saveSignatures' default): batch docs (doc_id%5=0) match
+    // corpus docs (%5<>0) sharing any band bucket with agreement >= 0.9;
+    // dup_of = smallest match, match_est = largest estimate, LEFT JOIN
+    // keeps unmatched batch docs with nulls — exactly the Spark output
+    // the full IVF pipeline replayed in SQL (ivfCtes: Lehmer init + 8
+    // unrolled Lloyd's rounds + the probe) — query 0's top-10 from the
+    // nprobe best cells, the exact arithmetic the index/probe run
+    "sim_ivf" -> {
+      val qq = dotDoubleSql("qv.qe", "qv.qe")
+      val ee = dotDoubleSql("e.embedding", "e.embedding")
+      val eq = dotDoubleSql("e.embedding", "qv.qe")
+      s"""${ivfCtes(8)},
+         |qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |cr AS (
+         |  SELECT cell FROM (
+         |    SELECT c.cell,
+         |           row_number() OVER (ORDER BY
+         |             (list_sum(list_transform(generate_series(1, len(c.cd)),
+         |                j -> c.cd[j] * CAST(qv.qe[j] AS DOUBLE)))
+         |              / (sqrt(list_sum(list_transform(c.cd, x -> x * x)))
+         |                 * sqrt($qq))) DESC, c.cell) AS rn
+         |    FROM cent8 c CROSS JOIN qv)
+         |  WHERE rn <= (SELECT np FROM np))
+         |SELECT e.vec_id, e.label, $eq / (sqrt($ee) * sqrt($qq)) AS cosine
+         |FROM embeddings e
+         |JOIN afin USING (vec_id) CROSS JOIN qv
+         |WHERE afin.cell IN (SELECT cell FROM cr) AND e.vec_id <> 0
+         |ORDER BY cosine DESC, vec_id
+         |LIMIT 10""".stripMargin
+    },
+
+    // batched twin: per-query cell ranks over the same learned centroids,
+    // probed cells fanned out through the final assignment, one top-5
+    // window per query — row-identical to 64 single probes by the same
+    // (cosine DESC, vec_id) total order
+    "sim_ivf_batch" -> {
+      val qq = dotDoubleSql("qb.qe", "qb.qe")
+      val ee = dotDoubleSql("e.embedding", "e.embedding")
+      val eq = dotDoubleSql("e.embedding", "qb.qe")
+      s"""${ivfCtes(8)},
+         |qb AS (SELECT vec_id AS q_id, embedding AS qe
+         |       FROM embeddings WHERE vec_id >= 0 AND vec_id < 64),
+         |crb AS (
+         |  SELECT q_id, cell FROM (
+         |    SELECT qb.q_id, c.cell,
+         |           row_number() OVER (PARTITION BY qb.q_id ORDER BY
+         |             (list_sum(list_transform(generate_series(1, len(c.cd)),
+         |                j -> c.cd[j] * CAST(qb.qe[j] AS DOUBLE)))
+         |              / (sqrt(list_sum(list_transform(c.cd, x -> x * x)))
+         |                 * sqrt($qq))) DESC, c.cell) AS rn
+         |    FROM qb CROSS JOIN cent8 c)
+         |  WHERE rn <= (SELECT np FROM np)),
+         |hits AS (
+         |  SELECT qb.q_id, e.vec_id, e.label,
+         |         $eq / (sqrt($ee) * sqrt($qq)) AS cosine
+         |  FROM embeddings e
+         |  JOIN afin USING (vec_id)
+         |  JOIN crb ON crb.cell = afin.cell
+         |  JOIN qb ON qb.q_id = crb.q_id
+         |  WHERE e.vec_id <> qb.q_id)
+         |SELECT q_id, vec_id, label, cosine FROM (
+         |  SELECT hits.*, row_number() OVER (PARTITION BY q_id
+         |           ORDER BY cosine DESC, vec_id) AS rn FROM hits)
+         |WHERE rn <= 5
+         |ORDER BY q_id, cosine DESC, vec_id""".stripMargin
+    },
+
+    // the full clusterExact pipeline mirrored stage for stage: exact-dup
+    // collapse to norm-set representatives (min doc_id per sorted distinct
+    // token list), 16-band candidates over reps, the est >= 0.75 prefilter
+    // in its exact integer form (m >= 96 of 128), the exact integer
+    // jaccard >= 0.9 verify, then min-label connected components via a
+    // recursive-CTE transitive closure (Spark's propagation loop and the
+    // closure both converge to min-id-in-component)
+    "dd_cluster" -> {
+      val prelude =
+        """t0 AS (
+          |  SELECT doc_id, text,
+          |         list_sort(list_distinct(string_split(text, ' '))) AS toks
+          |  FROM documents),
+          |r0 AS (
+          |  SELECT doc_id, toks,
+          |         min(doc_id) OVER (PARTITION BY toks) AS rep_id
+          |  FROM t0),
+          |reps AS (
+          |  SELECT r0.doc_id, r0.toks, CAST(len(r0.toks) AS BIGINT) AS n,
+          |         t0.text
+          |  FROM r0 JOIN t0 ON t0.doc_id = r0.doc_id
+          |  WHERE r0.doc_id = r0.rep_id),""".stripMargin
+      s"""${minhashCtes(16, prelude, "reps", recursive = true)},
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM banded x JOIN banded y
+         |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+         |est AS (
+         |  SELECT doc_a, doc_b FROM cand
+         |  JOIN sigs sa ON sa.doc_id = cand.doc_a
+         |  JOIN sigs sb ON sb.doc_id = cand.doc_b
+         |  WHERE len(list_filter(range(1, 129), i -> sa.sig[i] = sb.sig[i])) >= 96),
+         |ver AS (
+         |  SELECT e.doc_a, e.doc_b FROM est e
+         |  JOIN reps a ON a.doc_id = e.doc_a
+         |  JOIN reps b ON b.doc_id = e.doc_b
+         |  WHERE len(list_intersect(a.toks, b.toks)) * 190 >= 90 * (a.n + b.n)),
+         |sym AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM ver
+         |  UNION ALL SELECT doc_b, doc_a FROM ver),
+         |reach AS (
+         |  SELECT src, dst FROM sym
+         |  UNION
+         |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+         |comp AS (
+         |  SELECT src AS rep_id, least(src, min(dst)) AS comp
+         |  FROM reach GROUP BY src)
+         |SELECT r0.doc_id,
+         |       coalesce(comp.comp, r0.rep_id) AS component,
+         |       r0.doc_id = coalesce(comp.comp, r0.rep_id) AS keep
+         |FROM r0 LEFT JOIN comp ON comp.rep_id = r0.rep_id
+         |ORDER BY r0.doc_id""".stripMargin
+    },
+
+    "dd_incremental" ->
+      s"""${minhashCtes(16)},
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS q_id, y.doc_id AS c_id
+         |  FROM banded x JOIN banded y
+         |    ON x.band = y.band AND x.bucket = y.bucket
+         |  WHERE x.doc_id % 5 = 0 AND y.doc_id % 5 <> 0),
+         |m AS (
+         |  SELECT q_id, c_id,
+         |    len(list_filter(range(1, 129), i -> sq.sig[i] = sc.sig[i]))::DOUBLE / 128 AS est
+         |  FROM cand
+         |  JOIN sigs sq ON sq.doc_id = cand.q_id
+         |  JOIN sigs sc ON sc.doc_id = cand.c_id),
+         |f AS (
+         |  SELECT q_id, min(c_id) AS dup_of, max(est) AS match_est
+         |  FROM m WHERE est >= 0.9 GROUP BY q_id)
+         |SELECT d.doc_id, f.dup_of IS NOT NULL AS is_duplicate,
+         |       f.dup_of, f.match_est
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
+         |LEFT JOIN f ON f.q_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     "ts_clean" ->
       s"""$eventsCte
          |SELECT event_id, user_id, ts_us, value_filled FROM (

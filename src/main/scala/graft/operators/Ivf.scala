@@ -28,7 +28,7 @@ import graft.functions.VectorMath
   */
 object Ivf {
 
-  private val sumDec = DecimalType(28, 10)
+  private val sumDec = DecimalType(28, 7)
 
   /** Per-probe ROW budget behind the auto default (`nprobe = 0`): the
     * probe reads ⌈DefaultProbeRows / cellSize⌉ cells, so its cost is a
@@ -94,20 +94,24 @@ object Ivf {
       org.apache.spark.sql.graft.ColumnBridge.nearestCentroidBc(
         col("embedding"), centroids, embeddings.sparkSession.sparkContext))
 
-  /** Quantize one float component the way `cast(v AS DECIMAL(28,10))`
-    * does (via the double's shortest string form, then scale 10), so the
-    * aggregate below reproduces the SQL decimal semantics exactly. */
+  /** Quantize one float component the way `cast(v AS DECIMAL(28,7))`
+    * does (via the double's shortest string form, then scale 7), so the
+    * aggregate below reproduces the SQL decimal semantics exactly. Scale
+    * 7 is the engine-PROVEN quantization family (DecimalDot/dotSql): the
+    * dd_embedding oracle already demonstrates DuckDB's scale-7 decimal
+    * cast agrees with this exact path on every corpus component, which is
+    * what lets the sim_ivf oracle rebuild these k-means rounds in SQL. */
   private def quantize(v: Float): java.math.BigDecimal =
     new java.math.BigDecimal(java.lang.Double.toString(v.toDouble))
-      .setScale(10, java.math.RoundingMode.HALF_UP)
+      .setScale(7, java.math.RoundingMode.HALF_UP)
 
   /** Lloyd's k-means over the embedding corpus: `iters` fixed rounds,
     * each ONE treeAggregate job — per-partition partial (sum, count)
     * state per (cell, dimension), merged on the driver: the MLlib
     * dense-k-means shape. No shuffle and no n×dim explode per round, so
     * a 100-TB corpus pays exactly `iters` scans of the cached vectors.
-    * Init is deterministic: the k vectors with the smallest murmur3 of
-    * their id. Per-dimension sums accumulate in exact decimal (addition
+    * Init is deterministic AND engine-neutral: the k vectors with the
+    * smallest Lehmer key ((id·48271) mod 2³¹−1) of their id. Per-dimension sums accumulate in exact decimal (addition
     * is associative), so the learned centroids are bit-stable across
     * partitionings and runs. Cells that lose all members keep their
     * previous centroid.
@@ -128,8 +132,12 @@ object Ivf {
     val projected = embeddings.select(col("vec_id"), col("embedding"))
     val corpus =
       if (inputMaterialized) projected else projected.localCheckpoint(true)
+    // engine-neutral pseudo-random init: the Lehmer/MINSTD key already
+    // used by Sampling — `hash()` (murmur3) would make the learned
+    // centroids irreproducible outside Spark, and the whole point of a
+    // deterministic init is that the sim_ivf oracle can replay it in SQL
     var centroids: Array[Array[Float]] = corpus
-      .orderBy(pmod(hash(col("vec_id")), lit(1000003)), col("vec_id"))
+      .orderBy(pmod(col("vec_id") * lit(48271L), lit(2147483647L)), col("vec_id"))
       .limit(k)
       .collect()
       .map(_.getSeq[Float](1).toArray)
@@ -147,10 +155,9 @@ object Ivf {
 
   /** One Lloyd's mean round as a single treeAggregate job (dense per-
     * partition decimal state). Bit-identical to [[shuffleRound]]
-    * (specced): summation reproduces the SQL decimal cast+sum exactly,
-    * and the scale-10 HALF_UP division mirrors the fallback's Catalyst
-    * quotient type — sum(DECIMAL(28,10)) widens to DECIMAL(38,10), and
-    * its division by BIGINT precision-adjusts back to DECIMAL(38,10). */
+    * (specced): both paths accumulate the same scale-7 decimal sums
+    * (exact, order-independent) and run the SAME driver-side
+    * `divide(count, 7, HALF_UP)` on them. */
   private[graft] def denseRound(assigned: DataFrame, k: Int, dim: Int,
       centroids: Array[Array[Float]]): Array[Array[Float]] = {
     val next = centroids.map(_.clone())
@@ -180,7 +187,7 @@ object Ivf {
         var d = 0
         while (d < dim) {
           next(i)(d) = sums(i)(d)
-            .divide(java.math.BigDecimal.valueOf(counts(i)), 10,
+            .divide(java.math.BigDecimal.valueOf(counts(i)), 7,
               java.math.RoundingMode.HALF_UP)
             .doubleValue().toFloat
           d += 1
@@ -204,20 +211,31 @@ object Ivf {
   private[graft] def shuffleRound(assigned: DataFrame, k: Int, dim: Int,
       centroids: Array[Array[Float]]): Array[Array[Float]] = {
     val next = centroids.map(_.clone())
+    // distributed exact (sum, count) per (cell, dim) — Spark's
+    // float→DECIMAL(28,7) cast is the same shortest-string HALF_UP path
+    // as [[quantize]], so these sums are bit-identical to denseRound's —
+    // assembled into one compact row per cell; the DIVISION happens on
+    // the driver with the identical BigDecimal call both paths share
+    // (mirroring a Catalyst decimal-quotient type here would be a second
+    // rounding contract to keep in sync for no distribution win: the
+    // driver already holds k×dim state by API contract)
     val cellRows = assigned
       .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .groupBy(col("cell"), col("pos"))
-      .agg((sum(col("v").cast(sumDec)) / count(lit(1)))
-        .cast("double").as("m"))
+      .agg(sum(col("v").cast(sumDec)).as("s"), count(lit(1)).as("c"))
       .groupBy(col("cell"))
-      .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("pm"))
-      .select(col("cell"), transform(col("pm"), e => e.getField("m")).as("mean"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("s"), col("c")))).as("pm"))
       .collect()
     cellRows.foreach { r =>
       val cell = r.getInt(0)
-      val mean = r.getSeq[Double](1)
-      var d = 0
-      while (d < mean.length) { next(cell)(d) = mean(d).toFloat; d += 1 }
+      val pm = r.getSeq[org.apache.spark.sql.Row](1)
+      pm.foreach { e =>
+        val d = e.getInt(0)
+        next(cell)(d) = e.getDecimal(1)
+          .divide(java.math.BigDecimal.valueOf(e.getLong(2)), 7,
+            java.math.RoundingMode.HALF_UP)
+          .doubleValue().toFloat
+      }
     }
     next
   }
