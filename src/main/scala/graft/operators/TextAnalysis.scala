@@ -293,7 +293,11 @@ object TextAnalysis {
           struct(t.as("term"),
             size(filter(toks, x => x === t)).cast("long").as("tf")))).as("tt"))
       .select(col("doc_id"), col("tt.term").as("term"), col("tt.tf").as("tf"))
-    val dfTab = termRows.groupBy("term").agg(count(lit(1)).as("df"))
+    // df needs only the distinct-term explode — not the quadratic in-row
+    // tf structs, which would otherwise be computed a second time here
+    val dfTab = documents
+      .select(explode(array_distinct(toks)).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("df"))
     val nDocs = documents.agg(count(lit(1)).cast("double").as("n_docs"))
     val scored = termRows.join(dfTab, "term")
       .crossJoin(broadcast(nDocs))
