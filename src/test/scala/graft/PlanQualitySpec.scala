@@ -161,6 +161,34 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!pSample.contains("Join"), pSample)
   }
 
+  test("split assignment is a join-free per-row plan") {
+    val pSplit = plan(Sampling.splitAssignments(Tables.documents(spark, sf)))
+    assert(!pSplit.contains("Exchange hashpartitioning"), pSplit)
+    assert(!pSplit.contains("Join"), pSplit)
+  }
+
+  test("lm score and tfidf shuffle narrow gram/term rows, never text") {
+    val docs = Tables.documents(spark, sf)
+    // both are word-count-family plans: the exchanges must carry (id,
+    // gram/term, counts) rows only — the text column stays at the scan
+    val pLm = plan(TextAnalysis.lmScore(docs))
+    assert(!pLm.contains("CartesianProduct"), pLm)
+    // the gram build is the native word_ngrams kernel, not the HOF chain
+    assert(pLm.contains("word_ngrams"), pLm)
+    val pTf = plan(TextAnalysis.salientTerms(docs))
+    assert(!pTf.contains("CartesianProduct"), pTf)
+    // N rides as a broadcast single-row side, never a shuffle
+    assert(pTf.contains("BroadcastNestedLoopJoin"), pTf)
+  }
+
+  test("containment join is prefix-gated: no cartesian, no text in the shuffles") {
+    val p = plan(Dedup.containment(Tables.documents(spark, sf)))
+    assert(!p.contains("CartesianProduct"), p)
+    // the verify stage runs the native sorted-intersect kernel, not an
+    // interpreted array_intersect
+    assert(p.contains("sorted_intersect_count"), p)
+  }
+
   test("repetition signals stay per-row; corpus stats shuffle once with a broadcast total") {
     val docs = Tables.documents(spark, sf)
     val pRep = plan(TextAnalysis.repetitionSignals(docs))

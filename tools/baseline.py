@@ -615,6 +615,72 @@ def run_all(d):
         return c.drop(columns=["text", "grams"])
     bench("dd_contamination", dd_contamination)
 
+    def ds_split():
+        m = meta.copy()
+        m["sample_key"] = (m["doc_id"] * 48271) % 2147483647
+        b = m["sample_key"] % 100
+        m["split"] = np.select([b < 2, b < 4], ["test", "val"], default="train")
+        return m[["doc_id", "source", "sample_key", "split"]]
+    bench("ds_split", ds_split)
+
+    def tx_lm_score():
+        from collections import Counter
+        def grams(text):
+            t = text.split(" ")
+            return [" ".join(t[i:i + 2]) for i in range(max(len(t) - 1, 1))]
+        g = docs["text"].apply(grams)
+        model = Counter()
+        for gs in g:
+            model.update(gs)
+        rows = []
+        for did, gs in zip(docs["doc_id"], g):
+            s = sum(model[x] for x in gs)
+            rows.append((did, len(gs), s, s / len(gs)))
+        return pd.DataFrame(rows, columns=["doc_id", "n_grams", "sum_freq",
+                                           "avg_gram_freq"])
+    bench("tx_lm_score", tx_lm_score)
+
+    def tx_tfidf():
+        from collections import Counter
+        tf = docs["text"].str.split(" ").apply(Counter)
+        df_c = Counter()
+        for c in tf:
+            df_c.update(c.keys())
+        n_docs = float(len(docs))
+        rows = []
+        for did, c in zip(docs["doc_id"], tf):
+            scored = sorted(((t, n, df_c[t], n * (n_docs / df_c[t]))
+                             for t, n in c.items()),
+                            key=lambda x: (-x[3], x[0]))[:3]
+            for r, (t, n, dfv, s) in enumerate(scored, 1):
+                rows.append((did, r, t, n, dfv, s))
+        return pd.DataFrame(rows, columns=["doc_id", "rank", "term", "tf",
+                                           "df", "tfidf"])
+    bench("tx_tfidf", tx_tfidf)
+
+    def dd_containment():
+        from collections import defaultdict
+        def gramset(text):
+            t = text.split(" ")
+            return {" ".join(t[i:i + 3]) for i in range(max(len(t) - 2, 1))}
+        gsets = dict(zip(docs["doc_id"], docs["text"].apply(gramset)))
+        inv = defaultdict(list)
+        for did, s in gsets.items():
+            for x in s:
+                inv[x].append(did)
+        rows = []
+        for did, s in gsets.items():
+            cands = {c for x in s for c in inv[x]} - {did}
+            for c in sorted(cands):
+                inter = len(s & gsets[c])
+                if inter * 100 >= 80 * len(s):
+                    rows.append((did, c, len(s), len(gsets[c]), inter,
+                                 inter / len(s)))
+        return pd.DataFrame(rows, columns=["contained_id", "container_id",
+                                           "n_a", "n_b", "n_common",
+                                           "containment"])
+    bench("dd_containment", dd_containment)
+
     total = sum(v[0] for v in keys.values())
     print(json.dumps({"metric": "baseline_total", "value": round(total, 3),
                       "unit": "sec", "n_keys": len(keys), "sf": d}), flush=True)
