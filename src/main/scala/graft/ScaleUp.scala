@@ -102,10 +102,10 @@ object ScaleUp {
       Map("l_orderkey" -> orderOff, "l_partkey" -> partOff,
         "l_suppkey" -> suppOff)), "lineitem")
 
-    // events: ts stays (stored as raw ns longs — read them as such so the
-    // written table round-trips through Tables.events unchanged)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val events = read("events")
+    // events: ts stays in its stored form (ns-as-long or µs TIMESTAMP —
+    // the adaptive eventsRaw read handles either) so the written table
+    // round-trips through Tables.events unchanged
+    val events = graft.sources.Tables.eventsRaw(spark, src)
     write(replicate(events,
       Map("event_id" -> off(events, "event_id"),
         "user_id" -> off(events, "user_id"))), "events")

@@ -1,7 +1,8 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, LongType, TimestampNTZType, TimestampType}
 
 /** Typed access to the test-corpus tables (TPC-H-ish star schema plus
   * `events`/`documents`/`embeddings`), mirroring the reference's loaders
@@ -29,16 +30,58 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 
-  /** `events` is written with nanosecond parquet timestamps, which Spark's
-    * vectorized reader rejects ([PARQUET_TYPE_ILLEGAL]). Read the raw ns
-    * longs and truncate to microseconds — the same truncation DuckDB's
-    * µs-native timestamp applies — so both engines see identical instants.
+  /** Data contract for `events.parquet` — the writer (a pandas/pyarrow
+    * pipeline, reference: src/pipeline_batch.py:36 `load_raw_data`'s
+    * tolerant timestamp parse) has shipped `ts` in three physical forms
+    * over time, and this loader accepts all of them, canonicalizing to a
+    * session-TZ `TIMESTAMP` holding the same µs instants in every case:
+    *
+    *   - INT64 / TIMESTAMP(NANOS): Spark's reader rejects NANOS outright
+    *     ([ILLEGAL_PARQUET_TYPE]), so on that failure we retry with the
+    *     legacy nanos-as-long read and truncate ns→µs — the truncation
+    *     DuckDB's µs-native timestamp applies, so both engines see
+    *     identical instants.
+    *   - plain INT64 (ns since epoch, no annotation): arrives as LongType;
+    *     same ns→µs truncation.
+    *   - INT64 / TIMESTAMP(MICROS): arrives as TIMESTAMP_NTZ (pyarrow
+    *     writes isAdjustedToUTC=false) or TIMESTAMP; the stored µs values
+    *     are exactly what the truncation produced, so a cast to the
+    *     canonical type is value-preserving (sessions here pin
+    *     spark.sql.session.timeZone=UTC, making NTZ→TZ epoch-preserving).
+    *
+    * The legacy conf is only touched on the NANOS fallback path — a µs or
+    * plain-long file never mutates session conf.
     */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  def events(spark: SparkSession, dir: String): DataFrame =
+    canonicalizeTs(eventsRaw(spark, dir))
+
+  /** The events table as stored — no ts canonicalization. Schema-adaptive:
+    * tries a plain read first; only a NANOS-annotated file (which Spark
+    * cannot read at all without the legacy conf) falls back to
+    * nanos-as-long. */
+  def eventsRaw(spark: SparkSession, dir: String): DataFrame =
+    try table(spark, dir, "events")
+    catch {
+      case e: Exception if e.getMessage != null &&
+          e.getMessage.contains("PARQUET_TYPE") =>
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        table(spark, dir, "events")
+    }
+
+  /** Canonical form of a raw `ts` column: `TIMESTAMP` (session-TZ) at µs
+    * resolution. Branches on the stored type — see the `events` contract. */
+  def canonicalTs(dt: DataType, ts: Column): Column = dt match {
+    // integer `div`, NOT `/`: ns-since-epoch (~1.7e18) exceeds double's
+    // 2^53 exact-integer range, so float division would corrupt low bits
+    case LongType          => timestamp_micros(call_function("div", ts, lit(1000L)))
+    case TimestampNTZType  => ts.cast(TimestampType)
+    case TimestampType     => ts
+    case other => throw new IllegalArgumentException(
+      s"events.ts: unsupported stored type $other (expected INT64 ns or TIMESTAMP)")
   }
+
+  def canonicalizeTs(df: DataFrame, colName: String = "ts"): DataFrame =
+    df.withColumn(colName, canonicalTs(df.schema(colName).dataType, col(colName)))
 
   /** CSV/JSON round-trip helpers (reference supports CSV + Parquet + JSON
     * sinks: generate_sample_data.py:104-112, benchmarking/model.py:110). */

@@ -21,26 +21,32 @@ import org.apache.spark.sql.types._
   */
 object StreamingAlerts {
 
-  /** Schema of the events stream (ns timestamps arrive as longs —
-    * the same `nanosAsLong` contract as the batch loader). */
-  val eventsSchema: StructType = StructType(Seq(
+  /** Schema of the events stream. `ts` is whatever the file stores
+    * (ns-as-long or µs TIMESTAMP — same contract as `Tables.events`), so
+    * the streaming schema is derived from a batch schema peek rather than
+    * hard-coded; this template carries the non-ts columns. */
+  def eventsSchema(tsType: DataType): StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", tsType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
   private def withEventTime(df: DataFrame): DataFrame =
-    df.withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+    df.withColumn("event_time",
+      graft.sources.Tables.canonicalTs(df.schema("ts").dataType, col("ts")))
 
-  /** Open a streaming source over an events parquet directory. */
+  /** Open a streaming source over an events parquet directory. The stored
+    * ts type is discovered with a cheap batch schema peek (driver-side
+    * footer read; also flips the legacy nanos conf if — and only if — the
+    * file is NANOS-annotated, which the stream's own scan then needs). */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tsType = graft.sources.Tables.eventsRaw(spark, dir).schema("ts").dataType
     // the file source wants a directory; pathGlobFilter pins it to the
     // events table inside the shared sf directory
     withEventTime(
-      spark.readStream.schema(eventsSchema)
+      spark.readStream.schema(eventsSchema(tsType))
         .option("pathGlobFilter", "events.parquet")
         .parquet(dir))
   }
@@ -97,10 +103,7 @@ object StreamingAlerts {
 
   /** Batch twin of `sessionCounts` (query key st_session). */
   def sessionCountsBatch(spark: SparkSession, dir: String): DataFrame = {
-    val events = withEventTime(
-      graft.sources.Tables.table(spark, {
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true"); dir
-      }, "events"))
+    val events = withEventTime(graft.sources.Tables.eventsRaw(spark, dir))
     events
       .groupBy(col("user_id"), session_window(col("event_time"), "12 hours"))
       .agg(count(lit(1)).as("n_events"),
@@ -115,10 +118,7 @@ object StreamingAlerts {
   /** Batch equivalent of `windowedCounts` on the same data — the
     * oracle-checkable query surface (st_window_agg). */
   def windowedCountsBatch(spark: SparkSession, dir: String): DataFrame = {
-    val events = withEventTime(
-      graft.sources.Tables.table(spark, {
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true"); dir
-      }, "events"))
+    val events = withEventTime(graft.sources.Tables.eventsRaw(spark, dir))
     events
       .groupBy(window(col("event_time"), "10 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n_events"), max(col("value")).as("max_value"))

@@ -23,10 +23,9 @@ class ScaleUpSpec extends AnyFunSuite {
   }
 
   test("row counts scale by the factor; dimensions stay single-copy") {
-    // events carries raw-nanos timestamps, readable only through the
-    // canonical Tables.events reader (ScaleUp no longer leaks the
-    // nanosAsLong conf into the shared session, so a bare parquet read
-    // of it rightly fails here)
+    // events goes through the canonical schema-adaptive Tables.events
+    // reader — the stored ts form (ns-as-long vs µs TIMESTAMP) is a
+    // writer detail the rest of the suite must not assume
     def count(dir: String, t: String): Long =
       if (t == "events") Tables.events(spark, dir).count()
       else spark.read.parquet(s"$dir/$t.parquet").count()
