@@ -226,9 +226,12 @@ object AnnLsh {
   }
 
   /** Probe a persisted index by corpus id: a point read fetches the query
-    * vector (any of its table rows carries it), then the pruned probe. */
+    * vector (any of its table rows carries it — table 0's copy, so the
+    * fetch partition-prunes to the t=0 directories instead of scanning
+    * every table's replica), then the pruned probe. */
   def topKIndexed(index: LshIndex, queryId: Long, k: Int): DataFrame = {
-    val rows = index.corpus.filter(col("vec_id") === queryId)
+    val rows = index.corpus
+      .filter(col("t") === 0 && col("vec_id") === queryId)
       .select(col("embedding")).limit(1).collect()
     require(rows.nonEmpty, s"query id $queryId not present in the index corpus")
     topKVec(index, rows.head.getSeq[Float](0).toArray, k,

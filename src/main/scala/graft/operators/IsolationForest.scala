@@ -79,7 +79,11 @@ object IsolationForest {
       .filter(trainFilter)
       .select(cols: _*)
       .withColumn("rnd", pmod(hash(featureCols.map(col) :+ lit(seed): _*), lit(1000003)))
-      .orderBy(col("rnd"))
+      // tie-break by the feature values themselves: rnd alone is not a
+      // total order (pmod collisions), and orderBy ties are
+      // partitioning-dependent — the sample must be identical on any
+      // cluster layout. Rows equal in every feature are interchangeable.
+      .orderBy(col("rnd") +: cols: _*)
       .limit(sampleSize)
       .drop("rnd")
       .collect()
@@ -167,6 +171,32 @@ object IsolationForest {
     def doubles(name: String): Array[Double] =
       mapper.treeToValue(root.get(name), classOf[Array[Double]])
     Model(trees, root.get("subsample").asInt, doubles("means"), doubles("stds"))
+  }
+
+  /** Deterministic structural digest of a fitted forest: MD5 over the
+    * scaler stats and every tree's pre-order (split feature, split value
+    * as IEEE bits, leaf sizes). Two fits agree iff they produced the
+    * identical model, so drift in the forest itself — not just in the
+    * flagged rows — is detectable across runs/clusters (the model analog
+    * of the oracle hash check; fit is RNG-free by construction, seeded
+    * per tree). */
+  def modelDigest(model: Model): String = {
+    val sb = new StringBuilder
+    sb.append(model.subsample).append('|')
+    model.means.foreach(d => sb.append(java.lang.Double.doubleToLongBits(d)).append(','))
+    sb.append('|')
+    model.stds.foreach(d => sb.append(java.lang.Double.doubleToLongBits(d)).append(','))
+    def walk(n: Node): Unit = n match {
+      case Leaf(size) => sb.append('L').append(size)
+      case Split(f, v, lo, hi) =>
+        sb.append('S').append(f).append(':')
+          .append(java.lang.Double.doubleToLongBits(v))
+        walk(lo); walk(hi)
+    }
+    model.trees.foreach { t => sb.append(';'); walk(t) }
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
   }
 
   /** Forest flattened to parallel arrays for the codegen scoring kernel:

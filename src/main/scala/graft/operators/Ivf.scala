@@ -363,7 +363,22 @@ object Ivf {
 
   /** An opened on-disk IVF index: the cell-partitioned corpus relation plus
     * the centroid table (driver-resident; k×dim floats — √n-cell sized). */
-  final case class IvfIndex(corpus: DataFrame, centroids: Array[Array[Float]])
+  /** An opened index: the cell-partitioned corpus, the centroid table,
+    * and (v2 layouts) the id-bucketed secondary for point lookups —
+    * `None` on a pre-secondary index, where id fetches fall back to a
+    * corpus scan. */
+  final case class IvfIndex(corpus: DataFrame, centroids: Array[Array[Float]],
+      byId: Option[DataFrame] = None)
+
+  /** Bucket count of the id-lookup secondary — the cell count, so both
+    * layouts follow the same √n directory convention and a point lookup
+    * reads ~one cell's worth of rows. Derived, not stored: appends never
+    * change it. */
+  private def idBuckets(centroids: Array[Array[Float]]): Int =
+    math.max(1, centroids.length)
+
+  private def withIdBucket(vectors: DataFrame, nb: Int): DataFrame =
+    vectors.withColumn("idb", pmod(col("vec_id"), lit(nb.toLong)))
 
   /** Write the IVF index for `embeddings` under `path`: the cell-assigned
     * corpus as a cell-partitioned parquet table, and the centroids beside
@@ -374,6 +389,12 @@ object Ivf {
     val spark = embeddings.sparkSession
     withCell(embeddings, centroids)
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/corpus")
+    // id-lookup secondary: the same rows bucketed by pmod(vec_id), so a
+    // point fetch (topKIndexed's query-vector read) partition-prunes to
+    // one bucket directory instead of scanning every cell file — without
+    // it the fetch is the one O(corpus) step in an otherwise √n probe
+    withIdBucket(embeddings, idBuckets(centroids))
+      .write.mode("overwrite").partitionBy("idb").parquet(s"$path/corpus_by_id")
     save(centroids, s"$path/centroids.json", spark)
     // build-time corpus size sidecar (metadata-only count of the written
     // layout): append/compact compare the grown corpus against it to
@@ -384,9 +405,14 @@ object Ivf {
 
   /** Open an index written by [[saveIndex]]. A pre-v1 index (Java-
     * serialized `centroids.bin`) is rejected with a rebuild message. */
-  def openIndex(spark: SparkSession, path: String): IvfIndex =
+  def openIndex(spark: SparkSession, path: String): IvfIndex = {
+    val byIdPath = new org.apache.hadoop.fs.Path(s"$path/corpus_by_id")
+    val fs = byIdPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     IvfIndex(spark.read.parquet(s"$path/corpus"),
-      load(centroidsPath(spark, path), spark))
+      load(centroidsPath(spark, path), spark),
+      byId = if (fs.exists(byIdPath))
+        Some(spark.read.parquet(byIdPath.toString)) else None)
+  }
 
   /** The live centroid sidecar under an index directory; a legacy
     * `centroids.bin` with no JSON twin is named in the error so the
@@ -413,8 +439,16 @@ object Ivf {
     * telemetry (RecallProbe) degrades. */
   def appendToIndex(path: String, newVectors: DataFrame): Unit = {
     val spark = newVectors.sparkSession
-    withCell(newVectors, load(centroidsPath(spark, path), spark))
+    val centroids = load(centroidsPath(spark, path), spark)
+    withCell(newVectors, centroids)
       .write.mode("append").partitionBy("cell").parquet(s"$path/corpus")
+    // keep the id-lookup secondary consistent (v2 layouts only — a
+    // pre-secondary index keeps its corpus-scan fallback)
+    val byIdPath = new org.apache.hadoop.fs.Path(s"$path/corpus_by_id")
+    if (byIdPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(byIdPath))
+      withIdBucket(newVectors, idBuckets(centroids))
+        .write.mode("append").partitionBy("idb").parquet(byIdPath.toString)
     outgrowWarning(spark, path).foreach(log.warn)
   }
 
@@ -472,6 +506,18 @@ object Ivf {
     fs.rename(live, old)
     fs.rename(fresh, live)
     fs.delete(old, true)
+    // the id-lookup secondary accumulates the same per-append small
+    // files; compact it with the same write-fresh-then-swap discipline
+    val byIdLive = new org.apache.hadoop.fs.Path(s"$path/corpus_by_id")
+    if (fs.exists(byIdLive)) {
+      val byIdFresh = new org.apache.hadoop.fs.Path(s"$path/corpus_by_id_new")
+      val byIdOld = new org.apache.hadoop.fs.Path(s"$path/corpus_by_id_old")
+      spark.read.parquet(byIdLive.toString).repartition(col("idb"))
+        .write.mode("overwrite").partitionBy("idb").parquet(byIdFresh.toString)
+      fs.rename(byIdLive, byIdOld)
+      fs.rename(byIdFresh, byIdLive)
+      fs.delete(byIdOld, true)
+    }
     // compaction is small-file hygiene only — if the corpus outgrew the
     // build geometry, say so here too (this is NOT the fix for that)
     outgrowWarning(spark, path).foreach(log.warn)
@@ -519,12 +565,20 @@ object Ivf {
   }
 
   /** Probe a persisted index by corpus id: one id-lookup to fetch the
-    * query vector (point read; at scale keep a vec_id-keyed side table or
-    * pass the vector to [[topKVec]] directly), then the pruned probe. */
+    * query vector, then the pruned probe. On a v2 layout the fetch
+    * partition-prunes the id-bucketed secondary to one directory (~one
+    * cell's worth of rows, the same √n budget as the probe itself); a
+    * pre-secondary index falls back to the corpus scan. */
   def topKIndexed(index: IvfIndex, queryId: Long, k: Int,
       nprobe: Int = 0): DataFrame = {
-    val rows = index.corpus.filter(col("vec_id") === queryId)
-      .select(col("embedding")).limit(1).collect()
+    val fetch = index.byId match {
+      case Some(byId) =>
+        val nb = idBuckets(index.centroids)
+        byId.filter(col("idb") === ((queryId % nb + nb) % nb) &&
+          col("vec_id") === queryId)
+      case None => index.corpus.filter(col("vec_id") === queryId)
+    }
+    val rows = fetch.select(col("embedding")).limit(1).collect()
     require(rows.nonEmpty, s"query id $queryId not present in the index corpus")
     topKVec(index, rows.head.getSeq[Float](0).toArray, k, nprobe,
       excludeId = Some(queryId))

@@ -170,6 +170,39 @@ class PersistedIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("id-lookup secondary partition-prunes and stays consistent across append/compact") {
+    val emb = Tables.embeddings(spark, sf)
+    val cents = Ivf.kmeansCentroids(emb.filter(col("vec_id") < 400), 16, iters = 4)
+    val dir = java.nio.file.Files.createTempDirectory("ivfbyid").toString
+    Ivf.saveIndex(emb.filter(col("vec_id") < 400), cents, dir)
+    val idx = Ivf.openIndex(spark, dir)
+    assert(idx.byId.nonEmpty, "v2 layout must carry the id-lookup secondary")
+    // the point fetch must prune to ONE idb directory — the fetch is the
+    // step that would otherwise scan every cell file, linear in corpus
+    val fetch = idx.byId.get
+      .filter(col("idb") === (7L % 16) && col("vec_id") === 7L)
+    // a single-bucket equality is the strongest possible pruning — the
+    // INSET-shape helper doesn't apply, assert the equality lands in
+    // PartitionFilters directly
+    assertPartitionPruned(fetch, "idb")
+    assert(fetch.queryExecution.executedPlan.toString
+      .matches("(?s).*PartitionFilters: \\[[^\\]]*idb[^\\]]* = 7\\)?\\].*"),
+      "fetch must prune to exactly one idb bucket")
+    assert(fetch.select("embedding").limit(1).collect().nonEmpty)
+    // append keeps primary and secondary row-consistent
+    Ivf.appendToIndex(dir, emb.filter(col("vec_id") >= 400))
+    val appended = Ivf.openIndex(spark, dir)
+    assert(appended.byId.get.count() === appended.corpus.count())
+    assert(appended.byId.get.select("vec_id").except(
+      appended.corpus.select("vec_id")).count() === 0)
+    // compact collapses the secondary's append files too, same rows
+    val filesBefore = appended.byId.get.inputFiles.length
+    Ivf.compactIndex(dir, spark)
+    val compacted = Ivf.openIndex(spark, dir)
+    assert(compacted.byId.get.inputFiles.length < filesBefore)
+    assert(compacted.byId.get.count() === compacted.corpus.count())
+  }
+
   test("outgrow warning fires only when the corpus exceeds build size by the factor") {
     val emb = Tables.embeddings(spark, sf)
     val seed = emb.filter(col("vec_id") < 100)

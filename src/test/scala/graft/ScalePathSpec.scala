@@ -158,6 +158,29 @@ class ScalePathSpec extends AnyFunSuite {
     assert(flaggedDev > overallDev, s"flagged dev $flaggedDev <= overall $overallDev")
   }
 
+  test("isolation forest model digest is fit-deterministic and drift-sensitive") {
+    val featureCols = Seq("value", "mean_3", "std_3", "mean_12", "std_12")
+    val feats = TimeSeries.rollingFeatures(TimeSeries.base(spark, sf)).cache()
+    val fitOnce = IsolationForest.fit(feats, featureCols,
+      trainFilter = col("event_type") =!= "error")
+    val fitAgain = IsolationForest.fit(
+      feats.repartition(7), featureCols,  // partitioning must not leak in
+      trainFilter = col("event_type") =!= "error")
+    assert(IsolationForest.modelDigest(fitOnce) ===
+      IsolationForest.modelDigest(fitAgain),
+      "two fits on the same data produced different forests")
+    // a changed seed is real model drift and must change the digest
+    val drifted = IsolationForest.fit(feats, featureCols, seed = 43,
+      trainFilter = col("event_type") =!= "error")
+    assert(IsolationForest.modelDigest(fitOnce) !==
+      IsolationForest.modelDigest(drifted))
+    // save/load preserves the digest (portable JSON round-trips doubles)
+    val path = java.nio.file.Files.createTempDirectory("ifd").toString + "/m.json"
+    IsolationForest.save(fitOnce, path, spark)
+    assert(IsolationForest.modelDigest(IsolationForest.load(path, spark)) ===
+      IsolationForest.modelDigest(fitOnce))
+  }
+
   test("isolation forest save/load round-trip scores identically") {
     val featureCols = Seq("value", "mean_3", "std_3", "mean_12", "std_12")
     val feats = TimeSeries.rollingFeatures(TimeSeries.base(spark, sf)).cache()

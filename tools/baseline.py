@@ -43,7 +43,11 @@ def load_events(d):
     df = pd.read_parquet(f"{d}/events.parquet",
                          columns=["event_id", "ts", "user_id", "event_type", "value"])
     df["ts"] = pd.to_datetime(df["ts"])  # clean_data's to_datetime step
-    df["ts_us"] = df["ts"].astype("int64") // 1000
+    # unit-proof µs extraction: the driver has shipped ts as both ns and µs
+    # parquet timestamps; a bare astype(int64)//1000 is unit-dependent
+    # (ns→µs right, µs→ms wrong), while datetime64[us] first is exact either
+    # way and applies the same ns→µs truncation the Spark loader does
+    df["ts_us"] = df["ts"].astype("datetime64[us]").astype("int64")
     return df.sort_values(["user_id", "ts_us", "event_id"]).reset_index(drop=True)
 
 
