@@ -172,9 +172,134 @@ object IncrementalDedup {
     * one file per touched directory, hundreds of tiny files per batch at
     * scale; folding deltas into the base is [[compact]]'s job). Reopen to
     * read the new rows. */
-  def appendSignatures(index: SigIndex, newDocs: DataFrame): Unit =
-    signed(newDocs, index.k, index.bands).coalesce(1)
-      .write.mode("append").parquet(s"${index.path}/delta")
+  def appendSignatures(index: SigIndex, newDocs: DataFrame): Unit = {
+    val batch = signed(newDocs, index.k, index.bands)
+    batch.coalesce(1).write.mode("append").parquet(s"${index.path}/delta")
+    // keep the optional bucket-Bloom sidecar consistent: a duplicate of
+    // an APPENDED doc must still gate through on the next batch. Indexes
+    // without the sidecar pay nothing here.
+    mergeBucketBloom(index.path, batch)
+  }
+
+  // ---- bucket-Bloom pre-gate (opt-in probe accelerator) -------------
+  //
+  // A probe can only flag a batch doc that SHARES a (band, bucket) key
+  // with some corpus doc — that is the candidate-pair condition both
+  // probe paths start from. A Bloom filter over the corpus's
+  // (band, bucket) keys therefore gates the probe exactly: a batch doc
+  // none of whose band buckets might be in the corpus can skip the
+  // probe joins entirely (Bloom has no false negatives, so no flagged
+  // doc is ever skipped; false positives only leave extra definitely-new
+  // docs in the probe input, where the join finds nothing). For the
+  // mostly-new batches a training-data ingest loop sees, the gate
+  // shrinks the probe's batch footprint — and with it the pruned path's
+  // pb set — at the cost of one codegen'd per-row bitset test.
+  // The sidecar is opt-in ([[writeBucketBloom]] after build/compact);
+  // appends merge their keys in so the gate stays exact.
+
+  private def bloomBinPath(path: String) = s"$path/bucket_bloom.bin"
+  private def bloomMetaPath(path: String) = s"$path/bucket_bloom.json"
+
+  private def fs(spark: SparkSession, p: String) =
+    new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** One Bloom aggregate over the (band, bucket) keys of `sigRows`,
+    * with pinned (items, bits) so independently-built filters are
+    * mergeable (same parameters → same hash count and bitset size). */
+  private def bucketBloomBytes(sigRows: DataFrame, items: Long,
+      bits: Long): Array[Byte] = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val bridge = org.apache.spark.sql.graft.ColumnBridge
+    val keys = sigRows
+      .select(posexplode(col("bkts")).as(Seq("band", "bucket")))
+      .select(xxhash64(col("band"), col("bucket")).as("key"))
+    val agg = bridge.column(new BloomFilterAggregate(
+      bridge.expression(col("key")), Literal(items), Literal(bits))
+      .toAggregateExpression())
+    keys.agg(agg.as("bf")).head.getAs[Array[Byte]]("bf")
+  }
+
+  /** Build (or rebuild) the bucket-Bloom sidecar for the CURRENT corpus
+    * (base + delta). Sized for `expectedDocs` × bands keys (defaults to
+    * the live corpus count) at `fpp`; the parameters ride a JSON twin so
+    * append-side filters are built mergeable. Call after
+    * [[saveSignatures]] (and optionally after [[compact]]) to opt the
+    * index into the gated probe. */
+  def writeBucketBloom(spark: SparkSession, path: String,
+      fpp: Double = 0.01, expectedDocs: Long = 0L): Unit = {
+    val ps = IndexMeta.readParams(spark, path, Seq("k", "bands"))
+    val base = spark.read.parquet(s"$path/sigs")
+    val all = deltaSigs(spark, path).map(base.unionByName(_)).getOrElse(base)
+    val docs = if (expectedDocs > 0) expectedDocs else
+      IndexMeta.readDirRows(spark, s"$path/sigs").getOrElse(base.count()) +
+        deltaSigs(spark, path).map(_.count()).getOrElse(0L)
+    val items = math.max(1L, docs) * ps("bands")
+    val bits = BloomDedup.optimalNumBits(items, fpp)
+    writeBytes(spark, bloomBinPath(path), bucketBloomBytes(all, items, bits))
+    IndexMeta.writeText(spark, bloomMetaPath(path),
+      s"""{"format":${IndexMeta.FormatVersion},"items":$items,"bits":$bits}""")
+  }
+
+  /** The sidecar's (bytes, items, bits), when the index opted in. */
+  private[graft] def readBucketBloom(spark: SparkSession,
+      path: String): Option[(Array[Byte], Long, Long)] =
+    if (!fs(spark, bloomBinPath(path))
+        .exists(new org.apache.hadoop.fs.Path(bloomBinPath(path)))) None
+    else {
+      val meta = IndexMeta.readText(spark, bloomMetaPath(path))
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val root = mapper.readTree(meta)
+      Some((readBytes(spark, bloomBinPath(path)),
+        root.get("items").asLong, root.get("bits").asLong))
+    }
+
+  /** Fold an appended batch's keys into the sidecar (no-op without one).
+    * Built with the sidecar's pinned parameters, the batch filter is
+    * bitset-compatible, so the merge is `BloomFilter.mergeInPlace` on
+    * the driver — two ~MB bitsets, no data pass beyond the batch agg. */
+  private def mergeBucketBloom(path: String, batchSigned: DataFrame): Unit = {
+    val spark = batchSigned.sparkSession
+    readBucketBloom(spark, path).foreach { case (bytes, items, bits) =>
+      val batchBytes = bucketBloomBytes(batchSigned, items, bits)
+      val live = org.apache.spark.util.sketch.BloomFilter
+        .readFrom(new java.io.ByteArrayInputStream(bytes))
+      live.mergeInPlace(org.apache.spark.util.sketch.BloomFilter
+        .readFrom(new java.io.ByteArrayInputStream(batchBytes)))
+      val out = new java.io.ByteArrayOutputStream()
+      live.writeTo(out)
+      writeBytes(spark, bloomBinPath(path), out.toByteArray)
+    }
+  }
+
+  /** Per-row gate: true iff ANY of the doc's band buckets might be in
+    * the corpus filter — a codegen'd bitset test per band, no join. */
+  private[graft] def bucketBloomGate(bytes: Array[Byte]): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.types.BinaryType
+    val bridge = org.apache.spark.sql.graft.ColumnBridge
+    exists(transform(col("bkts"), (b, i) => bridge.column(
+      BloomFilterMightContain(Literal(bytes, BinaryType),
+        bridge.expression(xxhash64(i, b))))), x => x)
+  }
+
+  private def writeBytes(spark: SparkSession, p: String,
+      bytes: Array[Byte]): Unit = {
+    val out = fs(spark, p).create(new org.apache.hadoop.fs.Path(p), true)
+    try out.write(bytes) finally out.close()
+  }
+
+  private def readBytes(spark: SparkSession, p: String): Array[Byte] = {
+    val in = fs(spark, p).open(new org.apache.hadoop.fs.Path(p))
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](65536)
+      var n = in.read(chunk)
+      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+      buf.toByteArray
+    } finally in.close()
+  }
 
   /** The `delta/` side table, when any batch has been appended since the
     * last compact. Rows are (doc_id, sig, bkts) like the base minus the
@@ -398,10 +523,20 @@ object IncrementalDedup {
     val baseN = IndexMeta.readDirRows(spark, s"${index.path}/sigs")
       .getOrElse(sp.toLong * DocsPerSigDir)
     val corpusApprox = baseN + deltaN
+    // opt-in bucket-Bloom gate: shrink the probe input to the docs that
+    // share at least one possibly-present band bucket with the corpus.
+    // Exact by the candidate-pair condition (see the gate's comment) —
+    // a gated-out doc has no candidate pair on either probe path, so
+    // `matches` is unchanged and gated-out docs flag false through the
+    // final left join exactly as before.
+    val probeIn = readBucketBloom(spark, index.path) match {
+      case Some((bytes, _, _)) => batch.filter(bucketBloomGate(bytes))
+      case None => batch
+    }
     val matches =
       if (useStreamedProbe(batchN, corpusApprox))
-        streamedMatches(index, batch, threshold)
-      else prunedMatches(index, batch, sp, threshold)
+        streamedMatches(index, probeIn, threshold)
+      else prunedMatches(index, probeIn, sp, threshold)
     // matches is at most batch-sized (one row per flagged new doc), so
     // the flag join broadcasts too instead of shuffling newDocs
     newDocs.select(col("doc_id")).join(broadcast(matches), Seq("doc_id"), "left")
@@ -519,7 +654,11 @@ object IncrementalDedup {
     * redaction, normalization): documents it drops are neither flagged,
     * written, nor signed, so the standard curate→dedup→append ingest
     * pipeline is this one call. Must be a per-row transform preserving
-    * doc_id/text (stage fusion keeps the batch single-pass). */
+    * doc_id/text (stage fusion keeps the batch single-pass).
+    *
+    * Indexes that opted into the bucket-Bloom sidecar
+    * ([[writeBucketBloom]]) gate every micro-batch's probe automatically,
+    * and the append leg keeps the sidecar merged — no extra wiring. */
   def streamingIngest(docsStream: DataFrame, indexPath: String,
       outPath: String, checkpoint: String, threshold: Double = 0.9,
       prepare: DataFrame => DataFrame = identity)

@@ -16,6 +16,43 @@ class IncrementalDedupSpec extends AnyFunSuite {
   private def tmp(): String =
     java.nio.file.Files.createTempDirectory("inc-dedup-spec").toString
 
+  test("bucket-Bloom gate never changes dedupAgainst results and survives append-merge") {
+    val docs = Tables.documents(spark, sf)
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    val path = tmp()
+    IncrementalDedup.saveSignatures(corpus, path)
+    val idx = IncrementalDedup.openSignatures(spark, path)
+    def run() = IncrementalDedup.dedupAgainst(idx, batch)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long])))
+      .sortBy(_._1)
+    val ungated = run()               // no sidecar yet: plain probe
+    IncrementalDedup.writeBucketBloom(spark, path)
+    val gated = run()                 // sidecar present: gated probe
+    assert(gated.sameElements(ungated),
+      "the Bloom gate is an optimization and must never change results")
+    assert(ungated.exists(_._2), "no duplicates flagged — gate not exercised")
+    // the gate actually prunes: docs sharing no corpus band bucket fail it
+    val bloom = IncrementalDedup.readBucketBloom(spark, path).get._1
+    import spark.implicits._
+    val fresh = (0 until 500).map(i =>
+      (900000L + i, s"totally novel text $i with unshared vocabulary $i")).toDF("doc_id", "text")
+    val freshSigned = IncrementalDedup.signed(fresh, idx.k, idx.bands)
+    val passed = freshSigned
+      .filter(IncrementalDedup.bucketBloomGate(bloom)).count()
+    assert(passed < 500, s"gate passed all $passed/500 novel docs — prunes nothing")
+    // append merges the batch's buckets in: a copy of an appended doc
+    // must still gate through and flag on the NEXT probe
+    IncrementalDedup.appendSignatures(idx, fresh)
+    val idx2 = IncrementalDedup.openSignatures(spark, path)
+    val copies = fresh.limit(20).withColumn("doc_id", col("doc_id") + 1000000L)
+    val flagged = IncrementalDedup.dedupAgainst(idx2, copies)
+      .filter(col("is_duplicate")).count()
+    assert(flagged === 20L,
+      s"only $flagged/20 copies of appended docs flagged — append-merge broke the gate")
+  }
+
   test("bipartite first-agree equals the brute-force form on real documents") {
     val docs = Tables.documents(spark, sf)
     val corpus = docs.filter(col("doc_id") % 5 =!= 0)
