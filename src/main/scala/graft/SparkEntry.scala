@@ -171,6 +171,11 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
     "tx_tokens" -> ((s, dir) => TextAnalysis.tokenStats(Tables.documents(s, dir))),
+    // sequence packing (concat-and-chunk): per-shard token prefix sums
+    // assign each doc its training sequence(s); shard-parallel, total
+    // order within shard → bit-reproducible (oracle: same window SQL)
+    "tx_pack" -> ((s, dir) =>
+      operators.Packing.packSequences(Tables.documents(s, dir))),
     "tx_quality" -> ((s, dir) => TextAnalysis.qualityScore(Tables.documents(s, dir))),
     "tx_langid" -> ((s, dir) => TextAnalysis.languageId(Tables.documents(s, dir))),
     "tx_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(Tables.documents(s, dir))),
@@ -1160,6 +1165,22 @@ object SparkEntry {
          |ORDER BY cosine DESC, vec_id
          |LIMIT 20""".stripMargin,
 
+    "tx_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id, CAST(doc_id % 32 AS INT) AS shard,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, shard, n_tokens,
+        |         CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+        |           - n_tokens AS BIGINT) AS start_tok
+        |  FROM t)
+        |SELECT doc_id, shard, n_tokens, start_tok,
+        |       CAST(start_tok // 2048 AS BIGINT) AS seq_id,
+        |       CAST(start_tok % 2048 AS BIGINT) AS seq_offset,
+        |       CAST((start_tok + n_tokens - 1) // 2048
+        |         - start_tok // 2048 + 1 AS BIGINT) AS n_seqs
+        |FROM c ORDER BY doc_id""".stripMargin,
     "tx_tokens" ->
       """SELECT doc_id, n_chars,
         |       CAST(length(text) AS BIGINT) AS n_chars_calc,

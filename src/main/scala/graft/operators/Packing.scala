@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for training-data assembly — the concat-and-chunk
+  * pass every LLM pre-training pipeline runs between curation and
+  * tokenizer sharding: documents are concatenated in a deterministic
+  * order and cut into fixed token-budget training sequences, and each
+  * document needs to know WHICH sequence(s) it landed in (for
+  * provenance, loss masking across boundaries, and shard manifests).
+  * (The reference has no analog — this extends its ETL surface the way
+  * a training-data pipeline would, like ds_sample/ds_split.)
+  *
+  * Packing is assignment arithmetic over a running token prefix-sum, so
+  * it is expressible as ONE window aggregation — no shuffle beyond the
+  * window's, no RNG, no driver loop:
+  *
+  *   start_tok = sum(n_tokens) over (shard, doc order) − n_tokens
+  *   seq_id    = start_tok div budget
+  *   n_seqs    = (start_tok + n_tokens − 1) div budget − seq_id + 1
+  *
+  * Scale shape: a GLOBAL prefix-sum would serialize the corpus through
+  * one window partition, so packing runs per SHARD (`pmod(doc_id,
+  * shards)`) — each shard's stream is packed independently and in
+  * parallel, which is exactly how training shards are consumed; the
+  * shard count is the parallelism dial (set it ≈ the cluster's target
+  * output-file count at 100 TB). Within a shard the order is doc_id —
+  * total, so the assignment is bit-reproducible across runs, engines
+  * and partition layouts (same determinism contract as ds_split).
+  *
+  * Token counts use the whitespace convention of tx_tokens
+  * (`size(split(text, ' '))`), so the same oracle pairing holds
+  * bit-exactly.
+  */
+object Packing {
+
+  /** Per-document sequence assignment: (doc_id, shard, n_tokens,
+    * start_tok, seq_id, seq_offset, n_seqs) where `seq_id` is the
+    * first budget-sized sequence this doc occupies within its shard,
+    * `seq_offset` the doc's start position inside it, and `n_seqs` how
+    * many consecutive sequences the doc spans (>1 = straddles
+    * boundaries; a loss-masking consumer treats those rows specially). */
+  def packSequences(documents: DataFrame, budget: Long = 2048,
+      shards: Int = 32): DataFrame = {
+    require(budget > 0, s"budget must be positive (got $budget)")
+    require(shards > 0, s"shards must be positive (got $shards)")
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+    documents
+      .withColumn("shard", pmod(col("doc_id"), lit(shards.toLong)).cast("int"))
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn("start_tok",
+        (sum(col("n_tokens")).over(w) - col("n_tokens")).cast("long"))
+      // integer `div`, not `/`: prefix sums at corpus scale exceed
+      // double's 2^53 exact range long before 100 TB does
+      .withColumn("seq_id", call_function("div", col("start_tok"), lit(budget)))
+      .withColumn("seq_offset", pmod(col("start_tok"), lit(budget)))
+      .withColumn("n_seqs",
+        call_function("div",
+          col("start_tok") + col("n_tokens") - lit(1L), lit(budget))
+          - col("seq_id") + lit(1L))
+      .select("doc_id", "shard", "n_tokens", "start_tok", "seq_id",
+        "seq_offset", "n_seqs")
+      .orderBy("doc_id")
+  }
+}

@@ -489,4 +489,43 @@ class LlmOpsSpec extends AnyFunSuite {
       Sampling.uniformSample(docs, "doc_id", 101)
     }
   }
+
+  test("sequence packing: prefix-exact, budget-aligned, partitioning-independent") {
+    val docs = Tables.documents(spark, sf)
+    val budget = 128L
+    val packed = graft.operators.Packing
+      .packSequences(docs, budget = budget, shards = 4).cache()
+    // per-shard prefix property: start_tok is the exact running sum of
+    // the preceding docs' token counts in doc_id order
+    val byShard = packed.collect().groupBy(_.getAs[Int]("shard"))
+    assert(byShard.size === 4)
+    for ((_, rows) <- byShard) {
+      val sorted = rows.sortBy(_.getAs[Long]("doc_id"))
+      var cum = 0L
+      for (r <- sorted) {
+        assert(r.getAs[Long]("start_tok") === cum,
+          s"doc ${r.getAs[Long]("doc_id")}: start ${r.getAs[Long]("start_tok")} != prefix $cum")
+        cum += r.getAs[Long]("n_tokens")
+      }
+    }
+    // sequence arithmetic: the doc occupies exactly
+    // [seq_id, seq_id + n_seqs - 1] under the budget chunking
+    packed.collect().foreach { r =>
+      val (start, n) = (r.getAs[Long]("start_tok"), r.getAs[Long]("n_tokens"))
+      val (seq, off, spans) = (r.getAs[Long]("seq_id"),
+        r.getAs[Long]("seq_offset"), r.getAs[Long]("n_seqs"))
+      assert(seq === start / budget)
+      assert(off === start % budget)
+      assert(spans === (start + n - 1) / budget - seq + 1)
+      assert(spans >= 1)
+    }
+    // straddling docs exist at this budget (otherwise the n_seqs>1
+    // contract is untested) and every token position is accounted for
+    assert(packed.filter(col("n_seqs") > 1).count() > 0)
+    // partitioning must not change the assignment
+    val shuffled = graft.operators.Packing
+      .packSequences(docs.repartition(13), budget = budget, shards = 4)
+    assert(shuffled.collect().map(_.toString).sorted
+      .sameElements(packed.collect().map(_.toString).sorted))
+  }
 }
