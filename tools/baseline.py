@@ -627,6 +627,19 @@ def run_all(d):
         return m[["doc_id", "source", "sample_key", "split"]]
     bench("ds_split", ds_split)
 
+    def tx_pack():
+        # sequence packing: per-shard token prefix sums -> budget chunks
+        p = docs[["doc_id", "text"]].copy()
+        p["shard"] = (p["doc_id"] % 32).astype("int32")
+        p["n_tokens"] = p["text"].str.split(" ").str.len().astype("int64")
+        p = p.sort_values(["shard", "doc_id"])
+        p["start_tok"] = p.groupby("shard")["n_tokens"].cumsum() - p["n_tokens"]
+        p["seq_id"] = p["start_tok"] // 2048
+        p["seq_offset"] = p["start_tok"] % 2048
+        p["n_seqs"] = (p["start_tok"] + p["n_tokens"] - 1) // 2048 - p["seq_id"] + 1
+        return p.drop(columns=["text"]).sort_values("doc_id")
+    bench("tx_pack", tx_pack)
+
     def tx_lm_score():
         from collections import Counter
         def grams(text):
