@@ -116,6 +116,25 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(pEmb.contains("quantized_cosine14"), pEmb)
   }
 
+  test("sequence packing windows on the shard key, never a single global partition") {
+    val p = plan(Packing.packSequences(Tables.documents(spark, sf)))
+    // the prefix-sum exchange must hash-partition on shard — a
+    // SinglePartition exchange here means the whole corpus serializes
+    // through one task's prefix sum at 100 TB
+    assert(p.contains("hashpartitioning(shard"), p)
+    assert("windowspecdefinition\\(shard".r.findFirstIn(p).nonEmpty,
+      s"prefix-sum window is not partitioned by shard:\n$p")
+  }
+
+  test("containment candidate stage joins on hashed gram longs, not gram strings") {
+    val p = plan(Dedup.containment(Tables.documents(spark, sf)))
+    // the df join + candidate join must key on xxhash64(gram): string
+    // keys shuffle/sort ~30-char grams and dominated the stage (r10)
+    assert(p.contains("xxhash64"), p)
+    assert("hashpartitioning\\(tok_h".r.findFirstIn(p).nonEmpty,
+      s"candidate exchanges are not keyed on the gram hash:\n$p")
+  }
+
   test("ANN index buckets come from the native kernel, not interpreted HOFs") {
     val p = plan(AnnLsh.topK(Tables.embeddings(spark, sf), 0L, 10))
     assert(p.contains("embedding_lsh_buckets"), p)
