@@ -45,12 +45,26 @@ import org.apache.spark.sql.types.BinaryType
   */
 object BloomDedup {
 
+  /** The sorted-distinct-token normalization [[Dedup.exact]] keys on. */
+  private def normCol(text: Column): Column =
+    concat_ws(" ", array_sort(array_distinct(split(text, " "))))
+
   /** The normalized exact-dup fingerprint as a hashable long — xxhash64
     * of the same sorted-distinct-token normalization [[Dedup.exact]]
     * keys on (docs equal under `norm_hash` collide here too, by
-    * construction). */
+    * construction). 64-bit: fine for the Bloom GATE (false positives
+    * are the gate's contract), but not for an exactness decision —
+    * [[newAgainst]]'s second tier keys on [[normKeyCol]] instead. */
   def fingerprintCol(text: Column): Column =
-    xxhash64(concat_ws(" ", array_sort(array_distinct(split(text, " ")))))
+    xxhash64(normCol(text))
+
+  /** The 128-bit exact-tier key: md5 of the normalization, IDENTICAL to
+    * [[Dedup.exact]]'s `norm_hash`, so the two-tier result agrees with
+    * the batch operator's duplicate decision bit-for-bit. (A 64-bit key
+    * here would silently drop a genuinely-new doc on a cross-doc hash
+    * collision — expected-by-birthday at multi-billion-doc scale.) */
+  def normKeyCol(text: Column): Column =
+    md5(normCol(text).cast("binary"))
 
   /** Optimal Bloom bit count for `n` items at false-positive rate `p`:
     * n·ln(1/p)/ln²2, the textbook sizing. */
@@ -92,17 +106,20 @@ object BloomDedup {
     batch.withColumn("possibly_seen", mightContain(filter, col("text")))
 
   /** Two-tier exact dedup of `batch` against `corpus`: Bloom gate first,
-    * then ONE anti-join on the normalized fingerprint for only the
+    * then ONE anti-join on the 128-bit [[normKeyCol]] for only the
     * possibly-seen slice. Returns the batch rows that are genuinely new
     * (docs whose normalization never appeared in the corpus). The join's
     * left side is the ~(dups + fpp·batch) possibly-seen slice, not the
-    * batch; the corpus side prunes to fingerprint equality. */
+    * batch; the corpus side prunes to key equality. The exact tier uses
+    * the md5 key (Dedup.exact's `norm_hash`), NOT the gate's 64-bit
+    * fingerprint — a 64-bit anti-join would drop a genuinely-new doc on
+    * a cross-doc collision, which becomes expected at billions of docs. */
   def newAgainst(batch: DataFrame, corpus: DataFrame,
       filter: Array[Byte]): DataFrame = {
     val gated = gate(batch, filter)
     val seen = gated.filter(col("possibly_seen"))
-      .withColumn("fp", fingerprintCol(col("text")))
-    val corpusFp = corpus.select(fingerprintCol(col("text")).as("fp")).distinct()
+      .withColumn("fp", normKeyCol(col("text")))
+    val corpusFp = corpus.select(normKeyCol(col("text")).as("fp")).distinct()
     val confirmedNew = seen.join(corpusFp, Seq("fp"), "left_anti").drop("fp")
     gated.filter(!col("possibly_seen")).unionByName(confirmedNew)
       .drop("possibly_seen")

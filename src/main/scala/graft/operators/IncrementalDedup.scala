@@ -127,6 +127,16 @@ object IncrementalDedup {
       else
         (if (parts > 0) parts else autoParts(n0 * bands, BucketRowsPerDir),
           if (sigParts > 0) sigParts else autoParts(n0, DocsPerSigDir))
+    // a rebuild in place must not leave a PREVIOUS corpus's bucket-Bloom
+    // sidecar live: the gate would filter the new corpus's probes with
+    // keys from the old one — silent false negatives, breaking the
+    // gate's no-false-negative contract. The sidecar is opt-in; callers
+    // re-run writeBucketBloom after the rebuild to opt back in.
+    val fsys = fs(spark, path)
+    for (p0 <- Seq(bloomBinPath(path), bloomMetaPath(path))) {
+      val hp = new org.apache.hadoop.fs.Path(p0)
+      if (fsys.exists(hp)) fsys.delete(hp, false)
+    }
     // clustered on the partition column: one writing task per sp value,
     // so the layout lands as ~one file per directory (free-form task
     // layout would write tasks × dirs small files, and every later
@@ -230,7 +240,10 @@ object IncrementalDedup {
   def writeBucketBloom(spark: SparkSession, path: String,
       fpp: Double = 0.01, expectedDocs: Long = 0L): Unit = {
     val ps = IndexMeta.readParams(spark, path, Seq("k", "bands"))
-    val base = spark.read.parquet(s"$path/sigs")
+    // drop the layout column before unioning with the (layout-free) delta
+    // rows, as every other base+delta call site does — without it the
+    // documented base+delta path throws whenever a delta/ exists
+    val base = spark.read.parquet(s"$path/sigs").drop("sp")
     val all = deltaSigs(spark, path).map(base.unionByName(_)).getOrElse(base)
     val docs = if (expectedDocs > 0) expectedDocs else
       IndexMeta.readDirRows(spark, s"$path/sigs").getOrElse(base.count()) +
@@ -263,13 +276,18 @@ object IncrementalDedup {
     val spark = batchSigned.sparkSession
     readBucketBloom(spark, path).foreach { case (bytes, items, bits) =>
       val batchBytes = bucketBloomBytes(batchSigned, items, bits)
-      val live = org.apache.spark.util.sketch.BloomFilter
-        .readFrom(new java.io.ByteArrayInputStream(bytes))
-      live.mergeInPlace(org.apache.spark.util.sketch.BloomFilter
-        .readFrom(new java.io.ByteArrayInputStream(batchBytes)))
-      val out = new java.io.ByteArrayOutputStream()
-      live.writeTo(out)
-      writeBytes(spark, bloomBinPath(path), out.toByteArray)
+      // an EMPTY batch aggregates to null bytes (no keys to add) — skip
+      // the merge instead of NPEing in readFrom; streamingIngest
+      // micro-batches can legitimately be empty
+      if (batchBytes != null && batchBytes.nonEmpty) {
+        val live = org.apache.spark.util.sketch.BloomFilter
+          .readFrom(new java.io.ByteArrayInputStream(bytes))
+        live.mergeInPlace(org.apache.spark.util.sketch.BloomFilter
+          .readFrom(new java.io.ByteArrayInputStream(batchBytes)))
+        val out = new java.io.ByteArrayOutputStream()
+        live.writeTo(out)
+        writeBytes(spark, bloomBinPath(path), out.toByteArray)
+      }
     }
   }
 

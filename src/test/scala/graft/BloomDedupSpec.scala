@@ -54,11 +54,24 @@ class BloomDedupSpec extends AnyFunSuite {
   test("two-tier newAgainst equals the plain anti-join result exactly") {
     val got = BloomDedup.newAgainst(batch, corpus, filter)
       .select("doc_id").collect().map(_.getLong(0)).sorted
-    val batchFp = batch.withColumn("fp", BloomDedup.fingerprintCol(col("text")))
-    val corpusFp = corpus.select(BloomDedup.fingerprintCol(col("text")).as("fp")).distinct()
+    // oracle on the normalization STRING itself — no hash of any width
+    val norm = concat_ws(" ", array_sort(array_distinct(split(col("text"), " "))))
+    val batchFp = batch.withColumn("fp", norm)
+    val corpusFp = corpus.select(norm.as("fp")).distinct()
     val want = batchFp.join(corpusFp, Seq("fp"), "left_anti")
       .select("doc_id").collect().map(_.getLong(0)).sorted
     assert(got.sameElements(want))
+  }
+
+  test("the exact tier keys on Dedup.exact's 128-bit norm_hash, not the 64-bit gate fingerprint") {
+    // bit-for-bit agreement with the batch operator's duplicate key: the
+    // two-tier decision and Dedup.exact collapse exactly the same docs
+    val mismatch = Dedup.exact(docs).select("doc_id", "norm_hash")
+      .join(docs.select(col("doc_id"),
+        BloomDedup.normKeyCol(col("text")).as("bloom_key")), "doc_id")
+      .filter(col("bloom_key") =!= col("norm_hash")).count()
+    assert(mismatch === 0L,
+      "newAgainst's exact-tier key diverged from Dedup.exact's norm_hash")
   }
 
   test("the gate plan is join-free and shuffle-free") {

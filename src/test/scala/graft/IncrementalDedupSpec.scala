@@ -53,6 +53,38 @@ class IncrementalDedupSpec extends AnyFunSuite {
       s"only $flagged/20 copies of appended docs flagged — append-merge broke the gate")
   }
 
+  test("bucket-Bloom sidecar: builds over un-compacted deltas, survives empty appends, dies with a rebuild") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val extra = docs.filter(col("doc_id") % 5 === 0 && col("doc_id") % 10 === 0)
+    val path = tmp()
+    IncrementalDedup.saveSignatures(corpus, path)
+    val idx = IncrementalDedup.openSignatures(spark, path)
+    // leave an UN-compacted delta/ behind, then build the sidecar: the
+    // documented base+delta path (a build after appends, or after a crash
+    // left a delta) must not throw on the layout column mismatch
+    IncrementalDedup.appendSignatures(idx, extra)
+    IncrementalDedup.writeBucketBloom(spark, path)
+    // the filter covers the DELTA docs too: a copy of an appended doc
+    // gates through and flags
+    val idx2 = IncrementalDedup.openSignatures(spark, path)
+    val copies = extra.limit(5).withColumn("doc_id", col("doc_id") + 5000000L)
+    assert(IncrementalDedup.dedupAgainst(idx2, copies)
+      .filter(col("is_duplicate")).count() === 5L,
+      "sidecar built over base+delta must cover delta docs")
+    // an EMPTY micro-batch append (possible under streamingIngest) must
+    // not NPE in the sidecar merge
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    IncrementalDedup.appendSignatures(idx2, empty)
+    // rebuilding the index in place over a DIFFERENT corpus must not
+    // leave the old corpus's sidecar live (silent false negatives)
+    IncrementalDedup.saveSignatures(extra, path)
+    assert(IncrementalDedup.readBucketBloom(spark, path).isEmpty,
+      "rebuild left a stale bucket-Bloom sidecar — gate would filter " +
+        "the new corpus with the old corpus's keys")
+  }
+
   test("bipartite first-agree equals the brute-force form on real documents") {
     val docs = Tables.documents(spark, sf)
     val corpus = docs.filter(col("doc_id") % 5 =!= 0)
