@@ -277,20 +277,21 @@ object MinHashLsh {
   }
 
   /** Verified near-dup pairs at `threshold`, generated the scale-safe
-    * way: banded LSH candidates → cheap signature-estimate prefilter →
-    * exact sorted-token-intersection verification (the same integer-form
-    * predicate as Dedup.ngramJaccard).
+    * way: banded LSH candidates → exact sorted-intersection verification
+    * on hashed token arrays (the same integer-form predicate as
+    * Dedup.ngramJaccard; see [[exactPairsFromToks]] for the exactness
+    * argument).
     *
     * Precision is exact: every emitted pair is verified jaccard ≥
     * threshold — no false positives, ever. Recall is governed by the
     * band shape, not guaranteed: b=16 × r=8 misses a j=0.9 boundary pair
-    * with probability (1−0.9⁸)¹⁶ ≈ 1.2e-4 (plus a negligible
-    * ≈5.7σ prefilter tail), vanishing fast above the threshold. Raise
-    * k/bands for stricter recall. Downstream clustering tolerates the
-    * tail gracefully — a missed edge inside a dense duplicate cluster is
-    * redundant for connectivity (validated: identical components vs an
-    * exhaustive ground truth at sf0.001, sf0.01 and sf0.1, plus a
-    * planted-boundary corpus, in ClusterIvfSpec).
+    * with probability (1−0.9⁸)¹⁶ ≈ 1.2e-4, vanishing fast above the
+    * threshold. Raise k/bands for stricter recall. Downstream clustering
+    * tolerates the tail gracefully — a missed edge inside a dense
+    * duplicate cluster is redundant for connectivity (validated:
+    * identical components vs an exhaustive ground truth at sf0.001,
+    * sf0.01 and sf0.1, plus a planted-boundary corpus, in
+    * ClusterIvfSpec).
     *
     * Unlike ngramJaccard this needs no blocking column: candidate
     * generation is unsupervised (band buckets), so cross-block near-dups
@@ -304,31 +305,93 @@ object MinHashLsh {
     exactPairsFromToks(tokenize(documents).localCheckpoint(true),
       threshold, k, bands, maxBucket)
 
+  /** Per-side byte budget under which a verify payload table (hashed
+    * token arrays, signatures) is explicitly BROADCAST into the
+    * candidate-pair joins instead of shuffle-joined. Below it, the
+    * candidate stream — tens of millions of rows on self-similar
+    * corpora — flows from the banded self-join through the verify
+    * filters in ONE fused stage, never shuffling a pair row; above it
+    * (the 100-TB corpus), the shuffle join is the only correct shape
+    * and pairs ship to their payloads. 256 MB: far under Spark's 8 GB
+    * broadcast hard limit, ~2× headroom per executor at typical 4-8 GB
+    * executor memory, and a corpus whose per-doc payload exceeds it
+    * (≥ ~1M docs after exact-collapse) is past broadcast territory
+    * anyway. */
+  private[graft] val MaxBroadcastVerifyBytes = 256L << 20
+
+  private def maybeBroadcast(df: DataFrame, estBytes: Long): DataFrame =
+    if (estBytes <= MaxBroadcastVerifyBytes) broadcast(df) else df
+
+  /** True iff the engine-neutral 64-bit token hash is INJECTIVE over the
+    * corpus vocabulary of `toks`: every hash value maps back to exactly
+    * one distinct token string. One narrow aggregate — explode to
+    * (token, hash) rows (hashes from the same codegen kernel the verify
+    * stage uses), group by hash with min/max partial aggregation
+    * map-side, and any group whose min ≠ max is a collision. Cost is a
+    * vocabulary-sized shuffle of (long, string-bounds) rows — the
+    * exactness premium that lets the verify stage shuffle 8-byte hashed
+    * arrays instead of token strings (see [[exactPairsFromToks]]).
+    * Expected collisions over a V-token vocabulary are ~V²/2⁶⁵ (≈ 5e-8
+    * at V = 1M), so the check passes in practice; it exists so the
+    * hashed fast path NEVER silently trades the exactness contract. */
+  private[graft] def hashInjectiveOnVocab(toks: DataFrame): Boolean = {
+    val pairs = toks
+      .select(explode(arrays_zip(col("toks"),
+        org.apache.spark.sql.graft.ColumnBridge.tokenHashes64(col("toks"))
+          .as("h"))).as("z"))
+      .select(col("z.toks").as("t"), col("z.h").as("h"))
+    pairs.groupBy(col("h"))
+      .agg(min(col("t")).as("lo"), max(col("t")).as("hi"))
+      .filter(col("lo") =!= col("hi"))
+      .limit(1).count() == 0L
+  }
+
   /** [[exactPairs]] over a pre-tokenized [[tokenize]] frame, which the
     * caller should have MATERIALIZED (localCheckpoint/persist): it is
     * read by the signature pass and both verify-join sides. Lets callers
     * that already tokenized the corpus (e.g. Dedup.clusterExact's
-    * exact-duplicate collapse) share one pass. */
+    * exact-duplicate collapse) share one pass.
+    *
+    * Verify-stage shape (the dominant cost at scale): banded candidate
+    * pairs are verified DIRECTLY on SORTED 64-BIT TOKEN-HASH arrays
+    * (`sort_array(token_hashes64(toks))` — 8-byte elements and primitive
+    * compares through the per-pair shuffle, not token strings). The
+    * former signature-estimate prefilter stage is gone: measured on the
+    * salted sf1 corpus (24.5M banded candidates, 12.7M est-survivors,
+    * 289k true pairs) it shipped the 1 KB signatures per candidate pair
+    * to halve a hash-verify volume whose per-pair payload is the SAME
+    * size — two extra join stages that cost more than they saved, at
+    * every selectivity this corpus family exhibits. Exactness is
+    * preserved, not traded: [[hashInjectiveOnVocab]] proves the hash
+    * collision-free over this corpus's vocabulary first (one narrow
+    * aggregate), in which case the hashed intersection IS the token
+    * intersection; in the (≈ V²/2⁶⁵) event of a vocabulary collision the
+    * hashed count can only overcount — a merge on multisets counts
+    * min-multiplicity, and hashing is a function, so matched tokens
+    * always match — making it a zero-false-negative prefilter, and the
+    * exact string intersect re-verifies just the surviving
+    * (output-bound) pairs. */
   def exactPairsFromToks(toks: DataFrame, threshold: Double = 0.9,
       k: Int = 128, bands: Int = 16, maxBucket: Int = 4096): DataFrame = {
     val t100 = math.round(threshold * 100)
-    // signatures are read by the banding and both estimate-join sides —
-    // materialize once (~1 KB/doc of executor-local storage, the standard
-    // persist any iterative/multi-read LSH pipeline carries)
+    // signatures feed the banding only — the verify decides on hashed
+    // token arrays; materialize once (~1 KB/doc of executor-local
+    // storage, the standard persist any multi-read LSH pipeline carries)
     val sigs = signaturesFromToks(toks, k).localCheckpoint(true)
     val cand = bandedPairs(sigs, k, bands, maxBucket)
-    val sa = sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))
-    val sb = sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"))
-    val pre = cand.join(sa, "doc_a").join(sb, "doc_b")
-      .filter(org.apache.spark.sql.graft.ColumnBridge
-        .matchCount(col("sig_a"), col("sig_b")).cast("double") / lit(k)
-        >= lit(threshold - 0.15))
-      .select("doc_a", "doc_b")
-    val ta = toks.select(col("doc_id").as("doc_a"),
-      col("toks").as("toks_a"), col("n").as("na"))
-    val tb = toks.select(col("doc_id").as("doc_b"),
-      col("toks").as("toks_b"), col("n").as("nb"))
-    pre.join(ta, "doc_a").join(tb, "doc_b")
+    // size the hashed-payload side: rows × (id + n + array header) +
+    // 8 B per token hash — one narrow aggregate over the checkpointed
+    // tokenization, driving the broadcast-vs-shuffle verify shape
+    val stats = toks.agg(count(lit(1)), coalesce(sum(col("n")), lit(0L))).head()
+    val hashedBytes = stats.getLong(0) * 32L + stats.getLong(1) * 8L
+    val hashed = toks.select(col("doc_id"), col("n"),
+      sort_array(org.apache.spark.sql.graft.ColumnBridge
+        .tokenHashes64(col("toks"))).as("hsh"))
+    val ha = maybeBroadcast(hashed.select(col("doc_id").as("doc_a"),
+      col("hsh").as("hsh_a"), col("n").as("na")), hashedBytes)
+    val hb = maybeBroadcast(hashed.select(col("doc_id").as("doc_b"),
+      col("hsh").as("hsh_b"), col("n").as("nb")), hashedBytes)
+    val hashVerified = cand.join(ha, "doc_a").join(hb, "doc_b")
       // size-ratio prefilter: j ≥ θ forces 100·min(na,nb) ≥ θ₁₀₀·max —
       // a necessary condition of the exact predicate below, so the
       // intersect kernel never runs on pairs the size gap already rules
@@ -337,12 +400,34 @@ object MinHashLsh {
         col("nb") * 100L >= lit(t100) * col("na"))
       .select(col("doc_a"), col("doc_b"), col("na"), col("nb"),
         org.apache.spark.sql.graft.ColumnBridge
-          .sortedIntersectCount(col("toks_a"), col("toks_b"))
-          .cast("long").as("inter"))
-      .filter(col("inter") * lit(100L + t100)
+          .sortedLongIntersectCount(col("hsh_a"), col("hsh_b"))
+          .cast("long").as("hinter"))
+      .filter(col("hinter") * lit(100L + t100)
         >= lit(t100) * (col("na") + col("nb")))
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
-      .select("doc_a", "doc_b", "jaccard")
+    if (hashInjectiveOnVocab(toks)) {
+      // collision-free vocabulary (the always case): the hashed count IS
+      // the token intersection — no string arrays ever enter a shuffle
+      hashVerified
+        .withColumn("jaccard",
+          col("hinter").cast("double") / (col("na") + col("nb") - col("hinter")))
+        .select("doc_a", "doc_b", "jaccard")
+    } else {
+      // vocabulary collision somewhere in the corpus: the hashed pass is
+      // still a zero-false-negative prefilter (it can only overcount);
+      // re-verify the surviving output-bound pairs on the token strings
+      val ta = toks.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"))
+      val tb = toks.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"))
+      hashVerified.select("doc_a", "doc_b", "na", "nb")
+        .join(ta, "doc_a").join(tb, "doc_b")
+        .select(col("doc_a"), col("doc_b"), col("na"), col("nb"),
+          org.apache.spark.sql.graft.ColumnBridge
+            .sortedIntersectCount(col("toks_a"), col("toks_b"))
+            .cast("long").as("inter"))
+        .filter(col("inter") * lit(100L + t100)
+          >= lit(t100) * (col("na") + col("nb")))
+        .withColumn("jaccard",
+          col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+        .select("doc_a", "doc_b", "jaccard")
+    }
   }
 }

@@ -101,6 +101,10 @@ object ColumnBridge {
   def sortedIntersectCount(a: Column, b: Column): Column =
     column(SortedStringArrayIntersectCount(expression(a), expression(b)))
 
+  /** sorted_long_intersect_count(a, b) as a Column. */
+  def sortedLongIntersectCount(a: Column, b: Column): Column =
+    column(SortedLongArrayIntersectCount(expression(a), expression(b)))
+
   /** simhash_bits(hs) as a Column. */
   def simhashBits(hs: Column): Column =
     column(SimHashBits(expression(hs)))
@@ -412,6 +416,65 @@ case class SortedStringArrayIntersectCount(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): SortedStringArrayIntersectCount =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Native codegen expression: intersection size of two SORTED long
+  * arrays — the [[SortedStringArrayIntersectCount]] merge on primitive
+  * 8-byte elements (no UTF8String dereference or byte-wise compare per
+  * step). The hashed-token twin of the string kernel: dedup verify
+  * stages shuffle `sort_array(token_hashes64(toks))` long arrays in
+  * place of the token strings and intersect those; on MULTISETS (a
+  * within-doc hash collision duplicates a value) the merge counts
+  * min-multiplicity, so the hashed count can only meet or EXCEED the
+  * true token intersection — never undercount — which makes it a safe
+  * exact-threshold prefilter and, when the hash is injective over the
+  * corpus vocabulary (checked by callers), the exact count itself. */
+case class SortedLongArrayIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  import org.apache.spark.sql.catalyst.util.ArrayData
+  import org.apache.spark.sql.types._
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+
+  override def dataType: DataType = IntegerType
+
+  override def prettyName: String = "sorted_long_intersect_count"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    var i = 0; var j = 0; var c = 0
+    while (i < x.numElements() && j < y.numElements()) {
+      val xv = x.getLong(i); val yv = y.getLong(j)
+      if (xv == yv) { c += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+      s"""
+         |int $i = 0; int $j = 0; int $c = 0;
+         |while ($i < $a.numElements() && $j < $b.numElements()) {
+         |  long $xv = $a.getLong($i); long $yv = $b.getLong($j);
+         |  if ($xv == $yv) { $c++; $i++; $j++; }
+         |  else if ($xv < $yv) $i++;
+         |  else $j++;
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedLongArrayIntersectCount =
     copy(left = newLeft, right = newRight)
 }
 

@@ -96,6 +96,39 @@ class ClusterIvfSpec extends AnyFunSuite {
     assert(got.sameElements(want))
   }
 
+  test("exactPairs stays exact under a planted 64-bit token-hash collision (string fallback)") {
+    // "a\u0080" and "ba" collide in the engine-neutral 64-bit token hash:
+    // both 31-poly folds give 97·31+128 = 98·31+97 = 3135 before the
+    // splitmix64 finisher (a bijection), so the hashed intersect kernel
+    // would overcount pairs mixing them — the injectivity check must
+    // detect the collision and route the verify through token strings
+    val c1 = "a\u0080"
+    val c2 = "ba"
+    val filler = (1 to 30).map(i => s"f$i")
+    import spark.implicits._
+    val docs = Seq(
+      // doc 0 and doc 1: identical but for c1↔c2 — true jaccard
+      // 29/31 ≈ 0.935 of the 0.95 threshold... compute: |A∩B|=30,
+      // |A∪B|=32 → 0.9375; hashed intersect would see 31/31 = 1.0
+      (0L, (filler :+ c1).mkString(" ")),
+      (1L, (filler :+ c2).mkString(" ")),
+      (2L, (1 to 31).map(i => s"z$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val toks = MinHashLsh.tokenize(docs).localCheckpoint(true)
+    assert(!MinHashLsh.hashInjectiveOnVocab(toks),
+      "planted collision not detected — fallback never engages")
+    // at θ=0.95 the colliding pair (true j=0.9375) must NOT surface;
+    // a hashed-only verify would see j=1.0 and emit it
+    val got = MinHashLsh.exactPairsFromToks(toks, 0.95)
+      .select("doc_a", "doc_b").collect()
+    assert(got.isEmpty,
+      s"collision inflated the verify: ${got.mkString(",")}")
+    // and at θ=0.9 the pair surfaces with the TRUE jaccard
+    val loose = MinHashLsh.exactPairsFromToks(toks, 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(loose.toSeq === Seq((0L, 1L, 30.0 / 32.0)))
+  }
+
   test("connected components throw on non-convergence when strict") {
     // a 30-vertex chain has diameter > maxIter=2
     val chain = (1L to 29L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")

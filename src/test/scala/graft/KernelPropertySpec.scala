@@ -29,6 +29,30 @@ class KernelPropertySpec extends AnyFunSuite {
     assert(bad.count() === 0)
   }
 
+  test("sorted_long_intersect_count equals Set intersection, min-multiplicity on multisets") {
+    val vals = (1L to 40L).toVector
+    val cases = (1 to 1000).map { i =>
+      val a = rnd.shuffle(vals).take(1 + rnd.nextInt(30)).sorted
+      val b = rnd.shuffle(vals).take(1 + rnd.nextInt(30)).sorted
+      (i.toLong, a, b, a.toSet.intersect(b.toSet).size)
+    }
+    val df = cases.toDF("id", "a", "b", "expected")
+    val bad = df.filter(
+      ColumnBridge.sortedLongIntersectCount(col("a"), col("b")) =!= col("expected"))
+    assert(bad.count() === 0)
+    // multiset semantics (a within-doc hash collision duplicates a
+    // value): the merge counts min multiplicity per value — so a hashed
+    // intersect can only meet or exceed the true token intersection
+    val multi = Seq(
+      (1L, Seq(5L, 5L, 7L), Seq(5L, 9L), 1),      // min(2,1) = 1
+      (2L, Seq(5L, 5L, 7L), Seq(5L, 5L, 7L), 3),  // min(2,2)+min(1,1)
+      (3L, Seq(1L, 2L, 3L), Seq(4L, 5L, 6L), 0))
+      .toDF("id", "a", "b", "expected")
+    val badM = multi.filter(
+      ColumnBridge.sortedLongIntersectCount(col("a"), col("b")) =!= col("expected"))
+    assert(badM.count() === 0)
+  }
+
   test("word_ngrams equals the split/transform/slice/concat_ws expression chain") {
     // adversarial strings: consecutive/leading/trailing spaces (empty
     // tokens), single tokens, empty string, unicode, gram-boundary sizes
