@@ -272,10 +272,12 @@ object TextAnalysis {
   /** Per-document salient terms — tf·idf keyword extraction, the ranking
     * pass behind corpus topic profiling, near-dup triage and retrieval
     * indexing. Emits each document's top-`k` distinct terms by
-    * tf · (N / df): term frequency computed IN-ROW over the bounded token
-    * array (the withRepetition trick — quadratic in the document, linear
-    * in the corpus), document frequency from one map-side-combined count
-    * over distinct (doc, term) rows, N broadcast as a single-row count.
+    * tf · (N / df): term frequency from ONE single-pass codegen kernel
+    * over the token array (token_term_counts — O(n) per document; the
+    * former per-distinct-term `size(filter(...))` chain was O(n·d),
+    * quadratic on natural text), document frequency from one
+    * map-side-combined count over the same distinct (doc, term) rows, N
+    * broadcast as a single-row count.
     * The idf is the LINEAR form N/df rather than log(N/df): the ranking a
     * filter consumes is order-isomorphic for fixed tf (both decrease in
     * df), and the score stays two IEEE ops (one divide, one multiply) so
@@ -289,15 +291,12 @@ object TextAnalysis {
   def salientTerms(documents: DataFrame, k: Int = 3): DataFrame = {
     val toks = split(col("text"), " ")
     val termRows = documents.select(col("doc_id"),
-        explode(transform(array_distinct(toks), t =>
-          struct(t.as("term"),
-            size(filter(toks, x => x === t)).cast("long").as("tf")))).as("tt"))
+        explode(org.apache.spark.sql.graft.ColumnBridge.termCounts(toks))
+          .as("tt"))
       .select(col("doc_id"), col("tt.term").as("term"), col("tt.tf").as("tf"))
-    // df needs only the distinct-term explode — not the quadratic in-row
-    // tf structs, which would otherwise be computed a second time here
-    val dfTab = documents
-      .select(explode(array_distinct(toks)).as("term"))
-      .groupBy("term").agg(count(lit(1)).as("df"))
+    // df = docs containing the term = one count over termRows, which is
+    // already one row per (doc, distinct term) — no second tokenize pass
+    val dfTab = termRows.groupBy("term").agg(count(lit(1)).as("df"))
     val nDocs = documents.agg(count(lit(1)).cast("double").as("n_docs"))
     val scored = termRows.join(dfTab, "term")
       .crossJoin(broadcast(nDocs))

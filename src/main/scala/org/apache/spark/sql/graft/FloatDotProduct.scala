@@ -113,6 +113,10 @@ object ColumnBridge {
   def wordNGrams(text: Column, n: Int, distinct: Boolean = false): Column =
     column(WordNGrams(expression(text), n, distinct))
 
+  /** token_term_counts(toks) as a Column. */
+  def termCounts(toks: Column): Column =
+    column(TokenTermCounts(expression(toks)))
+
   /** token_hashes_mod(toks, p) as a Column (murmur3 seed 42, pmod p). */
   def tokenHashesMod(toks: Column, p: Long): Column =
     column(TokenHashesMod(expression(toks), p))

@@ -57,6 +57,46 @@ case class WordNGrams(child: Expression, n: Int, distinct: Boolean)
     copy(child = newChild)
 }
 
+/** Native codegen expression: per-term occurrence counts of a string
+  * array in ONE pass — `token_term_counts(toks)` ≡
+  * `transform(array_distinct(toks), t ->
+  *    struct(t AS term, CAST(size(filter(toks, x -> x = t)) AS LONG) AS tf))`,
+  * the in-row term-frequency step of tx_tfidf (salientTerms).
+  *
+  * The expression form scans the token array once PER DISTINCT TERM —
+  * O(n·d) per document, quadratic on natural text where d ≈ n — as
+  * interpreted HOF lambdas. This kernel is one hash-map pass: O(n) with
+  * terms emitted in first-appearance order (array_distinct's order), so
+  * the exploded (term, tf) row set is identical (property-specced in
+  * KernelPropertySpec). Null array → null; null elements are counted
+  * under a shared null key by the expression form's null-safe equality,
+  * but tokenized text (split output) never contains nulls, so the kernel
+  * requires none (containsNull inputs still work — null tokens group
+  * together, matching `x <=> t` grouping). */
+case class TokenTermCounts(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  import org.apache.spark.sql.types.{LongType, StructField, StructType}
+  import org.apache.spark.sql.catalyst.util.ArrayData
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("term", StringType), StructField("tf", LongType))),
+    containsNull = false)
+
+  override def prettyName: String = "token_term_counts"
+
+  override protected def nullSafeEval(input: Any): Any =
+    WordNGrams.termCounts(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = org.apache.spark.sql.graft.WordNGrams.termCounts($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenTermCounts =
+    copy(child = newChild)
+}
+
 object WordNGrams {
 
   /** One-pass gram construction (see class doc for the exact contract).
@@ -92,5 +132,33 @@ object WordNGrams {
       w += 1
     }
     new GenericArrayData(out.toArray)
+  }
+
+  /** One hash-map pass for [[TokenTermCounts]] (see its doc for the
+    * exact contract). Static so generated code calls it directly. */
+  def termCounts(toks: org.apache.spark.sql.catalyst.util.ArrayData)
+      : GenericArrayData = {
+    val n = toks.numElements()
+    // LinkedHashMap preserves first-appearance order = array_distinct's
+    val counts = new java.util.LinkedHashMap[UTF8String, Array[Long]](n * 2)
+    var i = 0
+    while (i < n) {
+      // null tokens (never produced by split, legal in a raw array)
+      // group under one key, matching the expression form's x <=> t
+      val t = if (toks.isNullAt(i)) null else toks.getUTF8String(i)
+      val c = counts.get(t)
+      if (c == null) counts.put(t, Array(1L)) else c(0) += 1L
+      i += 1
+    }
+    val out = new Array[Any](counts.size())
+    val it = counts.entrySet().iterator()
+    var j = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(j) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](e.getKey, e.getValue()(0)))
+      j += 1
+    }
+    new GenericArrayData(out)
   }
 }

@@ -53,6 +53,26 @@ class KernelPropertySpec extends AnyFunSuite {
     assert(badM.count() === 0)
   }
 
+  test("token_term_counts equals the array_distinct/filter expression chain") {
+    // natural-text-ish arrays with heavy repetition, plus empty tokens
+    // (split artifacts) and the empty array
+    val vocab = (1 to 12).map(i => s"w$i") :+ ""
+    val cases = (1 to 1000).map { i =>
+      (i.toLong, (0 until rnd.nextInt(40)).map(_ => vocab(rnd.nextInt(vocab.length))))
+    } :+ (2000L, Seq.empty[String])
+    val df = cases.toDF("id", "toks").cache()
+    val expected = transform(array_distinct(col("toks")), t =>
+      struct(t.as("term"),
+        size(filter(col("toks"), x => x === t)).cast("long").as("tf")))
+    val bad = df.filter(
+      ColumnBridge.termCounts(col("toks")) =!= expected)
+    assert(bad.count() === 0)
+    // null array → null, matching the chain's null contract
+    val nulls = spark.sql("SELECT CAST(NULL AS ARRAY<STRING>) AS toks")
+      .select(ColumnBridge.termCounts(col("toks")).as("c"))
+    assert(nulls.head.isNullAt(0))
+  }
+
   test("word_ngrams equals the split/transform/slice/concat_ws expression chain") {
     // adversarial strings: consecutive/leading/trailing spaces (empty
     // tokens), single tokens, empty string, unicode, gram-boundary sizes
