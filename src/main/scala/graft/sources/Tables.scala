@@ -2,7 +2,9 @@ package graft.sources
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, LongType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, ByteType, DataType,
+  DoubleType, FloatType, IntegerType, LongType, ShortType, StringType,
+  TimestampNTZType, TimestampType}
 
 /** Typed access to the test-corpus tables (TPC-H-ish star schema plus
   * `events`/`documents`/`embeddings`), mirroring the reference's loaders
@@ -27,8 +29,66 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame     = table(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
-  def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
-  def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+  def documents(spark: SparkSession, dir: String): DataFrame =
+    canonicalizeDocuments(table(spark, dir, "documents"))
+  def embeddings(spark: SparkSession, dir: String): DataFrame =
+    canonicalizeEmbeddings(table(spark, dir, "embeddings"))
+
+  /** Data contract for `documents.parquet` (same drift-insurance class as
+    * the `events` ts contract — reference analog: src/pipeline_batch.py:13
+    * `load_raw_data`'s tolerant parse). The pandas/pyarrow writer may ship:
+    *
+    *   - text columns (`text`, `lang`, `source`) as BYTE_ARRAY **without**
+    *     the UTF8 annotation (pyarrow `binary` / `large_binary`), which
+    *     Spark reads as `BinaryType` → canonicalized by a UTF-8-decoding
+    *     cast to `StringType` (Arrow `large_string` is physically the same
+    *     annotated BYTE_ARRAY as `string`, so it needs no branch);
+    *   - integral columns (`doc_id`, `n_chars`) as INT32/INT16 instead of
+    *     INT64 → widened to `LongType` (lossless).
+    *
+    * When the stored schema is already canonical the frame is returned
+    * untouched — no extra `Project`, so pushdown/pruning plan shapes are
+    * byte-identical to a bare scan (pinned by DocEmbSchemaDriftSpec). */
+  def canonicalizeDocuments(df: DataFrame): DataFrame = {
+    val fixes = df.schema.fields.flatMap { f =>
+      f.dataType match {
+        case BinaryType                       => Some(f.name -> col(f.name).cast(StringType))
+        case IntegerType | ShortType | ByteType => Some(f.name -> col(f.name).cast(LongType))
+        case _                                => None
+      }
+    }
+    fixes.foldLeft(df) { case (d, (n, c)) => d.withColumn(n, c) }
+  }
+
+  /** Data contract for `embeddings.parquet`. Canonical: `vec_id long,
+    * embedding array<float>, label int`. Tolerated writer drift:
+    *
+    *   - `embedding` as `list<double>` (pandas upcasts float32 → float64;
+    *     Arrow `fixed_size_list<float>` round-trips through parquet as a
+    *     plain LIST, so it arrives identically to the canonical form) →
+    *     cast back to `array<float>`. Exact when the doubles are promoted
+    *     float32 values, which is the only drift the writer can produce —
+    *     it never had more than float32 precision to begin with;
+    *   - `vec_id` narrowed to INT32 → widened to long (lossless);
+    *   - `label` widened to INT64 → cast to int (labels are small class
+    *     ids; the canonical type is the reference's int32).
+    *
+    * Canonical input returns the frame untouched (no added `Project`). */
+  def canonicalizeEmbeddings(df: DataFrame): DataFrame = {
+    var out = df
+    df.schema("embedding").dataType match {
+      case ArrayType(FloatType, _)  => ()
+      case ArrayType(DoubleType, _) =>
+        out = out.withColumn("embedding", col("embedding").cast("array<float>"))
+      case other => throw new IllegalArgumentException(
+        s"embeddings.embedding: unsupported stored type $other (expected array<float|double>)")
+    }
+    if (out.schema("vec_id").dataType != LongType)
+      out = out.withColumn("vec_id", col("vec_id").cast(LongType))
+    if (out.schema.fieldNames.contains("label") && out.schema("label").dataType != IntegerType)
+      out = out.withColumn("label", col("label").cast(IntegerType))
+    out
+  }
 
   /** Data contract for `events.parquet` — the writer (a pandas/pyarrow
     * pipeline, reference: src/pipeline_batch.py:36 `load_raw_data`'s
