@@ -238,7 +238,11 @@ object SparkEntry {
       MinHashLsh.candidatePairs(Tables.documents(s, dir), threshold = 0.95)),
     "dd_simhash" -> ((s, dir) => SimHash.nearDupPairs(Tables.documents(s, dir))),
     "sim_ann_lsh" -> ((s, dir) => AnnLsh.topK(Tables.embeddings(s, dir), 0L, 10)),
-    "ad_isolation_forest" -> ((s, dir) => IsolationForest.detect(s, dir)),
+    // unfiltered scoring surface: deterministic row set (one per rolling-
+    // features row) so the DuckDB oracle pins rows+schema and the exact
+    // id/ts/value columns; model-derived columns are engine-specific
+    // (bounded by LlmOpsSpec/ScalePathSpec recall+determinism specs)
+    "ad_isolation_forest" -> ((s, dir) => IsolationForest.scoreAll(s, dir)),
     "st_window_agg" -> ((s, dir) =>
       graft.streaming.StreamingAlerts.windowedCountsBatch(s, dir)),
     "st_session" -> ((s, dir) =>
@@ -1265,6 +1269,40 @@ object SparkEntry {
         |  SELECT 'without_orders' AS category, CAST(count(*) AS BIGINT) AS n
         |  FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey))
         |ORDER BY category""".stripMargin,
+
+    // --- rows+schema contracts for the sketch/model keys (round-11) ---
+    // These three keys compute engine-specific estimates (HLL sketch, KLL
+    // sketch, isolation forest), so a bit-exact cross-engine hash is
+    // impossible BY NATURE — the oracle instead pins the deterministic
+    // part machine-checkably: the exact row set, the column names/dtypes,
+    // and (ad_isolation_forest) the exact id/ts/value columns. Estimate
+    // quality is bounded separately: approx keys by the ≤5% / ≤1%-rank
+    // tolerance specs in AnalyticsExtrasSpec, the forest by LlmOpsSpec /
+    // ScalePathSpec fault-recall + determinism. Expected driver record:
+    // rows_match+schema_match true, hash_match false (by design).
+    "q_approx_distinct" ->
+      """SELECT l_returnflag,
+        |       count(DISTINCT l_partkey) AS approx_parts,
+        |       count(DISTINCT l_partkey) AS exact_parts,
+        |       count(DISTINCT l_orderkey) AS approx_orders,
+        |       count(DISTINCT l_orderkey) AS exact_orders
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q_approx_quantile" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+        |       quantile_cont(l_extendedprice, 0.5) AS p50,
+        |       quantile_cont(l_extendedprice, 0.9) AS p90,
+        |       quantile_cont(l_extendedprice, 0.99) AS p99
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "ad_isolation_forest" ->
+      s"""$eventsCte,
+         |$rollingCte
+         |SELECT event_id, user_id, ts_us, value,
+         |       0.0 AS if_score, FALSE AS is_anomaly, 'none' AS severity
+         |FROM f ORDER BY user_id, ts_us, event_id""".stripMargin,
 
     "q_monthly_trend" ->
       """WITH g AS (

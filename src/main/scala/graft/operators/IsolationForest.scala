@@ -255,7 +255,21 @@ object IsolationForest {
   /** End-to-end detector over the events rolling features (the pipeline
     * models.py:377 `run_anomaly_detection` runs: features → train → score
     * → anomaly records). */
-  def detect(spark: SparkSession, dir: String, cut: Double = 0.58): DataFrame = {
+  def detect(spark: SparkSession, dir: String, cut: Double = 0.58): DataFrame =
+    scoreAll(spark, dir, cut)
+      .filter(col("is_anomaly"))
+      .select("event_id", "user_id", "ts_us", "value", "if_score", "severity")
+      .orderBy("user_id", "ts_us", "event_id")
+
+  /** Every scored row with its `if_score` / `is_anomaly` / `severity` —
+    * the unfiltered scoring surface (`detect` is this minus the
+    * non-anomalies). Registered as the `ad_isolation_forest` key because
+    * its ROW SET is deterministic and SQL-expressible (one row per
+    * rolling-features row), so the driver's DuckDB compare can pin
+    * rows+schema and the exact id/ts/value columns; the three
+    * model-derived columns are engine-specific by nature (bounded instead
+    * by LlmOpsSpec/ScalePathSpec fault-recall + determinism specs). */
+  def scoreAll(spark: SparkSession, dir: String, cut: Double = 0.58): DataFrame = {
     val featureCols = Seq("value", "mean_3", "std_3", "mean_12", "std_12")
     // materialize the window features once: the training-sample scan and
     // the scoring scan both read them, and each would otherwise re-run
@@ -267,8 +281,8 @@ object IsolationForest {
     val model = fit(features, featureCols,
       trainFilter = col("event_type") =!= "error")
     score(spark, features, featureCols, model, cut)
-      .filter(col("is_anomaly"))
-      .select("event_id", "user_id", "ts_us", "value", "if_score", "severity")
+      .select("event_id", "user_id", "ts_us", "value",
+        "if_score", "is_anomaly", "severity")
       .orderBy("user_id", "ts_us", "event_id")
   }
 }

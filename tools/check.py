@@ -16,6 +16,19 @@ import pandas as pd
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+# Keys whose oracle is a rows+schema contract, not a full value hash: the
+# named columns hold engine-specific estimates (HLL / KLL sketches, the
+# isolation forest), so cross-engine value equality is impossible BY
+# NATURE.  The local gate therefore checks rows, column names/dtypes, and
+# bit-exact equality of every OTHER column, and only reports the estimate
+# columns informationally.  Estimate quality is bounded by specs
+# (AnalyticsExtrasSpec tolerances; LlmOpsSpec/ScalePathSpec fault recall).
+ESTIMATE_COLS = {
+    "q_approx_distinct": {"approx_parts", "approx_orders"},
+    "q_approx_quantile": {"p50", "p90", "p99"},
+    "ad_isolation_forest": {"if_score", "is_anomaly", "severity"},
+}
+
 
 def norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
@@ -71,6 +84,20 @@ def main(sf_dir: str, out_dir: str) -> int:
             continue
         dt_mismatch = [(c, str(g[c].dtype), str(w[c].dtype))
                        for c in w.columns if str(g[c].dtype) != str(w[c].dtype)]
+        if name in ESTIMATE_COLS:
+            est = ESTIMATE_COLS[name]
+            w2 = norm(want.drop(columns=list(est)))
+            g2 = norm(got.drop(columns=list(est)))
+            try:
+                pd.testing.assert_frame_equal(g2, w2, check_dtype=False,
+                                              check_exact=True)
+                print(f"OK   {name}: {len(g)} rows "
+                      f"(rows+schema contract; estimate cols {sorted(est)} "
+                      f"excluded by design)")
+            except AssertionError:
+                failures += 1
+                print(f"FAIL {name}: non-estimate columns differ")
+            continue
         try:
             pd.testing.assert_frame_equal(g, w, check_dtype=False, check_exact=True)
             status = "OK" if not dt_mismatch else f"OK (dtype warn: {dt_mismatch})"
