@@ -61,6 +61,45 @@ object AdaptiveAnn {
     * = 8128 deterministic pairs, one driver-collected job. */
   private val StatsSampleVectors = 128
 
+  /** Corpus size above which the constant-row dial's BACKGROUND recall
+    * has measured decay (RecallGrid: IVF 0.70 → 0.28, LSH 0.79 → 0.52
+    * between the 10⁴-row and 10⁵-row corpora) — the advisory threshold
+    * sits at the midpoint so the measured-good scale stays quiet and the
+    * measured-decayed scale warns. Concentrated/planted neighbors are
+    * unaffected at any size (recall 1.0 on both dials). */
+  val ConstantDialAdvisoryRows: Long = 50000L
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger("graft.AdaptiveAnn")
+
+  /** True while an auto entry point is building its probes — the auto
+    * path IS the cliff's fix, so its internal constant-dial probe must
+    * not re-warn about the problem it exists to solve. */
+  private val inAuto = new scala.util.DynamicVariable[Boolean](false)
+
+  private[graft] def suppressAdvisory[T](f: => T): T = inAuto.withValue(true)(f)
+
+  /** The pure decision behind the constant-dial advisory (specced):
+    * advise iff the corpus is past [[ConstantDialAdvisoryRows]] and the
+    * caller is not already inside an auto entry point. Explicit dials
+    * never reach this — a caller who chose planes/nprobe chose their
+    * operating point. */
+  private[graft] def adviseDecision(corpusRows: Long): Boolean =
+    !inAuto.value && corpusRows > ConstantDialAdvisoryRows
+
+  /** Driver-side advisory, once per plan build (called from the auto-dial
+    * resolvers): the documented decision (docs/indexes.md, "Which entry
+    * point") is that the plain constant-row entry points stay the
+    * constant-cost fast path — and this warning is what keeps their
+    * background-recall decay from ever being SILENT at scale. */
+  def adviseConstantDial(family: String, corpusRows: Long): Unit =
+    if (adviseDecision(corpusRows))
+      log.warn(s"$family constant-row dial on a ~$corpusRows-row corpus: " +
+        "background recall decays at this scale (measured IVF 0.70 -> 0.28 " +
+        "per 10x rows; planted/concentrated neighbors unaffected). For " +
+        "unknown query mixes use AdaptiveAnn.lshTopKBatchAuto / " +
+        "ivfTopKBatchAuto (per-query escalation), or opt into the wide " +
+        "dial (planes = 5 / Ivf.wideNprobe) — see docs/indexes.md.")
+
   /** The dial-selection rule, pure and pinned by spec: keep the default
     * answer iff ≥ ⌈[[MinStructuredFraction]]·k⌉ of its cosines clear
     * μ + [[EscalationZ]]·σ. An under-filled result (fewer than the
@@ -120,7 +159,7 @@ object AdaptiveAnn {
     * wide, union. Output schema/ordering match the batch probes. */
   private def adaptive(spark: SparkSession, queryIds: Seq[Long], k: Int,
       mu: Double, sigma: Double, defaultProbe: => DataFrame,
-      wideProbe: Seq[Long] => DataFrame): DataFrame = {
+      wideProbe: Seq[Long] => DataFrame): DataFrame = suppressAdvisory {
     val p1 = defaultProbe
     val rows = p1.collect()
     val esc = escalationSet(rows, queryIds, k, mu, sigma)

@@ -59,7 +59,14 @@ object AnnLsh {
     * count() action on `embeddings` (cache upstream pipelines first, or
     * pass an explicit plane count to skip it). */
   private def resolvePlanes(embeddings: DataFrame, planes: Int): Int =
-    if (planes > 0) planes else autoPlanes(embeddings.count())
+    if (planes > 0) planes
+    else {
+      val n = embeddings.count()
+      // non-silent recall cliff: the auto constant-occupancy dial warns
+      // past the measured background-decay scale (docs/indexes.md)
+      AdaptiveAnn.adviseConstantDial("AnnLsh", n)
+      autoPlanes(n)
+    }
 
   /** Corpus with one bucket id per hash table (single kernel pass).
     * `planes = 0` auto-scales with the corpus (see [[autoPlanes]]). */

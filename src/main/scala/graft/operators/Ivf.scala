@@ -62,8 +62,14 @@ object Ivf {
     * cell count off the √n convention should pass nprobe explicitly. */
   private[graft] def resolveNprobe(nprobe: Int, cells: Int): Int =
     if (nprobe > 0) nprobe
-    else math.max(1, math.min(cells,
-      math.ceil(DefaultProbeRows.toDouble / math.max(1, cells)).toInt))
+    else {
+      // non-silent recall cliff: under the √n-cells convention the corpus
+      // is ≈ cells², so the auto constant-row dial warns past the
+      // measured background-decay scale (docs/indexes.md)
+      AdaptiveAnn.adviseConstantDial("Ivf", cells.toLong * cells)
+      math.max(1, math.min(cells,
+        math.ceil(DefaultProbeRows.toDouble / math.max(1, cells)).toInt))
+    }
 
   /** Above this many centroid floats (k×dim), assignment switches from the
     * expression-embedded array to the torrent-broadcast kernel: a literal

@@ -123,4 +123,24 @@ class AdaptiveAnnSpec extends AnyFunSuite {
       nprobe = Ivf.wideNprobe(8)).collect().map(_.toSeq)
     assert(autoB.toSeq === wideB.toSeq)
   }
+
+  test("constant-dial advisory: the recorded default-entry-point decision") {
+    // docs/indexes.md "Which entry point is the default?": the plain
+    // constant-row entry points stay the fast path, and their recall
+    // cliff is made non-silent by an advisory past the measured decay
+    // scale. The pure rule, pinned:
+    val n = AdaptiveAnn.ConstantDialAdvisoryRows
+    assert(!AdaptiveAnn.adviseDecision(n), "at the threshold: quiet")
+    assert(AdaptiveAnn.adviseDecision(n + 1), "past the threshold: advise")
+    assert(!AdaptiveAnn.adviseDecision(100L), "measured-good scale: quiet")
+    // the auto entry points ARE the fix — their internal constant-dial
+    // probe never re-warns about the problem it solves
+    AdaptiveAnn.suppressAdvisory {
+      assert(!AdaptiveAnn.adviseDecision(n + 1))
+    }
+    assert(AdaptiveAnn.adviseDecision(n + 1), "suppression is scoped")
+    // threshold sits between the RecallGrid-measured good (10^4) and
+    // decayed (10^5) corpus scales
+    assert(n > 10000L && n < 100000L)
+  }
 }
