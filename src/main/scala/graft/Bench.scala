@@ -65,8 +65,12 @@ object Bench {
         val bs = r.batchSecs.map(s =>
           String.format(java.util.Locale.ROOT, "%.3f", Double.box(s)))
           .mkString("[", ",", "]")
+        val f3 = (xs: Seq[Double]) => xs.map(s =>
+          String.format(java.util.Locale.ROOT, "%.3f", Double.box(s)))
+          .mkString("[", ",", "]")
         s""","ingest":{"batch_rows":${r.batchRows.mkString("[", ",", "]")},""" +
-          s""""batch_secs":$bs,"index_rows":${r.indexRows.mkString("[", ",", "]")}}"""
+          s""""batch_secs":$bs,"index_rows":${r.indexRows.mkString("[", ",", "]")},""" +
+          s""""fresh_secs":${f3(r.freshSecs)},"fresh_gated_secs":${f3(r.freshGatedSecs)}}"""
       } catch { case _: Throwable => "" }
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")}$recall$ingest,"sf":"$sfDir"}"""
     println(line)

@@ -27,7 +27,8 @@ import graft.sources.Tables
 object IngestBench {
 
   final case class Result(batchRows: Seq[Long], batchSecs: Seq[Double],
-      indexRows: Seq[Long])
+      indexRows: Seq[Long],
+      freshSecs: Seq[Double] = Nil, freshGatedSecs: Seq[Double] = Nil)
 
   /** Standalone runner for scale profiling: `runMain graft.IngestBench
     * <sfDir>` (set SPARK_GRAFT_INGEST_PROF=1 for the per-stage split)
@@ -46,6 +47,8 @@ object IngestBench {
       println(s"[ingestbench] rows=${r.batchRows.mkString(",")}")
       println(s"[ingestbench] secs=${r.batchSecs.map(s => f"$s%.2f").mkString(",")}")
       println(s"[ingestbench] index=${r.indexRows.mkString(",")}")
+      println(s"[ingestbench] fresh=${r.freshSecs.map(s => f"$s%.2f").mkString(",")}")
+      println(s"[ingestbench] fresh_gated=${r.freshGatedSecs.map(s => f"$s%.2f").mkString(",")}")
     } finally spark.stop()
   }
 
@@ -105,7 +108,38 @@ object IngestBench {
         // logical index size = partitioned base + un-compacted deltas
         idxRows += IncrementalDedup.openSignatures(spark, path).sigs.count()
       }
-      Result(rows.toSeq, secs.toSeq, idxRows.toSeq)
+      // ---- the MOSTLY-NEW regime (round-11) -------------------------
+      // Production training-data ingest sees mostly-new batches; the
+      // loop above deliberately does not (its pool runs ~50% planted
+      // duplicates, exercising the probe). This phase measures an
+      // ALL-NEW batch — every token salted, so no band bucket can match
+      // — against the grown index, first ungated (pays the probe's
+      // corpus-side scan to learn nothing) then through the bucket-Bloom
+      // gate at fpp 1e-5 (the codegen bitset pass empties the probe and
+      // dedupAgainst's short-circuit skips the corpus scan entirely).
+      // The same batches probe both modes and nothing is appended, so
+      // the two timings compare against an identical index.
+      val freshSecs = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val freshGatedSecs = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val fresh = (0 until 2).map { j =>
+        docs.filter(col("doc_id") < bs)
+          .select((col("doc_id") + lit(1000000L * (j + 1))).as("doc_id"),
+            concat_ws(" ", transform(split(col("text"), " "),
+              t => concat(t, lit(s"zq$j")))).as("text"))
+          .localCheckpoint(true)
+      }
+      def cycle(batch: org.apache.spark.sql.DataFrame): Double = {
+        val t0 = System.nanoTime()
+        val idx = IncrementalDedup.openSignatures(spark, path)
+        IncrementalDedup.dedupAgainst(idx, batch, threshold)
+          .write.mode("append").parquet(s"$path/fresh_flags")
+        (System.nanoTime() - t0) / 1e9
+      }
+      fresh.foreach(b => freshSecs += cycle(b))
+      IncrementalDedup.writeBucketBloom(spark, path, fpp = 1e-5)
+      fresh.foreach(b => freshGatedSecs += cycle(b))
+      Result(rows.toSeq, secs.toSeq, idxRows.toSeq,
+        freshSecs.toSeq, freshGatedSecs.toSeq)
     } finally {
       // the scratch index is a full corpus signature set plus per-batch
       // appends — left behind on every bench run it would accumulate

@@ -183,12 +183,18 @@ object IncrementalDedup {
     * scale; folding deltas into the base is [[compact]]'s job). Reopen to
     * read the new rows. */
   def appendSignatures(index: SigIndex, newDocs: DataFrame): Unit = {
-    val batch = signed(newDocs, index.k, index.bands)
+    val spark = newDocs.sparkSession
+    val hasSidecar = readBucketBloom(spark, index.path).isDefined
+    // with a sidecar the signed batch is read TWICE (delta write + the
+    // sidecar-merge aggregate) — checkpoint so signing runs once; without
+    // one, stay single-job with signing fused into the write
+    val batch0 = signed(newDocs, index.k, index.bands)
+    val batch = if (hasSidecar) batch0.localCheckpoint(true) else batch0
     batch.coalesce(1).write.mode("append").parquet(s"${index.path}/delta")
     // keep the optional bucket-Bloom sidecar consistent: a duplicate of
     // an APPENDED doc must still gate through on the next batch. Indexes
     // without the sidecar pay nothing here.
-    mergeBucketBloom(index.path, batch)
+    if (hasSidecar) mergeBucketBloom(index.path, batch)
   }
 
   // ---- bucket-Bloom pre-gate (opt-in probe accelerator) -------------
@@ -547,14 +553,33 @@ object IncrementalDedup {
     // a gated-out doc has no candidate pair on either probe path, so
     // `matches` is unchanged and gated-out docs flag false through the
     // final left join exactly as before.
-    val probeIn = readBucketBloom(spark, index.path) match {
-      case Some((bytes, _, _)) => batch.filter(bucketBloomGate(bytes))
-      case None => batch
+    val gated = readBucketBloom(spark, index.path) match {
+      case Some((bytes, _, _)) =>
+        // one narrow count over the checkpointed batch decides the
+        // short-circuit below; it is the price of the all-new fast path
+        val p = batch.filter(bucketBloomGate(bytes))
+        Some(p -> p.count())
+      case None => None
     }
-    val matches =
-      if (useStreamedProbe(batchN, corpusApprox))
-        streamedMatches(index, probeIn, threshold)
-      else prunedMatches(index, probeIn, sp, threshold)
+    val probeIn = gated.map(_._1).getOrElse(batch)
+    val matches = gated match {
+      // the ALL-NEW fast path: every batch doc gated out means no batch
+      // doc shares any band bucket with the corpus — the candidate-pair
+      // condition — so the probe's answer is already known to be empty.
+      // Skipping it skips the corpus-side scan entirely: the steady-state
+      // cost of a fully-new micro-batch is the gate's codegen bitset pass
+      // plus this count, never a corpus pass. (Build the sidecar with a
+      // small fpp — e.g. 1e-5 — if this regime matters: at the default 1%,
+      // a 500-doc batch leaks ~5 false positives into the probe and the
+      // short-circuit rarely fires.)
+      case Some((_, 0L)) =>
+        import spark.implicits._
+        Seq.empty[(Long, Long, Double)].toDF("doc_id", "dup_of", "match_est")
+      case _ =>
+        if (useStreamedProbe(batchN, corpusApprox))
+          streamedMatches(index, probeIn, threshold)
+        else prunedMatches(index, probeIn, sp, threshold)
+    }
     // matches is at most batch-sized (one row per flagged new doc), so
     // the flag join broadcasts too instead of shuffling newDocs
     newDocs.select(col("doc_id")).join(broadcast(matches), Seq("doc_id"), "left")

@@ -194,6 +194,49 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(flags(202L) === ((false, None)))
   }
 
+  test("streamingIngest over a bucket-Bloom'd index: two-tier end-to-end, flags identical") {
+    import spark.implicits._
+    val root = tmp()
+    val stage = s"$root/incoming"
+    new java.io.File(stage).mkdirs()
+    val corpus = Seq(
+      (1L, "shared knowledge corpus document about distributed query engines"),
+      (2L, "another stored document on columnar storage and vectorized scans"))
+      .toDF("doc_id", "text")
+    IncrementalDedup.saveSignatures(corpus, s"$root/index")
+    // the two-tier shape: gate → (short-circuit | probe) every micro-batch
+    IncrementalDedup.writeBucketBloom(spark, s"$root/index", fpp = 1e-5)
+    // batch 1 is ALL-new (short-circuit path: no corpus scan); batch 2
+    // holds a corpus dup AND a dup of batch 1 — proving the append leg
+    // merged batch 1's keys into the sidecar mid-stream (a stale sidecar
+    // would gate doc 201 out and silently miss the duplicate)
+    Seq((100L, "entirely new material arriving in the first micro batch today"))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(s"$stage/b=1")
+    Thread.sleep(1500)
+    Seq(
+      (200L, "shared knowledge corpus document about distributed query engines"),
+      (201L, "entirely new material arriving in the first micro batch today"),
+      (202L, "nothing resembling any earlier text appears in this document"))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(s"$stage/b=2")
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true")
+      .parquet(stage)
+    val q = IncrementalDedup.streamingIngest(stream, s"$root/index",
+      s"$root/flags", s"$root/ckpt")
+    q.awaitTermination(120000)
+    val flags = spark.read.parquet(s"$root/flags")
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), Option(r.get(2)))).toMap
+    // identical to the ungated run's contract (previous test)
+    assert(flags(100L) === ((false, None)))
+    assert(flags(200L) === ((true, Some(1L))), "corpus dup must gate through")
+    assert(flags(201L) === ((true, Some(100L))),
+      "appended doc's keys must be in the sidecar (mid-stream merge)")
+    assert(flags(202L) === ((false, None)))
+  }
+
   test("streamingIngest's prepare hook gates batches before dedup (curate→dedup→append)") {
     import spark.implicits._
     import graft.operators.TextAnalysis
