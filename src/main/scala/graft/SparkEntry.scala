@@ -208,6 +208,17 @@ object SparkEntry {
     // split, so the holdout set is reproducible cross-run and cross-engine
     "ds_split" -> ((s, dir) =>
       Sampling.splitAssignments(Tables.documents(s, dir))),
+    // deterministic global shuffle into 16 training shards: the Lehmer
+    // bijection is the permutation, the only exchange is the
+    // partition-by-shard the shard write needs anyway
+    "ds_shuffle" -> ((s, dir) =>
+      Sampling.shuffleShards(Tables.documents(s, dir), nShards = 16)),
+    // target-proportion mixture: src0:src2:rest-of-corpus at 50:30:20
+    // relative weight, acceptance rates derived from per-source counts
+    // (bottleneck source taken whole), corpus never shuffles
+    "ds_mix" -> ((s, dir) =>
+      Sampling.mixToTarget(Tables.documents(s, dir),
+        Map("src0" -> 50, "src2" -> 30, "src4" -> 20))),
     // decontamination sweep: every 97th doc plays the held-out benchmark
     // set; the rest of the corpus scores its distinct 3-gram containment
     // against the broadcast benchmark gram array (no corpus shuffle);
@@ -1619,6 +1630,44 @@ object SparkEntry {
         |            WHEN ((doc_id * 48271) % 2147483647) % 100 < 4 THEN 'val'
         |            ELSE 'train' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the Lehmer key is the permutation; row_number within shard ordered
+    // by (key, id) — the same total order the Spark window uses
+    "ds_shuffle" ->
+      """WITH k AS (
+        |  SELECT doc_id, source,
+        |         (doc_id * 48271) % 2147483647 AS sample_key
+        |  FROM documents)
+        |SELECT doc_id, source, sample_key,
+        |       sample_key % 16 AS shard,
+        |       row_number() OVER (PARTITION BY sample_key % 16
+        |                          ORDER BY sample_key, doc_id) AS pos
+        |FROM k ORDER BY doc_id""".stripMargin,
+
+    // integer-exact mixture arithmetic (// is DuckDB integer division,
+    // matching Spark's `div` on positive longs): T* = min(n*W // w),
+    // take = w*T* // W, rate_ppm = take*1e6 // n
+    "ds_mix" ->
+      """WITH w AS (
+        |  SELECT doc_id, source, n_chars,
+        |         CASE WHEN source = 'src0' THEN CAST(50 AS BIGINT)
+        |              WHEN source = 'src2' THEN CAST(30 AS BIGINT)
+        |              WHEN source = 'src4' THEN CAST(20 AS BIGINT) END AS wgt
+        |  FROM documents),
+        |base AS (SELECT * FROM w WHERE wgt IS NOT NULL),
+        |counts AS (
+        |  SELECT source, wgt, CAST(count(*) AS BIGINT) AS n_source
+        |  FROM base GROUP BY source, wgt),
+        |t AS (SELECT min(n_source * 100 // wgt) AS t_star FROM counts),
+        |rates AS (
+        |  SELECT source, ((wgt * t_star) // 100) * 1000000 // n_source AS rate_ppm
+        |  FROM counts, t)
+        |SELECT b.doc_id, b.source, b.n_chars,
+        |       (b.doc_id * 48271) % 2147483647 AS sample_key,
+        |       r.rate_ppm
+        |FROM base b JOIN rates r ON b.source = r.source
+        |WHERE ((b.doc_id * 48271) % 2147483647) % 1000000 < r.rate_ppm
+        |ORDER BY b.doc_id""".stripMargin,
 
     // distinct 3-gram containment vs the benchmark docs (doc_id % 97 = 0):
     // same token windows as the Spark side (short docs yield one short

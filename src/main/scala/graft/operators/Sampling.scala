@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic corpus sampling (SURVEY.md §2 ds_sample): reproducible,
@@ -88,6 +89,76 @@ object Sampling {
       .withColumn("sample_pct", pct)
       .filter(col("sample_key") % 100 < col("sample_pct"))
       .select("doc_id", "source", "n_chars", "sample_key", "sample_pct")
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic global shuffle + sharding — the "shuffle the corpus
+    * before writing training shards" pass. Reading shard 0 position
+    * 1..k, then shard 1, … replays a fixed pseudo-random permutation of
+    * the corpus: the Lehmer map is a BIJECTION on [1, 2^31-2] (Park &
+    * Miller 1988), so distinct ids below the modulus get distinct keys
+    * and the (sample_key, doc_id) order is a total order with no
+    * engine-dependent tie-breaking.
+    *
+    * Scale shape: the only exchange is the partition-by-shard the shard
+    * WRITE needs anyway; within-shard sort is the only ordering work —
+    * no global sort, no single-partition window. Shard sizes are
+    * uniform-by-construction (key residues), so the write is skew-free. */
+  def shuffleShards(documents: DataFrame, nShards: Int): DataFrame = {
+    require(nShards > 0, s"nShards must be positive (got $nShards)")
+    documents
+      .withColumn("sample_key", sampleKey(col("doc_id")))
+      .withColumn("shard", col("sample_key") % nShards)
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard"))
+          .orderBy(col("sample_key"), col("doc_id"))).cast("long"))
+      .select("doc_id", "source", "sample_key", "shard", "pos")
+      .orderBy("doc_id")
+  }
+
+  /** Target-proportion mixture construction — the "web 60% / books 20% /
+    * code 20%" recipe of an LLM data pipeline (Pile/DoReMi-style domain
+    * weighting), derived from the corpus itself rather than hand-tuned
+    * per-source rates: given relative `weights`, the largest total T*
+    * for which every named source can supply its share WITHOUT
+    * repetition is T* = min_s floor(n_s·W / w_s) (the bottleneck source
+    * is taken whole), each source's take is floor(w_s·T* / W), and
+    * membership is the Lehmer residue test at rate_ppm = floor(take·10⁶
+    * / n_s) — all Long integer arithmetic, so the DuckDB oracle replays
+    * the selection bit-for-bit. Sources not named in `weights` are
+    * dropped; named sources absent from the corpus are ignored in T*.
+    *
+    * Scale shape: one column-pruned pass for the per-source counts
+    * (map-side partial agg → one row per source), the tiny rates table
+    * broadcast back, and one scan-predicate pass selects — the corpus
+    * itself never shuffles. Bounds: exact while n_s·W and take·10⁶ stay
+    * under 2⁶³ (n_s ≤ ~9·10¹² at W ≤ 10⁶ — past any real corpus). */
+  def mixToTarget(documents: DataFrame, weights: Map[String, Int]): DataFrame = {
+    require(weights.nonEmpty, "weights must name at least one source")
+    require(weights.values.forall(_ > 0), "weights must be positive")
+    val wsum = weights.values.map(_.toLong).sum
+    // deterministic CASE chain (sorted by source) shared with the oracle
+    val wcol = weights.toSeq.sortBy(_._1)
+      .foldRight(lit(null).cast("long")) { case ((src, w), acc) =>
+        when(col("source") === src, lit(w.toLong)).otherwise(acc)
+      }
+    val base = documents.withColumn("w", wcol).filter(col("w").isNotNull)
+    val counts = base.groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("n_source"))
+    val tstar = counts.agg(min(
+      call_function("div", col("n_source") * lit(wsum), col("w")))
+      .as("t_star"))
+    val rates = counts.crossJoin(broadcast(tstar))
+      .withColumn("take_n",
+        call_function("div", col("w") * col("t_star"), lit(wsum)))
+      .withColumn("rate_ppm",
+        call_function("div", col("take_n") * lit(1000000L), col("n_source")))
+      .select("source", "rate_ppm")
+    base
+      .join(broadcast(rates), Seq("source"))
+      .withColumn("sample_key", sampleKey(col("doc_id")))
+      .filter(col("sample_key") % 1000000L < col("rate_ppm"))
+      .select("doc_id", "source", "n_chars", "sample_key", "rate_ppm")
       .orderBy("doc_id")
   }
 }

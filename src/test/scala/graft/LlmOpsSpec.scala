@@ -328,6 +328,62 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("shuffle shards: a bijective permutation in shard-write order") {
+    import graft.operators.Sampling
+    val out = Sampling.shuffleShards(docs, nShards = 16).collect()
+    // bijection: every doc appears exactly once
+    assert(out.map(_.getAs[Long]("doc_id")).toSet.size.toLong === docs.count())
+    // (shard, pos) is a dense rank: positions run 1..|shard| in every shard
+    val byShard = out.groupBy(_.getAs[Long]("shard"))
+    assert(byShard.keySet.forall(s => s >= 0 && s < 16))
+    byShard.values.foreach { rows =>
+      assert(rows.map(_.getAs[Long]("pos")).sorted.toSeq
+        === (1L to rows.length.toLong))
+      // within a shard, position order IS (sample_key, doc_id) order —
+      // replaying shards in order replays the fixed permutation
+      val inPos = rows.sortBy(_.getAs[Long]("pos"))
+        .map(r => (r.getAs[Long]("sample_key"), r.getAs[Long]("doc_id")))
+      assert(inPos.toSeq === inPos.sortBy(identity).toSeq)
+    }
+    // reproducible: a second run yields bit-identical placement
+    val again = Sampling.shuffleShards(docs, nShards = 16).collect()
+    assert(out.map(_.toSeq).sortBy(_.toString) ===
+      again.map(_.toSeq).sortBy(_.toString))
+    intercept[IllegalArgumentException] { Sampling.shuffleShards(docs, 0) }
+  }
+
+  test("mix to target: bottleneck source taken whole, rates replay exactly") {
+    import graft.operators.Sampling
+    val weights = Map("src0" -> 50, "src2" -> 30, "src4" -> 20)
+    val out = Sampling.mixToTarget(docs, weights).collect()
+    // only named sources survive
+    assert(out.map(_.getAs[String]("source")).toSet.subsetOf(weights.keySet))
+    // scala reference replay: per-source counts -> T* -> take -> rate_ppm
+    val counts = docs.filter(col("source").isin(weights.keys.toSeq: _*))
+      .groupBy("source").count().collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("count")).toMap
+    val wsum = weights.values.sum.toLong
+    val tstar = counts.map { case (s, n) => n * wsum / weights(s) }.min
+    val expected = docs.filter(col("source").isin(weights.keys.toSeq: _*))
+      .select("doc_id", "source").collect().filter { r =>
+        val s = r.getAs[String]("source")
+        val take = weights(s).toLong * tstar / wsum
+        val ratePpm = take * 1000000L / counts(s)
+        (r.getAs[Long]("doc_id") * 48271L % 2147483647L) % 1000000L < ratePpm
+      }.map(_.getAs[Long]("doc_id")).toSet
+    assert(out.map(_.getAs[Long]("doc_id")).toSet === expected)
+    // the bottleneck source (largest weight on uniform counts) has
+    // rate_ppm = 1e6: taken whole, so the target mix is the max feasible
+    val bottleneck = weights.minBy { case (s, w) => counts(s).toDouble / w }._1
+    val kept = out.filter(_.getAs[String]("source") == bottleneck)
+    assert(kept.length.toLong === counts(bottleneck))
+    assert(kept.forall(_.getAs[Long]("rate_ppm") === 1000000L))
+    intercept[IllegalArgumentException] { Sampling.mixToTarget(docs, Map.empty) }
+    intercept[IllegalArgumentException] {
+      Sampling.mixToTarget(docs, Map("src0" -> 0))
+    }
+  }
+
   test("contamination: a corpus scanned against itself is fully contaminated") {
     val some = docs.filter(col("doc_id") < 50)
     val out = graft.operators.Contamination.scan(some, some).collect()
