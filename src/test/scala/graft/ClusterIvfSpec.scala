@@ -129,15 +129,24 @@ class ClusterIvfSpec extends AnyFunSuite {
     assert(loose.toSeq === Seq((0L, 1L, 30.0 / 32.0)))
   }
 
-  test("connected components throw on non-convergence when strict") {
-    // a 30-vertex chain has diameter > maxIter=2
-    val chain = (1L to 29L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+  test("connected components: distributed rounds throw on non-convergence when strict") {
+    // a 200-vertex chain needs ~log2(200) pointer-jumping rounds —
+    // maxIter=2 is below that. Small graphs normally take the exact
+    // driver union-find (no convergence cap), so force the distributed
+    // label rounds with a driver bound of -1
+    val chain = (1L to 199L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
     intercept[IllegalStateException] {
-      ConnectedComponents.components(chain, maxIter = 2).collect()
+      ConnectedComponents.componentsImpl(chain, maxIter = 2, strict = true,
+        pairsDistinct = false, driverEdgeRowBound = -1).collect()
     }
     // non-strict returns (partial) labels instead
-    assert(ConnectedComponents.components(chain, maxIter = 2, strict = false)
-      .count() === 30)
+    assert(ConnectedComponents.componentsImpl(chain, maxIter = 2,
+      strict = false, pairsDistinct = false, driverEdgeRowBound = -1)
+      .count() === 200)
+    // under the driver bound the same graph solves exactly at any cap
+    val exact = ConnectedComponents.components(chain, maxIter = 2).collect()
+    assert(exact.length === 200)
+    assert(exact.forall(_.getAs[Long]("comp") === 1L))
   }
 
   test("k-means IVF: full probe equals brute force on the real corpus") {
@@ -174,19 +183,20 @@ class ClusterIvfSpec extends AnyFunSuite {
     assert(recall >= 8, s"recall@10 = $recall/10 with nprobe=3 of ~23 cells")
   }
 
-  test("clusterExact maxIter knob: long chains throw at low caps, pass when raised") {
-    // 30 sliding-window docs: consecutive windows share 59 of 60 tokens,
-    // so near-dup edges reach distance <= 3 and the cluster graph is a
-    // ~10-diameter path — label propagation needs ~10 rounds
+  test("clusterExact long chains: solved exactly under the driver bound at any cap") {
+    // 100 sliding-window docs over a 200-token vocab (windows never
+    // wrap): consecutive windows share 59 of 60 tokens, near-dup edges
+    // reach distance <= 3, so the cluster graph is a ~33-diameter path.
+    // Its edge list is far under the driver union-find bound, so even a
+    // maxIter that would starve label propagation solves it exactly —
+    // the convergence cap only governs the distributed at-scale path
+    // (pinned in the componentsImpl test above)
     val vocab = (1 to 200).map(i => s"c$i")
-    val docs = (0 until 30).map { i =>
-      (i.toLong, (i until i + 60).map(j => vocab(j % 200)).mkString(" "))
+    val docs = (0 until 100).map { i =>
+      (i.toLong, (i until i + 60).map(vocab(_)).mkString(" "))
     }.toDF("doc_id", "text")
-    intercept[IllegalStateException] {
-      Dedup.clusterExact(docs, 0.9, maxIter = 2)
-    }
-    val comps = Dedup.clusterExact(docs, 0.9, maxIter = 20).collect()
-    assert(comps.length === 30)
+    val comps = Dedup.clusterExact(docs, 0.9, maxIter = 2).collect()
+    assert(comps.length === 100)
     assert(comps.forall(_.getAs[Long]("component") === 0L))
   }
 
