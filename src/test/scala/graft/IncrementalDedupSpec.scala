@@ -42,6 +42,16 @@ class IncrementalDedupSpec extends AnyFunSuite {
     val passed = freshSigned
       .filter(IncrementalDedup.bucketBloomGate(bloom)).count()
     assert(passed < 500, s"gate passed all $passed/500 novel docs — prunes nothing")
+    // the driver-side gate (micro-batch fast path) keeps the EXACT same
+    // survivor set as the distributed filter — same keys, same bits
+    val fs2 = freshSigned.localCheckpoint(true)
+    val distSurv = fs2.filter(IncrementalDedup.bucketBloomGate(bloom))
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    val (drvFrame, drvN) = IncrementalDedup.driverGate(fs2, bloom)
+    val drvSurv = drvFrame.select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(drvSurv.sameElements(distSurv),
+      "driver gate and distributed gate disagree on survivors")
+    assert(drvN === drvSurv.length.toLong)
     // append merges the batch's buckets in: a copy of an appended doc
     // must still gate through and flag on the NEXT probe
     IncrementalDedup.appendSignatures(idx, fresh)
