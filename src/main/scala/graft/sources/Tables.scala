@@ -3,8 +3,8 @@ package graft.sources
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, BinaryType, ByteType, DataType,
-  DoubleType, FloatType, IntegerType, LongType, ShortType, StringType,
-  TimestampNTZType, TimestampType}
+  DateType, DoubleType, FloatType, IntegerType, LongType, ShortType,
+  StringType, TimestampNTZType, TimestampType}
 
 /** Typed access to the test-corpus tables (TPC-H-ish star schema plus
   * `events`/`documents`/`embeddings`), mirroring the reference's loaders
@@ -27,8 +27,10 @@ object Tables {
   def customer(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "customer")
   def supplier(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "supplier")
   def part(spark: SparkSession, dir: String): DataFrame     = table(spark, dir, "part")
-  def orders(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "orders")
-  def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame =
+    canonicalizeFactTs(tableAdaptive(spark, dir, "orders"), Seq("o_orderdate"))
+  def lineitem(spark: SparkSession, dir: String): DataFrame =
+    canonicalizeFactTs(tableAdaptive(spark, dir, "lineitem"), Seq("l_shipdate"))
   def documents(spark: SparkSession, dir: String): DataFrame =
     canonicalizeDocuments(table(spark, dir, "documents"))
   def embeddings(spark: SparkSession, dir: String): DataFrame =
@@ -120,12 +122,53 @@ object Tables {
     * cannot read at all without the legacy conf) falls back to
     * nanos-as-long. */
   def eventsRaw(spark: SparkSession, dir: String): DataFrame =
-    try table(spark, dir, "events")
+    tableAdaptive(spark, dir, "events")
+
+  /** [[table]] with the NANOS fallback: a file whose timestamp column
+    * carries the TIMESTAMP(NANOS) annotation is unreadable by Spark
+    * outright ([ILLEGAL_PARQUET_TYPE]); retry as nanos-as-long — the only
+    * path that touches session conf. Any readable file never does. */
+  def tableAdaptive(spark: SparkSession, dir: String, name: String): DataFrame =
+    try table(spark, dir, name)
     catch {
       case e: Exception if e.getMessage != null &&
           e.getMessage.contains("PARQUET_TYPE") =>
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        table(spark, dir, "events")
+        table(spark, dir, name)
+    }
+
+  /** Data contract for the fact tables' date-valued columns
+    * (`l_shipdate`, `o_orderdate`) — the same drift-insurance class as
+    * `events.ts` (the r9 outage: the writer flipping a timestamp's
+    * physical form took down every dependent key). Accepted envelope per
+    * named column, canonical form `TIMESTAMP` (session-TZ, µs):
+    *
+    *   - TIMESTAMP_NTZ(µs) — the canonical form: the pyarrow writer has
+    *     always shipped these columns with isAdjustedToUTC=false, and
+    *     every key + DuckDB oracle was built against it;
+    *   - TIMESTAMP(MICROS, UTC-adjusted) — cast to NTZ is
+    *     epoch-preserving under the UTC session pin;
+    *   - INT64 ns-since-epoch (plain or NANOS-annotated via
+    *     [[tableAdaptive]]) — integer-div truncation to µs, the same
+    *     truncation DuckDB's µs-native reader applies;
+    *   - DATE32 (a date-typed writer) — midnight promotion, matching
+    *     DuckDB's DATE → TIMESTAMP semantics.
+    *
+    * A column already canonical is left untouched — no added `Project`,
+    * so scan pushdown/pruning plans stay byte-identical to a bare read
+    * (pinned by FactSchemaDriftSpec). */
+  def canonicalizeFactTs(df: DataFrame, tsCols: Seq[String]): DataFrame =
+    tsCols.filter(df.schema.fieldNames.contains).foldLeft(df) { (d, n) =>
+      d.schema(n).dataType match {
+        case TimestampNTZType => d
+        case DateType | TimestampType =>
+          d.withColumn(n, col(n).cast(TimestampNTZType))
+        case LongType => d.withColumn(n,
+          canonicalTs(LongType, col(n)).cast(TimestampNTZType))
+        case other => throw new IllegalArgumentException(
+          s"$n: unsupported stored type $other (expected TIMESTAMP, DATE " +
+            "or INT64 ns)")
+      }
     }
 
   /** Canonical form of a raw `ts` column: `TIMESTAMP` (session-TZ) at µs

@@ -627,6 +627,29 @@ def run_all(d):
         return m[["doc_id", "source", "sample_key", "split"]]
     bench("ds_split", ds_split)
 
+    def ds_shuffle():
+        m = meta[["doc_id", "source"]].copy()
+        m["sample_key"] = (m["doc_id"] * 48271) % 2147483647
+        m["shard"] = m["sample_key"] % 16
+        m = m.sort_values(["shard", "sample_key", "doc_id"])
+        m["pos"] = m.groupby("shard").cumcount() + 1
+        return m.sort_values("doc_id")
+    bench("ds_shuffle", ds_shuffle)
+
+    def ds_mix():
+        weights = {"src0": 50, "src2": 30, "src4": 20}
+        wsum = sum(weights.values())
+        m = meta[meta["source"].isin(weights)].copy()
+        counts = m.groupby("source").size()
+        tstar = min(counts[s] * wsum // w for s, w in weights.items()
+                    if s in counts)
+        rate = {s: (weights[s] * tstar // wsum) * 1000000 // counts[s]
+                for s in counts.index}
+        m["sample_key"] = (m["doc_id"] * 48271) % 2147483647
+        m["rate_ppm"] = m["source"].map(rate)
+        return m[m["sample_key"] % 1000000 < m["rate_ppm"]]
+    bench("ds_mix", ds_mix)
+
     def tx_pack():
         # sequence packing: per-shard token prefix sums -> budget chunks
         p = docs[["doc_id", "text"]].copy()
