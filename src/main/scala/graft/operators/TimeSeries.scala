@@ -120,6 +120,14 @@ object TimeSeries {
   /** Rolling features: trailing 3-row and 12-row mean/std per key
     * (reference: pipeline_batch.py:103-127 rolling 15-min/60-min stats). */
   def rollingFeatures(events: DataFrame): DataFrame =
+    rollingFeaturesUnsorted(events).orderBy("user_id", "ts_us", "event_id")
+
+  /** [[rollingFeatures]] without the presentation sort — for consumers
+    * that aggregate, re-sort or materialize the frame themselves (the
+    * optimizer elides the sort under aggregation, but an eager
+    * checkpoint/write would pay a useless global exchange+sort for rows
+    * whose order the consumer discards). */
+  def rollingFeaturesUnsorted(events: DataFrame): DataFrame =
     events
       .withColumn("mean_3", rollMean(3))
       .withColumn("std_3", rollStd(3))
@@ -127,7 +135,6 @@ object TimeSeries {
       .withColumn("std_12", rollStd(12))
       .select("event_id", "user_id", "ts_us", "event_type", "value",
         "mean_3", "std_3", "mean_12", "std_12")
-      .orderBy("user_id", "ts_us", "event_id")
 
   /** Lag-1 and rate-of-change features
     * (reference: pipeline_batch.py:131-140 shift(1) + diff()). */
