@@ -42,10 +42,12 @@ object Plans {
         "(one primitive int loop + one division; per-vector sqrt-norms " +
         "hoisted above the pair join)"),
       "dd_cluster" -> ("exact cluster sweep: one shared tokenization pass " +
-        "(norm-hash rep collapse + signatures + token verify all read it), " +
-        "banded-LSH candidates with first-agree dedup + signature " +
-        "prefilter + exact token verify, iterative min-label components — " +
-        "equi-joins throughout, no cartesian/nested-loop anywhere"),
+        "(norm-hash rep collapse + signatures + hashed-token verify all " +
+        "read it), banded-LSH candidates with first-agree dedup, verify " +
+        "on sorted 64-bit token-hash arrays, components via driver " +
+        "union-find under the edge bound (distributed pointer-jumped " +
+        "rounds above it) — equi-joins throughout, no cartesian/" +
+        "nested-loop anywhere"),
       "dd_simhash" -> ("packed-long fingerprints: chunk-combination keys " +
         "by shift/mask, bit_count(xor) Hamming verify, first-agree dedup " +
         "via an agree-bit lookup table — all inside whole-stage codegen, " +
@@ -77,6 +79,15 @@ object Plans {
         "predicate is pure per-row arithmetic evaluated at the scan — " +
         "no join, no aggregation, no shuffle; membership is a filter, " +
         "so at 100 TB the sample costs one pass and nothing more"),
+      "ds_shuffle" -> ("deterministic global shuffle into training " +
+        "shards: a 2-column pruned scan, the Lehmer permutation key as " +
+        "per-row arithmetic, and ONE exchange — the partition-by-shard " +
+        "the shard write needs anyway — with only an in-partition sort; " +
+        "no global ordering bottleneck"),
+      "ds_mix" -> ("target-proportion mixture: per-source counts as a " +
+        "column-pruned map-side agg, the one-row T* and per-source " +
+        "rates broadcast back (BroadcastHashJoin), membership decided " +
+        "by scan-side arithmetic — the corpus itself never shuffles"),
       "tx_curate" -> ("the composed curation gate: quality + repetition + " +
         "PII stacked as per-row column stages — Catalyst fuses all three " +
         "into ONE whole-stage-codegen project over a single scan, so the " +

@@ -256,4 +256,26 @@ class PlanQualitySpec extends AnyFunSuite {
     val corpusShuffles = "Exchange hashpartitioning\\(doc_id".r.findAllIn(p).length
     assert(corpusShuffles === 0, s"corpus doc_id shuffle present:\n$p")
   }
+
+  test("global shuffle windows on the shard key with a pruned scan") {
+    val p = plan(Sampling.shuffleShards(Tables.documents(spark, sf), 16))
+    // the ONLY hash exchange is the partition-by-shard the shard write
+    // needs anyway; the window must never collapse to a single partition
+    assert(p.contains("hashpartitioning(shard"), p)
+    assert("windowspecdefinition\\(shard".r.findFirstIn(p).nonEmpty,
+      s"position window is not partitioned by shard:\n$p")
+    assert(!p.contains("text#"), "shuffle reads the text column:\n" + p)
+  }
+
+  test("mixture construction broadcasts the rates and never shuffles the corpus") {
+    val p = plan(Sampling.mixToTarget(Tables.documents(spark, sf),
+      Map("src0" -> 50, "src2" -> 30, "src4" -> 20)))
+    // per-source counts roll up map-side; the tiny rates frame broadcasts
+    // back; the corpus's only exchange is the presentation sort
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    val corpusShuffles = "Exchange hashpartitioning\\(doc_id".r.findAllIn(p).length
+    assert(corpusShuffles === 0, s"corpus doc_id shuffle present:\n$p")
+    assert(!p.contains("text#"), "mixture reads the text column:\n" + p)
+  }
 }
