@@ -303,21 +303,58 @@ object Dedup {
         (lit(1L) + least(col("n_a") - col("rn_a"), col("n_b") - col("rn_b")))
           * lit(100L) >= lit(t100) * col("n_a"))
       .select("doc_a", "doc_b").distinct()
-    val a = toks.select(col("doc_id").as("doc_a"),
-      col("toks").as("toks_a"), col("n").as("n_a"))
-    val b = toks.select(col("doc_id").as("doc_b"),
-      col("toks").as("toks_b"), col("n").as("n_b"))
-    cand.join(a, "doc_a").join(b, "doc_b")
+    // verify on sorted 64-bit GRAM-HASH arrays, not the ~30-char gram
+    // strings (the dd_cluster recipe, r11): 8-byte elements and primitive
+    // compares through the per-pair joins. Exactness is preserved, not
+    // traded — hashInjectiveOnVocab proves the hash collision-free over
+    // this corpus's gram vocabulary (one narrow aggregate), making the
+    // hashed intersection THE gram intersection; on a vocabulary
+    // collision the hashed count can only overcount (min-multiplicity
+    // merge of a hash function's images), so it degrades to a
+    // zero-false-negative prefilter and the string intersect re-verifies
+    // the output-bound survivors. Payload sides broadcast size-aware
+    // (the MinHashLsh 256 MB budget): under it, candidates flow through
+    // the verify without a pair shuffle; past it the shuffle join is the
+    // 100-TB shape.
+    val stats = toks.agg(count(lit(1)), coalesce(sum(col("n")), lit(0L))).head()
+    val hashedBytes = stats.getLong(0) * 32L + stats.getLong(1) * 8L
+    val hashed = toks.select(col("doc_id"), col("n"),
+      sort_array(org.apache.spark.sql.graft.ColumnBridge
+        .tokenHashes64(col("toks"))).as("hsh"))
+    val ha = MinHashLsh.maybeBroadcast(hashed.select(col("doc_id").as("doc_a"),
+      col("hsh").as("hsh_a"), col("n").as("n_a")), hashedBytes)
+    val hb = MinHashLsh.maybeBroadcast(hashed.select(col("doc_id").as("doc_b"),
+      col("hsh").as("hsh_b"), col("n").as("n_b")), hashedBytes)
+    val hashVerified = cand.join(ha, "doc_a").join(hb, "doc_b")
       // size prefilter ahead of the intersect kernel: A∩B ≤ |B|, so
       // containment ≥ τ needs |B|·100 ≥ τ₁₀₀·|A| — pairs the size gap
       // rules out never run the O(n+m) merge
       .filter(col("n_b") * lit(100L) >= lit(t100) * col("n_a"))
-      .select(col("doc_a").as("contained_id"), col("doc_b").as("container_id"),
-        col("n_a"), col("n_b"),
+      .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"),
         org.apache.spark.sql.graft.ColumnBridge
-          .sortedIntersectCount(col("toks_a"), col("toks_b"))
+          .sortedLongIntersectCount(col("hsh_a"), col("hsh_b"))
           .cast("long").as("n_common"))
       .filter(col("n_common") * lit(100L) >= lit(t100) * col("n_a"))
+    val verified = if (MinHashLsh.hashInjectiveOnVocab(toks)) {
+      // collision-free gram vocabulary (the always case): the hashed
+      // count IS the gram intersection
+      hashVerified
+    } else {
+      // a gram-vocabulary collision somewhere: re-verify the surviving
+      // (output-bound) pairs on the gram strings
+      val a = toks.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"))
+      val b = toks.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"))
+      hashVerified.select("doc_a", "doc_b", "n_a", "n_b")
+        .join(a, "doc_a").join(b, "doc_b")
+        .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"),
+          org.apache.spark.sql.graft.ColumnBridge
+            .sortedIntersectCount(col("toks_a"), col("toks_b"))
+            .cast("long").as("n_common"))
+        .filter(col("n_common") * lit(100L) >= lit(t100) * col("n_a"))
+    }
+    verified
+      .select(col("doc_a").as("contained_id"), col("doc_b").as("container_id"),
+        col("n_a"), col("n_b"), col("n_common"))
       .withColumn("containment",
         col("n_common").cast("double") / col("n_a"))
       .orderBy("contained_id", "container_id")

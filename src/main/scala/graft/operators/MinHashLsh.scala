@@ -319,7 +319,7 @@ object MinHashLsh {
     * anyway. */
   private[graft] val MaxBroadcastVerifyBytes = 256L << 20
 
-  private def maybeBroadcast(df: DataFrame, estBytes: Long): DataFrame =
+  private[graft] def maybeBroadcast(df: DataFrame, estBytes: Long): DataFrame =
     if (estBytes <= MaxBroadcastVerifyBytes) broadcast(df) else df
 
   /** True iff the engine-neutral 64-bit token hash is INJECTIVE over the

@@ -206,6 +206,32 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(ids.last._2.size.toLong === docs.count())
   }
 
+  test("containment stays exact under a planted gram-hash collision (string fallback)") {
+    // "a" and "ba" collide in the engine-neutral 64-bit token hash
+    // (both 31-poly folds give 3135 before the bijective finisher), and
+    // the collision survives equal-length substitution inside a longer
+    // string — so the GRAMS "w2 a w4" and "w2 ba w4" collide too.
+    // The hashed verify would see doc 0 fully contained in doc 1; the
+    // injectivity proof must detect the collision and re-verify on the
+    // gram strings
+    val w = (1 to 10).map(i => s"w$i")
+    val textA = (w.take(2) :+ "a") ++ w.drop(3)
+    val textB = (w.take(2) :+ "ba") ++ w.drop(3)
+    val pair = Seq(
+      (0L, textA.mkString(" ")),
+      (1L, textB.mkString(" "))).toDF("doc_id", "text")
+    // 10 tokens -> 8 grams; 3 involve the colliding token, 5 shared:
+    // true containment 5/8 = 0.625, hashed would read 8/8 = 1.0
+    val strict = Dedup.containment(pair, 0.95).collect()
+    assert(strict.isEmpty,
+      s"collision inflated the containment verify: ${strict.mkString(",")}")
+    val loose = Dedup.containment(pair, 0.6).collect()
+      .map(r => ((r.getAs[Long]("contained_id"), r.getAs[Long]("container_id")),
+        (r.getAs[Long]("n_common"), r.getAs[Double]("containment")))).toMap
+    assert(loose.keySet === Set((0L, 1L), (1L, 0L)))
+    assert(loose((0L, 1L)) === ((5L, 0.625)))
+  }
+
   test("containment: catches subset duplication Jaccard misses; equals exhaustive") {
     // B swallows A whole (plus 16 extra tokens): containment(A→B) = 1.0
     // while jaccard = 4/20 = 0.2 — structurally invisible to the
