@@ -408,6 +408,14 @@ class LlmOpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Sampling.mixToTarget(docs, Map("src0" -> 0))
     }
+    // a named source absent from the corpus is ignored in T* (documented):
+    // with {absent: 100, src0: 50} the feasible total is set by src0
+    // alone, whose take works out to its full count — all rows kept
+    val ghost = Sampling.mixToTarget(docs, Map("nosuchsrc" -> 100, "src0" -> 50))
+      .collect()
+    assert(ghost.map(_.getAs[String]("source")).toSet === Set("src0"))
+    assert(ghost.length.toLong ===
+      docs.filter(col("source") === "src0").count())
   }
 
   test("contamination: a corpus scanned against itself is fully contaminated") {

@@ -203,9 +203,14 @@ class PlanQualitySpec extends AnyFunSuite {
   test("containment join is prefix-gated: no cartesian, no text in the shuffles") {
     val p = plan(Dedup.containment(Tables.documents(spark, sf)))
     assert(!p.contains("CartesianProduct"), p)
-    // the verify stage runs the native sorted-intersect kernel, not an
-    // interpreted array_intersect
-    assert(p.contains("sorted_intersect_count"), p)
+    // the verify stage runs the native sorted-intersect kernel on the
+    // 64-bit gram-hash arrays (r11) — not an interpreted array_intersect,
+    // and not the gram-string form (that is the collision fallback only)
+    assert(p.contains("sorted_long_intersect_count"), p)
+    // gram STRING arrays never enter an exchange: the hashed payloads
+    // broadcast (or shuffle 8-byte elements past the budget)
+    val ex = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(!ex.contains("toks#"), s"gram strings in a shuffle:\n$p")
   }
 
   test("repetition signals stay per-row; corpus stats shuffle once with a broadcast total") {
