@@ -219,6 +219,13 @@ object SparkEntry {
     "ds_mix" -> ((s, dir) =>
       Sampling.mixToTarget(Tables.documents(s, dir),
         Map("src0" -> 50, "src2" -> 30, "src4" -> 20))),
+    // epoch/repetition planning: 150-row budget at 50:30:20, repetition
+    // capped at 3 epochs — one output row per (doc, epoch); the fixed
+    // budget makes the semantics scale-independent (like a topK)
+    "ds_epochs" -> ((s, dir) =>
+      Sampling.epochPlan(Tables.documents(s, dir),
+        Map("src0" -> 50, "src2" -> 30, "src4" -> 20),
+        budget = 150L, maxEpochs = 3)),
     // decontamination sweep: every 97th doc plays the held-out benchmark
     // set; the rest of the corpus scores its distinct 3-gram containment
     // against the broadcast benchmark gram array (no corpus shuffle);
@@ -1643,6 +1650,39 @@ object SparkEntry {
         |       row_number() OVER (PARTITION BY sample_key % 16
         |                          ORDER BY sample_key, doc_id) AS pos
         |FROM k ORDER BY doc_id""".stripMargin,
+
+    // epoch plan in the same integer arithmetic as the Spark side:
+    // take = min(w*budget // W, n*maxEpochs), full epochs = take // n,
+    // partial-epoch rate = (take % n)*1e6 // n; generate_series(1, 0)
+    // is empty in DuckDB, matching the Spark side's n_ep >= 1 guard
+    "ds_epochs" ->
+      """WITH w AS (
+        |  SELECT doc_id, source,
+        |         CASE WHEN source = 'src0' THEN CAST(50 AS BIGINT)
+        |              WHEN source = 'src2' THEN CAST(30 AS BIGINT)
+        |              WHEN source = 'src4' THEN CAST(20 AS BIGINT) END AS wgt
+        |  FROM documents),
+        |base AS (SELECT * FROM w WHERE wgt IS NOT NULL),
+        |counts AS (
+        |  SELECT source, wgt, CAST(count(*) AS BIGINT) AS n_source
+        |  FROM base GROUP BY source, wgt),
+        |plan AS (
+        |  SELECT source, n_source,
+        |         least(wgt * 150 // 100, n_source * 3) AS take_n
+        |  FROM counts),
+        |plan2 AS (
+        |  SELECT source, take_n // n_source AS full_ep,
+        |         (take_n % n_source) * 1000000 // n_source AS rate_ppm
+        |  FROM plan),
+        |d AS (
+        |  SELECT b.doc_id, b.source,
+        |         (b.doc_id * 48271) % 2147483647 AS sample_key,
+        |         p.full_ep + CASE WHEN ((b.doc_id * 48271) % 2147483647) % 1000000
+        |                               < p.rate_ppm THEN 1 ELSE 0 END AS n_ep
+        |  FROM base b JOIN plan2 p ON b.source = p.source)
+        |SELECT doc_id, source, sample_key,
+        |       unnest(generate_series(1, n_ep)) AS epoch
+        |FROM d WHERE n_ep >= 1 ORDER BY doc_id, epoch""".stripMargin,
 
     // integer-exact mixture arithmetic (// is DuckDB integer division,
     // matching Spark's `div` on positive longs): T* = min(n*W // w),

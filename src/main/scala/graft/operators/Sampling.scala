@@ -116,6 +116,60 @@ object Sampling {
       .orderBy("doc_id")
   }
 
+  /** Epoch/repetition planning — the step AFTER [[mixToTarget]] when the
+    * target proportions exceed what sources can supply without
+    * repetition: real LLM data recipes repeat scarce high-value domains
+    * (books ×3, web ×1) up to a repetition cap. Given relative `weights`,
+    * a total row `budget` and `maxEpochs`, each named source's take is
+    * min(w_s·budget/W, n_s·maxEpochs) rows, realized as floor(take/n_s)
+    * FULL epochs of the whole source plus a Lehmer-residue-selected
+    * partial epoch for the remainder — one output row per (doc, epoch),
+    * epochs numbered from 1. All Long integer arithmetic (div/%), so the
+    * DuckDB oracle replays the plan bit-for-bit.
+    *
+    * Scale shape: per-source counts are one column-pruned map-side agg,
+    * the tiny per-source plan broadcasts back, and the per-doc epoch
+    * explode is scan-side row generation — the corpus never shuffles
+    * (the output's presentation sort is the only exchange). Exact while
+    * w·budget and take·10⁶ stay under 2⁶³. */
+  def epochPlan(documents: DataFrame, weights: Map[String, Int],
+      budget: Long, maxEpochs: Int = 4): DataFrame = {
+    require(weights.nonEmpty, "weights must name at least one source")
+    require(weights.values.forall(_ > 0), "weights must be positive")
+    require(budget > 0, s"budget must be positive (got $budget)")
+    require(maxEpochs >= 1, s"maxEpochs must be >= 1 (got $maxEpochs)")
+    val wsum = weights.values.map(_.toLong).sum
+    val wcol = weights.toSeq.sortBy(_._1)
+      .foldRight(lit(null).cast("long")) { case ((src, w), acc) =>
+        when(col("source") === src, lit(w.toLong)).otherwise(acc)
+      }
+    val base = documents.withColumn("w", wcol).filter(col("w").isNotNull)
+    val plan = base.groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("n_source"))
+      .withColumn("take_n", least(
+        call_function("div", col("w") * lit(budget), lit(wsum)),
+        col("n_source") * lit(maxEpochs.toLong)))
+      .withColumn("full_ep",
+        call_function("div", col("take_n"), col("n_source")))
+      .withColumn("rate_ppm", call_function("div",
+        (col("take_n") % col("n_source")) * lit(1000000L), col("n_source")))
+      .select("source", "full_ep", "rate_ppm")
+    base
+      .join(broadcast(plan), Seq("source"))
+      .withColumn("sample_key", sampleKey(col("doc_id")))
+      .withColumn("n_ep", col("full_ep") +
+        when(col("sample_key") % 1000000L < col("rate_ppm"), lit(1L))
+          .otherwise(lit(0L)))
+      // guard BEFORE the sequence: Spark's sequence(1, 0) would run
+      // DESCENDING, not empty — sources whose plan gives a doc zero
+      // epochs must drop here (DuckDB's generate_series(1, 0) is empty,
+      // so the twin drops them in the unnest)
+      .filter(col("n_ep") >= 1L)
+      .select(col("doc_id"), col("source"), col("sample_key"),
+        explode(sequence(lit(1L), col("n_ep"))).as("epoch"))
+      .orderBy("doc_id", "epoch")
+  }
+
   /** Target-proportion mixture construction — the "web 60% / books 20% /
     * code 20%" recipe of an LLM data pipeline (Pile/DoReMi-style domain
     * weighting), derived from the corpus itself rather than hand-tuned

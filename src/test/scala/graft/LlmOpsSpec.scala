@@ -418,6 +418,51 @@ class LlmOpsSpec extends AnyFunSuite {
       docs.filter(col("source") === "src0").count())
   }
 
+  test("epoch plan: repetition capped, partial epochs residue-selected, dense numbering") {
+    import graft.operators.Sampling
+    val weights = Map("src0" -> 50, "src2" -> 30, "src4" -> 20)
+    val out = Sampling.epochPlan(docs, weights, budget = 150L, maxEpochs = 3)
+      .collect()
+    val counts = docs.filter(col("source").isin(weights.keys.toSeq: _*))
+      .groupBy("source").count().collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("count")).toMap
+    val wsum = weights.values.sum.toLong
+    // scala reference replay of the integer plan
+    val plan = counts.map { case (s, n) =>
+      val take = math.min(weights(s).toLong * 150L / wsum, n * 3L)
+      s -> ((take / n, (take % n) * 1000000L / n))  // (full epochs, rate_ppm)
+    }
+    val byDoc = out.groupBy(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[String]("source")))
+    byDoc.foreach { case ((id, src), rows) =>
+      val (fullEp, ratePpm) = plan(src)
+      val partial = (id * 48271L % 2147483647L) % 1000000L < ratePpm
+      val expected = fullEp + (if (partial) 1L else 0L)
+      // every emitted doc carries a DENSE epoch range 1..n_ep
+      assert(rows.map(_.getAs[Long]("epoch")).sorted.toSeq
+        === (1L to expected), s"doc $id in $src")
+    }
+    // docs with zero planned epochs are absent entirely (no epoch-0 rows)
+    val perSrc = out.groupBy(_.getAs[String]("source"))
+      .view.mapValues(_.length.toLong).toMap
+    plan.foreach { case (s, (fullEp, _)) =>
+      // total rows per source = full epochs × n + selected partials —
+      // and never exceeds the repetition cap
+      assert(perSrc.getOrElse(s, 0L) >= fullEp * counts(s))
+      assert(perSrc.getOrElse(s, 0L) <= counts(s) * 3L, s"source $s over cap")
+    }
+    // no repetition cap hit -> a bigger budget repeats up to the cap
+    val capped = Sampling.epochPlan(docs, Map("src0" -> 1), budget = 1000000L,
+      maxEpochs = 2).collect()
+    assert(capped.length.toLong === counts("src0") * 2L)
+    intercept[IllegalArgumentException] {
+      Sampling.epochPlan(docs, Map("src0" -> 1), budget = 0L)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.epochPlan(docs, Map("src0" -> 1), budget = 10L, maxEpochs = 0)
+    }
+  }
+
   test("contamination: a corpus scanned against itself is fully contaminated") {
     val some = docs.filter(col("doc_id") < 50)
     val out = graft.operators.Contamination.scan(some, some).collect()

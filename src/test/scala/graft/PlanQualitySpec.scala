@@ -283,4 +283,15 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(corpusShuffles === 0, s"corpus doc_id shuffle present:\n$p")
     assert(!p.contains("text#"), "mixture reads the text column:\n" + p)
   }
+
+  test("epoch plan broadcasts the per-source plan; epochs explode scan-side") {
+    val p = plan(Sampling.epochPlan(Tables.documents(spark, sf),
+      Map("src0" -> 50, "src2" -> 30, "src4" -> 20), budget = 150L,
+      maxEpochs = 3))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    val corpusShuffles = "Exchange hashpartitioning\\(doc_id".r.findAllIn(p).length
+    assert(corpusShuffles === 0, s"corpus doc_id shuffle present:\n$p")
+    assert(p.contains("Generate explode"), "epoch rows are not a scan-side explode:\n" + p)
+  }
 }

@@ -650,6 +650,24 @@ def run_all(d):
         return m[m["sample_key"] % 1000000 < m["rate_ppm"]]
     bench("ds_mix", ds_mix)
 
+    def ds_epochs():
+        weights = {"src0": 50, "src2": 30, "src4": 20}
+        wsum = sum(weights.values())
+        m = meta[meta["source"].isin(weights)].copy()
+        counts = m.groupby("source").size()
+        full = {s: min(weights[s] * 150 // wsum, counts[s] * 3) // counts[s]
+                for s in counts.index}
+        rate = {s: (min(weights[s] * 150 // wsum, counts[s] * 3) % counts[s])
+                * 1000000 // counts[s] for s in counts.index}
+        m["sample_key"] = (m["doc_id"] * 48271) % 2147483647
+        m["n_ep"] = m["source"].map(full) + (
+            m["sample_key"] % 1000000 < m["source"].map(rate)).astype(int)
+        m = m[m["n_ep"] >= 1]
+        m = m.loc[m.index.repeat(m["n_ep"])]
+        m["epoch"] = m.groupby("doc_id").cumcount() + 1
+        return m.drop(columns=["n_ep"]).sort_values(["doc_id", "epoch"])
+    bench("ds_epochs", ds_epochs)
+
     def tx_pack():
         # sequence packing: per-shard token prefix sums -> budget chunks
         p = docs[["doc_id", "text"]].copy()
