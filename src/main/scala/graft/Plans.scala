@@ -88,6 +88,10 @@ object Plans {
         "column-pruned map-side agg, the one-row T* and per-source " +
         "rates broadcast back (BroadcastHashJoin), membership decided " +
         "by scan-side arithmetic — the corpus itself never shuffles"),
+      "ds_epochs" -> ("epoch/repetition planning: the tiny per-source " +
+        "plan (full epochs + partial-epoch rate) broadcasts back and " +
+        "epoch rows are a scan-side Generate explode — row " +
+        "multiplication without any corpus exchange"),
       "tx_curate" -> ("the composed curation gate: quality + repetition + " +
         "PII stacked as per-row column stages — Catalyst fuses all three " +
         "into ONE whole-stage-codegen project over a single scan, so the " +
