@@ -226,6 +226,14 @@ object SparkEntry {
       Sampling.epochPlan(Tables.documents(s, dir),
         Map("src0" -> 50, "src2" -> 30, "src4" -> 20),
         budget = 150L, maxEpochs = 3)),
+    // the composed assembly capstone: curate → mix → epochs → shuffle →
+    // pack behind ONE entry point (Pipeline.assembleDataset) — each
+    // stage the same operator its staged key runs; the oracle replays
+    // the whole recipe (integer arithmetic after the curation gate)
+    "ds_assemble" -> ((s, dir) =>
+      operators.Pipeline.assembleDataset(Tables.documents(s, dir),
+        Map("src0" -> 50, "src2" -> 30, "src4" -> 20),
+        budget = 150L, maxEpochs = 3, nShards = 8, packBudget = 64L)),
     // decontamination sweep: every 97th doc plays the held-out benchmark
     // set; the rest of the corpus scores its distinct 3-gram containment
     // against the broadcast benchmark gram array (no corpus shuffle);
@@ -1708,6 +1716,91 @@ object SparkEntry {
         |FROM base b JOIN rates r ON b.source = r.source
         |WHERE ((b.doc_id * 48271) % 2147483647) % 1000000 < r.rate_ppm
         |ORDER BY b.doc_id""".stripMargin,
+
+    // the full assembly recipe replayed in one CTE chain: the tx_curate
+    // gate (score/repetition expressions verbatim) selects keepers, the
+    // ds_mix integer arithmetic picks the proportioned subset, the
+    // ds_epochs plan explodes (doc, epoch) instances, the Lehmer key of
+    // instance_id = doc_id*4+epoch shuffles them into 8 shards, and the
+    // tx_pack prefix-sum assigns 64-token training sequences
+    "ds_assemble" ->
+      """WITH b AS (
+        |  SELECT doc_id, source,
+        |         CAST(length(text) AS BIGINT) AS n_chars_calc,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |         CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT) AS alpha,
+        |         CAST(len(list_filter(string_split(text, ' '),
+        |                  t -> t IN ('the','a','of','to','and','in'))) AS BIGINT) AS n_stop,
+        |         string_split(text, ' ') AS toks,
+        |         list_transform(generate_series(0, greatest(len(string_split(text, ' ')) - 2, 0)),
+        |           i -> array_to_string((string_split(text, ' '))[i+1:i+2], ' ')) AS grams
+        |  FROM documents),
+        |keepers AS (
+        |  SELECT doc_id, source, n_tokens
+        |  FROM b
+        |  WHERE 0.5 * (CAST(alpha AS DOUBLE) / n_chars_calc)
+        |          + 0.3 * (1.0 - CAST(n_stop AS DOUBLE) / n_tokens)
+        |          + 0.2 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) >= 0.6
+        |    AND NOT (CAST(list_max(list_transform(list_distinct(grams),
+        |               y -> len(list_filter(grams, x -> x = y)))) AS DOUBLE) / len(grams) > 0.18
+        |          OR CAST(list_max(list_transform(list_distinct(toks),
+        |               y -> len(list_filter(toks, x -> x = y)))) AS DOUBLE) / len(toks) > 0.3)),
+        |wj AS (
+        |  SELECT doc_id, source, n_tokens,
+        |         CASE WHEN source = 'src0' THEN CAST(50 AS BIGINT)
+        |              WHEN source = 'src2' THEN CAST(30 AS BIGINT)
+        |              WHEN source = 'src4' THEN CAST(20 AS BIGINT) END AS wgt
+        |  FROM keepers),
+        |base AS (SELECT * FROM wj WHERE wgt IS NOT NULL),
+        |mcounts AS (
+        |  SELECT source, wgt, CAST(count(*) AS BIGINT) AS n_source
+        |  FROM base GROUP BY source, wgt),
+        |t AS (SELECT min(n_source * 100 // wgt) AS t_star FROM mcounts),
+        |mrates AS (
+        |  SELECT source, ((wgt * t_star) // 100) * 1000000 // n_source AS rate_ppm
+        |  FROM mcounts, t),
+        |mixed AS (
+        |  SELECT bb.doc_id, bb.source, bb.n_tokens, bb.wgt
+        |  FROM base bb JOIN mrates r ON bb.source = r.source
+        |  WHERE ((bb.doc_id * 48271) % 2147483647) % 1000000 < r.rate_ppm),
+        |ecounts AS (
+        |  SELECT source, wgt, CAST(count(*) AS BIGINT) AS n_source
+        |  FROM mixed GROUP BY source, wgt),
+        |eplan AS (
+        |  SELECT source,
+        |         least(wgt * 150 // 100, n_source * 3) // n_source AS full_ep,
+        |         (least(wgt * 150 // 100, n_source * 3) % n_source) * 1000000 // n_source AS rate_ppm
+        |  FROM ecounts),
+        |eps AS (
+        |  SELECT m.doc_id, m.source, m.n_tokens,
+        |         p.full_ep + CASE WHEN ((m.doc_id * 48271) % 2147483647) % 1000000
+        |                               < p.rate_ppm THEN 1 ELSE 0 END AS n_ep
+        |  FROM mixed m JOIN eplan p ON m.source = p.source),
+        |inst AS (
+        |  SELECT doc_id, source, n_tokens,
+        |         unnest(generate_series(1, n_ep)) AS epoch
+        |  FROM eps WHERE n_ep >= 1),
+        |inst2 AS (
+        |  SELECT *, doc_id * 4 + epoch AS instance_id,
+        |         ((doc_id * 4 + epoch) * 48271) % 2147483647 AS shuffle_key
+        |  FROM inst),
+        |shuf AS (
+        |  SELECT *, shuffle_key % 8 AS shard,
+        |         row_number() OVER (PARTITION BY shuffle_key % 8
+        |                            ORDER BY shuffle_key, instance_id) AS pos
+        |  FROM inst2),
+        |packd AS (
+        |  SELECT *,
+        |         CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY pos)
+        |           - n_tokens AS BIGINT) AS start_tok
+        |  FROM shuf)
+        |SELECT doc_id, source, epoch, instance_id, shard, pos, n_tokens,
+        |       start_tok,
+        |       CAST(start_tok // 64 AS BIGINT) AS seq_id,
+        |       CAST(start_tok % 64 AS BIGINT) AS seq_offset,
+        |       CAST((start_tok + n_tokens - 1) // 64
+        |         - start_tok // 64 + 1 AS BIGINT) AS n_seqs
+        |FROM packd ORDER BY doc_id, epoch""".stripMargin,
 
     // distinct 3-gram containment vs the benchmark docs (doc_id % 97 = 0):
     // same token windows as the Spark side (short docs yield one short

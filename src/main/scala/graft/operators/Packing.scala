@@ -44,13 +44,29 @@ object Packing {
     * boundaries; a loss-masking consumer treats those rows specially). */
   def packSequences(documents: DataFrame, budget: Long = 2048,
       shards: Int = 32): DataFrame = {
-    require(budget > 0, s"budget must be positive (got $budget)")
     require(shards > 0, s"shards must be positive (got $shards)")
-    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
-    documents
-      .withColumn("shard", pmod(col("doc_id"), lit(shards.toLong)).cast("int"))
-      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
-      .withColumn("start_tok",
+    assignSequences(
+      documents
+        .withColumn("shard", pmod(col("doc_id"), lit(shards.toLong)).cast("int"))
+        .withColumn("n_tokens", size(split(col("text"), " ")).cast("long")),
+      budget, orderCol = "doc_id")
+      .select("doc_id", "shard", "n_tokens", "start_tok", "seq_id",
+        "seq_offset", "n_seqs")
+      .orderBy("doc_id")
+  }
+
+  /** The packing kernel shared by [[packSequences]] and the composed
+    * assembly pipeline: given rows carrying (`shard`, `n_tokens`) and a
+    * total per-shard order column `orderCol`, assign each row its
+    * running token prefix-sum and budget-chunk sequence ids. One window
+    * aggregation per shard — the prefix-sum's partition-by-shard is the
+    * only exchange, and when the input already arrives partitioned by
+    * shard (the assembly pipeline's shuffle stage) AQE reuses that
+    * exchange instead of adding one. */
+  def assignSequences(df: DataFrame, budget: Long, orderCol: String): DataFrame = {
+    require(budget > 0, s"budget must be positive (got $budget)")
+    val w = Window.partitionBy(col("shard")).orderBy(col(orderCol))
+    df.withColumn("start_tok",
         (sum(col("n_tokens")).over(w) - col("n_tokens")).cast("long"))
       // integer `div`, not `/`: prefix sums at corpus scale exceed
       // double's 2^53 exact range long before 100 TB does
@@ -60,8 +76,5 @@ object Packing {
         call_function("div",
           col("start_tok") + col("n_tokens") - lit(1L), lit(budget))
           - col("seq_id") + lit(1L))
-      .select("doc_id", "shard", "n_tokens", "start_tok", "seq_id",
-        "seq_offset", "n_seqs")
-      .orderBy("doc_id")
   }
 }

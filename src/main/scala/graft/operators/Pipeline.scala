@@ -73,6 +73,74 @@ object Pipeline {
     features
   }
 
+  /** Dataset-assembly capstone — the full training-data recipe as ONE
+    * composed pipeline, mirroring the reference's orchestration pattern
+    * (src/pipeline_batch.py:191 `run_etl_pipeline`: stage composition
+    * behind a single entry point) for the LLM-data side of the engine:
+    *
+    *   curate → mix-to-target → epoch plan → global shuffle → pack
+    *
+    * Every stage is the SAME public operator the staged `ds_*`/`tx_*`
+    * query keys run (TextAnalysis.curateKeep, Sampling.mixToTarget,
+    * Sampling.epochPlan, Sampling.shuffleInstances,
+    * Packing.assignSequences), so the composed output is row-identical
+    * to chaining the staged keys by hand (specced), and the DuckDB
+    * oracle replays the whole recipe bit-for-bit — all integer
+    * arithmetic after the curation gate.
+    *
+    * The unit flowing out of the epoch stage is a (doc, epoch)
+    * INSTANCE; its synthetic id `doc_id·(maxEpochs+1) + epoch` is
+    * distinct per instance and monotone, so the Lehmer shuffle
+    * separates a document's repetitions across shards (what a training
+    * loader wants: the ×3-epoch book should not appear three times in a
+    * row).
+    *
+    * Scale shape: curation + mixing are scan-side predicates (the
+    * corpus never shuffles); the epoch explode is scan-side row
+    * generation; the ONE real exchange is the partition-by-shard the
+    * shard write needs anyway, shared by the shuffle window, the pack
+    * prefix-sum, and [[graft.operators.Sampling.writeShards]]. Token
+    * counts ride a narrow (doc_id, n_tokens) join — two longs per doc,
+    * not the text. */
+  def assembleDataset(documents: DataFrame, weights: Map[String, Int],
+      budget: Long, maxEpochs: Int = 4, nShards: Int = 16,
+      packBudget: Long = 2048): DataFrame = {
+    val curated = TextAnalysis.curateKeep(documents)
+    val mixed = Sampling.mixToTarget(curated, weights)
+    // mixToTarget's telemetry columns would collide with epochPlan's
+    // internal plan columns of the same name — the chain hands over
+    // only the corpus identity (doc_id, source, …)
+    val eps = Sampling.epochPlan(mixed.drop("rate_ppm", "sample_key"),
+      weights, budget, maxEpochs)
+    // token counts join BEFORE the shuffle window, so the ONE
+    // hashpartitioning(shard) exchange serves both the pos window and
+    // the pack prefix-sum (same partitioning → Spark reuses it; pinned
+    // in AssemblySpec) — joining after would re-exchange on shard
+    val toks = documents.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val mult = maxEpochs.toLong + 1L
+    val inst = eps.join(toks, Seq("doc_id")).withColumn("instance_id",
+      col("doc_id") * lit(mult) + col("epoch"))
+    val shuffled = Sampling.shuffleInstances(inst, "instance_id", nShards)
+    Packing.assignSequences(shuffled, packBudget, orderCol = "pos")
+      .select("doc_id", "source", "epoch", "instance_id", "shard", "pos",
+        "n_tokens", "start_tok", "seq_id", "seq_offset", "n_seqs")
+      .orderBy("doc_id", "epoch")
+  }
+
+  /** [[assembleDataset]] + the shard write: assemble, lay the result
+    * down as `shard=…/` parquet directories in permutation order
+    * (Sampling.writeShards — the one exchange), and return the
+    * assembled frame for inspection. */
+  def assembleAndWrite(documents: DataFrame, weights: Map[String, Int],
+      budget: Long, path: String, maxEpochs: Int = 4, nShards: Int = 16,
+      packBudget: Long = 2048): DataFrame = {
+    val assembled = assembleDataset(documents, weights, budget, maxEpochs,
+      nShards, packBudget)
+    Sampling.writeShards(assembled, path)
+    assembled
+  }
+
   /** Detection entry point: detectors over the feature frame, alerts
     * persisted to the day-partitioned store (models.py:377). */
   def runDetection(spark: SparkSession, dir: String, storePath: String): DataFrame = {

@@ -104,17 +104,44 @@ object Sampling {
     * WRITE needs anyway; within-shard sort is the only ordering work —
     * no global sort, no single-partition window. Shard sizes are
     * uniform-by-construction (key residues), so the write is skew-free. */
-  def shuffleShards(documents: DataFrame, nShards: Int): DataFrame = {
-    require(nShards > 0, s"nShards must be positive (got $nShards)")
-    documents
-      .withColumn("sample_key", sampleKey(col("doc_id")))
-      .withColumn("shard", col("sample_key") % nShards)
-      .withColumn("pos", row_number().over(
-        Window.partitionBy(col("shard"))
-          .orderBy(col("sample_key"), col("doc_id"))).cast("long"))
+  def shuffleShards(documents: DataFrame, nShards: Int): DataFrame =
+    shuffleInstances(documents, "doc_id", nShards)
+      .withColumnRenamed("shuffle_key", "sample_key")
       .select("doc_id", "source", "sample_key", "shard", "pos")
       .orderBy("doc_id")
+
+  /** Generalized form of [[shuffleShards]] over any integer id column —
+    * used by the composed assembly pipeline where the unit being
+    * shuffled is a (doc, epoch) INSTANCE rather than a document: the
+    * Lehmer key of `idCol` is the permutation, `shard` its residue
+    * class, `pos` the row's position within its shard under the
+    * (key, id) total order. All pass-through columns are kept.
+    *
+    * Same scale shape as [[shuffleShards]]: the window's
+    * partition-by-shard is the ONLY exchange — and it is the exchange
+    * the shard write needs anyway (see [[writeShards]]), so shuffling +
+    * writing costs one pass and one shuffle of narrow rows. */
+  def shuffleInstances(df: DataFrame, idCol: String, nShards: Int): DataFrame = {
+    require(nShards > 0, s"nShards must be positive (got $nShards)")
+    df.withColumn("shuffle_key", sampleKey(col(idCol)))
+      .withColumn("shard", col("shuffle_key") % nShards)
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard"))
+          .orderBy(col("shuffle_key"), col(idCol))).cast("long"))
   }
+
+  /** The shard WRITER the shuffle plans for: one hash exchange on
+    * `shard` co-locates each shard's rows, a within-partition sort puts
+    * them in permutation order, and `partitionBy("shard")` lays each
+    * shard down as its own directory — so a training loader reading
+    * `shard=s/` front-to-back replays the Lehmer permutation with no
+    * further sorting. No global sort, no coalesce-to-1; shard residues
+    * are uniform so the write is skew-free at any corpus size. */
+  def writeShards(assigned: DataFrame, path: String): Unit =
+    assigned
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("pos"))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
 
   /** Epoch/repetition planning — the step AFTER [[mixToTarget]] when the
     * target proportions exceed what sources can supply without

@@ -355,6 +355,20 @@ object TextAnalysis {
       .select("doc_id", "score", "quality_band", "repetitive", "n_pii", "keep")
       .orderBy("doc_id")
 
+  /** The curation gate as a FILTER over the full document rows — the
+    * form the assembly pipeline consumes: same one-scan per-row
+    * expression chain as [[curate]], but instead of projecting the
+    * telemetry columns it keeps the surviving documents with their
+    * original schema (so downstream mixture / epoch / shard stages see
+    * a normal corpus). The gate predicate fuses into the scan: curating
+    * is free-riding on the first read of the corpus, never a join back.
+    */
+  def curateKeep(documents: DataFrame, minScore: Double = 0.6,
+      top2Max: Double = 0.18, topTokMax: Double = 0.3): DataFrame =
+    withPiiCounts(withRepetition(withQuality(documents), top2Max, topTokMax))
+      .filter(col("score") >= minScore && !col("repetitive"))
+      .select(documents.columns.map(col): _*)
+
   /** Corpus mixture report — docs / tokens / chars per (source, language)
     * cell plus each cell's document share: the table a pipeline consults
     * to set per-source sampling rates (see Sampling.stratifiedSample).

@@ -1,0 +1,127 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Packing, Pipeline, Sampling, TextAnalysis}
+import graft.sources.Tables
+
+/** The dataset-assembly capstone: Pipeline.assembleDataset must be
+  * nothing more than the staged `ds_` / `tx_` operators chained — same
+  * rows, same assignments — and Sampling.writeShards must lay the result
+  * down so a reader replays the Lehmer permutation from the shard files
+  * alone. */
+class AssemblySpec extends AnyFunSuite {
+  import TestSpark.{sf, spark}
+
+  private val weights = Map("src0" -> 50, "src2" -> 30, "src4" -> 20)
+  private def docs = Tables.documents(spark, sf)
+  private lazy val assembled = Pipeline.assembleDataset(
+    docs, weights, budget = 150L, maxEpochs = 3, nShards = 8,
+    packBudget = 64L).cache()
+
+  test("assembled output is non-empty and instance-unique") {
+    val n = assembled.count()
+    assert(n > 0, "assembly produced no instances at sf0.001")
+    assert(assembled.select("instance_id").distinct.count() == n)
+    assert(assembled.select("doc_id", "epoch").distinct.count() == n)
+  }
+
+  test("composed (doc, epoch) instances equal the staged curate→mix→epochs chain") {
+    val staged = Sampling.epochPlan(
+      Sampling.mixToTarget(TextAnalysis.curateKeep(docs), weights)
+        .drop("rate_ppm", "sample_key"),
+      weights, budget = 150L, maxEpochs = 3)
+      .select("doc_id", "epoch")
+    assert(staged.exceptAll(assembled.select("doc_id", "epoch")).isEmpty)
+    assert(assembled.select("doc_id", "epoch").exceptAll(staged).isEmpty)
+  }
+
+  test("composed shard/pos equal the staged shuffleInstances on instance ids") {
+    val staged = Sampling.shuffleInstances(
+      assembled.select("doc_id", "epoch", "instance_id"),
+      "instance_id", 8).select("instance_id", "shard", "pos")
+    val composed = assembled.select("instance_id", "shard", "pos")
+    assert(staged.exceptAll(composed).isEmpty)
+    assert(composed.exceptAll(staged).isEmpty)
+  }
+
+  test("pack columns are the per-shard prefix-sum in pos order") {
+    val staged = Packing.assignSequences(
+      assembled.select("instance_id", "shard", "pos", "n_tokens"),
+      budget = 64L, orderCol = "pos")
+      .select("instance_id", "start_tok", "seq_id", "seq_offset", "n_seqs")
+    val composed = assembled.select("instance_id", "start_tok", "seq_id",
+      "seq_offset", "n_seqs")
+    assert(staged.exceptAll(composed).isEmpty)
+    assert(composed.exceptAll(staged).isEmpty)
+    // prefix-sum sanity: per shard, max(start_tok + n_tokens) == sum(n_tokens)
+    val bad = assembled.groupBy("shard")
+      .agg(max(col("start_tok") + col("n_tokens")).as("hi"),
+        sum(col("n_tokens")).as("total"))
+      .filter(col("hi") =!= col("total")).count()
+    assert(bad == 0)
+  }
+
+  test("pos is a dense 1..n ranking per shard and epochs of a doc can split across shards") {
+    import spark.implicits._
+    val bad = assembled.groupBy("shard")
+      .agg(count(lit(1)).as("n"), min("pos").as("lo"), max("pos").as("hi"),
+        countDistinct("pos").as("nd"))
+      .filter(col("lo") =!= 1L || col("hi") =!= col("n") || col("nd") =!= col("n"))
+    assert(bad.isEmpty, bad.collect().mkString("\n"))
+    // at least one multi-epoch doc lands on more than one shard — the
+    // point of shuffling INSTANCES rather than documents
+    val spread = assembled.groupBy("doc_id")
+      .agg(countDistinct("shard").as("nsh"), count(lit(1)).as("nep"))
+      .filter($"nep" > 1 && $"nsh" > 1).count()
+    assert(spread > 0, "every multi-epoch doc stayed on a single shard")
+  }
+
+  test("one shard exchange serves both the pos window and the pack prefix-sum") {
+    spark.sharedState.cacheManager.clearCache()
+    val p = Pipeline.assembleDataset(docs, weights, budget = 150L,
+      maxEpochs = 3, nShards = 8, packBudget = 64L)
+      .queryExecution.executedPlan.toString
+    val shardExchanges = "Exchange hashpartitioning\\(shard".r.findAllIn(p).length
+    assert(shardExchanges <= 1, s"$shardExchanges shard exchanges:\n$p")
+  }
+
+  test("writeShards lays down shard directories that replay the permutation") {
+    val dir = java.nio.file.Files.createTempDirectory("shards").toString
+    try {
+      Sampling.writeShards(assembled, dir)
+      val shardDirs = new java.io.File(dir).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("shard="))
+      assert(shardDirs.length == assembled.select("shard").distinct.count())
+      val back = spark.read.parquet(dir)
+      // per shard, reading in pos order yields exactly the assembled
+      // frame's instance sequence for that shard
+      val joined = back.select(col("instance_id"), col("pos"),
+          col("shard").cast("long").as("shard"))
+        .join(assembled.select(col("instance_id").as("instance_id"),
+          col("pos").as("exp_pos"), col("shard").as("exp_shard")), "instance_id")
+      assert(joined.filter(col("pos") =!= col("exp_pos") ||
+        col("shard") =!= col("exp_shard")).count() == 0)
+      assert(back.count() == assembled.count())
+      // a single-shard read prunes to that shard's directory
+      spark.sharedState.cacheManager.clearCache()
+      val pruned = spark.read.parquet(dir).filter(col("shard") === 3)
+      val plan = pruned.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters") && plan.contains("shard"), plan)
+      assert(pruned.count() ==
+        assembled.filter(col("shard") === 3L).count())
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("writeShards' plan is one exchange: the partition-by-shard the write needs") {
+    val input = assembled.localCheckpoint()
+    val writeSide = input.repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("pos"))
+    val p = writeSide.queryExecution.executedPlan.toString
+    val exchanges = "Exchange ".r.findAllIn(p).length
+    assert(exchanges == 1, s"$exchanges exchanges in the shard-write plan:\n$p")
+  }
+}
