@@ -137,6 +137,10 @@ object IncrementalDedup {
       val hp = new org.apache.hadoop.fs.Path(p0)
       if (fsys.exists(hp)) fsys.delete(hp, false)
     }
+    // same for tombstones: a rebuild starts a NEW corpus — a previous
+    // corpus's pending deletions must not suppress ids in this one
+    val staleTombs = new org.apache.hadoop.fs.Path(tombstonePath(path))
+    if (fsys.exists(staleTombs)) fsys.delete(staleTombs, true)
     // clustered on the partition column: one writing task per sp value,
     // so the layout lands as ~one file per directory (free-form task
     // layout would write tasks × dirs small files, and every later
@@ -171,7 +175,7 @@ object IncrementalDedup {
           "it with saveSignatures to get the partition-pruned probe layout")
     val base = spark.read.parquet(s"$path/sigs").drop("sp")
     val all = deltaSigs(spark, path).map(base.unionByName(_)).getOrElse(base)
-    SigIndex(all, path, ps("k"), ps("bands"))
+    SigIndex(minusTombstones(spark, path, all), path, ps("k"), ps("bands"))
   }
 
   /** Sign `newDocs` with the index's own parameters and APPEND them —
@@ -373,6 +377,62 @@ object IncrementalDedup {
     else None
   }
 
+  // ---- deletion (takedown propagation) ------------------------------
+  //
+  // A 100-TB corpus must forget documents (rights claims, takedowns,
+  // opt-outs) without rebuilding a multi-TB index. Deletion follows the
+  // same side-table discipline as appends: `deleteDocs` lands the ids as
+  // ONE parquet file under `tombstones/` (no base rewrite, O(ids) work),
+  // every probe path suppresses tombstoned ids at read time (anti-join
+  // against the driver-tiny tombstone set), and [[compact]] folds the
+  // tombstones into the base — dropping the rows for real, resizing the
+  // layout, rebuilding the bucket-Bloom sidecar so the deleted docs'
+  // keys stop costing gate false-positives — and deletes the tombstone
+  // dir LAST (a crash re-applies inert tombstones, never resurrects a
+  // deleted doc). Between delete and compact the sidecar keeps the
+  // deleted keys: Bloom bits cannot be unset, but stale keys only admit
+  // extra probe input that the anti-joined corpus then fails to match —
+  // the no-false-negative contract is untouched.
+  //
+  // A tombstone suppresses its doc_id EVERYWHERE — including delta rows
+  // and any re-append of the same id made before the next compact;
+  // after a compact the id is forgotten and may be appended fresh.
+
+  private def tombstonePath(path: String) = s"$path/tombstones"
+
+  /** The tombstoned doc_ids, when any deletion is pending. */
+  private[graft] def tombstoneIds(spark: SparkSession,
+      path: String): Option[DataFrame] = {
+    val t = new org.apache.hadoop.fs.Path(tombstonePath(path))
+    if (t.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(t))
+      Some(spark.read.parquet(tombstonePath(path)))
+    else None
+  }
+
+  /** Remove documents from the index: append their ids to the tombstone
+    * side table (one file, no base rewrite). Probes opened AFTER this
+    * call behave exactly as if the index had been rebuilt without these
+    * docs (specced on both probe paths); the physical rows fall out at
+    * the next [[compact]]. */
+  def deleteDocs(spark: SparkSession, path: String, ids: DataFrame): Unit =
+    ids.select(col("doc_id").cast("long").as("doc_id")).distinct()
+      .coalesce(1).write.mode("append").parquet(tombstonePath(path))
+
+  /** Convenience form for driver-known id lists. */
+  def deleteDocs(spark: SparkSession, path: String, ids: Seq[Long]): Unit = {
+    import spark.implicits._
+    deleteDocs(spark, path, ids.toDF("doc_id"))
+  }
+
+  /** Suppress tombstoned ids in `sigRows` (no-op without tombstones).
+    * The tombstone set is takedown-sized, so the anti-join broadcasts. */
+  private def minusTombstones(spark: SparkSession, path: String,
+      sigRows: DataFrame, idCol: String = "doc_id"): DataFrame =
+    tombstoneIds(spark, path).map { t =>
+      sigRows.join(broadcast(t.select(col("doc_id").as(idCol))), Seq(idCol),
+        "left_anti")
+    }.getOrElse(sigRows)
+
   /** Compact a signature index after append-heavy runs — the
     * maintenance twin of Ivf.compactIndex. Every [[appendSignatures]]
     * round (one per micro-batch under [[streamingIngest]]) leaves new
@@ -427,9 +487,12 @@ object IncrementalDedup {
       if (fs.exists(stale)) fs.delete(stale, true)
     }
     val base = spark.read.parquet(s"$path/sigs").drop("sp")
-    val deduped = deltaSigs(spark, path).map(base.unionByName(_))
-      .getOrElse(base)
-      .dropDuplicates("doc_id")
+    // tombstones fold here: the anti-join drops deleted docs' rows for
+    // real (base AND delta AND any pre-compact re-append), so the
+    // rewritten layouts are exactly an index built without them
+    val deduped = minusTombstones(spark, path,
+      deltaSigs(spark, path).map(base.unionByName(_)).getOrElse(base)
+        .dropDuplicates("doc_id"))
     val n = deduped.count()
     val sp2 = autoParts(n, DocsPerSigDir)
     val p2 = autoParts(n * ps("bands"), BucketRowsPerDir)
@@ -445,6 +508,19 @@ object IncrementalDedup {
     // anywhere above leaves every delta row still visible somewhere
     val delta = new org.apache.hadoop.fs.Path(s"$path/delta")
     if (fs.exists(delta)) fs.delete(delta, true)
+    // tombstones are folded too; deleting them after the swaps means a
+    // crash anywhere above re-applies them (inert — the rows are gone),
+    // never resurrects a deleted doc
+    val tombs = new org.apache.hadoop.fs.Path(tombstonePath(path))
+    val hadTombstones = fs.exists(tombs)
+    if (hadTombstones) fs.delete(tombs, true)
+    // with deletions folded, rebuild the opt-in sidecar so the deleted
+    // docs' keys stop costing gate false-positives (runs after the
+    // delta/tombstone deletes: a rebuild from base+delta would re-admit
+    // tombstoned delta keys; a crash before this line leaves the stale
+    // sidecar, which is correct — extra probe input only)
+    if (hadTombstones && readBucketBloom(spark, path).isDefined)
+      writeBucketBloom(spark, path)
     ()
   }
 
@@ -584,7 +660,10 @@ object IncrementalDedup {
     val deltaN = deltaSigs(spark, index.path).map(_.count()).getOrElse(0L)
     val baseN = IndexMeta.readDirRows(spark, s"${index.path}/sigs")
       .getOrElse(sp.toLong * DocsPerSigDir)
-    val corpusApprox = baseN + deltaN
+    // pending tombstones shrink the effective corpus the router sees
+    // (metadata-only count; takedown-sized)
+    val tombN = tombstoneIds(spark, index.path).map(_.count()).getOrElse(0L)
+    val corpusApprox = math.max(0L, baseN + deltaN - tombN)
     // opt-in bucket-Bloom gate: shrink the probe input to the docs that
     // share at least one possibly-present band bucket with the corpus.
     // Exact by the candidate-pair condition (see the gate's comment) —
@@ -675,9 +754,14 @@ object IncrementalDedup {
     val sps = spCounts.map(_.getInt(0)).toSeq
     val basePruned = prunedSigs(spark, index.path, sps)
     // delta ids may prove candidates too; deltas are small, so the union
-    // costs a micro-batch-sized scan, not a corpus one
-    val corpusSigs = delta.map(d => basePruned.unionByName(
-      d.select(col("doc_id").as("c_id"), col("sig")))).getOrElse(basePruned)
+    // costs a micro-batch-sized scan, not a corpus one. Tombstoned ids
+    // are suppressed HERE (the signature fetch), which kills their
+    // candidates before any estimate is computed — the narrow bucket
+    // rows of a deleted doc are inert until compact folds them away.
+    val corpusSigs = minusTombstones(spark, index.path,
+      delta.map(d => basePruned.unionByName(
+        d.select(col("doc_id").as("c_id"), col("sig")))).getOrElse(basePruned),
+      idCol = "c_id")
     // candidate side broadcast while it is provably small (counted above,
     // collision-bounded); beyond that, let the planner shuffle — a probe
     // that collides with millions of corpus rows is real work either way

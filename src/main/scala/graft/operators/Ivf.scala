@@ -393,6 +393,11 @@ object Ivf {
   def saveIndex(embeddings: DataFrame, centroids: Array[Array[Float]],
       path: String): Unit = {
     val spark = embeddings.sparkSession
+    // a rebuild starts a NEW corpus — a previous corpus's pending
+    // deletions must not suppress ids in this one
+    val staleTombs = new org.apache.hadoop.fs.Path(tombstonePath(path))
+    val fsys = staleTombs.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fsys.exists(staleTombs)) fsys.delete(staleTombs, true)
     withCell(embeddings, centroids)
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/corpus")
     // id-lookup secondary: the same rows bucketed by pmod(vec_id), so a
@@ -409,15 +414,63 @@ object Ivf {
       spark.read.parquet(s"$path/corpus").count())
   }
 
+  // ---- deletion (takedown propagation) ------------------------------
+  //
+  // Same side-table discipline as IncrementalDedup.deleteDocs: the ids
+  // land as one parquet file under `tombstones/` (no cell rewrite,
+  // O(ids) work), [[openIndex]] masks them from both the cell-
+  // partitioned corpus and the id-bucketed secondary (broadcast
+  // anti-join on the takedown-sized set), and [[compactIndex]] folds
+  // them — the rewritten layouts physically drop the rows — deleting
+  // the tombstone dir only after both swaps (a crash re-applies inert
+  // tombstones, never resurrects a vector). A tombstone suppresses its
+  // vec_id including pre-compact re-appends; after compact the id is
+  // forgotten and may be appended fresh.
+
+  private def tombstonePath(path: String) = s"$path/tombstones"
+
+  private[graft] def tombstoneIds(spark: SparkSession,
+      path: String): Option[DataFrame] = {
+    val t = new org.apache.hadoop.fs.Path(tombstonePath(path))
+    if (t.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(t))
+      Some(spark.read.parquet(tombstonePath(path)))
+    else None
+  }
+
+  /** Remove vectors from the index: append their ids to the tombstone
+    * side table. Probes over an index opened AFTER this call are
+    * row-identical to an index rebuilt without these vectors (specced);
+    * the physical rows fall out at the next [[compactIndex]]. */
+  def deleteFromIndex(spark: SparkSession, path: String, ids: DataFrame): Unit =
+    ids.select(col("vec_id").cast("long").as("vec_id")).distinct()
+      .coalesce(1).write.mode("append").parquet(tombstonePath(path))
+
+  /** Convenience form for driver-known id lists. */
+  def deleteFromIndex(spark: SparkSession, path: String, ids: Seq[Long]): Unit = {
+    import spark.implicits._
+    deleteFromIndex(spark, path, ids.toDF("vec_id"))
+  }
+
+  private def minusTombstones(spark: SparkSession, path: String,
+      vectors: DataFrame): DataFrame =
+    tombstoneIds(spark, path).map { t =>
+      vectors.join(broadcast(t.select(col("vec_id"))), Seq("vec_id"),
+        "left_anti")
+    }.getOrElse(vectors)
+
   /** Open an index written by [[saveIndex]]. A pre-v1 index (Java-
-    * serialized `centroids.bin`) is rejected with a rebuild message. */
+    * serialized `centroids.bin`) is rejected with a rebuild message.
+    * Pending tombstones are masked from both relations here, so every
+    * probe path (cell-pruned, batch, id-fetch) sees the post-takedown
+    * corpus. */
   def openIndex(spark: SparkSession, path: String): IvfIndex = {
     val byIdPath = new org.apache.hadoop.fs.Path(s"$path/corpus_by_id")
     val fs = byIdPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    IvfIndex(spark.read.parquet(s"$path/corpus"),
+    IvfIndex(minusTombstones(spark, path, spark.read.parquet(s"$path/corpus")),
       load(centroidsPath(spark, path), spark),
       byId = if (fs.exists(byIdPath))
-        Some(spark.read.parquet(byIdPath.toString)) else None)
+        Some(minusTombstones(spark, path,
+          spark.read.parquet(byIdPath.toString))) else None)
   }
 
   /** The live centroid sidecar under an index directory; a legacy
@@ -495,7 +548,9 @@ object Ivf {
     * layout saveIndex produces. Rewrites into a fresh directory and
     * swaps, so a crash mid-compact leaves the live index intact. */
   def compactIndex(path: String, spark: SparkSession): Unit = {
-    val corpus = spark.read.parquet(s"$path/corpus")
+    // tombstones fold here: the rewrite drops deleted vectors for real
+    val corpus = minusTombstones(spark, path,
+      spark.read.parquet(s"$path/corpus"))
     corpus.repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/corpus_new")
     // the BUILD-TIME sidecar travels across the swap unchanged: compact
@@ -518,12 +573,17 @@ object Ivf {
     if (fs.exists(byIdLive)) {
       val byIdFresh = new org.apache.hadoop.fs.Path(s"$path/corpus_by_id_new")
       val byIdOld = new org.apache.hadoop.fs.Path(s"$path/corpus_by_id_old")
-      spark.read.parquet(byIdLive.toString).repartition(col("idb"))
+      minusTombstones(spark, path, spark.read.parquet(byIdLive.toString))
+        .repartition(col("idb"))
         .write.mode("overwrite").partitionBy("idb").parquet(byIdFresh.toString)
       fs.rename(byIdLive, byIdOld)
       fs.rename(byIdFresh, byIdLive)
       fs.delete(byIdOld, true)
     }
+    // tombstones are folded into both layouts; delete them only after
+    // both swaps so a crash anywhere above re-applies them (inert)
+    val tombs = new org.apache.hadoop.fs.Path(tombstonePath(path))
+    if (fs.exists(tombs)) fs.delete(tombs, true)
     // compaction is small-file hygiene only — if the corpus outgrew the
     // build geometry, say so here too (this is NOT the fix for that)
     outgrowWarning(spark, path).foreach(log.warn)
