@@ -115,16 +115,12 @@ object SparkEntry {
       Alerts.summary(
         AnomalyRules.thresholdAlerts(TimeSeries.rollingFeatures(TimeSeries.base(s, dir))),
         1704844800000000L, 1705708800000000L)),
-    "al_summary_top" -> ((s, dir) => {
-      val events = TimeSeries.base(s, dir)
-      Alerts.summaryTopEntities(
-        Pipeline.detectAll(events, TimeSeries.rollingFeatures(events)), 10)
-    }),
-    "al_summary_rules" -> ((s, dir) => {
-      val events = TimeSeries.base(s, dir)
-      Alerts.summaryByRule(
-        Pipeline.detectAll(events, TimeSeries.rollingFeatures(events)))
-    }),
+    // detectAllShared: ONE materialized events pass feeds all four rules
+    // (the exchanges stay per-rule — r7 audit — but the scan is shared)
+    "al_summary_top" -> ((s, dir) =>
+      Alerts.summaryTopEntities(Pipeline.detectAllShared(s, dir), 10)),
+    "al_summary_rules" -> ((s, dir) =>
+      Alerts.summaryByRule(Pipeline.detectAllShared(s, dir))),
     "al_join_features" -> ((s, dir) => {
       val features = TimeSeries.rollingFeatures(TimeSeries.base(s, dir))
       Alerts.joinFeatures(AnomalyRules.thresholdAlerts(features), features)
@@ -322,6 +318,14 @@ object SparkEntry {
     "sim_ivf_batch" -> ((s, dir) =>
       Ivf.topKBatch(Tables.embeddings(s, dir),
         ivfIndexFor(s, dir).centroids, (0L until 64L), k = 5)),
+    // the measured recall floor as a query key: default constant-row
+    // probe, per-query wide escalation where the answer measured as
+    // background (AdaptiveAnn). Probe membership depends on the
+    // escalation decision, so this is a rows+schema key (no SQL oracle);
+    // AdaptiveAnnSpec pins the plan and the escalation contract.
+    "sim_ivf_auto" -> ((s, dir) =>
+      operators.AdaptiveAnn.ivfTopKBatchAuto(Tables.embeddings(s, dir),
+        ivfIndexFor(s, dir).centroids, (0L until 64L), k = 5)),
     "ts_range_window" -> ((s, dir) =>
       TimeSeries.rangeFeatures(TimeSeries.base(s, dir))),
     "ts_asof" -> ((s, dir) =>
@@ -333,10 +337,7 @@ object SparkEntry {
       Headline.approxQuantiles(Tables.lineitem(s, dir))),
     "q_semi_anti" -> ((s, dir) =>
       Headline.activityCoverage(Tables.customer(s, dir), Tables.orders(s, dir))),
-    "ad_all_rules" -> ((s, dir) => {
-      val events = TimeSeries.base(s, dir)
-      Pipeline.detectAll(events, TimeSeries.rollingFeatures(events))
-    }),
+    "ad_all_rules" -> ((s, dir) => Pipeline.detectAllShared(s, dir)),
     // custom physical operator (heap top-k; rows-only — heap tie-breaks
     // are arrival-order; set-equality vs the window form is specced)
     // the custom bounded-heap operator with its total order (intensity

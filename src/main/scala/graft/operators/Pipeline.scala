@@ -26,6 +26,26 @@ object Pipeline {
       score.as("score"),
       col("rule_name"), col("severity"))
 
+  /** [[detectAll]] with the events scan SHARED across the detector
+    * union. The four rules need four different window exchanges (r7
+    * audit: threshold rides the rolling-feature windows, consecutive
+    * partitions by (user, exceeds), oscillation by user with its own
+    * frame, zscore aggregates — provably unsharable), but they do NOT
+    * need four reads of the events table: the rolling-feature frame
+    * carries every base column the event-side rules use, so ONE
+    * materialized pass (localCheckpoint — cluster-wide block storage,
+    * skipping the presentation sort) feeds all four. At 100 TB that is
+    * one corpus read instead of five; the executed union plan contains
+    * zero parquet scans (pinned in PlanQualitySpec). Row-identical to
+    * `detectAll(events, rollingFeatures(events))` — the extra rolling
+    * columns ride along and drop in each rule's projection. */
+  def detectAllShared(spark: SparkSession, dir: String): DataFrame = {
+    val features = TimeSeries
+      .rollingFeaturesUnsorted(TimeSeries.base(spark, dir))
+      .localCheckpoint(true)
+    detectAll(features, features)
+  }
+
   /** All four rule detectors, unioned on the standard schema
     * (models.py:377 runs rules + ML and concatenates). */
   def detectAll(events: DataFrame, features: DataFrame): DataFrame = {
@@ -144,9 +164,7 @@ object Pipeline {
   /** Detection entry point: detectors over the feature frame, alerts
     * persisted to the day-partitioned store (models.py:377). */
   def runDetection(spark: SparkSession, dir: String, storePath: String): DataFrame = {
-    val events = TimeSeries.base(spark, dir)
-    val features = TimeSeries.rollingFeatures(events)
-    val alerts = detectAll(events, features)
+    val alerts = detectAllShared(spark, dir)
     AlertStore.append(alerts, storePath)
     alerts
   }

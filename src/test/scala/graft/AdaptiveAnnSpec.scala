@@ -124,6 +124,41 @@ class AdaptiveAnnSpec extends AnyFunSuite {
     assert(autoB.toSeq === wideB.toSeq)
   }
 
+  test("sim_ivf_auto (the registered query key): schema, k rows per query, escalation plan") {
+    // the key's exact shape: ivfTopKBatchAuto over the sf embeddings
+    // with the same sqrt(n) centroids the other sim_ivf keys use
+    val emb = graft.sources.Tables.embeddings(spark, TestSpark.sf)
+      .localCheckpoint(true)
+    val n = emb.count()
+    val cells = math.max(2, math.ceil(math.sqrt(n.toDouble)).toInt)
+    val cents = Ivf.kmeansCentroids(emb, cells, 8, inputMaterialized = true)
+    val qids = 0L until 64L
+    val out = AdaptiveAnn.ivfTopKBatchAuto(emb, cents, qids, 5)
+    assert(out.columns.toSeq === Seq("q_id", "vec_id", "label", "cosine"))
+    val rows = out.collect()
+    // every query answers with exactly k rows, none of them itself
+    val perQ = rows.groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    assert(perQ.keySet === qids.toSet)
+    assert(perQ.values.forall(_ === 5), perQ.filter(_._2 != 5).toString)
+    assert(!rows.exists(r => r.getLong(0) == r.getLong(1)))
+    // the escalation contract, replayed through the same internals the
+    // key runs: queries the rule keeps answer with the DEFAULT dial's
+    // rows, escalated queries with the WIDE dial's rows — auto is the
+    // per-query splice of the two probes, nothing else
+    val (mu, sigma) = AdaptiveAnn.backgroundStats(emb, n)
+    val p1 = Ivf.topKBatch(emb, cents, qids, 5).collect()
+    val esc = AdaptiveAnn.escalationSet(p1, qids, 5, mu, sigma)
+    val wide =
+      if (esc.isEmpty) Array.empty[org.apache.spark.sql.Row]
+      else Ivf.topKBatch(emb, cents, esc.toSeq.sorted, 5,
+        nprobe = Ivf.wideNprobe(cells)).collect()
+    def keyed(rs: Iterable[org.apache.spark.sql.Row]) =
+      rs.map(_.toSeq).toSet
+    val want = keyed(p1.filterNot(r => esc(r.getLong(0)))) ++ keyed(wide)
+    assert(keyed(rows) === want,
+      s"auto output is not the default/wide splice (${esc.size} escalated)")
+  }
+
   test("constant-dial advisory: the recorded default-entry-point decision") {
     // docs/indexes.md "Which entry point is the default?": the plain
     // constant-row entry points stay the fast path, and their recall

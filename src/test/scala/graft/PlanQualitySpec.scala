@@ -241,6 +241,23 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!exBp.contains("text#"), pBp)
   }
 
+  test("the detector union reads the events table exactly once (shared scan)") {
+    // detectAllShared: one materialized rolling-features pass feeds all
+    // four rules — the executed union plan must contain ZERO parquet
+    // scans (every branch reads the checkpointed blocks)
+    spark.sharedState.cacheManager.clearCache()
+    val p = Pipeline.detectAllShared(spark, sf)
+      .queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans === 0, s"$scans parquet scans in the shared detector union:\n$p")
+    // and it is row-identical to the unshared composition
+    val events = TimeSeries.base(spark, sf)
+    val unshared = Pipeline.detectAll(events, TimeSeries.rollingFeatures(events))
+    val shared = Pipeline.detectAllShared(spark, sf)
+    assert(shared.exceptAll(unshared).isEmpty &&
+      unshared.exceptAll(shared).isEmpty)
+  }
+
   test("the composed curation gate fuses into one scan with no exchange") {
     val p = plan(TextAnalysis.curate(Tables.documents(spark, sf)))
     assert(!p.contains("Exchange hashpartitioning"), p)
