@@ -31,19 +31,21 @@ object Pipeline {
     * audit: threshold rides the rolling-feature windows, consecutive
     * partitions by (user, exceeds), oscillation by user with its own
     * frame, zscore aggregates — provably unsharable), but they do NOT
-    * need four reads of the events table: the rolling-feature frame
-    * carries every base column the event-side rules use, so ONE
-    * materialized pass (localCheckpoint — cluster-wide block storage,
-    * skipping the presentation sort) feeds all four. At 100 TB that is
-    * one corpus read instead of five; the executed union plan contains
-    * zero parquet scans (pinned in PlanQualitySpec). Row-identical to
-    * `detectAll(events, rollingFeatures(events))` — the extra rolling
-    * columns ride along and drop in each rule's projection. */
+    * need five reads of the events table: the RAW events frame is
+    * checkpointed once (lazy localCheckpoint — computed with the first
+    * action, then block storage) and every rule, plus the rolling-
+    * feature derivation the threshold rule consumes, reads those
+    * blocks. At 100 TB that is one corpus read instead of five; the
+    * executed union plan contains zero parquet scans (pinned in
+    * PlanQualitySpec). Sharing the RAW scan, not the rolling-features
+    * frame, is deliberate: the rolling windows are the union's most
+    * expensive compute, and routing the three raw-events rules through
+    * them would trade a cheap re-scan for an expensive recompute
+    * (measured 1.5× slower at sf1). Row-identical to
+    * `detectAll(events, rollingFeatures(events))`. */
   def detectAllShared(spark: SparkSession, dir: String): DataFrame = {
-    val features = TimeSeries
-      .rollingFeaturesUnsorted(TimeSeries.base(spark, dir))
-      .localCheckpoint(true)
-    detectAll(features, features)
+    val events = TimeSeries.base(spark, dir).localCheckpoint(false)
+    detectAll(events, TimeSeries.rollingFeaturesUnsorted(events))
   }
 
   /** All four rule detectors, unioned on the standard schema
