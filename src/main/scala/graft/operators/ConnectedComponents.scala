@@ -21,28 +21,47 @@ object ConnectedComponents {
 
   /** Symmetric-edge-row bound under which [[components]] solves the graph
     * with a driver-side union-find instead of distributed label rounds.
-    * 4M (src, dst) long-pairs ≈ 64 MB of primitive data — bounded driver
-    * state, far under any sane driver heap, while covering every graph
-    * whose distributed solve would be pure scheduler overhead. */
+    * The driver footprint is PRIMITIVE: the edge rows arrive as compact
+    * UnsafeRow batches and are copied straight into long arrays (src,
+    * dst, sorted-unique ids) — ~4M rows ≈ 3 × 32 MB of long[] plus the
+    * transient row batch, no boxed tuples, no boxed HashMap (the earlier
+    * form's boxed Tuple2 + HashMap[Long, Integer] peaked at several
+    * hundred MB on a 4M-edge graph — enough to stress a default 1 GiB
+    * driver heap). */
   private[graft] val MaxDriverEdgeRows = 4L << 20
 
   /** Exact connected components of a small symmetric edge list, solved on
     * the driver: path-compressed union-find over the collected edges,
     * component id = min vertex id (identical to the distributed
-    * fixpoint's contract). */
+    * fixpoint's contract). All driver state is primitive long/int
+    * arrays; vertex indexing is binary search over the sorted-unique id
+    * array (log n per lookup, zero boxing). */
   private def driverComponents(edges: DataFrame): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val pairs = edges.select(col("src"), col("dst")).as[(Long, Long)].collect()
-    // dense-index the vertex ids
-    val idx = new java.util.HashMap[Long, Integer]()
-    pairs.foreach { case (s, d) =>
-      if (!idx.containsKey(s)) idx.put(s, idx.size)
-      if (!idx.containsKey(d)) idx.put(d, idx.size)
+    // executeCollect returns the compact UnsafeRow batch (2 longs +
+    // header per row) — the boxed Row/Tuple2 conversion of a plain
+    // collect() is exactly the footprint this path must not have
+    val rows = edges.select(col("src"), col("dst"))
+      .queryExecution.executedPlan.executeCollect()
+    val m = rows.length
+    val src = new Array[Long](m)
+    val dst = new Array[Long](m)
+    var i = 0
+    while (i < m) { src(i) = rows(i).getLong(0); dst(i) = rows(i).getLong(1); i += 1 }
+    // sorted-unique vertex ids; idx(v) = position by binary search
+    val all = new Array[Long](2 * m)
+    System.arraycopy(src, 0, all, 0, m)
+    System.arraycopy(dst, 0, all, m, m)
+    java.util.Arrays.sort(all)
+    var n = 0
+    i = 0
+    while (i < all.length) {
+      if (n == 0 || all(i) != all(n - 1)) { all(n) = all(i); n += 1 }
+      i += 1
     }
-    val n = idx.size
-    val ids = new Array[Long](n)
-    idx.forEach((k, v) => ids(v) = k)
+    val ids = all // first n entries are the sorted-unique vertex ids
+    def idx(v: Long): Int = java.util.Arrays.binarySearch(ids, 0, n, v)
     val parent = Array.tabulate(n)(identity)
     def find(x: Int): Int = {
       var r = x
@@ -51,19 +70,22 @@ object ConnectedComponents {
       while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }
       r
     }
-    pairs.foreach { case (s, d) =>
-      val a = find(idx.get(s)); val b = find(idx.get(d))
+    i = 0
+    while (i < m) {
+      val a = find(idx(src(i))); val b = find(idx(dst(i)))
       if (a != b) parent(a) = b
-    }
-    // component label = min vertex id in the component
-    val minOf = Array.fill(n)(Long.MaxValue)
-    var i = 0
-    while (i < n) {
-      val r = find(i)
-      if (ids(i) < minOf(r)) minOf(r) = ids(i)
       i += 1
     }
-    (0 until n).map(j => (ids(j), minOf(find(j)))).toDF("id", "comp")
+    // component label = min vertex id = id at the smallest member index
+    // (ids are sorted, so the first index seen per root is its minimum)
+    val minIdx = Array.fill(n)(Int.MaxValue)
+    i = 0
+    while (i < n) {
+      val r = find(i)
+      if (i < minIdx(r)) minIdx(r) = i
+      i += 1
+    }
+    (0 until n).map(j => (ids(j), ids(minIdx(find(j))))).toDF("id", "comp")
   }
 
   /** (id, component) for every vertex appearing in `pairs` (doc_a, doc_b).
@@ -98,6 +120,30 @@ object ConnectedComponents {
         struct(col("doc_a").as("src"), col("doc_b").as("dst")),
         struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    // materialize the (possibly expensive) pair plan ONCE, before any
+    // path decision — both the size probe and whichever solve path runs
+    // read this cache, never the pair lineage again. The dst-repartition
+    // the distributed rounds want is NOT applied here: the driver path
+    // would pay that full edge shuffle just to collect the rows back.
+    val symEdges = (if (pairsDistinct) sym else sym.distinct())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // SMALL-GRAPH FAST PATH: distributed label rounds cost several
+    // scheduler round-trips regardless of data size — on a graph that
+    // fits comfortably on the driver that overhead IS the cost (measured
+    // ~3 s for a 29k-edge graph at sf0.1). Below the row bound, solve
+    // with a driver-side union-find instead: one collect of the (already
+    // materialized) narrow edge list into primitive long arrays,
+    // linear-time path-compressed union, same (id, min-of-component)
+    // output bit-for-bit. The bound keeps driver memory modest (see
+    // [[MaxDriverEdgeRows]]); a 100-TB corpus's near-dup graph blows
+    // past it and takes the distributed rounds below — the same
+    // bounded-driver-state pattern as the IVF centroid collect.
+    val nEdgeRows = symEdges.count()
+    if (nEdgeRows <= driverEdgeRowBound) {
+      val out = driverComponents(symEdges)
+      symEdges.unpersist(false)
+      return out.orderBy("id")
+    }
     // the edge list is STATIC across rounds, and the per-round join keys
     // on dst — pre-partition on dst and CACHE (not checkpoint: an
     // InMemoryRelation keeps its HashPartitioning visible to the
@@ -106,26 +152,12 @@ object ConnectedComponents {
     // this one exchange and only the vertex-sized labels side ever
     // shuffles again. Measured (sf0.1 salted corpus, 1.9M symmetric
     // edges): the per-round edge reshuffle was the dominant round cost.
-    val edges = (if (pairsDistinct) sym else sym.distinct())
-      .repartition(col("dst"))
+    val edges = symEdges.repartition(col("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // SMALL-GRAPH FAST PATH: distributed label rounds cost several
-    // scheduler round-trips regardless of data size — on a graph that
-    // fits comfortably on the driver that overhead IS the cost (measured
-    // ~3 s for a 29k-edge graph at sf0.1). Below the row bound, solve
-    // with a driver-side union-find instead: one collect of the (already
-    // materialized) narrow edge list, linear-time path-compressed
-    // union, same (id, min-of-component) output bit-for-bit. The bound
-    // keeps driver memory modest (4M two-long rows ≈ a few hundred MB
-    // transient); a 100-TB corpus's near-dup graph blows past it and
-    // takes the distributed rounds below — the same
-    // bounded-driver-state pattern as the IVF centroid collect.
-    val nEdgeRows = edges.count()
-    if (nEdgeRows <= driverEdgeRowBound) {
-      val out = driverComponents(edges)
-      edges.unpersist(false)
-      return out.orderBy("id")
-    }
+    // try/finally: the caches must be released on EVERY exit, including
+    // the strict non-convergence throw below — the r11 form leaked the
+    // persisted edge list for the rest of the session on that path
+    try {
     // initial label = min(id, min direct neighbor): one aggregate that is
     // exactly the first propagation round, so the loop starts a round ahead
     var labels = edges.groupBy(col("src").as("id"))
@@ -184,9 +216,12 @@ object ConnectedComponents {
       }
     }
     // the returned labels are checkpointed (the convergence count
-    // materialized them), so the cached edge list can be dropped now
-    edges.unpersist(false)
+    // materialized them), so the cached edge lists can be dropped now
     labels.orderBy("id")
+    } finally {
+      edges.unpersist(false)
+      symEdges.unpersist(false)
+    }
   }
 
   /** Full dedup sweep: near-dup pairs → components → per-doc verdict

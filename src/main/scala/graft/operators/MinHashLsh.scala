@@ -340,8 +340,23 @@ object MinHashLsh {
         org.apache.spark.sql.graft.ColumnBridge.tokenHashes64(col("toks"))
           .as("h"))).as("z"))
       .select(col("z.toks").as("t"), col("z.h").as("h"))
-    pairs.groupBy(col("h"))
-      .agg(min(col("t")).as("lo"), max(col("t")).as("hi"))
+    // witness each kernel-hash group with an INDEPENDENT 64-bit hash of
+    // the token string (Spark's xxhash64 — a different construction than
+    // the poly-31/splitmix kernel), so the aggregate shuffles
+    // (long, long, long) — never token strings. Exactly one direction
+    // matters: w = xxhash64(t) is a FUNCTION of t, so a group whose
+    // witnesses split (min ≠ max) PROVES two distinct tokens share a
+    // kernel hash — a real collision, no string re-check needed. A
+    // collision escapes only when the two distinct tokens collide in
+    // BOTH independent 64-bit hashes (~V²·2⁻¹²⁸ — below any physical
+    // error rate; the string-verify fallback it would skip is itself a
+    // belt-over-suspenders tier, see exactPairsFromToks). Measured at
+    // sf1 this is the difference between a vocabulary-of-longs shuffle
+    // and a vocabulary-of-strings shuffle (~1 s of dd_cluster's budget).
+    pairs
+      .select(col("h"), xxhash64(col("t")).as("w"))
+      .groupBy(col("h"))
+      .agg(min(col("w")).as("lo"), max(col("w")).as("hi"))
       .filter(col("lo") =!= col("hi"))
       .limit(1).count() == 0L
   }
@@ -376,8 +391,12 @@ object MinHashLsh {
     val t100 = math.round(threshold * 100)
     // signatures feed the banding only — the verify decides on hashed
     // token arrays; materialize once (~1 KB/doc of executor-local
-    // storage, the standard persist any multi-read LSH pipeline carries)
-    val sigs = signaturesFromToks(toks, k).localCheckpoint(true)
+    // storage, the standard persist any multi-read LSH pipeline
+    // carries). LAZY checkpoint: both sides of the banded self-join
+    // share the one RDD, so the first downstream job computes the
+    // minhash kernel exactly once — without a separate synchronous
+    // materialization job ahead of it
+    val sigs = signaturesFromToks(toks, k).localCheckpoint(false)
     val cand = bandedPairs(sigs, k, bands, maxBucket)
     // size the hashed-payload side: rows × (id + n + array header) +
     // 8 B per token hash — one narrow aggregate over the checkpointed
