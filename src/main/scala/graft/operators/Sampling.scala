@@ -22,10 +22,26 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** Lehmer/MINSTD sampling key in [0, 2^31-1). Row ids up to ~2^44 stay
-    * exact in the Long multiply (48271 < 2^16). */
+  /** Lehmer/MINSTD sampling key in [0, 2^31-1).
+    *
+    * Domain contract, ENFORCED: ids must lie in [0, 2³¹−2]. The map is a
+    * bijection on [1, 2³¹−2] (Park & Miller 1988) — that is what makes
+    * ds_shuffle a permutation and keeps split/sample membership
+    * collision-free — but ids at or past the modulus ALIAS onto the same
+    * keys (shard placement silently correlates), and ids past 2⁶³/48271
+    * overflow the multiply into negative keys. At multi-billion-doc
+    * scale those are silent statistical corruptions, so out-of-domain
+    * ids fail the row loudly (one codegen'd range check; the error
+    * names the id). Corpora with wider ids should densify first (e.g.
+    * `row_number` assignment, or fold through a 64-bit mix and store
+    * THAT as the id — the key column must stay engine-neutral
+    * arithmetic for the oracle contract). */
   def sampleKey(id: Column): Column =
-    (id * lit(48271L)) % lit(2147483647L)
+    when(id.between(lit(0L), lit(2147483646L)),
+      (id * lit(48271L)) % lit(2147483647L))
+      .otherwise(raise_error(concat(
+        lit("Sampling.sampleKey: id outside the Lehmer domain [0, 2^31-2]: "),
+        id.cast("string"))))
 
   /** Uniform deterministic sample: keep rows whose key lands in the
     * lowest `pct` of 100 key-residue classes. */

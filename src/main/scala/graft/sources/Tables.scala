@@ -126,15 +126,21 @@ object Tables {
 
   /** [[table]] with the NANOS fallback: a file whose timestamp column
     * carries the TIMESTAMP(NANOS) annotation is unreadable by Spark
-    * outright ([ILLEGAL_PARQUET_TYPE]); retry as nanos-as-long — the only
-    * path that touches session conf. Any readable file never does. */
+    * outright ([ILLEGAL_PARQUET_TYPE]); retry as nanos-as-long under a
+    * CLONED session (same SparkContext, own SQLConf copy), so the legacy
+    * conf is pinned for exactly this DataFrame's lifetime and never
+    * leaks into — or races with — other reads on the shared session.
+    * (Restoring the conf after building the lazy frame would not work:
+    * the parquet scan captures its hadoop conf at plan time, after this
+    * method returns.) Any readable file never touches conf anywhere. */
   def tableAdaptive(spark: SparkSession, dir: String, name: String): DataFrame =
     try table(spark, dir, name)
     catch {
       case e: Exception if e.getMessage != null &&
           e.getMessage.contains("PARQUET_TYPE") =>
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        table(spark, dir, name)
+        val scoped = spark.newSession()
+        scoped.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        table(scoped, dir, name)
     }
 
   /** Data contract for the fact tables' date-valued columns

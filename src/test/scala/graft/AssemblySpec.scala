@@ -116,6 +116,29 @@ class AssemblySpec extends AnyFunSuite {
     }
   }
 
+  test("sampleKey enforces the Lehmer domain: aliasing ids fail loudly") {
+    import spark.implicits._
+    // in-domain ids: plain arithmetic, bijective on [1, 2^31-2]
+    val ok = Seq(0L, 1L, 2147483646L).toDF("doc_id")
+      .select(Sampling.sampleKey(col("doc_id")).as("k")).collect()
+    assert(ok.map(_.getLong(0)).toSeq ===
+      Seq(0L, 48271L, (2147483646L * 48271L) % 2147483647L))
+    // at/past the modulus the map would silently alias (2^31-1 -> 0,
+    // like id 0) — the guard turns that into a loud per-row failure
+    val err = intercept[Exception] {
+      Seq(2147483647L).toDF("doc_id")
+        .select(Sampling.sampleKey(col("doc_id"))).collect()
+    }
+    assert(err.getMessage != null &&
+      err.getMessage.contains("Lehmer domain"), err.getMessage)
+    val neg = intercept[Exception] {
+      Seq(-5L).toDF("doc_id")
+        .select(Sampling.sampleKey(col("doc_id"))).collect()
+    }
+    assert(neg.getMessage != null &&
+      neg.getMessage.contains("Lehmer domain"), neg.getMessage)
+  }
+
   test("writeShards' plan is one exchange: the partition-by-shard the write needs") {
     val input = assembled.localCheckpoint()
     val writeSide = input.repartition(col("shard"))

@@ -18,10 +18,22 @@ import graft.sources.Tables
   * and canonical TIMESTAMP(µs) files all load to the SAME canonical
   * instants, the µs/DATE paths never touch the legacy nanos conf, and a
   * canonical file gains no extra Project over a bare scan. */
-class FactSchemaDriftSpec extends AnyFunSuite {
+class FactSchemaDriftSpec extends AnyFunSuite
+    with org.scalatest.BeforeAndAfterAll {
   import TestSpark.spark
 
   private val nanosKey = "spark.sql.legacy.parquet.nanosAsLong"
+
+  // every roundTrip temp dir is registered and deleted when the suite
+  // ends — repeated test runs must not accumulate parquet copies
+  private val tmpDirs = scala.collection.mutable.ArrayBuffer.empty[String]
+
+  override def afterAll(): Unit = {
+    tmpDirs.foreach { d =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)); ()
+    }
+    super.afterAll()
+  }
 
   private lazy val canonicalOrders: Array[(Long, Long)] =
     Tables.orders(spark, TestSpark.sf)
@@ -31,6 +43,7 @@ class FactSchemaDriftSpec extends AnyFunSuite {
 
   private def roundTrip(df: DataFrame): Array[(Long, Long)] = {
     val dir = Files.createTempDirectory("fact-drift").toString
+    tmpDirs += dir
     df.write.mode("overwrite").parquet(s"$dir/orders.parquet")
     Tables.orders(spark, dir)
       .select(col("o_orderkey"), unix_micros(col("o_orderdate").cast("timestamp")).as("us"))
