@@ -163,6 +163,23 @@ object Pipeline {
     assembled
   }
 
+  /** The ONLINE front half of the assembly recipe, as a per-micro-batch
+    * `prepare` for IncrementalDedup.streamingIngest: curation gate →
+    * per-source mixture rates, both pure per-row predicates, so each
+    * micro-batch stays single-pass and a REPLAYED batch (checkpoint
+    * recovery) selects exactly the same rows — the determinism that
+    * makes the streaming loop equal its batch twin (specced). Chain it
+    * with streamingIngest's built-in dedup+append and the loop is
+    * curate → sample → dedup → append: the online form of
+    * [[assembleDataset]]'s front stages feeding a continuously-growing
+    * deduped corpus (shuffle/pack stay batch passes over the
+    * accumulated corpus — they need global state no single micro-batch
+    * has). */
+  def ingestPrepare(rates: Map[String, Int], defaultPct: Int = 10)
+      : DataFrame => DataFrame = batch =>
+    Sampling.stratifiedKeep(TextAnalysis.curateKeep(batch), rates, defaultPct)
+      .drop("sample_key", "sample_pct")
+
   /** Detection entry point: detectors over the feature frame, alerts
     * persisted to the day-partitioned store (models.py:377). */
   def runDetection(spark: SparkSession, dir: String, storePath: String): DataFrame = {

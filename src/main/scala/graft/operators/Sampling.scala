@@ -93,6 +93,18 @@ object Sampling {
     * sampling key and effective rate — narrow, orderable, oracle-
     * comparable. Per-row predicate work only. */
   def stratifiedSample(documents: DataFrame, rates: Map[String, Int],
+      defaultPct: Int = 10): DataFrame =
+    stratifiedKeep(documents, rates, defaultPct)
+      .select("doc_id", "source", "n_chars", "sample_key", "sample_pct")
+      .orderBy("doc_id")
+
+  /** [[stratifiedSample]]'s membership predicate over the FULL document
+    * rows — the form composing pipelines consume (the streaming ingest
+    * loop's prepare stage, where doc_id/text must survive for the dedup
+    * probe and the index append). Same Lehmer residue test, same
+    * determinism contract; the `sample_key`/`sample_pct` telemetry
+    * columns ride along for callers that want them. */
+  def stratifiedKeep(documents: DataFrame, rates: Map[String, Int],
       defaultPct: Int = 10): DataFrame = {
     require((defaultPct +: rates.values.toSeq).forall(p => p >= 0 && p <= 100),
       "every rate must be in [0,100]")
@@ -104,8 +116,6 @@ object Sampling {
       .withColumn("sample_key", sampleKey(col("doc_id")))
       .withColumn("sample_pct", pct)
       .filter(col("sample_key") % 100 < col("sample_pct"))
-      .select("doc_id", "source", "n_chars", "sample_key", "sample_pct")
-      .orderBy("doc_id")
   }
 
   /** Deterministic global shuffle + sharding — the "shuffle the corpus

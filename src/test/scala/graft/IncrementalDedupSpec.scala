@@ -293,6 +293,73 @@ class IncrementalDedupSpec extends AnyFunSuite {
       "the gated batch's survivor must have been signed")
   }
 
+  test("streamingIngest with ingestPrepare equals the batch composition (online assembly twin)") {
+    import spark.implicits._
+    import graft.operators.Pipeline
+    val root = tmp()
+    val stage = s"$root/incoming"
+    new java.io.File(stage).mkdirs()
+    val corpus = Seq(
+      (1L, "shared knowledge corpus document about distributed query engines", "web"),
+      (2L, "another stored document on columnar storage and vectorized scans", "web"))
+      .toDF("doc_id", "text", "source")
+    IncrementalDedup.saveSignatures(corpus.select("doc_id", "text"),
+      s"$root/index")
+    val spam = "buy now buy now buy now buy now buy now buy now"
+    val b1 = Seq(
+      (300L, spam, "web"),                                              // curated out
+      (301L, "entirely new material arriving in the first micro batch", "web"),
+      (302L, "shared knowledge corpus document about distributed query engines", "junk"), // sampled out
+      (303L, "genuinely novel curated content that survives the quality gate", "web"))
+      .toDF("doc_id", "text", "source")
+    val b2 = Seq(
+      (400L, "genuinely novel curated content that survives the quality gate", "web"), // dup of 303
+      (401L, "shared knowledge corpus document about distributed query engines", "web"), // corpus dup
+      (402L, "entirely new material arriving in the first micro batch", "junk")) // sampled out
+      .toDF("doc_id", "text", "source")
+    val rates = Map("junk" -> 0)
+    val prepare = Pipeline.ingestPrepare(rates, defaultPct = 100)
+
+    // ---- batch twin: the same recipe run by hand, batch by batch ----
+    val twinRoot = tmp()
+    IncrementalDedup.saveSignatures(corpus.select("doc_id", "text"),
+      s"$twinRoot/index")
+    def twinStep(b: org.apache.spark.sql.DataFrame) = {
+      val idx = IncrementalDedup.openSignatures(spark, s"$twinRoot/index")
+      val prepared = prepare(b)
+      val flagged = IncrementalDedup.dedupAgainst(idx, prepared)
+        .localCheckpoint(true)
+      IncrementalDedup.appendSignatures(idx, prepared.join(
+        flagged.filter(!col("is_duplicate")).select("doc_id"), "doc_id"))
+      flagged.collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), Option(r.get(2)))).toMap
+    }
+    val want = twinStep(b1) ++ twinStep(b2)
+
+    // ---- the streaming loop over the same two micro-batches ----
+    b1.coalesce(1).write.parquet(s"$stage/b=1")
+    Thread.sleep(1500)
+    b2.coalesce(1).write.parquet(s"$stage/b=2")
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING, source STRING")
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true")
+      .parquet(stage)
+    val q = IncrementalDedup.streamingIngest(stream, s"$root/index",
+      s"$root/flags", s"$root/ckpt", prepare = prepare)
+    q.awaitTermination(120000)
+    val got = spark.read.parquet(s"$root/flags")
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), Option(r.get(2)))).toMap
+    assert(got === want,
+      s"streaming flags diverge from the batch twin:\n got=$got\nwant=$want")
+    // and the recipe semantics held: curation dropped the spam, the
+    // mixture dropped the junk-source docs, cross-batch dedup fired
+    assert(got.keySet === Set(301L, 303L, 400L, 401L))
+    assert(got(400L) === ((true, Some(303L))))
+    assert(got(401L) === ((true, Some(1L))))
+  }
+
   test("probe prunes both layout scans at the source (PartitionFilters)") {
     val docs = Tables.documents(spark, sf)
     val corpus = docs.filter(col("doc_id") % 5 =!= 0)
