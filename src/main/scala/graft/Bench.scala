@@ -81,6 +81,14 @@ object Bench {
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // …and a COMPACT final line (≤ ~300 B): the driver's per-round
+    // artifact is a captured stdout TAIL, and the full per-key line
+    // overflows its window at 80+ keys (BENCH_r07/r11 survived only
+    // head-truncated mid-JSON). Printing the summary LAST means the
+    // captured tail always ends with a complete, parseable record —
+    // totals, failure names, and a pointer to the full file — no matter
+    // how much of the big line survives.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir","full":"$out"}""")
     spark.stop()
   }
 }
