@@ -92,6 +92,13 @@ object Plans {
         "plan (full epochs + partial-epoch rate) broadcasts back and " +
         "epoch rows are a scan-side Generate explode — row " +
         "multiplication without any corpus exchange"),
+      "ds_assemble" -> ("the composed assembly capstone: curation + " +
+        "mixture membership fused into the scan-side row pipeline, the " +
+        "tiny mix/epoch plans broadcast back, epoch instances a " +
+        "scan-side Generate explode, and ONE hashpartitioning(shard) " +
+        "exchange serving BOTH windows (shuffle pos + pack prefix-sum) " +
+        "— the same exchange the shard write needs; token counts ride a " +
+        "narrow (doc_id, n_tokens) join, never the text"),
       "tx_curate" -> ("the composed curation gate: quality + repetition + " +
         "PII stacked as per-row column stages — Catalyst fuses all three " +
         "into ONE whole-stage-codegen project over a single scan, so the " +

@@ -289,6 +289,10 @@ object SparkEntry {
     // equality with an exhaustive pair scan remains specced in
     // ClusterIvfSpec)
     "dd_cluster" -> ((s, dir) => Dedup.clusterExact(Tables.documents(s, dir), 0.9)),
+    // position-resolved substring dedup: maximal token spans covered by
+    // word 5-grams shared with ANOTHER document — the exact ranges a
+    // span-removal pass cuts (Lee et al. 2022); gaps-and-islands merge
+    "dd_spans" -> ((s, dir) => Dedup.repeatedSpans(Tables.documents(s, dir))),
     // incremental ingest dedup: every 5th doc arrives as the "new batch"
     // and is probed against the persisted signature index of the rest
     // (batch broadcast, one corpus-signature scan, estimate decides).
@@ -1717,6 +1721,29 @@ object SparkEntry {
         |FROM base b JOIN rates r ON b.source = r.source
         |WHERE ((b.doc_id * 48271) % 2147483647) % 1000000 < r.rate_ppm
         |ORDER BY b.doc_id""".stripMargin,
+
+    // the same positioned 5-gram windows as the Spark kernel (short docs
+    // yield one truncated gram at pos 0), shared ⇔ min(doc)≠max(doc),
+    // spans via the pos − row_number gaps-and-islands grouping
+    "dd_spans" ->
+      """WITH g AS (
+        |  SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+        |         array_to_string((string_split(text, ' '))[u.i+1:u.i+5], ' ') AS gram
+        |  FROM documents,
+        |       unnest(generate_series(0, greatest(len(string_split(text, ' ')) - 5, 0))) AS u(i)),
+        |s AS (
+        |  SELECT gram FROM g GROUP BY gram HAVING min(doc_id) <> max(doc_id)),
+        |d AS (
+        |  SELECT g.doc_id, g.pos,
+        |         g.pos - row_number() OVER (PARTITION BY g.doc_id ORDER BY g.pos) AS grp
+        |  FROM g JOIN s USING (gram)),
+        |sp AS (
+        |  SELECT doc_id, min(pos) AS span_start, max(pos) + 4 AS span_end,
+        |         CAST(count(*) AS BIGINT) AS n_grams
+        |  FROM d GROUP BY doc_id, grp)
+        |SELECT doc_id, span_start, span_end, n_grams,
+        |       span_end - span_start + 1 AS span_tokens
+        |FROM sp ORDER BY doc_id, span_start""".stripMargin,
 
     // the full assembly recipe replayed in one CTE chain: the tx_curate
     // gate (score/repetition expressions verbatim) selects keepers, the

@@ -405,6 +405,55 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Cross-document repeated-substring spans — the POSITION-RESOLVED
+    * form of substring-level dedup (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better": repeated ≥k-token
+    * substrings are removed from training text, not whole documents).
+    * tx_boilerplate answers WHICH grams are corpus templates and
+    * dd_containment WHICH documents are quoted; this answers WHERE —
+    * per document, the maximal token ranges covered by word k-grams
+    * that also occur in some OTHER document, i.e. the exact spans a
+    * span-removal pass would cut.
+    *
+    * Shape: positioned k-grams (one native word_ngrams pass, positions
+    * from posexplode) → shared-gram set via the min≠max doc-id trick
+    * (one map-side-combined aggregate — no countDistinct shuffle) →
+    * join marks each doc's duplicated gram positions → gaps-and-islands
+    * (pos − row_number) merges consecutive positions into maximal
+    * spans. Word-count-class cost: the gram roll-up and the mark join
+    * are the only corpus-volume shuffles, both on gram strings (the
+    * tx_boilerplate precedent); the span window partitions by doc.
+    * Intra-document repeats are deliberately NOT spans (tx_repetition's
+    * signal): a gram counts as shared only across distinct doc ids.
+    *
+    * Output: (doc_id, span_start, span_end, n_grams, span_tokens) with
+    * token-inclusive bounds — span_end = last gram position + k − 1. */
+  def repeatedSpans(documents: DataFrame, k: Int = 5): DataFrame = {
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    val grams = documents.select(col("doc_id"),
+      posexplode(org.apache.spark.sql.graft.ColumnBridge
+        .wordNGrams(col("text"), k)).as(Seq("pos", "gram")))
+    // shared across documents ⇔ the gram's doc ids are not all equal —
+    // min/max partial-aggregate map-side, unlike a countDistinct
+    val shared = grams.groupBy(col("gram"))
+      .agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+      .filter(col("lo") =!= col("hi"))
+      .select("gram")
+    val dupPos = grams.join(shared, "gram")
+      .select(col("doc_id"), col("pos").cast("long").as("pos"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    dupPos
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(k.toLong - 1L)).as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        col("n_grams"),
+        (col("span_end") - col("span_start") + lit(1L)).as("span_tokens"))
+      .orderBy("doc_id", "span_start")
+  }
+
   /** Embedding-cosine near-dup pairs, blocked on `label` (coarse IVF-style
     * partition so the pairwise work is per-block, not corpus²) — the
     * EXHAUSTIVE within-block verifier; [[embeddingNearDupLsh]] is the
