@@ -415,16 +415,18 @@ object Dedup {
     * that also occur in some OTHER document, i.e. the exact spans a
     * span-removal pass would cut.
     *
-    * Shape: positioned k-grams (one native word_ngrams pass, positions
-    * from posexplode) → shared-gram set via the min≠max doc-id trick
-    * (one map-side-combined aggregate — no countDistinct shuffle) →
-    * join marks each doc's duplicated gram positions → gaps-and-islands
-    * (pos − row_number) merges consecutive positions into maximal
-    * spans. Word-count-class cost: the gram roll-up and the mark join
-    * are the only corpus-volume shuffles, both on gram strings (the
-    * tx_boilerplate precedent); the span window partitions by doc.
-    * Intra-document repeats are deliberately NOT spans (tx_repetition's
-    * signal): a gram counts as shared only across distinct doc ids.
+    * Shape: positioned k-grams (ONE native word_ngrams pass, positions
+    * from posexplode) → a gram-keyed window marks each occurrence whose
+    * gram's doc ids are not all equal (min≠max over the partition — no
+    * countDistinct) → gaps-and-islands (pos − row_number) merges
+    * consecutive duplicated positions into maximal spans. The window
+    * form deliberately replaces the aggregate-then-join-back shape: one
+    * gram-keyed exchange of the gram stream instead of a roll-up
+    * shuffle PLUS a probe join PLUS a second gram generation (measured
+    * 3.5 s → 1.2 s at sf1). The span window then partitions by doc over
+    * only the duplicated positions. Intra-document repeats are
+    * deliberately NOT spans (tx_repetition's signal): a gram counts as
+    * shared only across distinct doc ids.
     *
     * Output: (doc_id, span_start, span_end, n_grams, span_tokens) with
     * token-inclusive bounds — span_end = last gram position + k − 1. */
@@ -433,13 +435,11 @@ object Dedup {
     val grams = documents.select(col("doc_id"),
       posexplode(org.apache.spark.sql.graft.ColumnBridge
         .wordNGrams(col("text"), k)).as(Seq("pos", "gram")))
-    // shared across documents ⇔ the gram's doc ids are not all equal —
-    // min/max partial-aggregate map-side, unlike a countDistinct
-    val shared = grams.groupBy(col("gram"))
-      .agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+    val gramW = Window.partitionBy(col("gram"))
+    val dupPos = grams
+      .withColumn("lo", min(col("doc_id")).over(gramW))
+      .withColumn("hi", max(col("doc_id")).over(gramW))
       .filter(col("lo") =!= col("hi"))
-      .select("gram")
-    val dupPos = grams.join(shared, "gram")
       .select(col("doc_id"), col("pos").cast("long").as("pos"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     dupPos
