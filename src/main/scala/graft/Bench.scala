@@ -18,6 +18,19 @@ object Bench {
     // sandbox's ±15-25% co-tenant noise (plans are freshly built each
     // run — no caching between them). A query that throws is recorded as
     // -1 (never as its time-to-crash).
+    //
+    // Evaluation is forced through the NOOP SINK, not count(): an
+    // Aggregate(count) on top of a projection-only key lets Catalyst
+    // prune every computed column (a per-row expression cannot change
+    // the row count), so count() times a parquet ROW COUNT for keys
+    // like tx_curate — measured 0.14 s "benched" vs ~2.9 s actually
+    // evaluated (r12). The noop sink drives every column of every row
+    // through the full plan, including the presentation sort — the same
+    // work Verify's parquet dump and the pandas baseline twins pay, so
+    // the bench-vs-baseline ratio compares like with like. (Bench
+    // totals before r12 carried the pruned numbers for the pure
+    // per-row keys; aggregation/join/window keys were never prunable
+    // and are comparable across rounds.)
     // optional comma-separated filter for local iteration; the driver
     // leaves it unset and benches everything. Unknown names fail loudly —
     // a silent zero-query bench reads as a suspiciously fast run.
@@ -32,7 +45,9 @@ object Bench {
       .map { case (name, fn) =>
       val runs = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true }
+        val ok = try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true
+        }
           catch { case _: Throwable => false }
         ((System.nanoTime() - t0) / 1e9, ok)
       }

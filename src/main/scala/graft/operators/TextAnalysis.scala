@@ -410,26 +410,16 @@ object TextAnalysis {
     * reproduce the exact fingerprints, unlike an engine-private murmur3.
     * All per-row expression work: no shuffle, scan-speed at any corpus
     * size. */
-  def fingerprintSets(documents: DataFrame, k: Int = 3, window: Int = 4): DataFrame = {
-    val toks = split(col("text"), " ")
-    // one polynomial char-hash per token (each token hashed once, not once
-    // per shingle it appears in)
-    val tokenHashes = transform(toks, t =>
-      aggregate(transform(split(t, ""), c => ascii(c).cast("long")),
-        lit(0L), (acc, c) => pmod(acc * lit(131L) + c, lit(1000003L))))
-    val shingles = transform(
-      sequence(lit(0), greatest(size(toks) - k, lit(0))),
-      i => aggregate(slice(col("tok_hashes"), i + lit(1), lit(k)),
-        lit(0L), (acc, h) => pmod(acc * lit(8191L) + h, lit(1000003L))))
-    val fp = array_sort(array_distinct(transform(
-      sequence(lit(0), greatest(size(col("shingle_hashes")) - window, lit(0))),
-      i => array_min(slice(col("shingle_hashes"), i + lit(1), lit(window))))))
-    documents
-      .withColumn("tok_hashes", tokenHashes)
-      .withColumn("shingle_hashes", shingles)
-      .withColumn("fingerprint", fp)
-      .drop("tok_hashes", "shingle_hashes")
-  }
+  def fingerprintSets(documents: DataFrame, k: Int = 3, window: Int = 4): DataFrame =
+    // ONE native pass (winnow_fingerprint kernel): the former expression
+    // chain ran interpreted per-CHARACTER lambdas (split(t, "") + ascii
+    // + aggregate per token, per shingle, per window) — its real
+    // evaluated cost was 28.5 s at sf0.1 once the bench stopped letting
+    // count() prune it; the kernel is the same arithmetic as one tight
+    // loop (equivalence property-specced, oracle unchanged)
+    documents.withColumn("fingerprint",
+      org.apache.spark.sql.graft.ColumnBridge
+        .winnowFingerprint(col("text"), k, window))
 
   /** Query view of the fingerprint: scalar md5 digest of the sorted
     * fingerprint set + set size — flat, orderable columns that any

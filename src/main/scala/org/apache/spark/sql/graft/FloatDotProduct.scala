@@ -117,6 +117,10 @@ object ColumnBridge {
   def termCounts(toks: Column): Column =
     column(TokenTermCounts(expression(toks)))
 
+  /** winnow_fingerprint(text, k, window) as a Column. */
+  def winnowFingerprint(text: Column, k: Int, window: Int): Column =
+    column(WinnowFingerprint(expression(text), k, window))
+
   /** token_hashes_mod(toks, p) as a Column (murmur3 seed 42, pmod p). */
   def tokenHashesMod(toks: Column, p: Long): Column =
     column(TokenHashesMod(expression(toks), p))

@@ -16,6 +16,43 @@ class KernelPropertySpec extends AnyFunSuite {
 
   private val rnd = new scala.util.Random(7)
 
+  test("winnow_fingerprint kernel equals the expression chain (corpus + random strings)") {
+    // the retired expression chain, verbatim, is the kernel's contract
+    def compare(df: org.apache.spark.sql.DataFrame, k: Int, window: Int): Long = {
+      val toks = split(col("text"), " ")
+      val tokenHashes = transform(toks, t =>
+        aggregate(transform(split(t, ""), c => ascii(c).cast("long")),
+          lit(0L), (acc, c) => pmod(acc * lit(131L) + c, lit(1000003L))))
+      val withChain = df
+        .withColumn("__th", tokenHashes)
+        .withColumn("__sh", transform(
+          sequence(lit(0), greatest(size(col("__th")) - k, lit(0))),
+          i => aggregate(slice(col("__th"), i + lit(1), lit(k)),
+            lit(0L), (acc, h) => pmod(acc * lit(8191L) + h, lit(1000003L)))))
+        .withColumn("__fp_expr", array_sort(array_distinct(transform(
+          sequence(lit(0), greatest(size(col("__sh")) - window, lit(0))),
+          i => array_min(slice(col("__sh"), i + lit(1), lit(window)))))))
+        .withColumn("__fp_kernel",
+          ColumnBridge.winnowFingerprint(col("text"), k, window))
+      withChain.filter(col("__fp_expr") =!= col("__fp_kernel")).count()
+    }
+    // the real corpus: exactly the key's dials
+    val docs = graft.sources.Tables.documents(spark, TestSpark.sf)
+    assert(compare(docs, 3, 4) === 0, "kernel diverges on the sf corpus")
+    // randomized ASCII: short docs, empty tokens (double/trailing
+    // spaces), punctuation, plus other (k, window) dials
+    val vocab = (1 to 25).map(i => s"tok$i") ++ Seq("", "a", "x.y", "7")
+    val cases = (1 to 400).map { i =>
+      val n = rnd.nextInt(12)
+      (i.toLong, (0 until n).map(_ => vocab(rnd.nextInt(vocab.length)))
+        .mkString(" "))
+    }
+    val rdf = cases.toDF("doc_id", "text")
+    assert(compare(rdf, 3, 4) === 0)
+    assert(compare(rdf, 1, 2) === 0)
+    assert(compare(rdf, 5, 3) === 0)
+  }
+
   test("sorted_intersect_count equals Set intersection on random token sets") {
     val vocab = (1 to 40).map(i => s"w$i")
     val cases = (1 to 1000).map { i =>
