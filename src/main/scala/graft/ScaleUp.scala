@@ -64,7 +64,17 @@ object ScaleUp {
       factor: Int): Unit = {
     def read(name: String): DataFrame = spark.read.parquet(s"$src/$name.parquet")
     def write(df: DataFrame, name: String): Unit = {
-      df.write.mode("overwrite").parquet(s"$dest/$name.parquet")
+      // REALISTIC FILE LAYOUT: the replicate union inherits the source's
+      // split count (typically 1 small file → ONE parquet row group), and
+      // a one-row-group table caps every downstream scan at one task —
+      // the r12 honest-bench audit caught per-row keys running 10× data
+      // on 1 of 32 cores (tx_normalize slope 10.7×) purely from this
+      // generator artifact. Real corpora arrive as many files at every
+      // scale; write the scaled tables the same way (32 files matches
+      // the bench session's core count; small dims stay 1 file).
+      val parts = if (Set("region", "nation").contains(name)) 1 else 32
+      df.repartition(parts)
+        .write.mode("overwrite").parquet(s"$dest/$name.parquet")
       println(s"[scaleup] $name: ${spark.read.parquet(s"$dest/$name.parquet").count()} rows")
     }
     // one key-domain offset per shifted id, from the source data itself

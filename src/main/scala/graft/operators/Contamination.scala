@@ -108,10 +108,18 @@ object Contamination {
   private def distinctGrams(benchmark: DataFrame, n: Int): DataFrame =
     gramSets(benchmark, n).select(explode(col("grams")).as("gram")).distinct()
 
-  /** Gram-count cutover for [[decontaminate]]: ~1M distinct grams keeps
-    * the broadcast array ≲50 MB and the per-row sorted-merge intersect
-    * bounded; beyond it the hash-join shape is cheaper per corpus row. */
-  val DefaultMaxBroadcastGrams: Long = 1000000L
+  /** Gram-count cutover for [[decontaminate]], MEASURED (r12): the scan
+    * shape's per-row array_intersect re-builds a hash set over the whole
+    * benchmark array for EVERY corpus row — O(|bench|) per row — so its
+    * cost is corpus × benchmark while scanJoin's explode+broadcast-join
+    * probes an executor-shared hash relation at O(1) per gram. The
+    * honest-bench audit caught the old ~1M cutover routing a 77k-gram
+    * benchmark through the scan at 42.6 s where scanJoin took 1.2 s
+    * (35×; already 5× at 7.7k grams). The scan form only wins when the
+    * benchmark array is small enough that the per-row set build is
+    * cheaper than the join stage's fixed cost — ≲ a few thousand grams,
+    * i.e. a handful of benchmark documents. */
+  val DefaultMaxBroadcastGrams: Long = 2048L
 
   /** Explode + broadcast-join form for benchmark gram sets beyond
     * single-array comfort. Row-identical to [[scan]]. */
