@@ -12,13 +12,24 @@ import org.apache.spark.sql.functions._
   * shuffle); the operators scale linearly with the scan.
   */
 object TextAnalysis {
+  /** Presentation ordering applied BELOW the per-row projection: sorting
+    * the raw documents FIRST and projecting after keeps the output order
+    * identical (Project preserves child ordering) while the range
+    * exchange's sampling pass reads the cheap scan instead of evaluating
+    * the whole per-row expression chain — Spark's range partitioner runs
+    * one full child evaluation just to pick bounds, so sort-on-top paid
+    * every regex/kernel TWICE (measured: tx_normalize 3.3 s -> 0.45 s at
+    * sf1). Used by every pure per-row query view below. */
+  private def byDoc(documents: DataFrame): DataFrame =
+    documents.orderBy("doc_id")
+
 
   private val stopwords = Seq("the", "a", "of", "to", "and", "in")
 
   /** Token/char counting: whitespace tokens, distinct tokens, average
     * token length (derived from char math so both engines agree). */
   def tokenStats(documents: DataFrame): DataFrame =
-    documents
+    byDoc(documents)
       .withColumn("n_chars_calc", length(col("text")).cast("long"))
       .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
       .withColumn("n_distinct_tokens",
@@ -27,7 +38,6 @@ object TextAnalysis {
         (col("n_chars_calc") - (col("n_tokens") - 1)).cast("double") / col("n_tokens"))
       .select("doc_id", "n_chars", "n_chars_calc", "n_tokens",
         "n_distinct_tokens", "avg_token_len")
-      .orderBy("doc_id")
 
   /** Text normalization — the canonicalization pass an LLM-data pipeline
     * runs before dedup/quality/tokenization: lowercase, non-alphanumerics
@@ -38,7 +48,7 @@ object TextAnalysis {
     * twin reproduces the bytes exactly. Per-row expression work — scales
     * at scan speed. */
   def normalize(documents: DataFrame): DataFrame =
-    documents
+    byDoc(documents)
       .withColumn("norm_text",
         trim(regexp_replace(
           regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " ")))
@@ -46,7 +56,6 @@ object TextAnalysis {
         size(split(col("norm_text"), " ")).cast("long"))
       .withColumn("norm_md5", md5(col("norm_text").cast("binary")))
       .select("doc_id", "norm_md5", "n_tokens_norm")
-      .orderBy("doc_id")
 
   /** Column stage behind [[qualityScore]] (and the one-pass [[curate]]):
     * adds n_tokens / alpha_ratio / stop_ratio / score / quality_band,
@@ -75,16 +84,15 @@ object TextAnalysis {
     * composite score + band. The weighted formula is written in one fixed
     * associativity shape shared with the oracle SQL. */
   def qualityScore(documents: DataFrame): DataFrame =
-    withQuality(documents)
+    withQuality(byDoc(documents))
       .select("doc_id", "n_tokens", "alpha_ratio", "stop_ratio", "score",
         "quality_band")
-      .orderBy("doc_id")
 
   /** Regex tokenization counts — the BPE-ish view: alphabetic runs,
     * greedy ≤4-char subword chunks (a fixed-width stand-in for BPE merges)
     * and non-space tokens. Pure regexp_extract_all expression work. */
   def regexTokenStats(documents: DataFrame): DataFrame =
-    documents
+    byDoc(documents)
       .withColumn("n_alpha_runs",
         size(regexp_extract_all(col("text"), lit("[a-z]+"), lit(0))).cast("long"))
       .withColumn("n_bpe_chunks",
@@ -92,7 +100,6 @@ object TextAnalysis {
       .withColumn("n_nonspace",
         size(regexp_extract_all(col("text"), lit("[^ ]+"), lit(0))).cast("long"))
       .select("doc_id", "n_alpha_runs", "n_bpe_chunks", "n_nonspace")
-      .orderBy("doc_id")
 
   /** Language ID by character-n-gram profile scoring: each candidate
     * language has a small trigram/stopword profile; the doc is scored per
@@ -119,11 +126,10 @@ object TextAnalysis {
     // argmax via greatest over (score, lang) structs; ties break on the
     // lexicographically-largest language code — deterministic.
     val best = greatest(scores: _*)
-    documents
+    byDoc(documents)
       .withColumn("predicted_lang", best.getField("lang"))
       .withColumn("lang_score", best.getField("score"))
       .select("doc_id", "lang", "predicted_lang", "lang_score")
-      .orderBy("doc_id")
   }
 
   /** PII patterns shared verbatim with the DuckDB oracle — restricted to
@@ -150,11 +156,10 @@ object TextAnalysis {
     val redacted = piiPatterns.foldLeft(col("text")) { case (c, (_, pat, rep)) =>
       regexp_replace(c, pat, rep)
     }
-    withPiiCounts(documents)
+    withPiiCounts(byDoc(documents))
       .withColumn("redacted_md5", md5(redacted.cast("binary")))
       .select("doc_id", "n_email", "n_phone", "n_ip", "n_url", "n_pii",
         "redacted_md5")
-      .orderBy("doc_id")
   }
 
   /** Column stage behind [[piiScan]] (and [[curate]]): adds the four
@@ -237,11 +242,10 @@ object TextAnalysis {
     * so the DuckDB twin reproduces them bit-for-bit. */
   def repetitionSignals(documents: DataFrame, top2Max: Double = 0.18,
       topTokMax: Double = 0.3): DataFrame =
-    withRepetition(documents, top2Max, topTokMax)
+    withRepetition(byDoc(documents), top2Max, topTokMax)
       .select("doc_id", "n_tokens", "n_2grams", "top_token_count",
         "top_2gram_count", "top_token_fraction", "top_2gram_fraction",
         "repetitive")
-      .orderBy("doc_id")
 
   /** Column stage behind [[repetitionSignals]] (and [[curate]]): adds the
     * repetition counts/fractions and `repetitive`, preserving the input
@@ -356,10 +360,9 @@ object TextAnalysis {
     * rides along as telemetry for the downstream redaction pass. */
   def curate(documents: DataFrame, minScore: Double = 0.6,
       top2Max: Double = 0.18, topTokMax: Double = 0.3): DataFrame =
-    withPiiCounts(withRepetition(withQuality(documents), top2Max, topTokMax))
+    withPiiCounts(withRepetition(withQuality(byDoc(documents)), top2Max, topTokMax))
       .withColumn("keep", col("score") >= minScore && !col("repetitive"))
       .select("doc_id", "score", "quality_band", "repetitive", "n_pii", "keep")
-      .orderBy("doc_id")
 
   /** The curation gate as a FILTER over the full document rows — the
     * form the assembly pipeline consumes: same one-scan per-row
@@ -425,11 +428,10 @@ object TextAnalysis {
     * fingerprint set + set size — flat, orderable columns that any
     * downstream store (or the correctness oracle) can compare directly. */
   def fingerprint(documents: DataFrame, k: Int = 3, window: Int = 4): DataFrame =
-    fingerprintSets(documents, k, window)
+    fingerprintSets(byDoc(documents), k, window)
       .withColumn("fp_digest",
         md5(concat_ws(",", transform(col("fingerprint"), x => x.cast("string")))
           .cast("binary")))
       .withColumn("fp_size", size(col("fingerprint")).cast("long"))
       .select("doc_id", "fp_digest", "fp_size")
-      .orderBy("doc_id")
 }
