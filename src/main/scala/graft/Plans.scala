@@ -102,7 +102,9 @@ object Plans {
       "tx_curate" -> ("the composed curation gate: quality + repetition + " +
         "PII stacked as per-row column stages — Catalyst fuses all three " +
         "into ONE whole-stage-codegen project over a single scan, so the " +
-        "full gate costs one corpus read, not one sweep per signal"),
+        "full gate costs one corpus read, not one sweep per signal; the " +
+        "presentation range sort sits BELOW the projection (r12), so its " +
+        "bound-sampling pass reads the scan, never the gate expressions"),
       "tx_boilerplate" -> ("corpus template mining: distinct-per-doc gram " +
         "votes explode into a count roll-up with map-side partials; the " +
         "bounded final ordering (topK through limit, r6) plans as " +
