@@ -47,18 +47,10 @@ object ScaleUp {
     try run(spark, src, dest, factor) finally spark.stop()
   }
 
-  def run(spark: SparkSession, src: String, dest: String, factor: Int): Unit = {
-    // the events read below needs nanosAsLong; the conf is session-wide,
-    // so restore the caller's value afterwards instead of leaking it into
-    // later reads on a shared session (e.g. other suites behind TestSpark)
-    val nanosKey = "spark.sql.legacy.parquet.nanosAsLong"
-    val prevNanos = spark.conf.getOption(nanosKey)
-    try runInner(spark, src, dest, factor)
-    finally prevNanos match {
-      case Some(v) => spark.conf.set(nanosKey, v)
-      case None => spark.conf.unset(nanosKey)
-    }
-  }
+  def run(spark: SparkSession, src: String, dest: String, factor: Int): Unit =
+    // (the events read's NANOS fallback is conf-scoped inside
+    // Tables.tableAdaptive since r12 — no session conf to save/restore)
+    runInner(spark, src, dest, factor)
 
   private def runInner(spark: SparkSession, src: String, dest: String,
       factor: Int): Unit = {

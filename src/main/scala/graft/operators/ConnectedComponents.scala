@@ -138,11 +138,14 @@ object ConnectedComponents {
     // [[MaxDriverEdgeRows]]); a 100-TB corpus's near-dup graph blows
     // past it and takes the distributed rounds below — the same
     // bounded-driver-state pattern as the IVF centroid collect.
-    val nEdgeRows = symEdges.count()
+    val nEdgeRows =
+      try symEdges.count()
+      catch { case t: Throwable => symEdges.unpersist(false); throw t }
     if (nEdgeRows <= driverEdgeRowBound) {
-      val out = driverComponents(symEdges)
-      symEdges.unpersist(false)
-      return out.orderBy("id")
+      // release on every exit — including a driver-path failure mid-
+      // collect (the leak class the distributed path's finally closes)
+      try return driverComponents(symEdges).orderBy("id")
+      finally symEdges.unpersist(false)
     }
     // the edge list is STATIC across rounds, and the per-round join keys
     // on dst — pre-partition on dst and CACHE (not checkpoint: an
@@ -164,6 +167,11 @@ object ConnectedComponents {
       .agg(min(col("dst")).as("nmin"))
       .select(col("id"), least(col("id"), col("nmin")).as("comp"))
       .localCheckpoint(true)
+    // the eager checkpoint above materialized `edges` (the repartitioned
+    // copy) — the un-partitioned source cache is never read again, so
+    // drop it now instead of carrying TWO full edge caches through every
+    // propagation round
+    symEdges.unpersist(false)
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
@@ -220,7 +228,7 @@ object ConnectedComponents {
     labels.orderBy("id")
     } finally {
       edges.unpersist(false)
-      symEdges.unpersist(false)
+      symEdges.unpersist(false) // no-op if already dropped above
     }
   }
 

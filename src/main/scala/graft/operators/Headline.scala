@@ -89,8 +89,11 @@ object Headline {
     val approx = lineitem.groupBy(col("l_returnflag")).agg(
       approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
       approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
+    // isNotNull preserves countDistinct's null semantics (it excluded
+    // NULL keys; a bare distinct would count (flag, NULL) as a value)
     def exact(c: String, as: String) =
-      lineitem.select(col("l_returnflag"), col(c)).distinct()
+      lineitem.select(col("l_returnflag"), col(c))
+        .filter(col(c).isNotNull).distinct()
         .groupBy(col("l_returnflag")).agg(count(lit(1)).as(as))
     approx
       .join(exact("l_partkey", "exact_parts"), "l_returnflag")

@@ -139,8 +139,7 @@ object IncrementalDedup {
     }
     // same for tombstones: a rebuild starts a NEW corpus — a previous
     // corpus's pending deletions must not suppress ids in this one
-    val staleTombs = new org.apache.hadoop.fs.Path(tombstonePath(path))
-    if (fsys.exists(staleTombs)) fsys.delete(staleTombs, true)
+    Tombstones.clearStale(spark, path)
     // clustered on the partition column: one writing task per sp value,
     // so the layout lands as ~one file per directory (free-form task
     // layout would write tasks × dirs small files, and every later
@@ -398,25 +397,17 @@ object IncrementalDedup {
   // and any re-append of the same id made before the next compact;
   // after a compact the id is forgotten and may be appended fresh.
 
-  private def tombstonePath(path: String) = s"$path/tombstones"
-
   /** The tombstoned doc_ids, when any deletion is pending. */
   private[graft] def tombstoneIds(spark: SparkSession,
-      path: String): Option[DataFrame] = {
-    val t = new org.apache.hadoop.fs.Path(tombstonePath(path))
-    if (t.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(t))
-      Some(spark.read.parquet(tombstonePath(path)))
-    else None
-  }
+      path: String): Option[DataFrame] = Tombstones.ids(spark, path)
 
   /** Remove documents from the index: append their ids to the tombstone
-    * side table (one file, no base rewrite). Probes opened AFTER this
-    * call behave exactly as if the index had been rebuilt without these
-    * docs (specced on both probe paths); the physical rows fall out at
-    * the next [[compact]]. */
+    * side table (one file, no base rewrite — the shared [[Tombstones]]
+    * lifecycle). Probes opened AFTER this call behave exactly as if the
+    * index had been rebuilt without these docs (specced on both probe
+    * paths); the physical rows fall out at the next [[compact]]. */
   def deleteDocs(spark: SparkSession, path: String, ids: DataFrame): Unit =
-    ids.select(col("doc_id").cast("long").as("doc_id")).distinct()
-      .coalesce(1).write.mode("append").parquet(tombstonePath(path))
+    Tombstones.add(path, ids, "doc_id")
 
   /** Convenience form for driver-known id lists. */
   def deleteDocs(spark: SparkSession, path: String, ids: Seq[Long]): Unit = {
@@ -424,14 +415,10 @@ object IncrementalDedup {
     deleteDocs(spark, path, ids.toDF("doc_id"))
   }
 
-  /** Suppress tombstoned ids in `sigRows` (no-op without tombstones).
-    * The tombstone set is takedown-sized, so the anti-join broadcasts. */
+  /** Suppress tombstoned ids in `sigRows` (no-op without tombstones). */
   private def minusTombstones(spark: SparkSession, path: String,
       sigRows: DataFrame, idCol: String = "doc_id"): DataFrame =
-    tombstoneIds(spark, path).map { t =>
-      sigRows.join(broadcast(t.select(col("doc_id").as(idCol))), Seq(idCol),
-        "left_anti")
-    }.getOrElse(sigRows)
+    Tombstones.minus(spark, path, sigRows, idCol)
 
   /** Compact a signature index after append-heavy runs — the
     * maintenance twin of Ivf.compactIndex. Every [[appendSignatures]]
@@ -511,9 +498,7 @@ object IncrementalDedup {
     // tombstones are folded too; deleting them after the swaps means a
     // crash anywhere above re-applies them (inert — the rows are gone),
     // never resurrects a deleted doc
-    val tombs = new org.apache.hadoop.fs.Path(tombstonePath(path))
-    val hadTombstones = fs.exists(tombs)
-    if (hadTombstones) fs.delete(tombs, true)
+    val hadTombstones = Tombstones.drop(spark, path)
     // with deletions folded, rebuild the opt-in sidecar so the deleted
     // docs' keys stop costing gate false-positives (runs after the
     // delta/tombstone deletes: a rebuild from base+delta would re-admit

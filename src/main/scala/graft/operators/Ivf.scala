@@ -395,9 +395,7 @@ object Ivf {
     val spark = embeddings.sparkSession
     // a rebuild starts a NEW corpus — a previous corpus's pending
     // deletions must not suppress ids in this one
-    val staleTombs = new org.apache.hadoop.fs.Path(tombstonePath(path))
-    val fsys = staleTombs.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fsys.exists(staleTombs)) fsys.delete(staleTombs, true)
+    Tombstones.clearStale(spark, path)
     withCell(embeddings, centroids)
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/corpus")
     // id-lookup secondary: the same rows bucketed by pmod(vec_id), so a
@@ -427,23 +425,13 @@ object Ivf {
   // vec_id including pre-compact re-appends; after compact the id is
   // forgotten and may be appended fresh.
 
-  private def tombstonePath(path: String) = s"$path/tombstones"
-
-  private[graft] def tombstoneIds(spark: SparkSession,
-      path: String): Option[DataFrame] = {
-    val t = new org.apache.hadoop.fs.Path(tombstonePath(path))
-    if (t.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(t))
-      Some(spark.read.parquet(tombstonePath(path)))
-    else None
-  }
-
   /** Remove vectors from the index: append their ids to the tombstone
-    * side table. Probes over an index opened AFTER this call are
-    * row-identical to an index rebuilt without these vectors (specced);
-    * the physical rows fall out at the next [[compactIndex]]. */
+    * side table (the shared [[Tombstones]] lifecycle). Probes over an
+    * index opened AFTER this call are row-identical to an index rebuilt
+    * without these vectors (specced); the physical rows fall out at the
+    * next [[compactIndex]]. */
   def deleteFromIndex(spark: SparkSession, path: String, ids: DataFrame): Unit =
-    ids.select(col("vec_id").cast("long").as("vec_id")).distinct()
-      .coalesce(1).write.mode("append").parquet(tombstonePath(path))
+    Tombstones.add(path, ids, "vec_id")
 
   /** Convenience form for driver-known id lists. */
   def deleteFromIndex(spark: SparkSession, path: String, ids: Seq[Long]): Unit = {
@@ -453,10 +441,7 @@ object Ivf {
 
   private def minusTombstones(spark: SparkSession, path: String,
       vectors: DataFrame): DataFrame =
-    tombstoneIds(spark, path).map { t =>
-      vectors.join(broadcast(t.select(col("vec_id"))), Seq("vec_id"),
-        "left_anti")
-    }.getOrElse(vectors)
+    Tombstones.minus(spark, path, vectors, "vec_id")
 
   /** Open an index written by [[saveIndex]]. A pre-v1 index (Java-
     * serialized `centroids.bin`) is rejected with a rebuild message.
@@ -582,8 +567,7 @@ object Ivf {
     }
     // tombstones are folded into both layouts; delete them only after
     // both swaps so a crash anywhere above re-applies them (inert)
-    val tombs = new org.apache.hadoop.fs.Path(tombstonePath(path))
-    if (fs.exists(tombs)) fs.delete(tombs, true)
+    Tombstones.drop(spark, path)
     // compaction is small-file hygiene only — if the corpus outgrew the
     // build geometry, say so here too (this is NOT the fix for that)
     outgrowWarning(spark, path).foreach(log.warn)

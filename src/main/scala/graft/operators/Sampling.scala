@@ -37,11 +37,15 @@ object Sampling {
     * THAT as the id — the key column must stay engine-neutral
     * arithmetic for the oracle contract). */
   def sampleKey(id: Column): Column =
-    when(id.between(lit(0L), lit(2147483646L)),
-      (id * lit(48271L)) % lit(2147483647L))
+    // NULL ids keep the pre-guard contract (NULL key → the membership
+    // predicate drops the row, matching the SQL twin's NULL arithmetic);
+    // only NON-null out-of-domain ids fail, and the message is null-safe
+    when(id.isNull, lit(null).cast("long"))
+      .when(id.between(lit(0L), lit(2147483646L)),
+        (id * lit(48271L)) % lit(2147483647L))
       .otherwise(raise_error(concat(
         lit("Sampling.sampleKey: id outside the Lehmer domain [0, 2^31-2]: "),
-        id.cast("string"))))
+        coalesce(id.cast("string"), lit("NULL")))))
 
   /** Uniform deterministic sample: keep rows whose key lands in the
     * lowest `pct` of 100 key-residue classes. */

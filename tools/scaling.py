@@ -88,11 +88,25 @@ def load(path):
             raw = d["tail"]
     except json.JSONDecodeError:
         pass
-    # find the bench line inside arbitrary log text
+    # find the bench line inside arbitrary log text; prefer a record that
+    # carries per-key data — Bench also prints a compact TAIL summary
+    # (totals + failures + a "full" file pointer) precisely for the case
+    # where the big line got head-truncated out of a captured tail
+    compact = None
     for line in raw.splitlines():
         i = line.find('{"metric"')
         if i >= 0:
-            return json.loads(line[i:])
+            try:
+                d = json.loads(line[i:])
+            except json.JSONDecodeError:
+                continue
+            if "queries" in d:
+                return d
+            compact = d
+    if compact is not None:
+        raise SystemExit(
+            f"{path} holds only Bench's compact summary (per-key line "
+            f"truncated); read the full record at {compact.get('full', '?')}")
     raise SystemExit(f"no bench JSON line found in {path}")
 
 
