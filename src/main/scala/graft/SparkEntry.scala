@@ -536,6 +536,43 @@ object SparkEntry {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** The batched-IVF oracle SQL, shared by sim_ivf_batch (hash-exact)
+    * and sim_ivf_auto (rows+schema contract — see the map entry): the
+    * full IVF pipeline replayed via [[ivfCtes]], per-query cell ranks
+    * over the learned centroids, probed cells fanned out through the
+    * final assignment, one top-5 window per query. */
+  private lazy val ivfBatchOracleSql: String = {
+    val qq = dotDoubleSql("qb.qe", "qb.qe")
+    val ee = dotDoubleSql("e.embedding", "e.embedding")
+    val eq = dotDoubleSql("e.embedding", "qb.qe")
+    s"""${ivfCtes(8)},
+       |qb AS (SELECT vec_id AS q_id, embedding AS qe
+       |       FROM embeddings WHERE vec_id >= 0 AND vec_id < 64),
+       |crb AS (
+       |  SELECT q_id, cell FROM (
+       |    SELECT qb.q_id, c.cell,
+       |           row_number() OVER (PARTITION BY qb.q_id ORDER BY
+       |             (list_sum(list_transform(generate_series(1, len(c.cd)),
+       |                j -> c.cd[j] * CAST(qb.qe[j] AS DOUBLE)))
+       |              / (sqrt(list_sum(list_transform(c.cd, x -> x * x)))
+       |                 * sqrt($qq))) DESC, c.cell) AS rn
+       |    FROM qb CROSS JOIN cent8 c)
+       |  WHERE rn <= (SELECT np FROM np)),
+       |hits AS (
+       |  SELECT qb.q_id, e.vec_id, e.label,
+       |         $eq / (sqrt($ee) * sqrt($qq)) AS cosine
+       |  FROM embeddings e
+       |  JOIN afin USING (vec_id)
+       |  JOIN crb ON crb.cell = afin.cell
+       |  JOIN qb ON qb.q_id = crb.q_id
+       |  WHERE e.vec_id <> qb.q_id)
+       |SELECT q_id, vec_id, label, cosine FROM (
+       |  SELECT hits.*, row_number() OVER (PARTITION BY q_id
+       |           ORDER BY cosine DESC, vec_id) AS rn FROM hits)
+       |WHERE rn <= 5
+       |ORDER BY q_id, cosine DESC, vec_id""".stripMargin
+  }
+
   /** DuckDB twin of the full IVF pipeline behind sim_ivf / sim_ivf_batch:
     * Lloyd's k-means REPLAYED in SQL — Lehmer-key init (the engine-neutral
     * seed Ivf.kmeansCentroids uses), then `iters` unrolled rounds of
@@ -724,37 +761,21 @@ object SparkEntry {
     // probed cells fanned out through the final assignment, one top-5
     // window per query — row-identical to 64 single probes by the same
     // (cosine DESC, vec_id) total order
-    "sim_ivf_batch" -> {
-      val qq = dotDoubleSql("qb.qe", "qb.qe")
-      val ee = dotDoubleSql("e.embedding", "e.embedding")
-      val eq = dotDoubleSql("e.embedding", "qb.qe")
-      s"""${ivfCtes(8)},
-         |qb AS (SELECT vec_id AS q_id, embedding AS qe
-         |       FROM embeddings WHERE vec_id >= 0 AND vec_id < 64),
-         |crb AS (
-         |  SELECT q_id, cell FROM (
-         |    SELECT qb.q_id, c.cell,
-         |           row_number() OVER (PARTITION BY qb.q_id ORDER BY
-         |             (list_sum(list_transform(generate_series(1, len(c.cd)),
-         |                j -> c.cd[j] * CAST(qb.qe[j] AS DOUBLE)))
-         |              / (sqrt(list_sum(list_transform(c.cd, x -> x * x)))
-         |                 * sqrt($qq))) DESC, c.cell) AS rn
-         |    FROM qb CROSS JOIN cent8 c)
-         |  WHERE rn <= (SELECT np FROM np)),
-         |hits AS (
-         |  SELECT qb.q_id, e.vec_id, e.label,
-         |         $eq / (sqrt($ee) * sqrt($qq)) AS cosine
-         |  FROM embeddings e
-         |  JOIN afin USING (vec_id)
-         |  JOIN crb ON crb.cell = afin.cell
-         |  JOIN qb ON qb.q_id = crb.q_id
-         |  WHERE e.vec_id <> qb.q_id)
-         |SELECT q_id, vec_id, label, cosine FROM (
-         |  SELECT hits.*, row_number() OVER (PARTITION BY q_id
-         |           ORDER BY cosine DESC, vec_id) AS rn FROM hits)
-         |WHERE rn <= 5
-         |ORDER BY q_id, cosine DESC, vec_id""".stripMargin
-    },
+    "sim_ivf_batch" -> ivfBatchOracleSql,
+
+    // rows+schema contract for the adaptive dial (same pattern as the
+    // sketch keys at the q_approx_* entries below): sim_ivf_auto returns
+    // one top-k row set per query — a constant 64 queries x k=5 = 320
+    // rows in the exact (q_id, vec_id, label, cosine) batch schema — but
+    // probe MEMBERSHIP depends on the per-query escalation decision
+    // (background queries re-probe wide), so a bit-exact cross-engine
+    // hash is impossible by design. The batch oracle pins the
+    // deterministic part machine-checkably (row count, column
+    // names/dtypes); the escalation contract itself (recall floor,
+    // splice identity, advisory) is pinned by AdaptiveAnnSpec. Expected
+    // driver record: rows_match+schema_match true, hash_match false (or
+    // true on corpora where nothing escalates).
+    "sim_ivf_auto" -> ivfBatchOracleSql,
 
     // the full clusterExact pipeline mirrored stage for stage: exact-dup
     // collapse to norm-set representatives (min doc_id per sorted distinct
@@ -1724,7 +1745,9 @@ object SparkEntry {
 
     // the same positioned 5-gram windows as the Spark kernel (short docs
     // yield one truncated gram at pos 0), shared ⇔ min(doc)≠max(doc),
-    // spans via the pos − row_number gaps-and-islands grouping
+    // spans via the lag + running-sum gaps-and-islands grouping (a new
+    // island only when the position gap exceeds k=5, so token-overlapping
+    // or abutting gram runs merge into one maximal span)
     "dd_spans" ->
       """WITH g AS (
         |  SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
@@ -1733,10 +1756,15 @@ object SparkEntry {
         |       unnest(generate_series(0, greatest(len(string_split(text, ' ')) - 5, 0))) AS u(i)),
         |s AS (
         |  SELECT gram FROM g GROUP BY gram HAVING min(doc_id) <> max(doc_id)),
-        |d AS (
+        |d0 AS (
         |  SELECT g.doc_id, g.pos,
-        |         g.pos - row_number() OVER (PARTITION BY g.doc_id ORDER BY g.pos) AS grp
+        |         CASE WHEN g.pos - lag(g.pos) OVER (PARTITION BY g.doc_id ORDER BY g.pos) > 5
+        |              THEN 1 ELSE 0 END AS brk
         |  FROM g JOIN s USING (gram)),
+        |d AS (
+        |  SELECT doc_id, pos,
+        |         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |  FROM d0),
         |sp AS (
         |  SELECT doc_id, min(pos) AS span_start, max(pos) + 4 AS span_end,
         |         CAST(count(*) AS BIGINT) AS n_grams

@@ -418,8 +418,13 @@ object Dedup {
     * Shape: positioned k-grams (ONE native word_ngrams pass, positions
     * from posexplode) → a gram-keyed window marks each occurrence whose
     * gram's doc ids are not all equal (min≠max over the partition — no
-    * countDistinct) → gaps-and-islands (pos − row_number) merges
-    * consecutive duplicated positions into maximal spans. The window
+    * countDistinct) → gaps-and-islands merges duplicated positions whose
+    * covered token ranges [pos, pos+k−1] overlap or abut into maximal
+    * spans: a new island starts only when the gap between consecutive
+    * duplicated positions exceeds k (lag + running sum — the simple
+    * pos − row_number form would split positions p and p+2 into two
+    * token-overlapping spans whose span_tokens double-count the
+    * overlap). The window
     * form deliberately replaces the aggregate-then-join-back shape: one
     * gram-keyed exchange of the gram stream instead of a roll-up
     * shuffle PLUS a probe join PLUS a second gram generation (measured
@@ -429,7 +434,11 @@ object Dedup {
     * shared only across distinct doc ids.
     *
     * Output: (doc_id, span_start, span_end, n_grams, span_tokens) with
-    * token-inclusive bounds — span_end = last gram position + k − 1. */
+    * token-inclusive bounds — span_end = last gram position + k − 1.
+    * Spans never overlap: within a span the interval union is contiguous
+    * (every gap ≤ k), so span_tokens is the exact count of tokens a
+    * removal pass cuts, and summing span_tokens over a doc never
+    * double-counts. */
   def repeatedSpans(documents: DataFrame, k: Int = 5): DataFrame = {
     require(k >= 1, s"k must be >= 1 (got $k)")
     val grams = documents.select(col("doc_id"),
@@ -443,7 +452,13 @@ object Dedup {
       .select(col("doc_id"), col("pos").cast("long").as("pos"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     dupPos
-      .withColumn("grp", col("pos") - row_number().over(w))
+      // island break: previous covered range ends at lag(pos)+k−1, this
+      // one starts at pos — disjoint-and-not-abutting iff the position
+      // gap exceeds k (first row: lag is null → otherwise(0) → island 0)
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(w) > lit(k.toLong), 1L)
+          .otherwise(0L))
+      .withColumn("grp", sum(col("brk")).over(w))
       .groupBy(col("doc_id"), col("grp"))
       .agg(min(col("pos")).as("span_start"),
         (max(col("pos")) + lit(k.toLong - 1L)).as("span_end"),

@@ -95,11 +95,17 @@ object Headline {
       lineitem.select(col("l_returnflag"), col(c))
         .filter(col(c).isNotNull).distinct()
         .groupBy(col("l_returnflag")).agg(count(lit(1)).as(as))
+    // left joins from the approx frame: a group whose key column is
+    // entirely NULL has no row on a pre-deduped exact side (its exact
+    // count is 0) — an inner join would silently drop the whole output
+    // row, where the one-agg countDistinct form emitted it with 0
     approx
-      .join(exact("l_partkey", "exact_parts"), "l_returnflag")
-      .join(exact("l_orderkey", "exact_orders"), "l_returnflag")
-      .select(col("l_returnflag"), col("approx_parts"), col("exact_parts"),
-        col("approx_orders"), col("exact_orders"))
+      .join(exact("l_partkey", "exact_parts"), Seq("l_returnflag"), "left")
+      .join(exact("l_orderkey", "exact_orders"), Seq("l_returnflag"), "left")
+      .select(col("l_returnflag"), col("approx_parts"),
+        coalesce(col("exact_parts"), lit(0L)).as("exact_parts"),
+        col("approx_orders"),
+        coalesce(col("exact_orders"), lit(0L)).as("exact_orders"))
       .orderBy("l_returnflag")
   }
 

@@ -30,9 +30,10 @@ import org.apache.spark.sql.functions._
   * total, so the assignment is bit-reproducible across runs, engines
   * and partition layouts (same determinism contract as ds_split).
   *
-  * Token counts use the whitespace convention of tx_tokens
-  * (`size(split(text, ' '))`), so the same oracle pairing holds
-  * bit-exactly.
+  * Token counts route through [[TextAnalysis.tokenCount]] — the one
+  * engine token counter (tx_tokens' whitespace convention) — so the
+  * same oracle pairing holds bit-exactly and a budget calibrated
+  * against tx_tokens output means the same thing here.
   */
 object Packing {
 
@@ -48,7 +49,7 @@ object Packing {
     assignSequences(
       documents
         .withColumn("shard", pmod(col("doc_id"), lit(shards.toLong)).cast("int"))
-        .withColumn("n_tokens", size(split(col("text"), " ")).cast("long")),
+        .withColumn("n_tokens", TextAnalysis.tokenCount(col("text"))),
       budget, orderCol = "doc_id")
       .select("doc_id", "shard", "n_tokens", "start_tok", "seq_id",
         "seq_offset", "n_seqs")

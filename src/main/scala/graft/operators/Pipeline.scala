@@ -117,6 +117,13 @@ object Pipeline {
     * loader wants: the ×3-epoch book should not appear three times in a
     * row).
     *
+    * Precondition: the synthetic id shrinks the usable Lehmer domain by
+    * (maxEpochs+1)× — every doc_id surviving curation+mixing must be
+    * < (2³¹−2)/(maxEpochs+1), or sampleKey's raise_error fires loudly at
+    * runtime. Corpora with wider or sparse ids should densify first
+    * (dense_rank / zipWithIndex — see the densify-first guidance on
+    * [[graft.operators.Sampling.sampleKey]]).
+    *
     * Scale shape: curation + mixing are scan-side predicates (the
     * corpus never shuffles); the epoch explode is scan-side row
     * generation; the ONE real exchange is the partition-by-shard the
@@ -145,9 +152,12 @@ object Pipeline {
     // token counts join BEFORE the shuffle window, so the ONE
     // hashpartitioning(shard) exchange serves both the pos window and
     // the pack prefix-sum (same partitioning → Spark reuses it; pinned
-    // in AssemblySpec) — joining after would re-exchange on shard
+    // in AssemblySpec) — joining after would re-exchange on shard.
+    // The counter is TextAnalysis.tokenCount — the same expression
+    // tx_tokens/tx_pack bill with, so "token budget" is one unit
+    // engine-wide (specced in AssemblySpec).
     val toks = documents.select(col("doc_id"),
-      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      TextAnalysis.tokenCount(col("text")).as("n_tokens"))
     val mult = maxEpochs.toLong + 1L
     val inst = eps.join(toks, Seq("doc_id")).withColumn("instance_id",
       col("doc_id") * lit(mult) + col("epoch"))

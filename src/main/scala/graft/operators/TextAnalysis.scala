@@ -26,12 +26,22 @@ object TextAnalysis {
 
   private val stopwords = Seq("the", "a", "of", "to", "and", "in")
 
+  /** THE engine token counter — whitespace tokens as a long. Every
+    * "token budget" in the library means this one expression: tx_tokens'
+    * n_tokens, the quality/curation length term, tx_pack's sequence
+    * budget, corpus totals, and the assembly capstone's pack stage all
+    * route through it, so a budget set against tx_tokens output packs
+    * the same number of sequences in ds_assemble. (The DuckDB twin is
+    * `len(string_split(text, ' '))` — shared by every oracle.) */
+  def tokenCount(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    size(split(text, " ")).cast("long")
+
   /** Token/char counting: whitespace tokens, distinct tokens, average
     * token length (derived from char math so both engines agree). */
   def tokenStats(documents: DataFrame): DataFrame =
     byDoc(documents)
       .withColumn("n_chars_calc", length(col("text")).cast("long"))
-      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn("n_tokens", tokenCount(col("text")))
       .withColumn("n_distinct_tokens",
         size(array_distinct(split(col("text"), " "))).cast("long"))
       .withColumn("avg_token_len",
@@ -52,8 +62,7 @@ object TextAnalysis {
       .withColumn("norm_text",
         trim(regexp_replace(
           regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " ")))
-      .withColumn("n_tokens_norm",
-        size(split(col("norm_text"), " ")).cast("long"))
+      .withColumn("n_tokens_norm", tokenCount(col("norm_text")))
       .withColumn("norm_md5", md5(col("norm_text").cast("binary")))
       .select("doc_id", "norm_md5", "n_tokens_norm")
 
@@ -63,7 +72,7 @@ object TextAnalysis {
   private[graft] def withQuality(df: DataFrame): DataFrame = {
     val nChars  = length(col("text")).cast("long")
     val toks    = split(col("text"), " ")
-    val nTokens = size(toks).cast("long")
+    val nTokens = tokenCount(col("text"))
     val alpha   = length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("long")
     val nStop   = size(filter(toks, t => t.isin(stopwords.map(lit(_)): _*))).cast("long")
     df
@@ -391,7 +400,7 @@ object TextAnalysis {
       .groupBy("source", "lang")
       .agg(
         count(lit(1)).as("n_docs"),
-        sum(size(split(col("text"), " ")).cast("long")).as("total_tokens"),
+        sum(tokenCount(col("text"))).as("total_tokens"),
         sum(col("n_chars")).as("total_chars"))
     val all = Window.partitionBy()
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)

@@ -29,10 +29,15 @@ private[operators] object Tombstones {
     new org.apache.hadoop.fs.Path(p)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** The pending tombstoned ids (column `id`), if any. */
+  /** The pending tombstoned ids (column `id`), if any. Distinct across
+    * FILES, not just within one: [[add]] dedups per call, but the same id
+    * deleted in two calls lands in two tombstone files — without this,
+    * the router's tombstone count overcounts, corpus estimates skew, and
+    * the broadcast anti-join set carries duplicate rows until compact.
+    * The set is takedown-sized, so the distinct is a few-row shuffle. */
   def ids(spark: SparkSession, path: String): Option[DataFrame] = {
     val t = new org.apache.hadoop.fs.Path(dir(path))
-    if (fs(spark, path).exists(t)) Some(spark.read.parquet(dir(path)))
+    if (fs(spark, path).exists(t)) Some(spark.read.parquet(dir(path)).distinct())
     else None
   }
 

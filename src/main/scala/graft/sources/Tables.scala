@@ -139,6 +139,16 @@ object Tables {
       case e: Exception if e.getMessage != null &&
           e.getMessage.contains("PARQUET_TYPE") =>
         val scoped = spark.newSession()
+        // newSession() starts from the INITIAL conf — replay the caller's
+        // runtime conf (session timezone, AQE/shuffle settings, case
+        // sensitivity, …) so the fallback read plans under the same
+        // SQLConf as sibling frames; only then pin the nanos flag.
+        // Non-runtime (static/core) keys reject sets — skip them.
+        spark.conf.getAll.foreach { case (k, v) =>
+          if (scoped.conf.getOption(k) != Some(v))
+            try scoped.conf.set(k, v)
+            catch { case _: org.apache.spark.sql.AnalysisException => () }
+        }
         scoped.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         table(scoped, dir, name)
     }

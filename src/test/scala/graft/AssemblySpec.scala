@@ -46,6 +46,17 @@ class AssemblySpec extends AnyFunSuite {
     assert(composed.exceptAll(staged).isEmpty)
   }
 
+  test("capstone token counts are TextAnalysis.tokenCount — one budget unit engine-wide") {
+    // the pack stage's n_tokens must be the SAME counter tx_tokens
+    // bills with, per doc — a budget calibrated against tokenStats
+    // output packs identically in the capstone
+    val official = TextAnalysis.tokenStats(docs).select("doc_id", "n_tokens")
+    val bad = assembled.select("doc_id", "n_tokens").distinct()
+      .join(official.withColumnRenamed("n_tokens", "official"), "doc_id")
+      .filter(col("n_tokens") =!= col("official")).count()
+    assert(bad == 0, "assembleDataset n_tokens diverged from tx_tokens' counter")
+  }
+
   test("pack columns are the per-shard prefix-sum in pos order") {
     val staged = Packing.assignSequences(
       assembled.select("instance_id", "shard", "pos", "n_tokens"),

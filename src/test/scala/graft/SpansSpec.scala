@@ -56,6 +56,41 @@ class SpansSpec extends AnyFunSuite {
     assert(whole(11L) === Seq((0L, 5L, 4L, 6L)))
   }
 
+  test("token-overlapping gram runs merge into one maximal span (gap < k)") {
+    // doc 1's grams at positions 0 ("g1 g2 g3") and 2 ("g3 g4 g5") are
+    // each shared with a DIFFERENT doc; position 1 ("g2 g3 g4") is not.
+    // Their token ranges [0,2] and [2,4] overlap, so the contract
+    // ("maximal token ranges a span-removal pass would cut") demands ONE
+    // span [0,4] — two overlapping spans would double-count token 2.
+    val got = spans(
+      1L -> "g1 g2 g3 g4 g5 q1 q2",
+      2L -> "z1 g1 g2 g3 z2 z3 z4",
+      3L -> "g3 g4 g5 y1 y2 y3 y4")
+    assert(got(1L) === Seq((0L, 4L, 2L, 5L)),
+      s"overlapping gram ranges must merge: ${got(1L)}")
+    assert(got(2L) === Seq((1L, 3L, 1L, 3L)))
+    assert(got(3L) === Seq((0L, 2L, 1L, 3L)))
+  }
+
+  test("abutting gram ranges merge (gap = k); a one-token hole splits (gap = k+1)") {
+    // positions 0 and 3 with k=3: ranges [0,2] + [3,5] abut — the covered
+    // token set is contiguous, one maximal span [0,5]
+    val abut = spans(
+      1L -> "g1 g2 g3 h1 h2 h3 q1",
+      2L -> "z1 g1 g2 g3 z2 z3 z4",
+      3L -> "h1 h2 h3 y1 y2 y3 y4")
+    assert(abut(1L) === Seq((0L, 5L, 2L, 6L)),
+      s"abutting gram ranges must merge: ${abut(1L)}")
+    // positions 0 and 4 with k=3: ranges [0,2] and [4,6] leave token 3
+    // uncovered — two spans, nothing phantom-counted
+    val hole = spans(
+      1L -> "g1 g2 g3 u0 h1 h2 h3",
+      2L -> "z1 g1 g2 g3 z2 z3 z4",
+      3L -> "h1 h2 h3 y1 y2 y3 y4")
+    assert(hole(1L) === Seq((0L, 2L, 1L, 3L), (4L, 6L, 1L, 3L)),
+      s"a covered-token hole must split spans: ${hole(1L)}")
+  }
+
   test("short documents compare via their single truncated gram") {
     val got = spans(
       1L -> "tiny doc",

@@ -27,6 +27,12 @@ ESTIMATE_COLS = {
     "q_approx_distinct": {"approx_parts", "approx_orders"},
     "q_approx_quantile": {"p50", "p90", "p99"},
     "ad_isolation_forest": {"if_score", "is_anomaly", "severity"},
+    # sim_ivf_auto: probe membership depends on the per-query escalation
+    # decision (background queries re-probe wide), so hit identity is
+    # engine-specific by design; the deterministic part — 64 queries x
+    # k=5 rows, the exact q_id multiset, column names/dtypes — is checked.
+    # The escalation contract itself is pinned by AdaptiveAnnSpec.
+    "sim_ivf_auto": {"vec_id", "label", "cosine"},
 }
 
 
