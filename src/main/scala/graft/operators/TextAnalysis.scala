@@ -54,14 +54,15 @@ object TextAnalysis {
     * to spaces, whitespace collapsed, trimmed. Emits the md5 of the
     * normalized text (narrow, engine-comparable) plus its token count;
     * idempotent by construction (normalize∘normalize = normalize,
-    * specced). Character classes are shared Java/RE2 syntax so the DuckDB
-    * twin reproduces the bytes exactly. Per-row expression work — scales
-    * at scan speed. */
+    * specced). The three-op expression chain (lower + two regexp_replace
+    * traversals) is fused into the one-pass native normalize_text kernel
+    * (KernelPropertySpec pins kernel ≡ chain; the DuckDB twin — shared
+    * Java/RE2 character-class syntax — stays bit-exact). Per-row
+    * expression work — scales at scan speed. */
   def normalize(documents: DataFrame): DataFrame =
     byDoc(documents)
       .withColumn("norm_text",
-        trim(regexp_replace(
-          regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " ")))
+        org.apache.spark.sql.graft.ColumnBridge.normalizeText(col("text")))
       .withColumn("n_tokens_norm", tokenCount(col("norm_text")))
       .withColumn("norm_md5", md5(col("norm_text").cast("binary")))
       .select("doc_id", "norm_md5", "n_tokens_norm")

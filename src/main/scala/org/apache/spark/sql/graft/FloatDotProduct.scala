@@ -121,6 +121,10 @@ object ColumnBridge {
   def winnowFingerprint(text: Column, k: Int, window: Int): Column =
     column(WinnowFingerprint(expression(text), k, window))
 
+  /** normalize_text(text) as a Column. */
+  def normalizeText(text: Column): Column =
+    column(NormalizeText(expression(text)))
+
   /** token_hashes_mod(toks, p) as a Column (murmur3 seed 42, pmod p). */
   def tokenHashesMod(toks: Column, p: Long): Column =
     column(TokenHashesMod(expression(toks), p))

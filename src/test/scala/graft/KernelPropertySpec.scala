@@ -53,6 +53,38 @@ class KernelPropertySpec extends AnyFunSuite {
     assert(compare(rdf, 5, 3) === 0)
   }
 
+  test("normalize_text kernel equals the lower+regexp chain (corpus + random strings)") {
+    // the retired expression chain, verbatim, is the kernel's contract
+    def compare(df: org.apache.spark.sql.DataFrame): Long =
+      df.withColumn("__chain",
+          trim(regexp_replace(
+            regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " ")))
+        .withColumn("__kernel", ColumnBridge.normalizeText(col("text")))
+        .filter(col("__chain") =!= col("__kernel")).count()
+    val docs = graft.sources.Tables.documents(spark, TestSpark.sf)
+    assert(compare(docs) === 0, "kernel diverges on the sf corpus")
+    // randomized: punctuation runs, edge/multi spaces, digits, uppercase,
+    // empty strings, and multi-byte code points (accents, CJK, emoji —
+    // byte-level classification must still collapse them to single
+    // spaces exactly like the per-code-point regex does)
+    val pieces = Seq("Tok", "UPPER", "miXed", "7seven", "..!?", "  ", " ",
+      "", "a", ".", "über", "naïve", "文档", "emoji🙂end", "Ärger straße")
+    val cases = (1 to 600).map { i =>
+      val n = rnd.nextInt(10)
+      (i.toLong, (0 until n).map(_ => pieces(rnd.nextInt(pieces.length)))
+        .mkString(rnd.nextInt(3) match {
+          case 0 => "" case 1 => " " case _ => "--" }))
+    }
+    assert(compare(cases.toDF("doc_id", "text")) === 0,
+      "kernel diverges on randomized strings")
+    // idempotence carries over: kernel(kernel(x)) = kernel(x)
+    val twice = cases.toDF("doc_id", "text")
+      .withColumn("__one", ColumnBridge.normalizeText(col("text")))
+      .withColumn("__two", ColumnBridge.normalizeText(col("__one")))
+      .filter(col("__one") =!= col("__two")).count()
+    assert(twice === 0)
+  }
+
   test("sorted_intersect_count equals Set intersection on random token sets") {
     val vocab = (1 to 40).map(i => s"w$i")
     val cases = (1 to 1000).map { i =>
