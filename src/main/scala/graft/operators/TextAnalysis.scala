@@ -69,17 +69,25 @@ object TextAnalysis {
 
   /** Column stage behind [[qualityScore]] (and the one-pass [[curate]]):
     * adds n_tokens / alpha_ratio / stop_ratio / score / quality_band,
-    * preserving the input columns. Pure per-row expressions. */
+    * preserving the input columns. Pure per-row work; the three text
+    * counts (token count, alpha chars, stopword hits) come from the
+    * one-pass native quality_counts kernel — the retired chain paid one
+    * regex traversal plus two token-array materializations and an
+    * interpreted 6-way-isin filter per row (KernelPropertySpec pins
+    * kernel ≡ chain; n_tokens is bit-equal to [[tokenCount]], so the
+    * budget unit stays engine-wide). */
   private[graft] def withQuality(df: DataFrame): DataFrame = {
     val nChars  = length(col("text")).cast("long")
-    val toks    = split(col("text"), " ")
-    val nTokens = tokenCount(col("text"))
-    val alpha   = length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("long")
-    val nStop   = size(filter(toks, t => t.isin(stopwords.map(lit(_)): _*))).cast("long")
+    val qc = org.apache.spark.sql.graft.ColumnBridge
+      .qualityCounts(col("text"), stopwords)
     df
-      .withColumn("n_tokens", nTokens)
-      .withColumn("alpha_ratio", alpha.cast("double") / nChars)
-      .withColumn("stop_ratio", nStop.cast("double") / nTokens)
+      .withColumn("__qc", qc)
+      .withColumn("n_tokens", col("__qc").getField("n_tokens"))
+      .withColumn("alpha_ratio",
+        col("__qc").getField("alpha").cast("double") / nChars)
+      .withColumn("stop_ratio",
+        col("__qc").getField("n_stop").cast("double") / col("n_tokens"))
+      .drop("__qc")
       .withColumn("score",
         lit(0.5) * col("alpha_ratio")
           + lit(0.3) * (lit(1.0) - col("stop_ratio"))

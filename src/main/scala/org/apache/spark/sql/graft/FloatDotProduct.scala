@@ -125,6 +125,10 @@ object ColumnBridge {
   def normalizeText(text: Column): Column =
     column(NormalizeText(expression(text)))
 
+  /** quality_counts(text) as a Column — struct(n_tokens, alpha, n_stop). */
+  def qualityCounts(text: Column, stopwords: Seq[String]): Column =
+    column(QualityCounts(expression(text), stopwords))
+
   /** token_hashes_mod(toks, p) as a Column (murmur3 seed 42, pmod p). */
   def tokenHashesMod(toks: Column, p: Long): Column =
     column(TokenHashesMod(expression(toks), p))

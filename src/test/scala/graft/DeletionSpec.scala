@@ -52,6 +52,31 @@ class DeletionSpec extends AnyFunSuite {
       "the spec corpus has no duplicates crossing the deleted set")
   }
 
+  test("tombstone mask short-circuits on a clean index: no anti-join in the probe plan") {
+    // a tombstone-free index must not pay for the deletion feature —
+    // Tombstones.minus returns the input frame untouched when
+    // `tombstones/` is absent, so the probe plan carries NO LeftAnti
+    // node and no tombstone scan (the steady-state ingest loop runs
+    // this plan every micro-batch; a mask that billed on clean indexes
+    // would tax every batch for deletions that never happened)
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    val path = tmp("del-clean")
+    IncrementalDedup.saveSignatures(corpus, path)
+    val idx = IncrementalDedup.openSignatures(spark, path)
+    def planOf(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.toString
+    val clean = planOf(IncrementalDedup.dedupAgainst(idx, batch))
+    assert(!clean.contains("LeftAnti") && !clean.contains("tombstones"),
+      s"clean-index probe plan carries tombstone-mask work:\n$clean")
+    // …and the mask appears exactly when a deletion is pending
+    IncrementalDedup.deleteDocs(spark, path, Seq(3L))
+    val masked = planOf(IncrementalDedup.dedupAgainst(
+      IncrementalDedup.openSignatures(spark, path), batch))
+    assert(masked.contains("LeftAnti"),
+      "pending tombstones did not add the anti-join mask")
+  }
+
   test("both probe paths suppress tombstoned ids identically") {
     val corpus = docs.filter(col("doc_id") % 5 =!= 0)
     val batch = docs.filter(col("doc_id") % 5 === 0)

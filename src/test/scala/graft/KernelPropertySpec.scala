@@ -85,6 +85,37 @@ class KernelPropertySpec extends AnyFunSuite {
     assert(twice === 0)
   }
 
+  test("quality_counts kernel equals the regexp/filter chain (corpus + random strings)") {
+    val stop = Seq("the", "a", "of", "to", "and", "in")
+    def compare(df: org.apache.spark.sql.DataFrame): Long = {
+      val toks = split(col("text"), " ")
+      val qc = ColumnBridge.qualityCounts(col("text"), stop)
+      df.withColumn("__nt_c", size(toks).cast("long"))
+        .withColumn("__al_c",
+          length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("long"))
+        .withColumn("__st_c",
+          size(filter(toks, t => t.isin(stop.map(lit(_)): _*))).cast("long"))
+        .withColumn("__k", qc)
+        .filter(col("__k.n_tokens") =!= col("__nt_c")
+          || col("__k.alpha") =!= col("__al_c")
+          || col("__k.n_stop") =!= col("__st_c")).count()
+    }
+    val docs = graft.sources.Tables.documents(spark, TestSpark.sf)
+    assert(compare(docs) === 0, "kernel diverges on the sf corpus")
+    // randomized: stopwords, near-stopwords ("thee", "an"), multi-byte
+    // code points (alpha/token counts must ignore continuation bytes),
+    // empty tokens from doubled spaces, digits and punctuation
+    val pieces = Seq("the", "a", "of", "to", "and", "in", "thee", "an",
+      "And", "THE", "", "x9", "..", "über", "文", "naïve", "a🙂b", "Straße")
+    val cases = (1 to 600).map { i =>
+      val n = rnd.nextInt(12)
+      (i.toLong, (0 until n).map(_ => pieces(rnd.nextInt(pieces.length)))
+        .mkString(" "))
+    }
+    assert(compare(cases.toDF("doc_id", "text")) === 0,
+      "kernel diverges on randomized strings")
+  }
+
   test("sorted_intersect_count equals Set intersection on random token sets") {
     val vocab = (1 to 40).map(i => s"w$i")
     val cases = (1 to 1000).map { i =>
