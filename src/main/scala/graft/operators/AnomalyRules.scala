@@ -29,11 +29,23 @@ object AnomalyRules {
   private def keyOrder: WindowSpec =
     Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
 
+  // Each rule exposes a sorted public form (the presentation ordering
+  // its own query key ships) and an Unsorted core for COMPOSITION:
+  // Pipeline.detectAll unions the cores, because a per-branch global
+  // sort under a union is pure waste — Catalyst's EliminateSorts
+  // removes a sort directly under an aggregate, but NOT sorts buried
+  // inside union branches, so the composed al_summary_* keys were
+  // paying four rangepartitioning exchanges whose order the aggregate
+  // destroyed (r13 plan audit; pinned in PlanQualitySpec).
+
   /** Conjunctive threshold rule over raw + rolling-mean features
     * (clogged-filter analog: models.py:147 `fan_speed_pct > 70 AND
     * fan_rolling_mean_15min > 65`, rescaled to the events domain).
     * Emits alert records with metric/score/severity like models.py:152. */
   def thresholdAlerts(features: DataFrame): DataFrame =
+    thresholdAlertsUnsorted(features).orderBy("user_id", "ts_us", "event_id")
+
+  private[graft] def thresholdAlertsUnsorted(features: DataFrame): DataFrame =
     features
       .filter(col("value") > 150 && col("mean_3") > 100)
       .select(
@@ -43,14 +55,18 @@ object AnomalyRules {
         (col("value") / 150.0).as("score"),
         lit("threshold_high").as("rule_name"),
         when(col("value") > 250, "high").otherwise("medium").as("severity"))
-      .orderBy("user_id", "ts_us", "event_id")
 
   /** Runs of ≥ minRun consecutive over-threshold readings per key
     * (temp-drift analog: models.py:75 "temp_error_c > 3°C for 6+
     * consecutive readings"). Classic gaps-and-islands: the difference of
     * two row_numbers is constant within a run. */
   def consecutiveRuns(events: DataFrame, threshold: Double = 100.0,
-      minRun: Int = 3): DataFrame = {
+      minRun: Int = 3): DataFrame =
+    consecutiveRunsUnsorted(events, threshold, minRun)
+      .orderBy("user_id", "ts_us", "event_id")
+
+  private[graft] def consecutiveRunsUnsorted(events: DataFrame,
+      threshold: Double = 100.0, minRun: Int = 3): DataFrame = {
     val exceeds = when(col("value") > threshold, 1).otherwise(0)
     val wCond = Window.partitionBy(col("user_id"), col("exceeds"))
       .orderBy(col("ts_us"), col("event_id"))
@@ -67,14 +83,18 @@ object AnomalyRules {
         col("run_len"),
         lit("consecutive_drift").as("rule_name"),
         when(col("value") > 200, "high").otherwise("medium").as("severity"))
-      .orderBy("user_id", "ts_us", "event_id")
   }
 
   /** Oscillation: more than maxChanges sign flips of the step-to-step delta
     * within a trailing 12-row window (models.py:222 sign-change count).
     * The reference's skip-ahead scan is stateful; the trailing-window
     * form is its declarative, scan-parallel equivalent. */
-  def oscillation(events: DataFrame, maxChanges: Int = 8): DataFrame = {
+  def oscillation(events: DataFrame, maxChanges: Int = 8): DataFrame =
+    oscillationUnsorted(events, maxChanges)
+      .orderBy("user_id", "ts_us", "event_id")
+
+  private[graft] def oscillationUnsorted(events: DataFrame,
+      maxChanges: Int = 8): DataFrame = {
     val delta  = col("value") - lag(col("value"), 1).over(keyOrder)
     val events2 = events.withColumn("delta", delta)
     val chg = when(
@@ -90,7 +110,6 @@ object AnomalyRules {
         col("n_changes"),
         lit("oscillating_control").as("rule_name"),
         lit("medium").as("severity"))
-      .orderBy("user_id", "ts_us", "event_id")
   }
 
   /** Per-key standardized score: readings more than `cut` sample-stds from
@@ -98,7 +117,11 @@ object AnomalyRules {
     * (models.py:262 scaler + models.py:297 score threshold), with the
     * per-key stats computed exactly via decimal sums and joined back —
     * the stats side is tiny (one row per key) so Catalyst broadcasts it. */
-  def zscoreAlerts(events: DataFrame, cut: Double = 2.5): DataFrame = {
+  def zscoreAlerts(events: DataFrame, cut: Double = 2.5): DataFrame =
+    zscoreAlertsUnsorted(events, cut).orderBy("user_id", "ts_us", "event_id")
+
+  private[graft] def zscoreAlertsUnsorted(events: DataFrame,
+      cut: Double = 2.5): DataFrame = {
     val vdec = col("value").cast(dec)
     val stats = events
       .groupBy(col("user_id"))
@@ -124,6 +147,5 @@ object AnomalyRules {
         col("zscore"),
         lit("zscore").as("rule_name"),
         when(abs(col("zscore")) > 3.5, "high").otherwise("medium").as("severity"))
-      .orderBy("user_id", "ts_us", "event_id")
   }
 }

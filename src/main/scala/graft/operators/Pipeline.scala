@@ -49,16 +49,22 @@ object Pipeline {
   }
 
   /** All four rule detectors, unioned on the standard schema
-    * (models.py:377 runs rules + ML and concatenates). */
+    * (models.py:377 runs rules + ML and concatenates). Composes the
+    * UNSORTED rule cores: each rule's public form carries a global
+    * presentation sort that EliminateSorts cannot remove from inside a
+    * union branch, so the sorted forms here cost four rangepartitioning
+    * exchanges whose order the final orderBy (or a consumer's
+    * aggregate) immediately destroys (r13 audit; the union plan's
+    * sortlessness below the top is pinned in PlanQualitySpec). */
   def detectAll(events: DataFrame, features: DataFrame): DataFrame = {
     val threshold = standardize(
-      AnomalyRules.thresholdAlerts(features), col("score"))
+      AnomalyRules.thresholdAlertsUnsorted(features), col("score"))
     val consecutive = standardize(
-      AnomalyRules.consecutiveRuns(events), col("run_len").cast("double"))
+      AnomalyRules.consecutiveRunsUnsorted(events), col("run_len").cast("double"))
     val oscillation = standardize(
-      AnomalyRules.oscillation(events), col("n_changes").cast("double"))
+      AnomalyRules.oscillationUnsorted(events), col("n_changes").cast("double"))
     val zscore = standardize(
-      AnomalyRules.zscoreAlerts(events), col("zscore"))
+      AnomalyRules.zscoreAlertsUnsorted(events), col("zscore"))
     threshold.unionByName(consecutive).unionByName(oscillation).unionByName(zscore)
       .orderBy("rule_name", "user_id", "ts_us", "event_id")
   }

@@ -258,6 +258,29 @@ class PlanQualitySpec extends AnyFunSuite {
       unshared.exceptAll(shared).isEmpty)
   }
 
+  test("al_summary_top rides the shared detector scan and a heap top-10, not a full sort") {
+    // the hottest-entities truncation over the all-rules union: the
+    // events read must be the ONE detectAllShared materialized pass
+    // (zero parquet scans in the executed plan), and the top-10 must
+    // plan as TakeOrderedAndProject (per-partition heap + k-row driver
+    // merge over the aggregated frame) — a global Sort here would pay
+    // an exchange of every entity's count at corpus scale
+    spark.sharedState.cacheManager.clearCache()
+    val p = graft.operators.Alerts.summaryTopEntities(
+      Pipeline.detectAllShared(spark, sf), 10)
+      .queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(p).isEmpty,
+      s"parquet scans in the al_summary_top plan (shared scan bypassed):\n$p")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // no GLOBAL sort anywhere: rangepartitioning is its exchange
+    // signature (the detector branches' partition-LOCAL window sorts —
+    // "Sort …, false" — are required and exchange-free). Before the r13
+    // unsorted-core fix each rule branch carried its presentation sort
+    // through the union: four rangepartitioning exchanges per summary.
+    assert(!p.contains("rangepartitioning"),
+      s"global sort inside the summary plan:\n$p")
+  }
+
   test("the composed curation gate fuses into one scan with no exchange") {
     val p = plan(TextAnalysis.curate(Tables.documents(spark, sf)))
     assert(!p.contains("Exchange hashpartitioning"), p)
