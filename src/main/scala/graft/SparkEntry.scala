@@ -215,6 +215,13 @@ object SparkEntry {
     "ds_mix" -> ((s, dir) =>
       Sampling.mixToTarget(Tables.documents(s, dir),
         Map("src0" -> 50, "src2" -> 30, "src4" -> 20))),
+    // the token-unit mixture (real LLM recipes weight token MASS, not
+    // doc counts): per-source supply = Σ tokenCount, T*/takes/rates in
+    // the same integer arithmetic, membership the same per-row Lehmer
+    // residue test — corpus never shuffles
+    "ds_mix_tokens" -> ((s, dir) =>
+      Sampling.mixToTokenTarget(Tables.documents(s, dir),
+        Map("src0" -> 50, "src2" -> 30, "src4" -> 20))),
     // epoch/repetition planning: 150-row budget at 50:30:20, repetition
     // capped at 3 epochs — one output row per (doc, epoch); the fixed
     // budget makes the semantics scale-independent (like a topK)
@@ -1737,6 +1744,32 @@ object SparkEntry {
         |  SELECT source, ((wgt * t_star) // 100) * 1000000 // n_source AS rate_ppm
         |  FROM counts, t)
         |SELECT b.doc_id, b.source, b.n_chars,
+        |       (b.doc_id * 48271) % 2147483647 AS sample_key,
+        |       r.rate_ppm
+        |FROM base b JOIN rates r ON b.source = r.source
+        |WHERE ((b.doc_id * 48271) % 2147483647) % 1000000 < r.rate_ppm
+        |ORDER BY b.doc_id""".stripMargin,
+
+    // the token-unit twin of ds_mix: per-source supply is the token sum
+    // (len(string_split) — the tokenCount twin), T*/take/rate the same
+    // integer //-arithmetic, membership the same Lehmer residue test
+    "ds_mix_tokens" ->
+      """WITH w AS (
+        |  SELECT doc_id, source,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |         CASE WHEN source = 'src0' THEN CAST(50 AS BIGINT)
+        |              WHEN source = 'src2' THEN CAST(30 AS BIGINT)
+        |              WHEN source = 'src4' THEN CAST(20 AS BIGINT) END AS wgt
+        |  FROM documents),
+        |base AS (SELECT * FROM w WHERE wgt IS NOT NULL),
+        |counts AS (
+        |  SELECT source, wgt, CAST(sum(n_tokens) AS BIGINT) AS tok_source
+        |  FROM base GROUP BY source, wgt),
+        |t AS (SELECT min(tok_source * 100 // wgt) AS t_star FROM counts),
+        |rates AS (
+        |  SELECT source, ((wgt * t_star) // 100) * 1000000 // tok_source AS rate_ppm
+        |  FROM counts, t)
+        |SELECT b.doc_id, b.source, b.n_tokens,
         |       (b.doc_id * 48271) % 2147483647 AS sample_key,
         |       r.rate_ppm
         |FROM base b JOIN rates r ON b.source = r.source

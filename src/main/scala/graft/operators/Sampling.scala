@@ -272,4 +272,60 @@ object Sampling {
       .select("doc_id", "source", "n_chars", "sample_key", "rate_ppm")
       .orderBy("doc_id")
   }
+
+  /** [[mixToTarget]] in TOKEN units — the form real LLM mixtures are
+    * specified in ("20% of TOKENS from code, 60% from web…" — domain
+    * weights in Pile/DoReMi/Llama recipes weight token mass, not
+    * document counts, because document length varies by orders of
+    * magnitude across sources): per-source supply is
+    * tok_s = Σ [[graft.operators.TextAnalysis.tokenCount]] (the ONE
+    * engine token counter, so this budget means the same thing as
+    * tx_tokens/tx_pack's), the largest repetition-free total is
+    * T* = min_s floor(tok_s·W / w_s), each source's token take is
+    * floor(w_s·T* / W), and membership stays the per-DOC Lehmer residue
+    * test at rate_ppm = floor(take·10⁶ / tok_s): documents are atomic,
+    * so the mixture thins documents uniformly per source and the
+    * realized token share concentrates on the target (uniform doc
+    * sampling is length-unbiased — E[token mass kept] = rate·tok_s),
+    * exactly the estimator contract the doc-count form has at doc
+    * granularity. All Long integer arithmetic — the DuckDB oracle
+    * replays the selection bit-for-bit.
+    *
+    * Scale shape: identical to [[mixToTarget]] — one column-pruned
+    * aggregation pass for per-source token sums (map-side partials, one
+    * row per source), the tiny rates table broadcast back, one
+    * scan-predicate pass selects; the corpus never shuffles. Exact
+    * while tok_s·W and take·10⁶ stay under 2⁶³ (tok_s ≤ ~9·10¹² tokens
+    * at W ≤ 10⁶). A prefix-cut variant (take docs in key order until
+    * the budget fills exactly) would need a per-source global running
+    * sum — a single-partition-per-source window at any corpus size —
+    * so the rate form is the deliberate scale choice. */
+  def mixToTokenTarget(documents: DataFrame, weights: Map[String, Int]): DataFrame = {
+    require(weights.nonEmpty, "weights must name at least one source")
+    require(weights.values.forall(_ > 0), "weights must be positive")
+    val wsum = weights.values.map(_.toLong).sum
+    val wcol = weights.toSeq.sortBy(_._1)
+      .foldRight(lit(null).cast("long")) { case ((src, w), acc) =>
+        when(col("source") === src, lit(w.toLong)).otherwise(acc)
+      }
+    val base = documents.withColumn("w", wcol).filter(col("w").isNotNull)
+      .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")))
+    val counts = base.groupBy(col("source"), col("w"))
+      .agg(sum(col("n_tokens")).as("tok_source"))
+    val tstar = counts.agg(min(
+      call_function("div", col("tok_source") * lit(wsum), col("w")))
+      .as("t_star"))
+    val rates = counts.crossJoin(broadcast(tstar))
+      .withColumn("take_tokens",
+        call_function("div", col("w") * col("t_star"), lit(wsum)))
+      .withColumn("rate_ppm",
+        call_function("div", col("take_tokens") * lit(1000000L), col("tok_source")))
+      .select("source", "rate_ppm")
+    base
+      .join(broadcast(rates), Seq("source"))
+      .withColumn("sample_key", sampleKey(col("doc_id")))
+      .filter(col("sample_key") % 1000000L < col("rate_ppm"))
+      .select("doc_id", "source", "n_tokens", "sample_key", "rate_ppm")
+      .orderBy("doc_id")
+  }
 }

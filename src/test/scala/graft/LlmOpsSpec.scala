@@ -418,6 +418,41 @@ class LlmOpsSpec extends AnyFunSuite {
       docs.filter(col("source") === "src0").count())
   }
 
+  test("token mixture: rates derive from token mass and share the engine token unit") {
+    import graft.operators.Sampling
+    val weights = Map("src0" -> 50, "src2" -> 30, "src4" -> 20)
+    val out = Sampling.mixToTokenTarget(docs, weights).collect()
+    assert(out.nonEmpty)
+    assert(out.map(_.getAs[String]("source")).toSet.subsetOf(weights.keySet))
+    // scala reference replay in TOKEN units: per-source token sums ->
+    // T* -> take_tokens -> rate_ppm -> Lehmer residue membership
+    val wsum = weights.values.sum.toLong
+    val perDoc = docs.filter(col("source").isin(weights.keys.toSeq: _*))
+      .select(col("doc_id"), col("source"),
+        graft.operators.TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Long]("n_tokens")))
+    val tokS = perDoc.groupBy(_._2).map { case (s, rs) => s -> rs.map(_._3).sum }
+    val tstar = tokS.map { case (s, t) => t * wsum / weights(s) }.min
+    val expected = perDoc.filter { case (id, s, _) =>
+      val take = weights(s).toLong * tstar / wsum
+      val ratePpm = take * 1000000L / tokS(s)
+      (id * 48271L % 2147483647L) % 1000000L < ratePpm
+    }.map(_._1).toSet
+    assert(out.map(_.getAs[Long]("doc_id")).toSet === expected)
+    // the TOKEN-bottleneck source is taken whole (rate 1e6) — and it can
+    // differ from the doc-count bottleneck when lengths skew by source
+    val bottleneck = weights.minBy { case (s, w) => tokS(s).toDouble / w }._1
+    val kept = out.filter(_.getAs[String]("source") == bottleneck)
+    assert(kept.length === perDoc.count(_._2 == bottleneck))
+    assert(kept.forall(_.getAs[Long]("rate_ppm") === 1000000L))
+    // n_tokens in the output IS TextAnalysis.tokenCount — one unit
+    val official = perDoc.map(t => t._1 -> t._3).toMap
+    assert(out.forall(r =>
+      r.getAs[Long]("n_tokens") === official(r.getAs[Long]("doc_id"))))
+  }
+
   test("epoch plan: repetition capped, partial epochs residue-selected, dense numbering") {
     import graft.operators.Sampling
     val weights = Map("src0" -> 50, "src2" -> 30, "src4" -> 20)
