@@ -1,0 +1,52 @@
+#!/usr/bin/env python3
+"""Regenerate BASELINE.md's two result tables from a same-session pair of
+measurements (driver-side tooling, not library code).
+
+Usage: python3 tools/baseline_tables.py tools/baseline_times.json BENCH_full_rN.json
+
+Prints the mapped-keys table (bm_/ts_/ad_/al_ — families with a direct
+reference analog, ratio column, sorted by ratio desc) and the
+LLM-extension table (alphabetical, no ratio — both sides near their fixed
+floors at sf0.1), plus the totals rows, in BASELINE.md's exact format.
+"""
+import json
+import sys
+
+
+def main(base_path, bench_path):
+    base = {}
+    with open(base_path) as f:
+        data = json.load(f)
+    rows = data if isinstance(data, list) else data.get("keys", data)
+    if isinstance(rows, dict):
+        base = {k: v["sec"] if isinstance(v, dict) else v for k, v in rows.items()}
+    else:
+        for r in rows:
+            if "key" in r:
+                base[r["key"]] = r["sec"]
+    bench = json.load(open(bench_path))["queries"]
+    mapped_pref = ("bm_", "ts_", "ad_", "al_")
+    mapped = sorted((k for k in base if k.startswith(mapped_pref) and k in bench),
+                    key=lambda k: -(base[k] / bench[k]))
+    ext = sorted(k for k in base if not k.startswith(mapped_pref) and k in bench)
+    print("| key | pandas s | spark s | pandas/spark |")
+    print("|---|---|---|---|")
+    for k in mapped:
+        print(f"| {k} | {base[k]:.3f} | {bench[k]:.3f} | {base[k]/bench[k]:.2f}× |")
+    pt, st = sum(base[k] for k in mapped), sum(bench[k] for k in mapped)
+    print(f"| **total ({len(mapped)} keys)** | **{pt:.1f}** | **{st:.1f}** "
+          f"| **{pt/st:.1f}×** |")
+    print()
+    print("| key | pandas s | spark s |")
+    print("|---|---|---|")
+    for k in ext:
+        print(f"| {k} | {base[k]:.3f} | {bench[k]:.3f} |")
+    gp = pt + sum(base[k] for k in ext)
+    gs = st + sum(bench[k] for k in ext)
+    n = len(mapped) + len(ext)
+    print(f"| **grand total ({n} keys)** | **{gp:.1f}** | **{gs:.1f}** |")
+    print(f"\nratios: mapped {pt/st:.1f}x, grand {gp/gs:.1f}x")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2])
