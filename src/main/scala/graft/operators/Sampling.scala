@@ -300,6 +300,36 @@ object Sampling {
     * the budget fills exactly) would need a per-source global running
     * sum — a single-partition-per-source window at any corpus size —
     * so the rate form is the deliberate scale choice. */
+  /** Deterministic dense-id assignment — the documented escape hatch for
+    * [[sampleKey]]'s Lehmer domain (and assembleDataset's tightened
+    * doc_id bound): rows sorted by `orderCols` (default: the id column)
+    * get ids 0..n−1 in that order, appended as `dense_id`.
+    *
+    * Determinism contract: `orderCols` must be a TOTAL order (the
+    * default requires unique ids) — under a tie the assignment within
+    * the tie group depends on partitioning. With a total order the
+    * mapping is a pure function of the data, stable across runs,
+    * partition layouts and cluster sizes (specced).
+    *
+    * Scale shape: this is the one operator where an RDD primitive beats
+    * every DataFrame form — a global `row_number()` window forces ALL
+    * rows through a single partition, while `zipWithIndex` runs one
+    * count job over the sorted partitions and one map with per-partition
+    * offsets: two passes, no single-partition stage, exact at any corpus
+    * size. */
+  def densifyIds(df: DataFrame, orderCols: Seq[String] = Seq("doc_id")): DataFrame = {
+    require(orderCols.nonEmpty, "orderCols must name at least one column")
+    val spark = df.sparkSession
+    val ordered = df.orderBy(orderCols.map(col): _*)
+    val schema = org.apache.spark.sql.types.StructType(
+      ordered.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "dense_id", org.apache.spark.sql.types.LongType, nullable = false))
+    val rdd = ordered.rdd.zipWithIndex().map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
   def mixToTokenTarget(documents: DataFrame, weights: Map[String, Int]): DataFrame = {
     require(weights.nonEmpty, "weights must name at least one source")
     require(weights.values.forall(_ > 0), "weights must be positive")

@@ -215,4 +215,53 @@ object Tables {
 
   def writeJson(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
+
+  /** ORC round-trip — the third columnar format Spark ships natively
+    * (vectorized reader, predicate pushdown and column pruning like
+    * parquet), for pipelines whose lake standardized on ORC. Same
+    * overwrite-mode contract as the CSV/JSON helpers. */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  /** Raw-text corpus ingestion — the FRONT DOOR of a training-data
+    * pipeline: a directory of text files becomes the engine's
+    * `documents` shape (doc_id, source, text, n_chars). One file = one
+    * document (`wholetext`); `source` is the caller's corpus label;
+    * `doc_id` is xxhash64 of the file path — deterministic across runs
+    * and partitionings, but HASH-width (full Long range), so chain
+    * [[graft.operators.Sampling.densifyIds]] before any operator that
+    * needs the dense Lehmer domain (ds_* sampling/mixing/assembly).
+    * Scale shape: `text` is a distributed file-source scan (files split
+    * across tasks, no driver listing beyond Spark's own file index);
+    * everything added is per-row projection. */
+  def ingestTextDir(spark: SparkSession, dir: String,
+      source: String = "ingest"): DataFrame =
+    spark.read.option("wholetext", "true").text(dir)
+      .select(
+        xxhash64(input_file_name()).as("doc_id"),
+        lit(source).as("source"),
+        col("value").as("text"),
+        length(col("value")).cast("long").as("n_chars"),
+        input_file_name().as("path"))
+
+  /** Binary-payload ingestion — the multimodal front door: a directory
+    * of image/audio/video files becomes the engine's multimodal shape
+    * (doc_id, payload, n_bytes, path, mod_time). Spark's `binaryFile`
+    * source reads each file as one row with its bytes in `content`;
+    * the mm_* operators (extractFeatures / resize / frames / dedup)
+    * consume the payload column directly. Same doc_id contract as
+    * [[ingestTextDir]]. */
+  def ingestBinaryDir(spark: SparkSession, dir: String,
+      pattern: String = "*"): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", pattern).load(dir)
+      .select(
+        xxhash64(col("path")).as("doc_id"),
+        col("content").as("payload"),
+        col("length").as("n_bytes"),
+        col("path"),
+        col("modificationTime").as("mod_time"))
 }

@@ -1,0 +1,103 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Multimodal, Sampling, TextAnalysis}
+import graft.sources.Tables
+
+/** The corpus front doors: raw-text / binary directory ingestion into
+  * the engine's documents / multimodal shapes, the ORC round-trip, and
+  * densifyIds — the documented Lehmer-domain escape hatch. */
+class IngestionSpec extends AnyFunSuite {
+  import TestSpark.{sf, spark}
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def writeTextFiles(dir: String, docs: Seq[(String, String)]): Unit =
+    docs.foreach { case (name, text) =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, name),
+        text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+
+  test("text-dir ingestion yields the documents shape and feeds the tx_ operators") {
+    val dir = tmp("ingest-txt")
+    writeTextFiles(dir, Seq(
+      "a.txt" -> "the quick brown fox jumps over the lazy dog",
+      "b.txt" -> "pack my box with five dozen liquor jugs",
+      "c.txt" -> "sphinx of black quartz judge my vow"))
+    val docs = Tables.ingestTextDir(spark, dir, source = "web")
+    val rows = docs.collect()
+    assert(rows.length === 3)
+    assert(docs.columns.toSeq ===
+      Seq("doc_id", "source", "text", "n_chars", "path"))
+    assert(rows.forall(_.getAs[String]("source") == "web"))
+    // n_chars matches the text, doc_ids are distinct and deterministic
+    assert(rows.forall(r =>
+      r.getAs[Long]("n_chars") == r.getAs[String]("text").length.toLong))
+    assert(rows.map(_.getAs[Long]("doc_id")).distinct.length === 3)
+    val again = Tables.ingestTextDir(spark, dir, source = "web").collect()
+    assert(again.map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"))).toSet
+      === rows.map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"))).toSet)
+    // the ingested frame IS a documents frame: tx_ operators run on it
+    val stats = TextAnalysis.tokenStats(docs.drop("path")).collect()
+    assert(stats.length === 3 && stats.forall(_.getAs[Long]("n_tokens") >= 6L))
+  }
+
+  test("binary-dir ingestion yields the multimodal shape and feeds the mm_ operators") {
+    val dir = tmp("ingest-bin")
+    val payloads = Seq("img0" -> Array.range(0, 64).map(_.toByte),
+      "img1" -> Array.range(64, 160).map(_.toByte))
+    payloads.foreach { case (name, bytes) =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(dir, s"$name.bin"), bytes)
+    }
+    val media = Tables.ingestBinaryDir(spark, dir, pattern = "*.bin")
+    val rows = media.collect()
+    assert(rows.length === 2)
+    assert(media.columns.toSeq ===
+      Seq("doc_id", "payload", "n_bytes", "path", "mod_time"))
+    assert(rows.map(_.getAs[Long]("n_bytes")).sorted.toSeq === Seq(64L, 96L))
+    // payload bytes survive verbatim
+    val byLen = rows.map(r =>
+      r.getAs[Long]("n_bytes") -> r.getAs[Array[Byte]]("payload")).toMap
+    assert(byLen(64L).toSeq === payloads.head._2.toSeq)
+    // the mm_ feature extractor consumes the ingested payload column
+    val feats = Multimodal.extractFeatures(
+      media.select(col("doc_id"), col("payload"))).collect()
+    assert(feats.length === 2)
+  }
+
+  test("ORC round-trips the documents table bit-exactly") {
+    val docs = Tables.documents(spark, sf)
+    val dir = tmp("orc-docs")
+    Tables.writeOrc(docs, dir)
+    val back = Tables.readOrc(spark, dir)
+    assert(back.schema === docs.schema)
+    assert(back.exceptAll(docs).isEmpty && docs.exceptAll(back).isEmpty)
+  }
+
+  test("densifyIds: bijective 0..n-1, order-consistent, partitioning-stable, Lehmer-safe") {
+    // hash-width ids (the ingestTextDir contract) densified into the
+    // sampleKey domain
+    val wide = Seq(
+      (8714349872330411920L, "a"), (-3L, "b"), (42L, "c"),
+      (2147483647L, "d"), (-9104071444059791219L, "e"))
+      .toDF("doc_id", "text")
+    val dense = Sampling.densifyIds(wide).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("dense_id")))
+    assert(dense.map(_._2).sorted.toSeq === (0L until 5L))
+    // order-consistent: dense ids ascend with the sort column
+    assert(dense.sortBy(_._1).map(_._2).toSeq === (0L until 5L))
+    // partitioning-stable: a different input layout gives the same map
+    val re = Sampling.densifyIds(wide.repartition(7)).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("dense_id"))).toMap
+    assert(dense.toMap === re)
+    // the output feeds sampleKey without tripping the domain guard
+    val keyed = Sampling.densifyIds(wide)
+      .select(Sampling.sampleKey(col("dense_id")).as("k")).collect()
+    assert(keyed.length === 5)
+  }
+}
