@@ -187,6 +187,36 @@ object Pipeline {
     assembled
   }
 
+  /** The WHOLE training-data path from raw files to training shards —
+    * front door to capstone in one call: each named corpus directory is
+    * ingested ([[graft.sources.Tables.ingestTextDir]], one file = one
+    * document, the corpus label as `source`), the union is densified
+    * into the Lehmer domain ([[Sampling.densifyIds]] ordered by the
+    * unique file path — deterministic across runs and partition
+    * layouts), and [[assembleAndWrite]] runs the full curate → mix →
+    * epochs → shuffle → pack recipe and lays the shards down.
+    *
+    * This is the "switch your corpus to this engine" entry point: raw
+    * text directories in, replayable training shards out, every stage
+    * the same specced operator its query key runs. Scale shape: the
+    * ingest is a distributed file scan per corpus; densify is the
+    * sorted zipWithIndex (no single-partition stage); the assembly
+    * tail is the capstone's one shared shard exchange. */
+  def ingestAndAssemble(spark: SparkSession, corpora: Map[String, String],
+      weights: Map[String, Int], budget: Long, path: String,
+      maxEpochs: Int = 4, nShards: Int = 16,
+      packBudget: Long = 2048): DataFrame = {
+    require(corpora.nonEmpty, "corpora must name at least one directory")
+    val raw = corpora.toSeq.sortBy(_._1)
+      .map { case (src, dir) => graft.sources.Tables.ingestTextDir(spark, dir, src) }
+      .reduce(_.unionByName(_))
+    val dense = Sampling.densifyIds(raw, orderCols = Seq("path"))
+      .drop("doc_id", "path")
+      .withColumnRenamed("dense_id", "doc_id")
+    assembleAndWrite(dense, weights, budget, path, maxEpochs, nShards,
+      packBudget)
+  }
+
   /** The ONLINE front half of the assembly recipe, as a per-micro-batch
     * `prepare` for IncrementalDedup.streamingIngest: curation gate →
     * per-source mixture rates, both pure per-row predicates, so each
