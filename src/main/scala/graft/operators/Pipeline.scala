@@ -207,12 +207,24 @@ object Pipeline {
       maxEpochs: Int = 4, nShards: Int = 16,
       packBudget: Long = 2048): DataFrame = {
     require(corpora.nonEmpty, "corpora must name at least one directory")
+    // fail fast on label drift: mixToTarget silently drops sources with
+    // no weight (null-weight filter) — here that would mean a whole
+    // INGESTED corpus vanishing from the shards over a typo'd key
+    require(corpora.keySet == weights.keySet,
+      s"corpora labels ${corpora.keySet.toSeq.sorted.mkString(",")} must " +
+        s"match weight keys ${weights.keySet.toSeq.sorted.mkString(",")}")
     val raw = corpora.toSeq.sortBy(_._1)
       .map { case (src, dir) => graft.sources.Tables.ingestTextDir(spark, dir, src) }
       .reduce(_.unionByName(_))
+    // materialize the densified corpus: assembleDataset references its
+    // input from several branches (the curate gate's checkpoint action,
+    // the token join, the shard write) — cheap re-scans for a parquet
+    // table, but HERE the lineage is the whole-directory wholetext scan
+    // plus the densify sort, which must run once, not once per branch
     val dense = Sampling.densifyIds(raw, orderCols = Seq("path"))
       .drop("doc_id", "path")
       .withColumnRenamed("dense_id", "doc_id")
+      .localCheckpoint(false)
     assembleAndWrite(dense, weights, budget, path, maxEpochs, nShards,
       packBudget)
   }

@@ -233,7 +233,9 @@ object Sampling {
     * per-source rates: given relative `weights`, the largest total T*
     * for which every named source can supply its share WITHOUT
     * repetition is T* = min_s floor(n_s·W / w_s) (the bottleneck source
-    * is taken whole), each source's take is floor(w_s·T* / W), and
+    * is taken whole — up to ONE doc of floor rounding: the chain gives
+    * its take ∈ {n_b−1, n_b}, exact whenever w_b divides n_b·W), each
+    * source's take is floor(w_s·T* / W), and
     * membership is the Lehmer residue test at rate_ppm = floor(take·10⁶
     * / n_s) — all Long integer arithmetic, so the DuckDB oracle replays
     * the selection bit-for-bit. Sources not named in `weights` are
@@ -273,33 +275,6 @@ object Sampling {
       .orderBy("doc_id")
   }
 
-  /** [[mixToTarget]] in TOKEN units — the form real LLM mixtures are
-    * specified in ("20% of TOKENS from code, 60% from web…" — domain
-    * weights in Pile/DoReMi/Llama recipes weight token mass, not
-    * document counts, because document length varies by orders of
-    * magnitude across sources): per-source supply is
-    * tok_s = Σ [[graft.operators.TextAnalysis.tokenCount]] (the ONE
-    * engine token counter, so this budget means the same thing as
-    * tx_tokens/tx_pack's), the largest repetition-free total is
-    * T* = min_s floor(tok_s·W / w_s), each source's token take is
-    * floor(w_s·T* / W), and membership stays the per-DOC Lehmer residue
-    * test at rate_ppm = floor(take·10⁶ / tok_s): documents are atomic,
-    * so the mixture thins documents uniformly per source and the
-    * realized token share concentrates on the target (uniform doc
-    * sampling is length-unbiased — E[token mass kept] = rate·tok_s),
-    * exactly the estimator contract the doc-count form has at doc
-    * granularity. All Long integer arithmetic — the DuckDB oracle
-    * replays the selection bit-for-bit.
-    *
-    * Scale shape: identical to [[mixToTarget]] — one column-pruned
-    * aggregation pass for per-source token sums (map-side partials, one
-    * row per source), the tiny rates table broadcast back, one
-    * scan-predicate pass selects; the corpus never shuffles. Exact
-    * while tok_s·W and take·10⁶ stay under 2⁶³ (tok_s ≤ ~9·10¹² tokens
-    * at W ≤ 10⁶). A prefix-cut variant (take docs in key order until
-    * the budget fills exactly) would need a per-source global running
-    * sum — a single-partition-per-source window at any corpus size —
-    * so the rate form is the deliberate scale choice. */
   /** Deterministic dense-id assignment — the documented escape hatch for
     * [[sampleKey]]'s Lehmer domain (and assembleDataset's tightened
     * doc_id bound): rows sorted by `orderCols` (default: the id column)
@@ -330,6 +305,41 @@ object Sampling {
     spark.createDataFrame(rdd, schema)
   }
 
+  /** [[mixToTarget]] in TOKEN units — the form real LLM mixtures are
+    * specified in ("20% of TOKENS from code, 60% from web…" — domain
+    * weights in Pile/DoReMi/Llama recipes weight token mass, not
+    * document counts, because document length varies by orders of
+    * magnitude across sources): per-source supply is
+    * tok_s = Σ [[graft.operators.TextAnalysis.tokenCount]] (the ONE
+    * engine token counter, so this budget means the same thing as
+    * tx_tokens/tx_pack's), the largest repetition-free total is
+    * T* = min_s floor(tok_s·W / w_s), each source's token take is
+    * floor(w_s·T* / W), and membership stays the per-DOC Lehmer residue
+    * test at rate_ppm = floor(take·10⁶ / tok_s): documents are atomic,
+    * so the mixture thins documents uniformly per source and the
+    * realized token share concentrates on the target (uniform doc
+    * sampling is length-unbiased — E[token mass kept] = rate·tok_s),
+    * exactly the estimator contract the doc-count form has at doc
+    * granularity. All Long integer arithmetic — the DuckDB oracle
+    * replays the selection bit-for-bit.
+    *
+    * Bottleneck rounding: the floor chain gives the token-bottleneck
+    * source take ∈ {tok_b − 1, tok_b} (take ≥ tok_b·(1 − w_b/(tok_b·W))
+    * > tok_b − 1), so its rate_ppm is 10⁶ when the divisions land exact
+    * and at most one token's worth below otherwise — "taken whole up to
+    * one token of floor rounding", material only on toy corpora
+    * (at tok_b = 10⁶ the worst case is rate 999 999). The doc-count
+    * [[mixToTarget]] has the same property in doc units.
+    *
+    * Scale shape: identical to [[mixToTarget]] — one column-pruned
+    * aggregation pass for per-source token sums (map-side partials, one
+    * row per source), the tiny rates table broadcast back, one
+    * scan-predicate pass selects; the corpus never shuffles. Exact
+    * while tok_s·W and take·10⁶ stay under 2⁶³ (tok_s ≤ ~9·10¹² tokens
+    * at W ≤ 10⁶). A prefix-cut variant (take docs in key order until
+    * the budget fills exactly) would need a per-source global running
+    * sum — a single-partition-per-source window at any corpus size —
+    * so the rate form is the deliberate scale choice. */
   def mixToTokenTarget(documents: DataFrame, weights: Map[String, Int]): DataFrame = {
     require(weights.nonEmpty, "weights must name at least one source")
     require(weights.values.forall(_ > 0), "weights must be positive")

@@ -104,6 +104,12 @@ class IngestionSpec extends AnyFunSuite {
       .filter(f => f.isDirectory && f.getName.startsWith("shard="))
     assert(shardDirs.nonEmpty)
     assert(spark.read.parquet(out).count() === rows.length)
+    // a typo'd mixture key must fail fast, not silently drop a corpus
+    intercept[IllegalArgumentException] {
+      graft.operators.Pipeline.ingestAndAssemble(spark,
+        Map("web" -> webDir, "code" -> codeDir),
+        Map("web" -> 60, "cod" -> 40), budget = 30L, path = tmp("never"))
+    }
     // deterministic: a second run over the same directories replays
     // bit-identically (the densify order is the unique file path)
     val again = graft.operators.Pipeline.ingestAndAssemble(spark,

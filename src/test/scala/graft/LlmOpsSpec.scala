@@ -398,12 +398,19 @@ class LlmOpsSpec extends AnyFunSuite {
         (r.getAs[Long]("doc_id") * 48271L % 2147483647L) % 1000000L < ratePpm
       }.map(_.getAs[Long]("doc_id")).toSet
     assert(out.map(_.getAs[Long]("doc_id")).toSet === expected)
-    // the bottleneck source (largest weight on uniform counts) has
-    // rate_ppm = 1e6: taken whole, so the target mix is the max feasible
+    // the bottleneck source is taken whole up to ONE doc of floor
+    // rounding (take ∈ {n_b−1, n_b}); on THIS corpus the bottleneck is
+    // the w=50 source whose arithmetic divides, so the exact-whole case
+    // (rate 1e6, every doc kept) is the deterministic expectation —
+    // asserted via the replay, with the general band checked first
     val bottleneck = weights.minBy { case (s, w) => counts(s).toDouble / w }._1
+    val takeB = weights(bottleneck).toLong * tstar / wsum
+    assert(takeB === counts(bottleneck) || takeB === counts(bottleneck) - 1)
     val kept = out.filter(_.getAs[String]("source") == bottleneck)
-    assert(kept.length.toLong === counts(bottleneck))
-    assert(kept.forall(_.getAs[Long]("rate_ppm") === 1000000L))
+    val rateB = takeB * 1000000L / counts(bottleneck)
+    assert(kept.forall(_.getAs[Long]("rate_ppm") === rateB))
+    assert(rateB === 1000000L && kept.length.toLong === counts(bottleneck),
+      s"this corpus's w=50 bottleneck divides exactly; got rate $rateB")
     intercept[IllegalArgumentException] { Sampling.mixToTarget(docs, Map.empty) }
     intercept[IllegalArgumentException] {
       Sampling.mixToTarget(docs, Map("src0" -> 0))
@@ -441,12 +448,22 @@ class LlmOpsSpec extends AnyFunSuite {
       (id * 48271L % 2147483647L) % 1000000L < ratePpm
     }.map(_._1).toSet
     assert(out.map(_.getAs[Long]("doc_id")).toSet === expected)
-    // the TOKEN-bottleneck source is taken whole (rate 1e6) — and it can
-    // differ from the doc-count bottleneck when lengths skew by source
+    // the TOKEN-bottleneck source is taken whole up to ONE token of
+    // floor rounding (take ∈ {tok_b−1, tok_b} — see the scaladoc): its
+    // take must sit in that band, and its rate must equal the exact
+    // integer replay (1e6 when the divisions land exact — true here
+    // only when the bottleneck's arithmetic divides; never assert the
+    // lucky case). The bottleneck can differ from the doc-count one
+    // when lengths skew by source.
     val bottleneck = weights.minBy { case (s, w) => tokS(s).toDouble / w }._1
+    val takeB = weights(bottleneck).toLong * tstar / wsum
+    assert(takeB === tokS(bottleneck) || takeB === tokS(bottleneck) - 1,
+      s"bottleneck take $takeB outside {tok_b-1, tok_b} of ${tokS(bottleneck)}")
     val kept = out.filter(_.getAs[String]("source") == bottleneck)
-    assert(kept.length === perDoc.count(_._2 == bottleneck))
-    assert(kept.forall(_.getAs[Long]("rate_ppm") === 1000000L))
+    val rateB = takeB * 1000000L / tokS(bottleneck)
+    assert(kept.forall(_.getAs[Long]("rate_ppm") === rateB))
+    assert(rateB >= 1000000L - (1000000L + tokS(bottleneck) - 1) / tokS(bottleneck),
+      s"bottleneck rate $rateB more than one token below whole")
     // n_tokens in the output IS TextAnalysis.tokenCount — one unit
     val official = perDoc.map(t => t._1 -> t._3).toMap
     assert(out.forall(r =>

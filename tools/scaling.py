@@ -34,22 +34,23 @@ import sys
 # removed the per-pair Decimal machinery. Measured slope fell to
 # ~1.7-2.7x, inside the default gate.)
 # (r13: the seven r12 waivers were retired on a quieter-session two-scale
-# re-measure (full 83-key runs, 2026-08-14) plus two kernel fixes:
-#   - tx_normalize 9.1x -> 1.4x (one-pass normalize_text kernel replaced
-#     the two regexp_replace traversals; 4.71 -> 0.28 s sf1);
-#   - tx_curate 3.3x -> 1.4x (one-pass quality_counts kernel replaced the
-#     alpha regex + interpreted stopword filter; 1.69 -> 0.84 s sf1);
-#   - tx_lm_score measured 2.2x, st_dedup 1.4x, bm_percentile 2.3x,
-#     q_approx_quantile <=1.7x — the r12 "saturation/noise" readings were
+# re-measure plus two kernel fixes. Canonical numbers = the committed
+# final-code study BENCH_full_r13.json / BENCH_sf1.json (one snapshot):
+#   - tx_normalize 9.1x -> 1.3x (one-pass normalize_text kernel replaced
+#     the two regexp_replace traversals; 4.71 -> 0.27 s sf1);
+#   - tx_curate 3.3x -> 1.6x (one-pass quality_counts kernel replaced the
+#     alpha regex + interpreted stopword filter; 1.69 -> 0.65 s sf1);
+#   - tx_lm_score measured 2.5x, st_dedup 1.9x, bm_percentile 2.6x,
+#     q_approx_quantile 1.5x — the r12 "saturation/noise" readings were
 #     the starved box, as diagnosed; all inside the default gate now.)
 WAIVERS = {
-    # 3.2x measured r13 (0.79 -> 2.49 s): the known OUTPUT-bound key —
-    # at threshold 0.3 the accepted pairs are the background cosine
-    # tail, near-quadratic in replicas per label block, so the result
-    # SIZE grows faster than the corpus; geometry (r8 occupancy-16
-    # retune) keeps candidate volume ~2x down at every scale, and the
-    # residual slope is materializing the bigger answer, not a plan
-    # defect. Margin 3.5x = the measurement plus run-to-run jitter.
+    # 3.3x measured r13 (0.78 -> 2.56 s, BENCH_full_r13/BENCH_sf1): the
+    # known OUTPUT-bound key — at threshold 0.3 the accepted pairs are
+    # the background cosine tail, near-quadratic in replicas per label
+    # block, so the result SIZE grows faster than the corpus; geometry
+    # (r8 occupancy-16 retune) keeps candidate volume ~2x down at every
+    # scale, and the residual slope is materializing the bigger answer,
+    # not a plan defect. Margin 3.5x = the measurement plus jitter.
     "dd_embedding": 3.5,
 }
 
