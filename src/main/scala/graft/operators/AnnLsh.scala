@@ -100,6 +100,17 @@ object AnnLsh {
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("buckets").as("q_buckets"))
       .localCheckpoint(true)
+    // fail fast on ids absent from the corpus (the Ivf.topKBatch
+    // contract): a silently-missing q_id group misaligns any consumer
+    // pairing answers with queries. Instant count — checkpointed frame.
+    if (queries.count() != queryIds.size) {
+      val missing = queryIds.toSet --
+        queries.select("q_id").collect().map(_.getLong(0)).toSet
+      throw new IllegalArgumentException(
+        s"topKBatch: query ids not present in the corpus: " +
+          s"${missing.toSeq.sorted.take(10).mkString(", ")}" +
+          (if (missing.size > 10) s" (+${missing.size - 10} more)" else ""))
+    }
     val qb = queries.select(col("q_id"), col("q_emb"), col("q_buckets"),
       posexplode(col("q_buckets")).as(Seq("t", "bucket")))
     val cb = indexed.select(col("vec_id"), col("label"), col("embedding"),

@@ -27,20 +27,20 @@ import org.apache.spark.sql.functions._
   *
   * [[decontaminate]] picks the shape automatically: one cheap count of
   * the DISTINCT benchmark grams (a job over the tiny benchmark side only
-  * — the corpus is untouched) against `maxBroadcastGrams`. The default
-  * cutover is 1,000,000 grams: below it the sorted array is ≲50 MB
-  * broadcast-side and the per-row `array_intersect` (a binary-search
-  * merge over two SORTED arrays) stays cheaper than exploding the corpus;
-  * above it the array no longer amortizes — Spark re-evaluates the
-  * array-side structure per task and the intersect cost per corpus row
-  * grows with |bench|, while scanJoin's hash probe stays O(1) per gram —
-  * so the explode+broadcast-hash-join shape wins despite its one corpus
-  * shuffle. The two shapes are row-identical, so the switch is purely
-  * physical.
+  * — the corpus is untouched) against `maxBroadcastGrams`, whose default
+  * is the MEASURED [[DefaultMaxBroadcastGrams]] = 2048 (see its doc for
+  * the r12 numbers — the per-row `array_intersect` rebuilds a hash set
+  * over the whole benchmark array for every corpus row, so the scan
+  * shape only wins while the benchmark is a handful of documents;
+  * scanJoin's executor-shared hash relation takes over beyond that
+  * despite its one corpus shuffle). The two shapes are row-identical,
+  * so the switch is purely physical.
   *
   * Both forms count DISTINCT grams per document, so
   * `contamination = n_overlap / n_grams` is a containment fraction in
-  * [0,1] and the two shapes are row-identical (specced in LlmOpsSpec).
+  * [0,1] and the two shapes are row-identical — including null-text
+  * documents, which both shapes keep with null metrics (specced in
+  * LlmOpsSpec).
   */
 object Contamination {
 
@@ -63,11 +63,14 @@ object Contamination {
         col("n_overlap").cast("double") / col("n_grams"))
       .withColumn("contaminated", col("contamination") >= threshold)
       .select("doc_id", "n_grams", "n_overlap", "contamination", "contaminated")
-      .orderBy("doc_id")
 
   /** Broadcast-array decontamination scan (see object doc). The benchmark
     * side reduces to one row (`sort_array(collect_set(gram))`) that rides
-    * a broadcast nested-loop join; corpus rows never shuffle. */
+    * a broadcast nested-loop join; corpus rows never hash-shuffle.
+    * Presentation ordering sorts the RAW corpus below the per-row gram
+    * chain (projections preserve child ordering) — sort-on-top would let
+    * the range partitioner's sampling pass evaluate the whole
+    * gram+intersect chain twice (the r12 tx_* finding; same fix). */
   def scan(corpus: DataFrame, benchmark: DataFrame, n: Int = 3,
       threshold: Double = 0.5): DataFrame =
     scanWithGrams(corpus, distinctGrams(benchmark, n), n, threshold)
@@ -76,7 +79,7 @@ object Contamination {
       n: Int, threshold: Double): DataFrame = {
     val bench = benchGrams
       .agg(sort_array(collect_set(col("gram"))).as("bench_grams"))
-    val scored = gramSets(corpus, n)
+    val scored = gramSets(corpus.orderBy("doc_id"), n)
       .crossJoin(broadcast(bench))
       .select(
         col("doc_id"),
@@ -130,11 +133,23 @@ object Contamination {
   private def scanJoinWithGrams(corpus: DataFrame, benchGrams: DataFrame,
       n: Int, threshold: Double): DataFrame = {
     val bench = benchGrams.withColumn("hit", lit(1L))
+    // explode_outer + the carried size(grams): a null-text document has
+    // null grams, which a plain explode would DROP — the scan shape
+    // keeps the row with null metrics, and the two shapes are
+    // row-identical by contract. The null-gram row joins nothing, and
+    // the post-agg projection restores the null n_overlap the scan
+    // shape produces (sum over the single unmatched row would read 0).
     val scored = gramSets(corpus, n)
-      .select(col("doc_id"), explode(col("grams")).as("gram"))
+      .select(col("doc_id"), size(col("grams")).cast("long").as("n_grams"),
+        explode_outer(col("grams")).as("gram"))
       .join(broadcast(bench), Seq("gram"), "left")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_grams"), sum(coalesce(col("hit"), lit(0L))).as("n_overlap"))
-    score(scored, threshold)
+      .groupBy("doc_id", "n_grams")
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_overlap0"))
+      .select(col("doc_id"), col("n_grams"),
+        when(col("n_grams").isNotNull, col("n_overlap0")).as("n_overlap"))
+    // ordering here sits ON TOP of the aggregate — the range sampling
+    // re-reads the agg's shuffled output, not the per-row chain, so the
+    // double-eval concern of the scan shape does not apply
+    score(scored, threshold).orderBy("doc_id")
   }
 }

@@ -185,14 +185,29 @@ object IncrementalDedup {
     * one file per touched directory, hundreds of tiny files per batch at
     * scale; folding deltas into the base is [[compact]]'s job). Reopen to
     * read the new rows. */
-  def appendSignatures(index: SigIndex, newDocs: DataFrame): Unit = {
-    val spark = newDocs.sparkSession
+  def appendSignatures(index: SigIndex, newDocs: DataFrame): Unit =
+    appendSigned(index, signed(newDocs, index.k, index.bands),
+      alreadyMaterialized = false)
+
+  /** [[appendSignatures]] over ALREADY-SIGNED rows — the ingest loop's
+    * accept step: [[streamingIngest]] signs each micro-batch exactly
+    * once (the probe needs the signatures anyway) and appends the
+    * surviving rows of that same checkpointed frame, instead of
+    * re-tokenizing and re-minhashing the survivors from raw text (the
+    * former shape paid the k×tokens signing kernel — the dominant
+    * per-batch compute — twice per batch). Same doc_id ⇒ same signature
+    * under the index's parameters, so the appended rows are identical
+    * either way. `alreadyMaterialized` skips the defensive checkpoint
+    * when the caller's rows are (derived from) a checkpoint. */
+  private[graft] def appendSigned(index: SigIndex, batchSigned: DataFrame,
+      alreadyMaterialized: Boolean): Unit = {
+    val spark = batchSigned.sparkSession
     val hasSidecar = readBucketBloom(spark, index.path).isDefined
     // with a sidecar the signed batch is read TWICE (delta write + the
     // sidecar-merge aggregate) — checkpoint so signing runs once; without
     // one, stay single-job with signing fused into the write
-    val batch0 = signed(newDocs, index.k, index.bands)
-    val batch = if (hasSidecar) batch0.localCheckpoint(true) else batch0
+    val batch = if (hasSidecar && !alreadyMaterialized)
+      batchSigned.localCheckpoint(true) else batchSigned
     batch.coalesce(1).write.mode("append").parquet(s"${index.path}/delta")
     // keep the optional bucket-Bloom sidecar consistent: a duplicate of
     // an APPENDED doc must still gate through on the next batch. Indexes
@@ -225,7 +240,19 @@ object IncrementalDedup {
 
   /** One Bloom aggregate over the (band, bucket) keys of `sigRows`,
     * with pinned (items, bits) so independently-built filters are
-    * mergeable (same parameters → same hash count and bitset size). */
+    * mergeable (same parameters → same hash count and bitset size).
+    *
+    * BloomFilterAggregate silently clamps its parameters to the
+    * runtime-join-pruning conf maxima (Math.min against
+    * spark.sql.optimizer.runtime.bloomFilter.maxNumItems/maxNumBits —
+    * defaults 4M items / 67,108,864 bits, sized for Spark's own
+    * runtime-filter use, verified against the 4.1.2 bytecode). Past
+    * ~250k docs × 16 bands the clamp would break the sidecar's fpp
+    * promise — an 8 MB filter holding 80M keys gates nothing while the
+    * JSON meta claims otherwise — so the two confs are raised to the
+    * requested parameters for exactly this aggregate's build and
+    * restored after (they only CAP sizes; raising them scoped to this
+    * action cannot affect concurrent queries' semantics). */
   private def bucketBloomBytes(sigRows: DataFrame, items: Long,
       bits: Long): Array[Byte] = {
     import org.apache.spark.sql.catalyst.expressions.Literal
@@ -237,7 +264,21 @@ object IncrementalDedup {
     val agg = bridge.column(new BloomFilterAggregate(
       bridge.expression(col("key")), Literal(items), Literal(bits))
       .toAggregateExpression())
-    keys.agg(agg.as("bf")).head.getAs[Array[Byte]]("bf")
+    val conf = sigRows.sparkSession.conf
+    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val prevItems = conf.getOption(itemsKey)
+    val prevBits = conf.getOption(bitsKey)
+    def restore(key: String, prev: Option[String]): Unit =
+      prev match { case Some(v) => conf.set(key, v) case None => conf.unset(key) }
+    try {
+      conf.set(itemsKey, math.max(items, 4000000L).toString)
+      conf.set(bitsKey, math.max(bits, 67108864L).toString)
+      keys.agg(agg.as("bf")).head.getAs[Array[Byte]]("bf")
+    } finally {
+      restore(itemsKey, prevItems)
+      restore(bitsKey, prevBits)
+    }
   }
 
   /** Build (or rebuild) the bucket-Bloom sidecar for the CURRENT corpus
@@ -259,9 +300,22 @@ object IncrementalDedup {
         deltaSigs(spark, path).map(_.count()).getOrElse(0L)
     val items = math.max(1L, docs) * ps("bands")
     val bits = BloomDedup.optimalNumBits(items, fpp)
-    writeBytes(spark, bloomBinPath(path), bucketBloomBytes(all, items, bits))
-    IndexMeta.writeText(spark, bloomMetaPath(path),
-      s"""{"format":${IndexMeta.FormatVersion},"items":$items,"bits":$bits}""")
+    val bytes = bucketBloomBytes(all, items, bits)
+    if (bytes == null) {
+      // an EMPTY corpus aggregates to null (no key rows): there is no
+      // filter to write — remove any stale sidecar instead of NPEing in
+      // writeBytes. Absent sidecar = ungated probe, which on an empty
+      // corpus is trivially cheap and exact.
+      val f = fs(spark, path)
+      f.delete(new org.apache.hadoop.fs.Path(bloomBinPath(path)), false)
+      f.delete(new org.apache.hadoop.fs.Path(bloomMetaPath(path)), false)
+      org.slf4j.LoggerFactory.getLogger(getClass)
+        .info(s"writeBucketBloom($path): empty corpus — sidecar removed")
+    } else {
+      writeBytes(spark, bloomBinPath(path), bytes)
+      IndexMeta.writeText(spark, bloomMetaPath(path),
+        s"""{"format":${IndexMeta.FormatVersion},"items":$items,"bits":$bits}""")
+    }
   }
 
   /** The sidecar's (bytes, items, bits), when the index opted in. */
@@ -443,36 +497,11 @@ object IncrementalDedup {
     val ps = IndexMeta.readParams(spark, path, Seq("k", "bands"))
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // FIRST recover from a compact that crashed between swapDir's two
-    // renames: that window leaves the live dir MISSING with the only
-    // full copies in `*_new` (written-complete — the swap runs after the
-    // writes) and `*_old`; sweeping those before checking would delete
-    // both archives and permanently lose the base. Prefer `_new` (the
-    // newer consistent state — its folded delta rows are inert against
-    // the still-present delta/), fall back to `_old` (pre-compact state,
-    // delta intact).
-    for (name <- Seq("sigs", "buckets")) {
-      val live = new org.apache.hadoop.fs.Path(s"$path/$name")
-      if (!fs.exists(live)) {
-        val fresh = new org.apache.hadoop.fs.Path(s"$path/${name}_new")
-        val old = new org.apache.hadoop.fs.Path(s"$path/${name}_old")
-        val src = if (fs.exists(fresh)) Some(fresh)
-          else if (fs.exists(old)) Some(old) else None
-        src.foreach { s =>
-          if (!fs.rename(s, live))
-            throw new java.io.IOException(
-              s"compact: live $live is missing (crashed earlier compact) " +
-                s"and recovery rename $s -> $live failed; recover manually " +
-                "before compacting")
-        }
-      }
-    }
-    // now sweep leftovers of an earlier crashed compact BEFORE writing,
-    // so the renames below cannot silently no-op against a stale target
-    for (d <- Seq("sigs_old", "sigs_new", "buckets_old", "buckets_new")) {
-      val stale = new org.apache.hadoop.fs.Path(s"$path/$d")
-      if (fs.exists(stale)) fs.delete(stale, true)
-    }
+    // recover a live dir lost to a crashed earlier compact, then sweep
+    // stale swap leftovers — the shared discipline (IndexSwap doc; a
+    // crash between the two renames leaves the only full copies in
+    // `*_new`/`*_old`, and sweeping before checking would lose the base)
+    IndexSwap.recover(fs, path, Seq("sigs", "buckets"))
     val base = spark.read.parquet(s"$path/sigs").drop("sp")
     // tombstones fold here: the anti-join drops deleted docs' rows for
     // real (base AND delta AND any pre-compact re-append), so the
@@ -489,8 +518,8 @@ object IncrementalDedup {
     writeBuckets(spark.read.parquet(s"$path/sigs_new"), s"$path/buckets_new",
       p2, "overwrite", files = numFiles)
     IndexMeta.writeDirMeta(spark, s"$path/buckets_new", p2)
-    swapDir(fs, path, "buckets")
-    swapDir(fs, path, "sigs")
+    IndexSwap.swap(fs, path, "buckets")
+    IndexSwap.swap(fs, path, "sigs")
     // the delta is now folded into the base; delete it LAST so a crash
     // anywhere above leaves every delta row still visible somewhere
     val delta = new org.apache.hadoop.fs.Path(s"$path/delta")
@@ -506,29 +535,6 @@ object IncrementalDedup {
     // sidecar, which is correct — extra probe input only)
     if (hadTombstones && readBucketBloom(spark, path).isDefined)
       writeBucketBloom(spark, path)
-    ()
-  }
-
-  /** Checked three-way rename swap of `$path/$name` ← `$path/${name}_new`.
-    * Hadoop's rename reports failure by returning false (dst exists, src
-    * missing), not by throwing — an unchecked swap can corrupt the live
-    * index while looking successful. */
-  private def swapDir(fs: org.apache.hadoop.fs.FileSystem, path: String,
-      name: String): Unit = {
-    val live = new org.apache.hadoop.fs.Path(s"$path/$name")
-    val fresh = new org.apache.hadoop.fs.Path(s"$path/${name}_new")
-    val old = new org.apache.hadoop.fs.Path(s"$path/${name}_old")
-    if (!fs.rename(live, old))
-      throw new java.io.IOException(
-        s"compact: failed to archive $live to $old — live index untouched")
-    if (!fs.rename(fresh, live)) {
-      // restore the live dir before failing: the archive rename
-      // succeeded, so rolling back cannot hit an existing target
-      fs.rename(old, live)
-      throw new java.io.IOException(
-        s"compact: failed to swap $fresh into place — live dir restored")
-    }
-    fs.delete(old, true)
     ()
   }
 
@@ -631,10 +637,18 @@ object IncrementalDedup {
     * the index and `newDocs` match themselves (est 1.0) — dedupAgainst is
     * for ids the corpus has not seen. */
   def dedupAgainst(index: SigIndex, newDocs: DataFrame,
-      threshold: Double = 0.9): DataFrame = {
+      threshold: Double = 0.9): DataFrame =
+    dedupAgainstSigned(index,
+      signed(newDocs, index.k, index.bands).localCheckpoint(true), threshold)
+
+  /** [[dedupAgainst]] over an ALREADY-SIGNED, CHECKPOINTED batch — the
+    * ingest loop signs once and shares the frame between the probe and
+    * the survivor append ([[appendSigned]]). `batch` must be
+    * materialized (the router counts and both probe paths read it). */
+  private[graft] def dedupAgainstSigned(index: SigIndex, batch: DataFrame,
+      threshold: Double): DataFrame = {
     val spark = index.sigs.sparkSession
     val sp = IndexMeta.readDirMeta(spark, s"${index.path}/sigs")
-    val batch = signed(newDocs, index.k, index.bands).localCheckpoint(true)
     val batchN = batch.count() // instant: checkpointed
     // the base size comes from the build/compact-time row count in the
     // sidecar (partition counts may be pinned by the caller, so parts ×
@@ -695,8 +709,8 @@ object IncrementalDedup {
         else prunedMatches(index, probeIn, sp, threshold)
     }
     // matches is at most batch-sized (one row per flagged new doc), so
-    // the flag join broadcasts too instead of shuffling newDocs
-    newDocs.select(col("doc_id")).join(broadcast(matches), Seq("doc_id"), "left")
+    // the flag join broadcasts too instead of shuffling the batch
+    batch.select(col("doc_id")).join(broadcast(matches), Seq("doc_id"), "left")
       .select(col("doc_id"), col("dup_of").isNotNull.as("is_duplicate"),
         col("dup_of"), col("match_est"))
   }
@@ -831,11 +845,19 @@ object IncrementalDedup {
         val spark = batch.sparkSession
         val idx = openSignatures(spark, indexPath)
         val prepared = prepare(batch.toDF())
+        // sign the micro-batch ONCE: the probe and the survivor append
+        // share this checkpointed frame (re-signing survivors from raw
+        // text would run the k×tokens minhash kernel — the dominant
+        // per-batch compute — twice per batch)
+        val signedBatch = signed(prepared, idx.k, idx.bands)
+          .localCheckpoint(true)
         // materialized: the flags are written AND drive the append filter
-        val flagged = dedupAgainst(idx, prepared, threshold).localCheckpoint(true)
+        val flagged = dedupAgainstSigned(idx, signedBatch, threshold)
+          .localCheckpoint(true)
         flagged.write.mode("append").parquet(outPath)
-        appendSignatures(idx, prepared.join(
-          flagged.filter(!col("is_duplicate")).select("doc_id"), "doc_id"))
+        appendSigned(idx, signedBatch.join(
+          flagged.filter(!col("is_duplicate")).select("doc_id"), "doc_id"),
+          alreadyMaterialized = true)
         ()
       }
       .option("checkpointLocation", checkpoint)

@@ -301,6 +301,21 @@ object Ivf {
       .filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       .localCheckpoint(true)
+    // fail fast on ids absent from the corpus — the same contract as
+    // topKIndexed's point probe: silently returning no rows for a
+    // mistyped id is indistinguishable from "no neighbors", and a
+    // service pairing batch answers with queries would misalign. The
+    // count is instant (checkpointed frame the two broadcasts need
+    // materialized anyway).
+    val found = queries.count()
+    if (found != queryIds.distinct.size) {
+      val missing = queryIds.distinct.toSet --
+        queries.select("q_id").collect().map(_.getLong(0)).toSet
+      throw new IllegalArgumentException(
+        s"topKBatch: query ids not present in the corpus: " +
+          s"${missing.toSeq.sorted.take(10).mkString(", ")}" +
+          (if (missing.size > 10) s" (+${missing.size - 10} more)" else ""))
+    }
     val centDf = centroids.zipWithIndex
       .map { case (c, i) => (i, c) }.toSeq.toDF("cell", "centroid")
     val cellRank = broadcast(queries).crossJoin(centDf)
@@ -401,8 +416,16 @@ object Ivf {
     // id-lookup secondary: the same rows bucketed by pmod(vec_id), so a
     // point fetch (topKIndexed's query-vector read) partition-prunes to
     // one bucket directory instead of scanning every cell file — without
-    // it the fetch is the one O(corpus) step in an otherwise √n probe
-    withIdBucket(embeddings, idBuckets(centroids))
+    // it the fetch is the one O(corpus) step in an otherwise √n probe.
+    // Derived from the JUST-WRITTEN corpus parquet, not the caller's
+    // plan: re-executing a nondeterministic source (a sampled or
+    // changing upstream) would let the two layouts hold DIFFERENT row
+    // sets — the secondary must be a re-bucketing of the primary, and
+    // the cheap pruned re-read is also one pass over the caller's
+    // (possibly expensive) plan instead of two (the saveSignatures
+    // precedent)
+    withIdBucket(spark.read.parquet(s"$path/corpus").drop("cell"),
+        idBuckets(centroids))
       .write.mode("overwrite").partitionBy("idb").parquet(s"$path/corpus_by_id")
     save(centroids, s"$path/centroids.json", spark)
     // build-time corpus size sidecar (metadata-only count of the written
@@ -484,14 +507,18 @@ object Ivf {
   def appendToIndex(path: String, newVectors: DataFrame): Unit = {
     val spark = newVectors.sparkSession
     val centroids = load(centroidsPath(spark, path), spark)
-    withCell(newVectors, centroids)
+    // materialize the (micro-batch-sized) input once: both layout writes
+    // must append the SAME row set, and a nondeterministic caller plan
+    // re-executed per write could diverge the primary from the secondary
+    val batch = newVectors.localCheckpoint(true)
+    withCell(batch, centroids)
       .write.mode("append").partitionBy("cell").parquet(s"$path/corpus")
     // keep the id-lookup secondary consistent (v2 layouts only — a
     // pre-secondary index keeps its corpus-scan fallback)
     val byIdPath = new org.apache.hadoop.fs.Path(s"$path/corpus_by_id")
     if (byIdPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
         .exists(byIdPath))
-      withIdBucket(newVectors, idBuckets(centroids))
+      withIdBucket(batch, idBuckets(centroids))
         .write.mode("append").partitionBy("idb").parquet(byIdPath.toString)
     outgrowWarning(spark, path).foreach(log.warn)
   }
@@ -531,8 +558,20 @@ object Ivf {
     * files-opened + bytes-read; daily appends leave one file per batch
     * per touched cell, and compaction restores the one-file-per-cell
     * layout saveIndex produces. Rewrites into a fresh directory and
-    * swaps, so a crash mid-compact leaves the live index intact. */
+    * swaps with the shared CHECKED discipline ([[IndexSwap]] — r13:
+    * the former bare fs.rename calls could silently return false
+    * against a stale target from an earlier crashed compact, after
+    * which the unconditional tombstone delete below would have
+    * RESURRECTED taken-down vectors; now recovery runs first, every
+    * rename is checked, and a failed swap throws before the tombstones
+    * are touched). A crash mid-compact leaves the live index intact
+    * or recoverable from `*_new`/`*_old`. */
   def compactIndex(path: String, spark: SparkSession): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasById = fs.exists(new org.apache.hadoop.fs.Path(s"$path/corpus_by_id"))
+    IndexSwap.recover(fs, path,
+      if (hasById) Seq("corpus", "corpus_by_id") else Seq("corpus"))
     // tombstones fold here: the rewrite drops deleted vectors for real
     val corpus = minusTombstones(spark, path,
       spark.read.parquet(s"$path/corpus"))
@@ -544,29 +583,21 @@ object Ivf {
       val parts = IndexMeta.readDirMeta(spark, s"$path/corpus")
       IndexMeta.writeDirMeta(spark, s"$path/corpus_new", parts, built)
     }
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val live = new org.apache.hadoop.fs.Path(s"$path/corpus")
-    val fresh = new org.apache.hadoop.fs.Path(s"$path/corpus_new")
-    val old = new org.apache.hadoop.fs.Path(s"$path/corpus_old")
-    fs.rename(live, old)
-    fs.rename(fresh, live)
-    fs.delete(old, true)
     // the id-lookup secondary accumulates the same per-append small
-    // files; compact it with the same write-fresh-then-swap discipline
-    val byIdLive = new org.apache.hadoop.fs.Path(s"$path/corpus_by_id")
-    if (fs.exists(byIdLive)) {
-      val byIdFresh = new org.apache.hadoop.fs.Path(s"$path/corpus_by_id_new")
-      val byIdOld = new org.apache.hadoop.fs.Path(s"$path/corpus_by_id_old")
-      minusTombstones(spark, path, spark.read.parquet(byIdLive.toString))
+    // files; write its fresh copy BEFORE either swap so a failure
+    // anywhere leaves both live layouts untouched and consistent
+    if (hasById) {
+      minusTombstones(spark, path,
+        spark.read.parquet(s"$path/corpus_by_id"))
         .repartition(col("idb"))
-        .write.mode("overwrite").partitionBy("idb").parquet(byIdFresh.toString)
-      fs.rename(byIdLive, byIdOld)
-      fs.rename(byIdFresh, byIdLive)
-      fs.delete(byIdOld, true)
+        .write.mode("overwrite").partitionBy("idb")
+        .parquet(s"$path/corpus_by_id_new")
     }
+    IndexSwap.swap(fs, path, "corpus")
+    if (hasById) IndexSwap.swap(fs, path, "corpus_by_id")
     // tombstones are folded into both layouts; delete them only after
-    // both swaps so a crash anywhere above re-applies them (inert)
+    // both CHECKED swaps so a crash or failed rename anywhere above
+    // re-applies them (inert), never resurrects a vector
     Tombstones.drop(spark, path)
     // compaction is small-file hygiene only — if the corpus outgrew the
     // build geometry, say so here too (this is NOT the fix for that)

@@ -66,3 +66,65 @@ private[operators] object Tombstones {
   /** Rebuild-in-place sweep: clear any previous corpus's tombstones. */
   def clearStale(spark: SparkSession, path: String): Unit = { drop(spark, path); () }
 }
+
+/** Shared write-fresh-then-swap discipline for compaction — one
+  * implementation of the crash-safe directory swap, so the two index
+  * stores (IncrementalDedup sigs/buckets, Ivf corpus/corpus_by_id)
+  * cannot drift in their recovery semantics. Hadoop's rename reports
+  * failure by RETURNING FALSE (dst exists, src missing), not by
+  * throwing — an unchecked swap can corrupt the live index while
+  * looking successful, and worse, let a caller's
+  * delete-tombstones-after-swap step run against an unswapped layout
+  * (resurrecting taken-down rows). */
+private[operators] object IndexSwap {
+
+  /** Recovery preamble + stale sweep, run BEFORE writing `${name}_new`:
+    * first restore a live dir lost to a compact that crashed between
+    * the two renames (prefer `_new` — written-complete, the newer
+    * consistent state — fall back to `_old`), then delete leftover
+    * `_old`/`_new` dirs so the upcoming renames cannot silently no-op
+    * against a stale target. */
+  def recover(fs: org.apache.hadoop.fs.FileSystem, path: String,
+      names: Seq[String]): Unit = {
+    for (name <- names) {
+      val live = new org.apache.hadoop.fs.Path(s"$path/$name")
+      if (!fs.exists(live)) {
+        val fresh = new org.apache.hadoop.fs.Path(s"$path/${name}_new")
+        val old = new org.apache.hadoop.fs.Path(s"$path/${name}_old")
+        val src = if (fs.exists(fresh)) Some(fresh)
+          else if (fs.exists(old)) Some(old) else None
+        src.foreach { s =>
+          if (!fs.rename(s, live))
+            throw new java.io.IOException(
+              s"compact: live $live is missing (crashed earlier compact) " +
+                s"and recovery rename $s -> $live failed; recover manually " +
+                "before compacting")
+        }
+      }
+    }
+    for (name <- names; suffix <- Seq("_old", "_new")) {
+      val stale = new org.apache.hadoop.fs.Path(s"$path/$name$suffix")
+      if (fs.exists(stale)) fs.delete(stale, true)
+    }
+  }
+
+  /** Checked three-way rename swap of `$path/$name` ← `$path/${name}_new`. */
+  def swap(fs: org.apache.hadoop.fs.FileSystem, path: String,
+      name: String): Unit = {
+    val live = new org.apache.hadoop.fs.Path(s"$path/$name")
+    val fresh = new org.apache.hadoop.fs.Path(s"$path/${name}_new")
+    val old = new org.apache.hadoop.fs.Path(s"$path/${name}_old")
+    if (!fs.rename(live, old))
+      throw new java.io.IOException(
+        s"compact: failed to archive $live to $old — live index untouched")
+    if (!fs.rename(fresh, live)) {
+      // restore the live dir before failing: the archive rename
+      // succeeded, so rolling back cannot hit an existing target
+      fs.rename(old, live)
+      throw new java.io.IOException(
+        s"compact: failed to swap $fresh into place — live dir restored")
+    }
+    fs.delete(old, true)
+    ()
+  }
+}

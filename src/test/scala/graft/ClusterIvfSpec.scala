@@ -301,6 +301,22 @@ class ClusterIvfSpec extends AnyFunSuite {
     assert(batch.toSeq === single)
   }
 
+  test("batched probes fail fast on query ids absent from the corpus") {
+    // a silently-missing q_id group is indistinguishable from "no
+    // neighbors" — a service pairing batch answers with queries would
+    // misalign; both families carry topKIndexed's fail-fast contract
+    val emb = graft.sources.Tables.embeddings(spark, sf).localCheckpoint(true)
+    val cents = graft.operators.Ivf.kmeansCentroids(emb, 8, iters = 2)
+    val eIvf = intercept[IllegalArgumentException] {
+      graft.operators.Ivf.topKBatch(emb, cents, Seq(0L, 99999999L), k = 5)
+    }
+    assert(eIvf.getMessage.contains("99999999"))
+    val eLsh = intercept[IllegalArgumentException] {
+      graft.operators.AnnLsh.topKBatch(emb, Seq(0L, 99999999L), k = 5)
+    }
+    assert(eLsh.getMessage.contains("99999999"))
+  }
+
   test("regex token stats: alpha runs equal whitespace tokens on this corpus") {
     val docs = Tables.documents(spark, sf)
     val r = TextAnalysis.regexTokenStats(docs)

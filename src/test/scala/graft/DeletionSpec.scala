@@ -171,6 +171,41 @@ class DeletionSpec extends AnyFunSuite {
     assert(after === want)
   }
 
+  test("IVF compact swap is checked and crash-recoverable; tombstones survive a failed swap") {
+    val emb = Tables.embeddings(spark, sf)
+    val cents = Ivf.kmeansCentroids(emb, 8, iters = 2)
+    val dir = tmp("ivf-crash")
+    Ivf.saveIndex(emb, cents, dir)
+    Ivf.deleteFromIndex(spark, dir, emb.filter(col("vec_id") % 11 === 3)
+      .select("vec_id"))
+    val removedSet = emb.filter(col("vec_id") % 11 === 3)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+
+    // simulate the crash window between the two swap renames: live
+    // corpus missing, the only full copy in corpus_new (plus a stale
+    // _old) — the pre-r13 unchecked renames silently no-op'd here and
+    // then DROPPED the tombstones, resurrecting taken-down vectors
+    val f = new java.io.File(s"$dir/corpus")
+    val fNew = new java.io.File(s"$dir/corpus_new")
+    val fOld = new java.io.File(s"$dir/corpus_old")
+    assert(f.renameTo(fNew), "test setup: could not stage the crash state")
+    java.nio.file.Files.createDirectory(fOld.toPath)
+
+    // compact must recover the live dir from corpus_new, finish, and
+    // fold the tombstones — the probe equals a rebuilt-without index
+    Ivf.compactIndex(dir, spark)
+    assert(new java.io.File(s"$dir/corpus").exists())
+    assert(!new java.io.File(s"$dir/tombstones").exists())
+    val raw = spark.read.parquet(s"$dir/corpus")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(raw.intersect(removedSet).isEmpty,
+      "crashed-swap recovery resurrected deleted vectors")
+    // the secondary stayed consistent with the primary
+    val byId = spark.read.parquet(s"$dir/corpus_by_id")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(byId === raw, "primary and id-secondary diverged after recovery")
+  }
+
   test("IVF probes after deleteFromIndex equal an index rebuilt without the vectors") {
     val emb = Tables.embeddings(spark, sf)
     val cents = Ivf.kmeansCentroids(emb, 16, iters = 4)

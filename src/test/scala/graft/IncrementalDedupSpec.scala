@@ -63,6 +63,33 @@ class IncrementalDedupSpec extends AnyFunSuite {
       s"only $flagged/20 copies of appended docs flagged — append-merge broke the gate")
   }
 
+  test("bucket-Bloom sidecar is not clamped by Spark's runtime-filter conf maxima") {
+    // BloomFilterAggregate Math.min-clamps its parameters against
+    // spark.sql.optimizer.runtime.bloomFilter.maxNumItems/maxNumBits
+    // (4M / 67,108,864 defaults — sized for join pruning, not for a
+    // corpus sidecar). A 1M-doc expectation needs 16M items and ~153M
+    // bits at fpp 0.01; under the clamp the written filter would be
+    // 8 MB of near-saturated bits while the meta claims otherwise.
+    // writeBucketBloom must deliver the REQUESTED geometry.
+    val docs = Tables.documents(spark, sf)
+    val path = tmp()
+    IncrementalDedup.saveSignatures(docs, path)
+    IncrementalDedup.writeBucketBloom(spark, path, fpp = 0.01,
+      expectedDocs = 1000000L)
+    val (bytes, items, bits) = IncrementalDedup.readBucketBloom(spark, path).get
+    assert(items === 16000000L)
+    assert(bits === graft.operators.BloomDedup.optimalNumBits(items, 0.01))
+    assert(bits > 67108864L, "test premise: requested bits must exceed the clamp")
+    // the WRITTEN filter carries the requested bitset, not the clamp
+    assert(bytes.length.toLong >= bits / 8,
+      s"sidecar is ${bytes.length} bytes — clamped below the ${bits}-bit request")
+    // ...and the build restored the session confs (defaults back in force)
+    assert(spark.conf.get(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits") === "67108864")
+    assert(spark.conf.get(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems") === "4000000")
+  }
+
   test("bucket-Bloom sidecar: builds over un-compacted deltas, survives empty appends, dies with a rebuild") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf)

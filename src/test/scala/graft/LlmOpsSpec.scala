@@ -540,6 +540,21 @@ class LlmOpsSpec extends AnyFunSuite {
     val b = graft.operators.Contamination.scanJoin(corpus, bench).collect()
     assert(a.length === b.length && a.nonEmpty)
     assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
+    // row-identity includes null-text documents: the scan keeps them
+    // with null metrics, and the join shape must not drop them via its
+    // explode (explode_outer + the carried size restores the row)
+    val withNull = corpus.limit(5)
+      .unionByName(spark.sql(
+        "SELECT CAST(999999 AS BIGINT) AS doc_id, CAST(NULL AS STRING) AS text, " +
+          "'srcx' AS source, CAST(0 AS BIGINT) AS n_chars, 'en' AS lang")
+        .select(corpus.columns.map(col): _*))
+    val an = graft.operators.Contamination.scan(withNull, bench).collect()
+    val bn = graft.operators.Contamination.scanJoin(withNull, bench).collect()
+    assert(an.length === 6 && bn.length === 6,
+      s"null-text doc dropped: scan ${an.length}, scanJoin ${bn.length}")
+    assert(an.map(_.toSeq).toSeq === bn.map(_.toSeq).toSeq)
+    val nullRow = an.find(_.getLong(0) == 999999L).get
+    assert(nullRow.isNullAt(1) && nullRow.isNullAt(2) && nullRow.isNullAt(3))
   }
 
   test("contamination: decontaminate auto-switches shape on benchmark gram count") {
