@@ -67,10 +67,16 @@ object Contamination {
   /** Broadcast-array decontamination scan (see object doc). The benchmark
     * side reduces to one row (`sort_array(collect_set(gram))`) that rides
     * a broadcast nested-loop join; corpus rows never hash-shuffle.
-    * Presentation ordering sorts the RAW corpus below the per-row gram
-    * chain (projections preserve child ordering) — sort-on-top would let
-    * the range partitioner's sampling pass evaluate the whole
-    * gram+intersect chain twice (the r12 tx_* finding; same fix). */
+    * Presentation ordering sorts BETWEEN the broadcast join and the gram
+    * chain: a sort under the join is silently dropped by EliminateSorts
+    * (the r13 advisor finding — the old sort-the-raw-corpus form lost the
+    * doc_id contract entirely), while a sort on top of the whole chain
+    * lets the range partitioner's sampling pass evaluate the
+    * gram+intersect chain twice (the r12 tx_* finding). Sorting the
+    * joined-but-unscored rows keeps both properties: the sampling pass
+    * re-reads only scan+broadcast, and the kernel chain evaluates once,
+    * above the sort, in ordered partitions that the projections preserve
+    * (ordering + Sort-node presence pinned in LlmOpsSpec). */
   def scan(corpus: DataFrame, benchmark: DataFrame, n: Int = 3,
       threshold: Double = 0.5): DataFrame =
     scanWithGrams(corpus, distinctGrams(benchmark, n), n, threshold)
@@ -79,13 +85,26 @@ object Contamination {
       n: Int, threshold: Double): DataFrame = {
     val bench = benchGrams
       .agg(sort_array(collect_set(col("gram"))).as("bench_grams"))
-    val scored = gramSets(corpus.orderBy("doc_id"), n)
+    val scored = corpus.select(col("doc_id"), col("text"))
       .crossJoin(broadcast(bench))
+      .orderBy("doc_id")
       .select(
         col("doc_id"),
-        size(col("grams")).cast("long").as("n_grams"),
-        size(array_intersect(col("grams"), col("bench_grams")))
-          .cast("long").as("n_overlap"))
+        org.apache.spark.sql.graft.ColumnBridge
+          .wordNGrams(col("text"), n, distinct = true).as("grams"),
+        col("bench_grams"))
+      .select(
+        col("doc_id"),
+        // explicit null-gram guards rather than ANSI size(null)=null:
+        // with spark.sql.ansi.enabled=false size(null) reads -1, which
+        // would score a null-text document contamination = -1/-1 = 1.0
+        // while scanJoin's guard says null — the shapes must stay
+        // row-identical in BOTH ANSI modes
+        when(col("grams").isNotNull,
+          size(col("grams")).cast("long")).as("n_grams"),
+        when(col("grams").isNotNull,
+          size(array_intersect(col("grams"), col("bench_grams")))
+            .cast("long")).as("n_overlap"))
     score(scored, threshold)
   }
 
@@ -140,7 +159,12 @@ object Contamination {
     // the post-agg projection restores the null n_overlap the scan
     // shape produces (sum over the single unmatched row would read 0).
     val scored = gramSets(corpus, n)
-      .select(col("doc_id"), size(col("grams")).cast("long").as("n_grams"),
+      .select(col("doc_id"),
+        // guarded for the same ANSI-off reason as the scan shape: an
+        // unguarded size(null) = -1 here would survive the groupBy key
+        // and flip the post-agg isNotNull projection
+        when(col("grams").isNotNull,
+          size(col("grams")).cast("long")).as("n_grams"),
         explode_outer(col("grams")).as("gram"))
       .join(broadcast(bench), Seq("gram"), "left")
       .groupBy("doc_id", "n_grams")

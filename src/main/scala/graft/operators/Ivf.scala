@@ -569,9 +569,14 @@ object Ivf {
   def compactIndex(path: String, spark: SparkSession): Unit = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // recover BOTH dirs unconditionally (a no-op when the secondary never
+    // existed: no live dir, no _new/_old to restore or sweep) and only
+    // then ask whether the secondary exists — probing first would miss a
+    // secondary whose live dir is mid-swap from a crashed compact, leave
+    // its _new/_old orphans unswept, and silently drop the id-lookup
+    // layout from every later compact
+    IndexSwap.recover(fs, path, Seq("corpus", "corpus_by_id"))
     val hasById = fs.exists(new org.apache.hadoop.fs.Path(s"$path/corpus_by_id"))
-    IndexSwap.recover(fs, path,
-      if (hasById) Seq("corpus", "corpus_by_id") else Seq("corpus"))
     // tombstones fold here: the rewrite drops deleted vectors for real
     val corpus = minusTombstones(spark, path,
       spark.read.parquet(s"$path/corpus"))

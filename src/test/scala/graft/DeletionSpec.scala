@@ -206,6 +206,34 @@ class DeletionSpec extends AnyFunSuite {
     assert(byId === raw, "primary and id-secondary diverged after recovery")
   }
 
+  test("IVF compact recovers a crashed SECONDARY swap (corpus_by_id mid-rename)") {
+    // the r13 advisor finding: compact probed fs.exists(corpus_by_id)
+    // BEFORE recovery ran, so a compact that crashed inside
+    // IndexSwap.swap("corpus_by_id") — live secondary renamed away, the
+    // only copy in corpus_by_id_new — read as "no secondary": recover was
+    // called for the primary only, the orphan _new was never restored or
+    // swept, and every later compact silently ran secondary-less (point
+    // fetches degraded to the O(corpus) fallback forever)
+    val emb = Tables.embeddings(spark, sf)
+    val cents = Ivf.kmeansCentroids(emb, 8, iters = 2)
+    val dir = tmp("ivf-crash2")
+    Ivf.saveIndex(emb, cents, dir)
+    val live = new java.io.File(s"$dir/corpus_by_id")
+    val staged = new java.io.File(s"$dir/corpus_by_id_new")
+    assert(live.exists(), "test setup: saveIndex wrote no secondary")
+    assert(live.renameTo(staged), "test setup: could not stage the crash state")
+
+    Ivf.compactIndex(dir, spark)
+    assert(new java.io.File(s"$dir/corpus_by_id").exists(),
+      "secondary not restored from corpus_by_id_new")
+    assert(!staged.exists(), "orphan corpus_by_id_new left behind")
+    val raw = spark.read.parquet(s"$dir/corpus")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val byId = spark.read.parquet(s"$dir/corpus_by_id")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(byId === raw, "recovered secondary diverged from the primary")
+  }
+
   test("IVF probes after deleteFromIndex equal an index rebuilt without the vectors") {
     val emb = Tables.embeddings(spark, sf)
     val cents = Ivf.kmeansCentroids(emb, 16, iters = 4)

@@ -557,6 +557,46 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(nullRow.isNullAt(1) && nullRow.isNullAt(2) && nullRow.isNullAt(3))
   }
 
+  test("contamination scan orders by doc_id even from a scrambled corpus") {
+    val bench = docs.filter(col("doc_id") % 97 === 0)
+    val corpus = docs.filter(col("doc_id") % 97 =!= 0).repartition(7)
+    val out = graft.operators.Contamination.scan(corpus, bench)
+    // the optimized plan must CARRY the presentation sort: the pre-r14
+    // form parked it under the broadcast join, where EliminateSorts
+    // silently dropped it (the r13 advisor finding) — a scrambled input
+    // then surfaced in scramble order
+    val sorts = out.queryExecution.optimizedPlan.collect {
+      case s: org.apache.spark.sql.catalyst.plans.logical.Sort => s
+    }
+    assert(sorts.nonEmpty, out.queryExecution.optimizedPlan.toString)
+    val ids = out.collect().map(_.getLong(0)).toSeq
+    assert(ids === ids.sorted, "scan output not doc_id-ordered")
+  }
+
+  test("contamination shapes stay row-identical with ANSI off (null-text guard)") {
+    // with spark.sql.ansi.enabled=false, an unguarded size(null) reads -1:
+    // the scan shape would score a null-text document -1/-1 = 1.0
+    // (contaminated) while scanJoin's isNotNull guard says null — the
+    // explicit when(grams.isNotNull, …) guards keep the shapes identical
+    // in both ANSI modes
+    val bench = docs.filter(col("doc_id") % 97 === 0)
+    val corpus = docs.filter(col("doc_id") % 97 =!= 0).limit(5)
+      .unionByName(spark.sql(
+        "SELECT CAST(999999 AS BIGINT) AS doc_id, CAST(NULL AS STRING) AS text, " +
+          "'srcx' AS source, CAST(0 AS BIGINT) AS n_chars, 'en' AS lang")
+        .select(docs.columns.map(col): _*))
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      val a = graft.operators.Contamination.scan(corpus, bench).collect()
+      val b = graft.operators.Contamination.scanJoin(corpus, bench).collect()
+      assert(a.length === 6 && b.length === 6)
+      assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
+      val nullRow = a.find(_.getLong(0) == 999999L).get
+      assert(nullRow.isNullAt(1) && nullRow.isNullAt(2) && nullRow.isNullAt(3)
+        && nullRow.isNullAt(4), nullRow.toString)
+    } finally spark.conf.set("spark.sql.ansi.enabled", "true")
+  }
+
   test("contamination: decontaminate auto-switches shape on benchmark gram count") {
     import graft.operators.Contamination
     val bench = docs.filter(col("doc_id") % 97 === 0)

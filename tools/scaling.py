@@ -141,7 +141,7 @@ def main():
         elif tb < MIN_SF1_SECONDS:
             gate = "noise-exempt"
         elif slope <= limit:
-            gate = "ok" if k not in WAIVERS else f"ok (waiver {limit:.0f}x)"
+            gate = "ok" if k not in WAIVERS else f"ok (waiver {limit:.1f}x)"
         else:
             gate = f"FAIL (> {limit:.0f}x)"
             violations.append(
