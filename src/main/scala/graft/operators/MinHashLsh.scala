@@ -259,13 +259,32 @@ object MinHashLsh {
     *
     * Signatures are materialized once (localCheckpoint) and feed the
     * banding AND both sides of the estimate join — without it every
-    * action recomputes the tokenize+minhash scan three times over. */
+    * action recomputes the tokenize+minhash scan three times over.
+    *
+    * The r14 stage profile at sf1 (50k docs, 18.7M banded candidates,
+    * 2.6M output pairs: tokenize 0.24 s, signatures 0.19 s, band join
+    * 1.27 s, estimate 0.65 s, sort +0.97 s, full 3.47 s) found the two
+    * closing costs and both are shape, not volume:
+    *   - the estimate join attached signatures to the 18.7M-row pair
+    *     stream through two SHUFFLE joins; the signature table itself is
+    *     ~1 KB/doc, so under [[MaxBroadcastVerifyBytes]] it broadcasts
+    *     (same dial as the exactPairs verify) and the candidate stream
+    *     flows join→join→filter in one fused stage, never shuffling a
+    *     pair row;
+    *   - the presentation sort's range sampler re-executed the whole
+    *     join lineage for its sampling pass (the r12 tx_* / r13
+    *     contamination finding in join form); a LAZY localCheckpoint of
+    *     the thresholded output makes the sampling pass materialize the
+    *     24-byte survivor rows once and the real pass re-read them. */
   def candidatePairs(documents: DataFrame, k: Int = 128, bands: Int = 8,
       threshold: Double = 0.9, maxBucket: Int = 4096): DataFrame = {
     val sigs = signatures(documents, k).localCheckpoint(true)
     val pairs = bandedPairs(sigs, k, bands, maxBucket)
-    val sa = sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))
-    val sb = sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    val sigBytes = sigs.count() * (32L + 8L * k)
+    val sa = maybeBroadcast(
+      sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), sigBytes)
+    val sb = maybeBroadcast(
+      sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), sigBytes)
     pairs
       .join(sa, "doc_a").join(sb, "doc_b")
       .withColumn("jaccard_est",
@@ -273,6 +292,7 @@ object MinHashLsh {
           .matchCount(col("sig_a"), col("sig_b")).cast("double") / lit(k))
       .filter(col("jaccard_est") >= threshold)
       .select("doc_a", "doc_b", "jaccard_est")
+      .localCheckpoint(false)
       .orderBy("doc_a", "doc_b")
   }
 
