@@ -20,28 +20,33 @@ import graft.sources.Tables
   */
 object RecallProbe {
 
-  /** Recall@k at six operating points: each index family at its query-key
-    * default, at the wide (high-recall) dial, and at the default over a
-    * PLANTED-structure corpus. The points pin the whole recall/cost dial
-    * against drift: the defaults (LSH 24 tables × auto planes, IVF auto
-    * nprobe from the constant row budget — round-7 scale-safe geometry,
-    * constant per-probe rows at any corpus size) are the probes the keys
-    * bench; the wide points are FRACTION-based (LSH explicit 5 planes =
-    * a 24/2⁵ = 0.75 candidate fraction; IVF `wideNprobe` = ⌈0.27·cells⌉)
-    * so each reads the same corpus fraction at every scale factor and
-    * its recall is comparable across sf dirs — a fixed-count wide point
-    * (r6's nprobe=16) decayed with √n cell growth and read as a
-    * regression at sf1 when it was the demonstration. On this synthetic
-    * corpus the top-10 neighbors sit at the ~0.3
+  /** Recall@k per index family at four dials plus planted corpora. The
+    * points pin the whole recall/cost surface against drift:
+    *
+    *  - the DEFAULTS (r14: LSH 24 tables × anchor planes, IVF
+    *    `wideNprobe` — both constant candidate FRACTIONS) are the probes
+    *    the keys bench; recall must now HOLD across scale factors (the
+    *    r13 run showed the former constant-budget defaults decaying
+    *    0.70 → 0.28 / 0.79 → 0.52 at 10× — the r14 re-anchoring exists
+    *    because of these telemetry points);
+    *  - the `_wide` points pin the same fraction dial explicitly
+    *    (= default since r14; kept so cross-round telemetry stays
+    *    comparable);
+    *  - the `_budget` points pin the bounded-cost dial (constant rows /
+    *    occupancy per probe — the pre-r14 default and AdaptiveAnn's
+    *    first pass): expect THEM to fall with corpus growth, by design;
+    *  - `_default_cost_x` = default secs / budget secs, the measured
+    *    price of recall anchoring (the scaling gate's ≤1.5× check);
+    *    `_auto_cost_x` = auto secs / budget secs, the escalation price.
+    *
+    * On this synthetic corpus the top-10 neighbors sit at the ~0.3
     * cosine BACKGROUND (no neighbor structure), so background recall is
     * bounded by neighbor concentration and cost — a property of the
-    * data, not the index: expect the default points to FALL as the
-    * corpus outgrows the tuning anchor (constant rows over more corpus)
-    * while the wide points hold. The `_planted` points measure the
-    * regime ANN indexes exist for: 10 deterministic near-duplicates
-    * (±2% component jitter) of every query appended to the corpus, so
-    * each query's true top-10 IS concentrated structure — defaults must
-    * score 1.0 there, and a drop flags real parameter drift rather than
+    * data, not the index. The `_planted` points measure the regime ANN
+    * indexes exist for: 10 deterministic near-duplicates (±2% component
+    * jitter) of every query appended to the corpus, so each query's
+    * true top-10 IS concentrated structure — defaults must score 1.0
+    * there, and a drop flags real parameter drift rather than
     * background noise. */
   def run(spark: SparkSession, sfDir: String, nq: Int = 100,
       k: Int = 10): Map[String, Double] = {
@@ -83,24 +88,39 @@ object RecallProbe {
     val cells = math.max(2, math.ceil(math.sqrt(n.toDouble)).toInt)
     val cents = Ivf.kmeansCentroids(emb, cells, 8, inputMaterialized = true)
 
-    def timed[A](f: => A): (A, Double) = {
+    // the cost ratios are the scaling gate's evidence, so they must
+    // compare steady states fairly: timing each dial in its own block
+    // conflates dial cost with JIT warm-up and the sandbox's ±25%
+    // co-tenant drift (at sf0.1 the default and budget dials are
+    // IDENTICAL probes, yet block-ordered single runs measured a 1.7×
+    // "ratio" from ordering alone). One full untimed warm-up round,
+    // then per-dial minima over INTERLEAVED rounds — drift hits every
+    // dial in each round equally, so the minima are comparable.
+    val probes: Seq[() => Map[Long, Set[Long]]] = Seq(
+      () => collectHits(AnnLsh.topKBatch(emb, qids, k)),
+      () => collectHits(Ivf.topKBatch(emb, cents, qids, k)),
+      () => collectHits(AnnLsh.topKBatch(emb, qids, k,
+        planes = AnnLsh.autoPlanes(n))),
+      () => collectHits(Ivf.topKBatch(emb, cents, qids, k,
+        nprobe = Ivf.budgetNprobe(cells))),
+      // the concentration-escalation dial (AdaptiveAnn): on this
+      // background corpus every query escalates, so its recall must
+      // track the wide point and its cost ratio (vs the budget probe)
+      // is the measured price of the recall floor; on the planted
+      // corpus nothing escalates, so recall and cost track the budget
+      () => collectHits(AdaptiveAnn.lshTopKBatchAuto(emb, qids, k)),
+      () => collectHits(AdaptiveAnn.ivfTopKBatchAuto(emb, cents, qids, k)))
+    val results = probes.map(f => f())
+    val secs = Array.fill(probes.size)(Double.MaxValue)
+    for (_ <- 1 to 2; i <- probes.indices) {
       val t0 = System.nanoTime()
-      val r = f
-      (r, (System.nanoTime() - t0) / 1e9)
+      probes(i)()
+      secs(i) = math.min(secs(i), (System.nanoTime() - t0) / 1e9)
     }
-    val (lshDefault, lshDefaultSecs) =
-      timed(collectHits(AnnLsh.topKBatch(emb, qids, k)))
-    val (ivfDefault, ivfDefaultSecs) =
-      timed(collectHits(Ivf.topKBatch(emb, cents, qids, k)))
-    // the concentration-escalation dial (AdaptiveAnn): on this
-    // background corpus every query escalates, so its recall must track
-    // the wide point and its cost ratio (vs the default probe) is the
-    // measured price of the recall floor; on the planted corpus nothing
-    // escalates, so recall and cost track the default
-    val (lshAuto, lshAutoSecs) =
-      timed(collectHits(AdaptiveAnn.lshTopKBatchAuto(emb, qids, k)))
-    val (ivfAuto, ivfAutoSecs) =
-      timed(collectHits(AdaptiveAnn.ivfTopKBatchAuto(emb, cents, qids, k)))
+    val Seq(lshDefault, ivfDefault, lshBudget, ivfBudget, lshAuto, ivfAuto) =
+      results
+    val Seq(lshDefaultSecs, ivfDefaultSecs, lshBudgetSecs, ivfBudgetSecs,
+      lshAutoSecs, ivfAutoSecs) = secs.toSeq
 
     Map(
       "sim_ann_lsh" -> recallOf(lshDefault, truth),
@@ -115,8 +135,11 @@ object RecallProbe {
       "sim_ann_lsh_auto_planted" ->
         recallOf(collectHits(
           AdaptiveAnn.lshTopKBatchAuto(augmented, qids, k)), truthPlanted),
+      "sim_ann_lsh_budget" -> recallOf(lshBudget, truth),
+      "sim_ann_lsh_default_cost_x" ->
+        (if (lshBudgetSecs > 0) lshDefaultSecs / lshBudgetSecs else -1.0),
       "sim_ann_lsh_auto_cost_x" ->
-        (if (lshDefaultSecs > 0) lshAutoSecs / lshDefaultSecs else -1.0),
+        (if (lshBudgetSecs > 0) lshAutoSecs / lshBudgetSecs else -1.0),
       "sim_ivf" -> recallOf(ivfDefault, truth),
       "sim_ivf_wide" ->
         recallOf(collectHits(
@@ -127,8 +150,11 @@ object RecallProbe {
       "sim_ivf_auto_planted" ->
         recallOf(collectHits(
           AdaptiveAnn.ivfTopKBatchAuto(augmented, cents, qids, k)), truthPlanted),
+      "sim_ivf_budget" -> recallOf(ivfBudget, truth),
+      "sim_ivf_default_cost_x" ->
+        (if (ivfBudgetSecs > 0) ivfDefaultSecs / ivfBudgetSecs else -1.0),
       "sim_ivf_auto_cost_x" ->
-        (if (ivfDefaultSecs > 0) ivfAutoSecs / ivfDefaultSecs else -1.0))
+        (if (ivfBudgetSecs > 0) ivfAutoSecs / ivfBudgetSecs else -1.0))
   }
 
   private def groupTopK(scored: org.apache.spark.sql.DataFrame,

@@ -316,10 +316,10 @@ object SparkEntry {
     // probes a PREBUILT partition-pruned index (trained+persisted once per
     // session per sf dir): the measured cost is the probe — a pruned
     // nprobe-cell scan — not in-call k-means training. Same parameters as
-    // Ivf.topK uses (cells ∝ √n, 8 Lloyd's rounds, auto nprobe from the
-    // constant DefaultProbeRows budget — constant rows per probe at any
-    // corpus size; the ⌈0.27·cells⌉ recall fraction is the opt-in
-    // wideNprobe dial).
+    // Ivf.topK uses (cells ∝ √n, 8 Lloyd's rounds, nprobe from the r14
+    // recall-anchored default ⌈0.27·cells⌉ — background recall holds at
+    // any corpus size; the constant-row budgetNprobe dial is the
+    // bounded-cost opt-in).
     "sim_ivf" -> ((s, dir) => Ivf.topKIndexed(ivfIndexFor(s, dir), 0L, 10)),
     // batched probes: the ANN-service shape (one distributed pass for a
     // whole query set) exercised as benched keys so their one-pass plans
@@ -610,8 +610,8 @@ object SparkEntry {
         |  SELECT CAST(greatest(2, ceil(sqrt(count(*)))) AS INTEGER) AS cells
         |  FROM embeddings),
         |np AS (
-        |  SELECT greatest(1, least(cells,
-        |           CAST(ceil(576.0 / cells) AS INTEGER))) AS np
+        |  SELECT greatest(1, CAST(ceil(cells * CAST(0.27 AS DOUBLE))
+        |           AS INTEGER)) AS np
         |  FROM prm),
         |cent0 AS (
         |  SELECT CAST(row_number() OVER (
@@ -1164,8 +1164,9 @@ object SparkEntry {
          |ORDER BY vec_a, vec_b""".stripMargin,
 
 
-    // AnnLsh's plane family (tables 64..87; 5 planes — what the auto
-    // plane count resolves to at every oracle corpus size) and its double cosine
+    // AnnLsh's plane family (tables 64..87; 5 planes — the r14
+    // recall-anchored default geometry, corpus-size-free by
+    // construction: anchorPlanes(24) = 5 at ANY corpus) and its double cosine
     // re-rank are both bit-reproducible: buckets via the shared
     // integer-LCG twin (lshBucketSql, as dd_embedding), cosine via the
     // sequential-double twin (dotDoubleSql) in the kernel's exact op shape

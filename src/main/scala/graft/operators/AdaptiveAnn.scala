@@ -6,28 +6,33 @@ import org.apache.spark.sql.functions._
 /** Concentration-aware ANN dial selection — the recall floor at scale
   * (SURVEY.md §2 similarity family, round-8 addition).
   *
-  * The two index families each expose two honest operating points:
-  * the DEFAULT constant-row dial (per-probe cost constant at any corpus
-  * size; recall 1.0 where real neighbor structure exists, falling on
-  * structureless background as the corpus outgrows the row budget) and
-  * the WIDE constant-fraction dial (background recall held ≥0.7 at any
-  * size; cost linear in the corpus). Neither is right universally —
-  * which one a query needs depends on whether its true neighbors are
-  * CONCENTRATED structure (near-dups, clusters) or background noise,
-  * a property of the data the engine can measure instead of guess.
+  * The two index families each expose two honest operating points: the
+  * BUDGET constant-row/occupancy dial (per-probe cost constant at any
+  * corpus size; recall 1.0 where real neighbor structure exists,
+  * falling on structureless background as the corpus outgrows the
+  * budget — `Ivf.budgetNprobe` / `AnnLsh.autoPlanes`) and the
+  * WIDE constant-fraction dial (background recall held ≥0.7 at any
+  * size; cost linear in the corpus — since r14 the `nprobe = 0` /
+  * `planes = 0` DEFAULT, so the out-of-the-box recall does not decay
+  * with corpus growth). Neither is right universally — which one a
+  * query needs depends on whether its true neighbors are CONCENTRATED
+  * structure (near-dups, clusters) or background noise, a property of
+  * the data the engine can measure instead of guess.
   *
-  * The auto entry points run the cheap default probe first, then
-  * escalate — per query, not per batch — exactly those queries whose
-  * top-k came back indistinguishable from the corpus's background
-  * cosine distribution ([[concentrated]] is the pinned rule). A planted
-  * or clustered query pays the constant default cost and nothing else;
-  * a background query pays one additional wide probe, the price its
-  * answer actually costs (no constant-cost index can surface an
-  * unconcentrated top-k — the information simply is not in any bounded
-  * candidate set). At 100 TB the escalation set is the contract: junk
-  * answers are upgraded for linear cost only where junk was measured,
-  * and the background statistics come from one driver-tiny seeded
-  * sample, not a corpus pass. */
+  * The auto entry points probe the cheap BUDGET dial first (passed
+  * explicitly — they are the bounded-cost path, so they must not
+  * inherit the recall-anchored default), then escalate — per query,
+  * not per batch — exactly those queries whose top-k came back
+  * indistinguishable from the corpus's background cosine distribution
+  * ([[concentrated]] is the pinned rule). A planted or clustered query
+  * pays the constant budget cost and nothing else; a background query
+  * pays one additional wide probe, the price its answer actually costs
+  * (no constant-cost index can surface an unconcentrated top-k — the
+  * information simply is not in any bounded candidate set). At 100 TB
+  * the escalation set is the contract: junk answers are upgraded for
+  * linear cost only where junk was measured, and the background
+  * statistics come from one driver-tiny seeded sample, not a corpus
+  * pass. */
 object AdaptiveAnn {
 
   /** Escalation z-score: a top-k hit counts as structure when its cosine
@@ -61,12 +66,14 @@ object AdaptiveAnn {
     * = 8128 deterministic pairs, one driver-collected job. */
   private val StatsSampleVectors = 128
 
-  /** Corpus size above which the constant-row dial's BACKGROUND recall
-    * has measured decay (RecallGrid: IVF 0.70 → 0.28, LSH 0.79 → 0.52
-    * between the 10⁴-row and 10⁵-row corpora) — the advisory threshold
-    * sits at the midpoint so the measured-good scale stays quiet and the
-    * measured-decayed scale warns. Concentrated/planted neighbors are
-    * unaffected at any size (recall 1.0 on both dials). */
+  /** Corpus size above which the default dial's trade-off deserves a
+    * log line. Through r13 the default was the BUDGET dial and the
+    * warning was about its measured background-recall decay (RecallGrid:
+    * IVF 0.70 → 0.28, LSH 0.79 → 0.52 between the 10⁴- and 10⁵-row
+    * corpora); since r14 the default is the recall-anchored FRACTION
+    * dial and the warning is about its linear per-probe cost growth.
+    * Same threshold either way — the midpoint between the scale where
+    * both dials coincide and the scale where they measurably diverge. */
   val ConstantDialAdvisoryRows: Long = 50000L
 
   private lazy val log = org.slf4j.LoggerFactory.getLogger("graft.AdaptiveAnn")
@@ -86,19 +93,23 @@ object AdaptiveAnn {
   private[graft] def adviseDecision(corpusRows: Long): Boolean =
     !inAuto.value && corpusRows > ConstantDialAdvisoryRows
 
-  /** Driver-side advisory, once per plan build (called from the auto-dial
-    * resolvers): the documented decision (docs/indexes.md, "Which entry
-    * point") is that the plain constant-row entry points stay the
-    * constant-cost fast path — and this warning is what keeps their
-    * background-recall decay from ever being SILENT at scale. */
-  def adviseConstantDial(family: String, corpusRows: Long): Unit =
+  /** Driver-side advisory, once per plan build (called from the
+    * default-dial resolvers): the r14 decision (docs/indexes.md, "Which
+    * entry point") is that the `nprobe = 0` / `planes = 0` DEFAULT is
+    * the recall-anchored constant-fraction dial — and this warning is
+    * what keeps its linear per-probe cost growth from ever being SILENT
+    * at scale. Explicit dials never reach it. */
+  def adviseDefaultDial(family: String, corpusRows: Long): Unit =
     if (adviseDecision(corpusRows))
-      log.warn(s"$family constant-row dial on a ~$corpusRows-row corpus: " +
-        "background recall decays at this scale (measured IVF 0.70 -> 0.28 " +
-        "per 10x rows; planted/concentrated neighbors unaffected). For " +
-        "unknown query mixes use AdaptiveAnn.lshTopKBatchAuto / " +
-        "ivfTopKBatchAuto (per-query escalation), or opt into the wide " +
-        "dial (planes = 5 / Ivf.wideNprobe) — see docs/indexes.md.")
+      log.warn(s"$family recall-anchored default dial on a " +
+        s"~$corpusRows-row corpus: each probe reads a constant corpus " +
+        "FRACTION, so per-probe cost grows linearly from here (recall " +
+        "holds by design). For bounded per-probe cost pass the budget " +
+        "dial explicitly (Ivf.budgetNprobe / AnnLsh.autoPlanes — " +
+        "background recall then decays with corpus growth, measured IVF " +
+        "0.70 -> 0.28 per 10x rows) or use AdaptiveAnn.lshTopKBatchAuto " +
+        "/ ivfTopKBatchAuto (budget probe + per-query escalation) — " +
+        "see docs/indexes.md.")
 
   /** The dial-selection rule, pure and pinned by spec: keep the default
     * answer iff ≥ ⌈[[MinStructuredFraction]]·k⌉ of its cosines clear
@@ -173,27 +184,32 @@ object AdaptiveAnn {
   }
 
   /** LSH batched probe with the concentration-escalation contract:
-    * default 24-table constant-occupancy probe, per-query wide (5-plane
-    * constant-fraction) re-probe where the default answer measured as
-    * background. Runs two actions (the stats sample and the phase-1
-    * collect) — the ANN-service shape where results are consumed, not
-    * composed. */
+    * 24-table BUDGET (constant-occupancy `autoPlanes`) first probe,
+    * per-query wide (anchor-plane constant-fraction) re-probe where the
+    * budget answer measured as background. Runs two actions (the stats
+    * sample and the phase-1 collect) — the ANN-service shape where
+    * results are consumed, not composed. */
   def lshTopKBatchAuto(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
       tables: Int = 24, corpusSize: Long = 0L): DataFrame = {
-    val (mu, sigma) = backgroundStats(embeddings, corpusSize)
+    val n = if (corpusSize > 0L) corpusSize else embeddings.count()
+    val (mu, sigma) = backgroundStats(embeddings, n)
     adaptive(embeddings.sparkSession, queryIds, k, mu, sigma,
-      AnnLsh.topKBatch(embeddings, queryIds, k, tables),
-      esc => AnnLsh.topKBatch(embeddings, esc, k, tables, planes = 5))
+      AnnLsh.topKBatch(embeddings, queryIds, k, tables,
+        planes = AnnLsh.autoPlanes(n)),
+      esc => AnnLsh.topKBatch(embeddings, esc, k, tables,
+        planes = AnnLsh.anchorPlanes(tables)))
   }
 
   /** IVF batched probe with the concentration-escalation contract:
-    * default row-budget nprobe, per-query [[Ivf.wideNprobe]] re-probe
-    * where the default answer measured as background. */
+    * [[Ivf.budgetNprobe]] (constant-row) first probe, per-query
+    * [[Ivf.wideNprobe]] re-probe where the budget answer measured as
+    * background. */
   def ivfTopKBatchAuto(embeddings: DataFrame, centroids: Array[Array[Float]],
       queryIds: Seq[Long], k: Int, corpusSize: Long = 0L): DataFrame = {
     val (mu, sigma) = backgroundStats(embeddings, corpusSize)
     adaptive(embeddings.sparkSession, queryIds, k, mu, sigma,
-      Ivf.topKBatch(embeddings, centroids, queryIds, k),
+      Ivf.topKBatch(embeddings, centroids, queryIds, k,
+        nprobe = Ivf.budgetNprobe(centroids.length)),
       esc => Ivf.topKBatch(embeddings, centroids, esc, k,
         nprobe = Ivf.wideNprobe(centroids.length)))
   }

@@ -22,21 +22,23 @@ import graft.functions.VectorMath
   * sign bit per plane); a probe only ever scans its own buckets, so
   * lookup cost is (corpus / 2^planes) · tables instead of corpus.
   *
-  * Default operating point: 24 tables × AUTO planes. The plane count
-  * grows with the corpus — planes = max(5, ⌊log₂(n / 64)⌋), the same
-  * corpus-scaled geometry as dd_embedding's auto planes — so expected
-  * bucket occupancy stays in [64, 128) and a default probe reads a
-  * CONSTANT number of candidate rows per table at any corpus size
-  * (a fixed plane count is a constant candidate *fraction*: measured
-  * 7.6× probe cost at 10× data in the round-6 scaling study). At the
-  * tuning scale (sf0.1, n=2000) auto resolves to the RecallGrid-picked
-  * 24×5 point (≥0.75 background recall@10, planted 1.0), and oracle
-  * corpora resolve there too, so the SQL twins stay bit-exact.
-  * Background recall at a constant row budget necessarily falls as the
-  * corpus grows — callers who want the measured ≥0.7-background-recall
-  * point at LINEAR cost opt into the wide dial (explicit `planes = 5`,
-  * a constant 24/2⁵ = 0.75 candidate fraction); both dials stay honest
-  * via the per-bench RecallProbe telemetry.
+  * Default operating point (r14): 24 tables × ANCHOR planes — the plane
+  * count that pins the candidate FRACTION at tables/2⁵ = 0.75 of the
+  * corpus, independent of corpus size, so background recall holds at
+  * the RecallGrid-measured ~0.78 at every scale factor (the r13 sf1 run
+  * showed the former constant-occupancy default silently decaying
+  * 0.79 → 0.52 across one 10×). The price is probe cost that grows
+  * linearly with the corpus (measured 7.6× probe cost at 10× data in
+  * the round-6 scaling study — the known cost of a scale-free
+  * fraction); bounded-cost callers opt into the BUDGET dial
+  * (`planes = autoPlanes(n)`, constant expected candidates per probe)
+  * or the AdaptiveAnn escalation entry points, which probe the budget
+  * dial first and pay the wide price only where the answer measured as
+  * background. At the tuning scale (sf0.1, n=2000) both dials resolve
+  * to the same RecallGrid-picked 24×5 point (≥0.75 background
+  * recall@10, planted 1.0), and oracle corpora resolve there too, so
+  * the SQL twins stay bit-exact. Both dials stay honest via the
+  * per-bench RecallProbe telemetry.
   */
 object AnnLsh {
 
@@ -44,37 +46,67 @@ object AnnLsh {
     * dedup path's (tables 0..7 are dd_embedding's, oracle-twinned). */
   private val TableOffset = 64
 
-  /** Bucket occupancy the auto plane count targets: n / 2^planes lands
-    * in [TargetBucketRows, 2·TargetBucketRows). 64 anchors the auto
+  /** Bucket occupancy the BUDGET plane count targets: n / 2^planes lands
+    * in [TargetBucketRows, 2·TargetBucketRows). 64 anchors the budget
     * geometry to the RecallGrid operating point (2000 / 2⁵ = 62.5). */
   private[graft] val TargetBucketRows = 64.0
 
-  /** Corpus-scaled default plane count: one more plane per corpus
-    * doubling, never below the 5-plane tuning anchor. */
+  /** Corpus-scaled BUDGET plane count: one more plane per corpus
+    * doubling, never below the 5-plane tuning anchor — constant expected
+    * candidates per probe (tables × TargetBucketRows rows) at any corpus
+    * size, so probe cost is bounded while background recall decays as
+    * the corpus grows (measured 0.79 → 0.52 per 10× rows; planted
+    * structure unaffected). This was the `planes = 0` default through
+    * r13; since r14 the default is [[anchorPlanes]] (recall-anchored)
+    * and this is the explicit bounded-cost opt-in — also what
+    * AdaptiveAnn's cheap first pass probes. */
   private[graft] def autoPlanes(n: Long): Int =
     math.max(5, (math.log(math.max(1L, n).toDouble / TargetBucketRows)
       / math.log(2.0)).floor.toInt)
 
-  /** `planes = 0` (the default) resolves via [[autoPlanes]] — one
-    * count() action on `embeddings` (cache upstream pipelines first, or
-    * pass an explicit plane count to skip it). */
-  private def resolvePlanes(embeddings: DataFrame, planes: Int): Int =
+  /** Candidate fraction the DEFAULT plane count anchors: expected
+    * per-query candidates ≈ (tables / 2^planes)·n — at the r14 default
+    * geometry (24 tables × 5 planes) a 0.75 corpus fraction, the
+    * RecallGrid operating point whose background recall (~0.78) holds
+    * at every measured scale factor BECAUSE the fraction is scale-free.
+    * The former constant-occupancy default kept cost flat instead and
+    * silently decayed 0.79 → 0.52 across one 10×. */
+  private[graft] val AnchorCandidateFraction = 0.75
+
+  /** The r14 `planes = 0` default: the plane count that pins the
+    * candidate FRACTION at [[AnchorCandidateFraction]] for this table
+    * count — ⌊log₂(tables / 0.75)⌋ (= 5 at the 24-table default),
+    * independent of corpus size, so no count() is needed and recall is
+    * comparable across scale factors. Probe cost grows with the corpus
+    * (the price of anchored background recall); bounded-cost callers
+    * pass `planes = autoPlanes(n)` or use the AdaptiveAnn entry points. */
+  private[graft] def anchorPlanes(tables: Int): Int =
+    math.max(1, (math.log(math.max(2, tables) / AnchorCandidateFraction)
+      / math.log(2.0)).floor.toInt)
+
+  /** `planes = 0` (the default) resolves via [[anchorPlanes]] — the
+    * recall-anchored constant-fraction geometry (r14; no corpus count
+    * needed). The advisory notes the linear cost growth past the scale
+    * where it stops being negligible; explicit plane counts never warn. */
+  private def resolvePlanes(embeddings: DataFrame, planes: Int,
+      tables: Int): Int =
     if (planes > 0) planes
     else {
-      val n = embeddings.count()
-      // non-silent recall cliff: the auto constant-occupancy dial warns
-      // past the measured background-decay scale (docs/indexes.md)
-      AdaptiveAnn.adviseConstantDial("AnnLsh", n)
-      autoPlanes(n)
+      // non-silent cost growth (the count here is only for the advisory
+      // threshold and is one metadata-cheap job; the GEOMETRY itself no
+      // longer depends on it — anchorPlanes is corpus-free)
+      AdaptiveAnn.adviseDefaultDial("AnnLsh", embeddings.count())
+      anchorPlanes(tables)
     }
 
   /** Corpus with one bucket id per hash table (single kernel pass).
-    * `planes = 0` auto-scales with the corpus (see [[autoPlanes]]). */
+    * `planes = 0` takes the recall-anchored default ([[anchorPlanes]]);
+    * pass `autoPlanes(n)` for the bounded-cost geometry. */
   def index(embeddings: DataFrame, tables: Int = 24, planes: Int = 0): DataFrame =
     embeddings.withColumn("buckets",
       org.apache.spark.sql.graft.ColumnBridge
         .embeddingLshBuckets(col("embedding"), tables,
-          resolvePlanes(embeddings, planes), TableOffset))
+          resolvePlanes(embeddings, planes, tables), TableOffset))
 
   /** Batched probe: top-k for EVERY id in `queryIds` in one pass — the
     * ANN-service shape (see Ivf.topKBatch). The corpus side explodes its
@@ -95,7 +127,7 @@ object AnnLsh {
     require(queryIds.distinct.size == queryIds.size,
       "queryIds must be distinct — duplicate ids would collapse into one group")
     import org.apache.spark.sql.expressions.Window
-    val indexed = index(embeddings, tables, resolvePlanes(embeddings, planes))
+    val indexed = index(embeddings, tables, resolvePlanes(embeddings, planes, tables))
     val queries = indexed.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("buckets").as("q_buckets"))
@@ -140,7 +172,7 @@ object AnnLsh {
     * exactly re-ranked by cosine. */
   def topK(embeddings: DataFrame, queryId: Long, k: Int,
       tables: Int = 24, planes: Int = 0): DataFrame = {
-    val indexed = index(embeddings, tables, resolvePlanes(embeddings, planes))
+    val indexed = index(embeddings, tables, resolvePlanes(embeddings, planes, tables))
     val q = indexed.filter(col("vec_id") === queryId)
       .select(col("embedding").as("q_emb"), col("buckets").as("q_buckets"))
     // candidate: any table agrees on the bucket. The predicate references
@@ -191,7 +223,7 @@ object AnnLsh {
     // the resolved count is FROZEN into params.json: appends and probes
     // against this index keep the build-time geometry (rebuild when the
     // corpus outgrows it — see docs/indexes.md)
-    val p = resolvePlanes(embeddings, planes)
+    val p = resolvePlanes(embeddings, planes, tables)
     index(embeddings, tables, p)
       .select(col("vec_id"), col("label"), col("embedding"), col("buckets"),
         posexplode(col("buckets")).as(Seq("t", "bucket")))

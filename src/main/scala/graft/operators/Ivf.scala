@@ -30,45 +30,65 @@ object Ivf {
 
   private val sumDec = DecimalType(28, 7)
 
-  /** Per-probe ROW budget behind the auto default (`nprobe = 0`): the
+  /** Per-probe ROW budget of the BUDGET dial ([[budgetNprobe]]): the
     * probe reads ⌈DefaultProbeRows / cellSize⌉ cells, so its cost is a
     * constant number of corpus rows at ANY corpus size — under the
     * √n-cells convention (cellSize ≈ cells), nprobe ≈ ⌈576 / cells⌉
     * with no count() needed. 576 anchors the budget to the RecallGrid
-    * operating point (13 cells × ~44 rows/cell at sf0.1). A fraction
-    * default (round 6's ⌈0.27·cells⌉) holds background recall but reads
-    * a constant 27% of the corpus per probe — a linear scan at 100×
-    * (measured 4.3× probe cost at 10× data); background recall at a
-    * constant row budget instead falls with corpus growth, which is the
-    * honest default for planted/concentrated-structure probing. Callers
-    * who want the measured ≥0.7-background-recall point at linear cost
-    * opt in with `nprobe = wideNprobe(cells)`. */
+    * operating point (13 cells × ~44 rows/cell at sf0.1).
+    *
+    * This was the `nprobe = 0` DEFAULT through r13; the sf1 scaling run
+    * showed its honest flaw as a default: background recall decays with
+    * corpus growth (measured 0.70 → 0.28 per 10× rows) because a
+    * constant row budget covers a shrinking corpus fraction. Since r14
+    * the default is [[wideNprobe]] — recall anchored, cost a constant
+    * corpus FRACTION — and the bounded-cost point is the explicit
+    * opt-in (`nprobe = budgetNprobe(cells)`), which is also what
+    * AdaptiveAnn's cheap first pass probes. */
   val DefaultProbeRows: Int = 576
+
+  /** The bounded-cost dial: ⌈[[DefaultProbeRows]] / cells⌉ capped at
+    * `cells` — constant rows per probe at ANY corpus size. Right when
+    * the workload is known concentrated (near-dup mining, cluster
+    * assignment: planted recall is 1.0 at every measured scale) or when
+    * per-probe cost must be flat regardless of answer quality;
+    * background recall falls as the corpus outgrows the budget. */
+  def budgetNprobe(cells: Int): Int =
+    math.max(1, math.min(cells,
+      math.ceil(DefaultProbeRows.toDouble / math.max(1, cells)).toInt))
 
   /** The wide (high-background-recall) dial: ⌈0.27·cells⌉ — a constant
     * candidate FRACTION, so recall holds at the RecallGrid-measured
     * ≥0.7 at any corpus size while probe cost grows linearly with it.
-    * Explicit opt-in; the telemetry `_wide` points use it so they stay
-    * comparable across scale factors. */
+    * Since r14 this IS the `nprobe = 0` default (see [[resolveNprobe]]);
+    * the telemetry `_wide` points pin it so cross-sf comparisons stay
+    * meaningful. 0.27 and the 576-row budget anchor the SAME sf0.1
+    * operating point (13 of 45 cells), so the default's sf0.1 behavior
+    * is unchanged by the r14 re-anchoring. */
   val WideProbeFraction: Double = 0.27
 
   /** ⌈[[WideProbeFraction]]·cells⌉, the fraction-based wide probe. */
   def wideNprobe(cells: Int): Int =
     math.max(1, math.ceil(cells * WideProbeFraction).toInt)
 
-  /** `nprobe = 0` (the default) resolves the [[DefaultProbeRows]] budget
-    * against the √n-cells convention (cellSize ≈ cells, so n ≈ cells²);
-    * explicit positive values pass through. Indexes built with a custom
-    * cell count off the √n convention should pass nprobe explicitly. */
+  /** `nprobe = 0` (the default) resolves to [[wideNprobe]] — the
+    * RECALL-ANCHORED dial (r14): a constant candidate fraction holds the
+    * measured ~0.7 background recall at any corpus size (sf0.1 and sf1
+    * read the same operating point), where the former constant-row
+    * default silently decayed 0.70 → 0.28 across one 10×. The price is
+    * probe cost that grows with the corpus — linear, cell-pruned at the
+    * scan, and warned about past the advisory scale so it is never
+    * silent; bounded-cost callers opt in with `nprobe =
+    * budgetNprobe(cells)` or the AdaptiveAnn escalation entry points.
+    * Explicit positive values pass through. */
   private[graft] def resolveNprobe(nprobe: Int, cells: Int): Int =
     if (nprobe > 0) nprobe
     else {
-      // non-silent recall cliff: under the √n-cells convention the corpus
-      // is ≈ cells², so the auto constant-row dial warns past the
-      // measured background-decay scale (docs/indexes.md)
-      AdaptiveAnn.adviseConstantDial("Ivf", cells.toLong * cells)
-      math.max(1, math.min(cells,
-        math.ceil(DefaultProbeRows.toDouble / math.max(1, cells)).toInt))
+      // non-silent cost growth: under the √n-cells convention the corpus
+      // is ≈ cells², so the recall-anchored default warns past the scale
+      // where its constant-fraction probe cost stops being negligible
+      AdaptiveAnn.adviseDefaultDial("Ivf", cells.toLong * cells)
+      wideNprobe(cells)
     }
 
   /** Above this many centroid floats (k×dim), assignment switches from the

@@ -277,7 +277,17 @@ object MinHashLsh {
     *     the thresholded output makes the sampling pass materialize the
     *     24-byte survivor rows once and the real pass re-read them. */
   def candidatePairs(documents: DataFrame, k: Int = 128, bands: Int = 8,
-      threshold: Double = 0.9, maxBucket: Int = 4096): DataFrame = {
+      threshold: Double = 0.9, maxBucket: Int = 4096): DataFrame =
+    candidatePairsUnsorted(documents, k, bands, threshold, maxBucket)
+      .localCheckpoint(false)
+      .orderBy("doc_a", "doc_b")
+
+  /** [[candidatePairs]] before the presentation sort — the stage whose
+    * plan carries the banding/verify kernels (pinned in
+    * PlanQualitySpec; the public form's top plan shows only the sort
+    * over the checkpointed survivor rows). */
+  private[graft] def candidatePairsUnsorted(documents: DataFrame, k: Int,
+      bands: Int, threshold: Double, maxBucket: Int): DataFrame = {
     val sigs = signatures(documents, k).localCheckpoint(true)
     val pairs = bandedPairs(sigs, k, bands, maxBucket)
     val sigBytes = sigs.count() * (32L + 8L * k)
@@ -292,8 +302,6 @@ object MinHashLsh {
           .matchCount(col("sig_a"), col("sig_b")).cast("double") / lit(k))
       .filter(col("jaccard_est") >= threshold)
       .select("doc_a", "doc_b", "jaccard_est")
-      .localCheckpoint(false)
-      .orderBy("doc_a", "doc_b")
   }
 
   /** Verified near-dup pairs at `threshold`, generated the scale-safe

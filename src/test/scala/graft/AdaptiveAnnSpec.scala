@@ -142,11 +142,13 @@ class AdaptiveAnnSpec extends AnyFunSuite {
     assert(perQ.values.forall(_ === 5), perQ.filter(_._2 != 5).toString)
     assert(!rows.exists(r => r.getLong(0) == r.getLong(1)))
     // the escalation contract, replayed through the same internals the
-    // key runs: queries the rule keeps answer with the DEFAULT dial's
-    // rows, escalated queries with the WIDE dial's rows — auto is the
+    // key runs: queries the rule keeps answer with the BUDGET dial's
+    // rows (auto's explicit constant-cost first pass since r14),
+    // escalated queries with the WIDE dial's rows — auto is the
     // per-query splice of the two probes, nothing else
     val (mu, sigma) = AdaptiveAnn.backgroundStats(emb, n)
-    val p1 = Ivf.topKBatch(emb, cents, qids, 5).collect()
+    val p1 = Ivf.topKBatch(emb, cents, qids, 5,
+      nprobe = Ivf.budgetNprobe(cells)).collect()
     val esc = AdaptiveAnn.escalationSet(p1, qids, 5, mu, sigma)
     val wide =
       if (esc.isEmpty) Array.empty[org.apache.spark.sql.Row]
@@ -160,10 +162,10 @@ class AdaptiveAnnSpec extends AnyFunSuite {
   }
 
   test("constant-dial advisory: the recorded default-entry-point decision") {
-    // docs/indexes.md "Which entry point is the default?": the plain
-    // constant-row entry points stay the fast path, and their recall
-    // cliff is made non-silent by an advisory past the measured decay
-    // scale. The pure rule, pinned:
+    // docs/indexes.md "Which entry point is the default?": the r14
+    // default is the recall-anchored fraction dial, and its linear
+    // per-probe cost growth is made non-silent by an advisory past the
+    // scale where the dials measurably diverge. The pure rule, pinned:
     val n = AdaptiveAnn.ConstantDialAdvisoryRows
     assert(!AdaptiveAnn.adviseDecision(n), "at the threshold: quiet")
     assert(AdaptiveAnn.adviseDecision(n + 1), "past the threshold: advise")

@@ -83,8 +83,20 @@ class PlanQualitySpec extends AnyFunSuite {
     // in the verify plan downstream of the checkpoint
     val pSig = plan(MinHashLsh.signatures(Tables.documents(spark, sf)))
     assert(pSig.contains("minhash_signature"), pSig)
-    val pMh = plan(MinHashLsh.candidatePairs(Tables.documents(spark, sf)))
+    // the estimate stage carries the match-count kernel and broadcasts
+    // the ~1KB/doc signature payload (r14: the pair stream never
+    // shuffles into the estimate join under the broadcast budget)
+    val pMh = plan(MinHashLsh.candidatePairsUnsorted(
+      Tables.documents(spark, sf), 128, 8, 0.9, 4096))
     assert(pMh.contains("long_array_match_count"), pMh)
+    assert(pMh.contains("BroadcastHashJoin"), pMh)
+    assert(!pMh.contains("SortMergeJoin"), pMh)
+    // the public form's sort reads the CHECKPOINTED survivor rows, so
+    // the range sampler cannot re-execute the join lineage (the r14
+    // dd_minhash_lsh profile fix)
+    val pPub = plan(MinHashLsh.candidatePairs(Tables.documents(spark, sf)))
+    assert(pPub.contains("ExistingRDD"), pPub)
+    assert(!pPub.contains("long_array_match_count"), pPub)
   }
 
   test("LSH candidate streams are never distinct-shuffled on the normal corpus") {

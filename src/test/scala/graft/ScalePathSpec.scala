@@ -71,31 +71,46 @@ class ScalePathSpec extends AnyFunSuite {
     assert(pairs.toSeq === explicit.toSeq)
   }
 
-  test("ANN auto geometry: anchored at oracle scales, constant-rows beyond") {
+  test("ANN dial geometry: recall-anchored defaults, constant-cost budget opt-ins") {
     import spark.implicits._
-    // AnnLsh auto planes: max(5, floor(log2(n/64))) — 5 at every oracle
-    // corpus size (sf0.01 n=500, sf0.1 n=2000: the RecallGrid 24×5 point,
-    // so the SQL twins stay bit-exact), one more plane per corpus
-    // doubling beyond (bucket occupancy held in [64, 128))
+    // AnnLsh BUDGET planes (the pre-r14 default, now AdaptiveAnn's first
+    // pass): max(5, floor(log2(n/64))) — constant bucket occupancy, one
+    // more plane per corpus doubling
     assert(AnnLsh.autoPlanes(500L) === 5)
     assert(AnnLsh.autoPlanes(2000L) === 5)
     assert(AnnLsh.autoPlanes(20000L) === 8)
     assert(AnnLsh.autoPlanes(40000L) === 9)
     assert(AnnLsh.autoPlanes(1L << 20) === 14)
-    // Ivf auto nprobe: ⌈DefaultProbeRows/cells⌉ capped at cells — the
-    // sf0.1 anchor (45 cells) resolves to the same 13 cells the round-6
-    // fraction default read, small corpora degenerate to a full (exact)
-    // probe, and big ones hold per-probe rows ~constant
+    // AnnLsh DEFAULT planes (r14): the anchor fraction tables/2^planes ≈
+    // 0.75, corpus-size-free — 5 at the 24-table default at ANY corpus,
+    // so the SQL twins stay bit-exact at every oracle size
+    assert(AnnLsh.anchorPlanes(24) === 5)
+    assert(AnnLsh.anchorPlanes(12) === 4)
+    assert(AnnLsh.anchorPlanes(48) === 6)
+    // Ivf BUDGET nprobe: ⌈DefaultProbeRows/cells⌉ capped at cells — the
+    // sf0.1 anchor (45 cells) resolves to the same 13 cells as the
+    // fraction dial, small corpora degenerate to a full (exact) probe,
+    // big ones hold per-probe rows ~constant
+    assert(Ivf.budgetNprobe(45) === 13)
+    assert(Ivf.budgetNprobe(23) === 23)
+    assert(Ivf.budgetNprobe(142) === 5)
+    assert(Ivf.budgetNprobe(1000) === 1)
+    // Ivf DEFAULT nprobe (r14): the ⌈0.27·cells⌉ recall-anchored
+    // fraction — identical to the budget dial at the sf0.1 tuning anchor
+    // (both dials read 13 of 45 cells) and holding the fraction beyond
+    // it where the budget dial's coverage (and background recall) decays
     assert(Ivf.resolveNprobe(0, 45) === 13)
-    assert(Ivf.resolveNprobe(0, 23) === 23)
-    assert(Ivf.resolveNprobe(0, 142) === 5)
-    assert(Ivf.resolveNprobe(0, 1000) === 1)
+    assert(Ivf.resolveNprobe(0, 23) === 7)
+    assert(Ivf.resolveNprobe(0, 142) === 39)
+    assert(Ivf.resolveNprobe(0, 1000) === 270)
     assert(Ivf.resolveNprobe(7, 1000) === 7) // explicit wins
     assert(Ivf.wideNprobe(45) === 13)        // the fraction dial
     assert(Ivf.wideNprobe(142) === 39)
+    assert(Ivf.resolveNprobe(0, 142) === Ivf.wideNprobe(142))
 
-    // auto output is exactly the explicit-planes output it resolves to,
-    // at a size where auto resolves ABOVE the anchor (n=9000 → 7 planes)
+    // default output is exactly the explicit-anchor-planes output it
+    // resolves to, at a size where the BUDGET dial would diverge
+    // (n=9000 → autoPlanes 7, anchor 5)
     val vecs = (0 until 9000).map { i =>
       (i.toLong,
         Array.tabulate(8)(d => (((i * 37 + d * 13) % 1000) / 500.0 - 1.0).toFloat),
@@ -103,7 +118,7 @@ class ScalePathSpec extends AnyFunSuite {
     }.toDF("vec_id", "embedding", "label")
     assert(AnnLsh.autoPlanes(vecs.count()) === 7)
     val auto = AnnLsh.topK(vecs, 0L, 10).collect().map(_.toSeq)
-    val explicit = AnnLsh.topK(vecs, 0L, 10, planes = 7).collect().map(_.toSeq)
+    val explicit = AnnLsh.topK(vecs, 0L, 10, planes = 5).collect().map(_.toSeq)
     assert(auto.toSeq === explicit.toSeq)
   }
 
