@@ -137,7 +137,12 @@ object SparkEntry {
     // candidates are EXACT, so the oracle is the plain all-pairs form
     "dd_containment" -> ((s, dir) =>
       Dedup.containment(Tables.documents(s, dir))),
-    "dd_embedding" -> ((s, dir) => Dedup.embeddingNearDupLsh(Tables.embeddings(s, dir))),
+    // the BOUNDED-output serving form (r14): per-vector top-10 verified
+    // neighbors — n·m output rows at any corpus size, where the raw pair
+    // stream (embeddingNearDupLsh, same gate + verify arithmetic, also
+    // replayed inside this key's oracle CTEs) is output-bound
+    // near-quadratic by corpus construction (the retired 3.5x waiver)
+    "dd_embedding" -> ((s, dir) => Dedup.embeddingNearDupTopM(Tables.embeddings(s, dir))),
     "sim_topk" -> ((s, dir) => Similarity.bruteForceTopK(Tables.embeddings(s, dir), 0L, 20)),
     // frame-sampling plumbing: fixed windows at a regular stride, digested
     // per frame so the oracle rebuilds them from the payload text
@@ -1158,10 +1163,18 @@ object SparkEntry {
          |  SELECT vec_a, vec_b,
          |         CAST(${dotSql("a.embedding", "b.embedding")} AS DOUBLE)
          |           / (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))) AS cosine
-         |  FROM pr JOIN n a ON pr.vec_a = a.vec_id JOIN n b ON pr.vec_b = b.vec_id)
-         |SELECT vec_a, vec_b, cosine FROM c
-         |WHERE cosine >= 0.3
-         |ORDER BY vec_a, vec_b""".stripMargin,
+         |  FROM pr JOIN n a ON pr.vec_a = a.vec_id JOIN n b ON pr.vec_b = b.vec_id),
+         |kept AS (SELECT vec_a, vec_b, cosine FROM c WHERE cosine >= 0.3),
+         |mir AS (
+         |  SELECT vec_a AS vec_id, vec_b AS neighbor_id, cosine FROM kept
+         |  UNION ALL
+         |  SELECT vec_b AS vec_id, vec_a AS neighbor_id, cosine FROM kept)
+         |SELECT vec_id, neighbor_id, cosine, rank FROM (
+         |  SELECT mir.*, CAST(row_number() OVER (PARTITION BY vec_id
+         |           ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+         |  FROM mir)
+         |WHERE rank <= 10
+         |ORDER BY vec_id, rank""".stripMargin,
 
 
     // AnnLsh's plane family (tables 64..87; 5 planes — the r14

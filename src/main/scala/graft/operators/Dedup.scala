@@ -131,33 +131,48 @@ object Dedup {
       .select(col("vec_id"), col("bkts"),
         posexplode(col("bkts")).as(Seq("t", "bucket")))
 
-  /** Bucket occupancy the auto plane count targets: ~16 rows per bucket
-    * per table keeps in-bucket pair volume (occupancy²/2 per bucket)
-    * bounded as the corpus grows. Halved from the original 32 by the r8
-    * scaling study: candidate volume only shrinks ~0.58× per two added
-    * planes on clustered sign patterns (heavy-tailed buckets), so the
-    * tighter target buys ~2× less verify volume at every corpus size for
-    * one extra plane (~15% recall loss per plane at cosine 0.9 — the
-    * true-near-dup operating point). */
-  private[graft] val TargetBucketOccupancy = 16L
+  /** Corpus size at and below which the auto plane count stays at the
+    * original 6-plane geometry — covers every oracle corpus, keeping
+    * dd_embedding's DuckDB twin bit-exact. */
+  private[graft] val PlaneAnchorRows = 1024L
 
-  /** `planes = 0` (the default) resolves to max(6, ⌈log₂(n/16)⌉) — the
-    * corpus-size-scaled geometry. A FIXED plane count means bucket
-    * occupancy, and with it in-bucket candidate volume, grows linearly
-    * (quadratically in pairs) with the corpus: the r6 scaling study
-    * measured the 6-plane geometry at 13× cost for 10× data. Scaling
-    * planes with log₂(n) holds occupancy — and per-row probe cost —
-    * constant instead. Bucket geometry is part of an approximate-dedup
-    * op's SEMANTICS (more planes → finer sign patterns → fewer
-    * low-cosine candidates surface), so callers needing bit-stable
-    * output across corpus sizes pass an explicit plane count; at the
-    * oracle sizes (n ≤ 1024) the auto value resolves to the original 6,
-    * keeping dd_embedding's oracle bit-exact. */
+  /** Plane growth per corpus doubling beyond [[PlaneAnchorRows]] (r14,
+    * the CANDIDATE-anchored schedule). The r6–r13 rule held expected
+    * bucket OCCUPANCY constant (+1 plane per doubling, the uniform-
+    * bucket heuristic), but the r14 stage profile measured the candidate
+    * stage — not output materialization, as r13 hypothesized — driving
+    * the key's scaling slope: on this corpus's positively-correlated
+    * background (mean pair cosine ≈ 0.3, heavy-tailed sign-pattern
+    * buckets) candidates only shrink ~0.58× per TWO added planes (the
+    * r8 measurement), so occupancy-constant planes leave candidate
+    * volume growing ~n^1.26 (measured 310k → 11.05M per 10× rows).
+    * 1.5 planes per doubling is the measured compromise: candidate
+    * growth drops to ~2.6× per 10× data (sub-linear per vector) while
+    * the j=0.9 operating point keeps ~0.68 recall at the 10⁵-row scale
+    * (8 tables; true near-identical duplicates — θ ≈ 0, per-table
+    * collision ≈ 1 at ANY plane count — are unaffected at every scale,
+    * specced). The constant-per-vector coefficient (~2.5/doubling)
+    * would cost j=0.9 recall 0.45 — too much for the default. */
+  private[graft] val PlanesPerDoubling = 1.5
+
+  /** `planes = 0` (the default) resolves to
+    * 6 + ⌈[[PlanesPerDoubling]]·log₂(n/1024)⌉ beyond the anchor — the
+    * corpus-size-scaled geometry. A FIXED plane count means in-bucket
+    * candidate volume grows quadratically with the corpus (the r6 study
+    * measured 13× cost at 10× data for fixed 6 planes); the r14 schedule
+    * grows planes fast enough that PER-VECTOR candidate work stays
+    * near-constant on the measured bucket tail. Bucket geometry is part
+    * of an approximate-dedup op's SEMANTICS (more planes → finer sign
+    * patterns → fewer low-cosine candidates surface), so callers needing
+    * bit-stable output across corpus sizes pass an explicit plane count;
+    * at the oracle sizes (n ≤ [[PlaneAnchorRows]]) the auto value
+    * resolves to the original 6, keeping dd_embedding's oracle
+    * bit-exact. */
   private[graft] def resolvePlanes(planes: Int, n: Long): Int =
     if (planes > 0) planes
-    else math.max(6, math.ceil(
-      math.log(math.max(1L, n).toDouble / TargetBucketOccupancy)
-        / math.log(2.0)).toInt)
+    else if (n <= PlaneAnchorRows) 6
+    else 6 + math.ceil(PlanesPerDoubling *
+      math.log(n.toDouble / PlaneAnchorRows) / math.log(2.0)).toInt
 
   /** LSH-blocked embedding near-dup pairs — the unsupervised scale path.
     * The auto plane count (`planes = 0`) needs the corpus size: pass
@@ -169,7 +184,22 @@ object Dedup {
     * `corpusSize`/an explicit `planes`). */
   def embeddingNearDupLsh(embeddings: DataFrame, threshold: Double = 0.3,
       tables: Int = 8, planes: Int = 0, maxBucket: Int = 4096,
-      corpusSize: Long = 0L): DataFrame = {
+      corpusSize: Long = 0L): DataFrame =
+    // materialize the verified survivors before the presentation sort so
+    // the range sampler reads 24-byte rows instead of re-executing the
+    // bucket join + verify lineage (the r14 dd_minhash_lsh profile fix)
+    embeddingPairsUnsorted(embeddings, threshold, tables, planes,
+        maxBucket, corpusSize)
+      .localCheckpoint(false)
+      .orderBy("vec_a", "vec_b")
+
+  /** The verified (vec_a, vec_b, cosine) stream of [[embeddingNearDupLsh]]
+    * before its presentation sort — shared with [[embeddingNearDupTopM]],
+    * which caps the OUTPUT instead of materializing the full pair
+    * stream. */
+  private def embeddingPairsUnsorted(embeddings: DataFrame,
+      threshold: Double, tables: Int, planes: Int, maxBucket: Int,
+      corpusSize: Long): DataFrame = {
     // the corpus count (a full action) runs ONLY when auto resolution
     // needs it and the caller did not supply the size
     val src = embeddings
@@ -205,7 +235,57 @@ object Dedup {
         org.apache.spark.sql.graft.ColumnBridge.quantizedCosine14(
           col("q_a"), col("q_b"), col("snrm_a"), col("snrm_b")).as("cosine"))
       .filter(col("cosine") >= threshold)
-      .orderBy("vec_a", "vec_b")
+  }
+
+  /** The BOUNDED-OUTPUT form of embedding near-dup detection: the same
+    * LSH gate and quantized-cosine verify as [[embeddingNearDupLsh]],
+    * but each vector keeps only its `m` highest-cosine verified
+    * neighbors — (vec_id, neighbor_id, cosine, rank) with rank 1..m by
+    * (cosine desc, neighbor_id).
+    *
+    * This is the 100-TB serving shape. The raw pair stream's SIZE is a
+    * property of the corpus, not the plan: at a background threshold the
+    * accepted pairs are the cosine tail — near-quadratic in the
+    * duplicates per block — so materializing and globally sorting them
+    * grows faster than the corpus (the r8–r13 scaling studies' one
+    * waived key, 3.3× measured at 10× data with the plan already
+    * optimal). No downstream consumer of "what are this document's
+    * near-duplicates?" needs that stream ranked globally; capping
+    * per-doc output makes the materialized answer n·m rows at ANY
+    * corpus size while the verify stage — the part that must see every
+    * candidate — is unchanged. The full pair stream stays available as
+    * [[embeddingNearDupLsh]] (same verify arithmetic, DuckDB-twinned),
+    * and the two forms are specced equal on planted near-dups.
+    *
+    * Scale shape: the mirrored pair stream shuffles once on vec_id (24-
+    * byte rows) into the per-vector top-m window; output is bounded, so
+    * the presentation sort is too. */
+  def embeddingNearDupTopM(embeddings: DataFrame, threshold: Double = 0.3,
+      m: Int = 10, tables: Int = 8, planes: Int = 0, maxBucket: Int = 4096,
+      corpusSize: Long = 0L): DataFrame = {
+    require(m >= 1, s"m must be >= 1 (got $m)")
+    import org.apache.spark.sql.expressions.Window
+    // EAGER checkpoint: both legs of the mirror union read the verified
+    // stream — without materialization each leg would re-run the whole
+    // bucket-join + verify lineage (the dominant cost), and a lazy
+    // checkpoint leaves the two legs racing to compute the same cached
+    // partitions inside one job
+    val pairs = embeddingPairsUnsorted(embeddings, threshold, tables,
+      planes, maxBucket, corpusSize).localCheckpoint(true)
+    // near-duplication is symmetric: each verified pair is a neighbor
+    // edge in both directions
+    val mirrored = pairs
+      .select(col("vec_a").as("vec_id"), col("vec_b").as("neighbor_id"),
+        col("cosine"))
+      .unionByName(pairs
+        .select(col("vec_b").as("vec_id"), col("vec_a").as("neighbor_id"),
+          col("cosine")))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    mirrored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= m)
+      .orderBy("vec_id", "rank")
   }
 
   /** Directional containment near-dup pairs — |A∩B| / |A| ≥ `threshold`

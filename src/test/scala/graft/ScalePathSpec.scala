@@ -40,17 +40,20 @@ class ScalePathSpec extends AnyFunSuite {
   test("embedding dedup auto-planes scale with corpus size, fixed at oracle scales") {
     import spark.implicits._
     import graft.operators.Dedup
-    // the resolution rule itself: max(6, ceil(log2(n/16))) — 6 at every
-    // oracle size (so dd_embedding stays bit-exact), growing with
-    // log2(n) beyond to hold bucket occupancy ~constant
+    // the resolution rule itself (r14 candidate-anchored): 6 at every
+    // oracle size (so dd_embedding stays bit-exact), then 1.5 planes per
+    // corpus doubling — fast enough that per-vector candidate work stays
+    // near-constant on the measured heavy-tailed buckets (the
+    // occupancy-constant +1/doubling rule left candidates growing
+    // ~n^1.26: 310k -> 11.05M per 10x rows, the key's r13 slope)
     assert(Dedup.resolvePlanes(0, 200L) === 6)
     assert(Dedup.resolvePlanes(0, 1024L) === 6)
-    assert(Dedup.resolvePlanes(0, 2000L) === 7)
-    assert(Dedup.resolvePlanes(0, 20000L) === 11)
-    assert(Dedup.resolvePlanes(0, 1L << 20) === 16)
+    assert(Dedup.resolvePlanes(0, 2000L) === 8)
+    assert(Dedup.resolvePlanes(0, 20000L) === 13)
+    assert(Dedup.resolvePlanes(0, 1L << 20) === 21)
     assert(Dedup.resolvePlanes(4, 1L << 20) === 4) // explicit wins
 
-    // at a corpus size where auto resolves ABOVE 6 (n=3000 → 8 planes),
+    // at a corpus size where auto resolves ABOVE 6 (n=3000 → 9 planes),
     // planted near-identical pairs still surface: near-zero angle means
     // per-plane collision probability ~1 at any plane count
     val vecs = ((0 until 3000).map { i =>
@@ -60,15 +63,74 @@ class ScalePathSpec extends AnyFunSuite {
     } :+ ((9001L,
       Array.tabulate(8)(d => ((((0 * 31) + d * 17) % 1000) / 500.0 - 1.0 + 1e-4).toFloat),
       0))).toDF("vec_id", "embedding", "label")
-    assert(Dedup.resolvePlanes(0, vecs.count()) === 8)
+    assert(Dedup.resolvePlanes(0, vecs.count()) === 9)
     val pairs = Dedup.embeddingNearDupLsh(vecs, threshold = 0.999)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.contains((0L, 9001L)),
       s"planted near-dup not found under auto planes; got ${pairs.length} pairs")
     // and auto output is exactly the explicit-planes output it resolves to
-    val explicit = Dedup.embeddingNearDupLsh(vecs, threshold = 0.999, planes = 7)
+    val explicit = Dedup.embeddingNearDupLsh(vecs, threshold = 0.999, planes = 9)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.toSeq === explicit.toSeq)
+  }
+
+  test("embedding top-m == pair form on planted near-dups; output bounded per vector") {
+    import spark.implicits._
+    // seeded-random background vectors (8-dim: two of 800 clearing
+    // cosine 0.99 by chance is vanishingly unlikely) + three planted
+    // groups of four near-identical vectors each (±1e-4 component
+    // nudges → pairwise cosine ≈ 1); threshold 0.99 keeps ONLY
+    // planted-group pairs, so the pair form's per-vector partner sets
+    // are the ground truth the bounded form must reproduce exactly
+    // (group size 4 → 3 partners < m = 10)
+    val rng = new scala.util.Random(42)
+    val base = (0 until 800).map { i =>
+      (i.toLong,
+        Array.fill(8)((rng.nextDouble() * 2.0 - 1.0).toFloat),
+        s"l${i % 5}")
+    }
+    val groupVecs = Seq(100L, 200L, 300L).map { g =>
+      g -> Array.fill(8)((rng.nextDouble() * 2.0 - 1.0).toFloat)
+    }
+    val planted = groupVecs.flatMap { case (g, v) =>
+      (1 to 4).map { j =>
+        (10000L + g * 10L + j,
+          v.map(x => x + j * 1e-4f),
+          "lp")
+      }
+    }
+    val emb = (base ++ planted).toDF("vec_id", "embedding", "label")
+    val pairRows = Dedup.embeddingNearDupLsh(emb, threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairRows.nonEmpty, "no planted pairs surfaced")
+    val partners = (pairRows.map(p => (p._1, p._2)) ++
+      pairRows.map(p => (p._2, p._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val topm = Dedup.embeddingNearDupTopM(emb, threshold = 0.99, m = 10)
+      .collect()
+    val got = topm.map(_.getLong(0)).distinct.map { v =>
+      v -> topm.filter(_.getLong(0) == v).map(_.getLong(1)).toSet
+    }.toMap
+    assert(got === partners,
+      s"top-m neighbor sets differ from the pair form's partner sets")
+    // ranks are 1..count by non-increasing cosine, counts bounded by m
+    topm.groupBy(_.getLong(0)).foreach { case (v, rows) =>
+      assert(rows.length <= 10, s"vec $v kept ${rows.length} > m rows")
+      val sorted = rows.sortBy(_.getLong(3))
+      assert(sorted.map(_.getLong(3)).toSeq === (1L to rows.length).toSeq)
+      val cos = sorted.map(_.getDouble(2))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b },
+        s"vec $v ranks not cosine-ordered")
+    }
+    // m truly bounds: each planted vector keeps exactly its best
+    // neighbor at m = 1, and it is a fellow group member
+    val top1 = Dedup.embeddingNearDupTopM(emb, threshold = 0.99, m = 1)
+      .collect()
+    assert(top1.length === partners.size)
+    top1.foreach { r =>
+      assert(partners(r.getLong(0)).contains(r.getLong(1)))
+      assert(r.getLong(3) === 1L)
+    }
   }
 
   test("ANN dial geometry: recall-anchored defaults, constant-cost budget opt-ins") {

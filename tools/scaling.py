@@ -43,16 +43,17 @@ import sys
 #   - tx_lm_score measured 2.5x, st_dedup 1.9x, bm_percentile 2.6x,
 #     q_approx_quantile 1.5x — the r12 "saturation/noise" readings were
 #     the starved box, as diagnosed; all inside the default gate now.)
-WAIVERS = {
-    # 3.3x measured r13 (0.78 -> 2.56 s, BENCH_full_r13/BENCH_sf1): the
-    # known OUTPUT-bound key — at threshold 0.3 the accepted pairs are
-    # the background cosine tail, near-quadratic in replicas per label
-    # block, so the result SIZE grows faster than the corpus; geometry
-    # (r8 occupancy-16 retune) keeps candidate volume ~2x down at every
-    # scale, and the residual slope is materializing the bigger answer,
-    # not a plan defect. Margin 3.5x = the measurement plus jitter.
-    "dd_embedding": 3.5,
-}
+# (r14: the dd_embedding 3.5x waiver — the last one — was retired by
+# changing the KEY's output contract, not by forgiveness: the r13
+# finding stood (the pair stream's SIZE is near-quadratic in the
+# corpus's duplicates-per-block, so materializing and globally sorting
+# it cannot scale, whatever the plan), so the benched key now runs the
+# bounded per-vector top-10 form (Dedup.embeddingNearDupTopM — same LSH
+# gate, same quantized-cosine verify, n*m output rows at any corpus
+# size), with the raw pair stream still available as
+# embeddingNearDupLsh and its arithmetic still DuckDB-twinned inside
+# the top-m oracle's CTEs.)
+WAIVERS = {}
 
 # Keys faster than this at the LARGER scale are noise-exempt: a 0.1s ->
 # 0.4s "4x slope" is scheduler jitter, not a scale signal.
