@@ -205,6 +205,25 @@ object Pipeline {
   def ingestAndAssemble(spark: SparkSession, corpora: Map[String, String],
       weights: Map[String, Int], budget: Long, path: String,
       maxEpochs: Int = 4, nShards: Int = 16,
+      packBudget: Long = 2048): DataFrame =
+    ingestAndAssembleFrom(spark,
+      corpora.map { case (src, dir) =>
+        src -> (graft.sources.Tables.TextDir(dir): graft.sources.Tables.CorpusDir)
+      },
+      weights, budget, path, maxEpochs, nShards, packBudget)
+
+  /** [[ingestAndAssemble]] over format-tagged corpus directories — mixes
+    * raw-text corpora with compressed-JSONL ones (the HF-export shape)
+    * in one assembly: each source ingests through its format's front
+    * door, everything downstream is identical. The densify order is
+    * (path, doc_id): unique for one-doc-per-file text corpora (path
+    * alone was the pre-r14 order — same total order, no behavior
+    * change) and total for many-docs-per-file JSONL, where doc_id
+    * breaks the within-file tie deterministically. */
+  def ingestAndAssembleFrom(spark: SparkSession,
+      corpora: Map[String, graft.sources.Tables.CorpusDir],
+      weights: Map[String, Int], budget: Long, path: String,
+      maxEpochs: Int = 4, nShards: Int = 16,
       packBudget: Long = 2048): DataFrame = {
     require(corpora.nonEmpty, "corpora must name at least one directory")
     // fail fast on label drift: mixToTarget silently drops sources with
@@ -214,14 +233,19 @@ object Pipeline {
       s"corpora labels ${corpora.keySet.toSeq.sorted.mkString(",")} must " +
         s"match weight keys ${weights.keySet.toSeq.sorted.mkString(",")}")
     val raw = corpora.toSeq.sortBy(_._1)
-      .map { case (src, dir) => graft.sources.Tables.ingestTextDir(spark, dir, src) }
+      .map {
+        case (src, graft.sources.Tables.TextDir(dir)) =>
+          graft.sources.Tables.ingestTextDir(spark, dir, src)
+        case (src, graft.sources.Tables.JsonlDir(dir, tf, idf)) =>
+          graft.sources.Tables.ingestJsonlDir(spark, dir, src, tf, idf)
+      }
       .reduce(_.unionByName(_))
     // materialize the densified corpus: assembleDataset references its
     // input from several branches (the curate gate's checkpoint action,
     // the token join, the shard write) — cheap re-scans for a parquet
-    // table, but HERE the lineage is the whole-directory wholetext scan
+    // table, but HERE the lineage is the whole-directory file scan
     // plus the densify sort, which must run once, not once per branch
-    val dense = Sampling.densifyIds(raw, orderCols = Seq("path"))
+    val dense = Sampling.densifyIds(raw, orderCols = Seq("path", "doc_id"))
       .drop("doc_id", "path")
       .withColumnRenamed("dense_id", "doc_id")
       .localCheckpoint(false)

@@ -247,6 +247,62 @@ object Tables {
         length(col("value")).cast("long").as("n_chars"),
         input_file_name().as("path"))
 
+  /** Compressed-JSONL corpus ingestion — the shape real LLM corpora
+    * ship in (HF-dataset exports: one JSON object per line, as *.jsonl
+    * or *.jsonl.gz / *.jsonl.zst). Spark's text source resolves the
+    * codec from the file extension natively (gzip pure-JVM, zstd via
+    * the Hadoop codec), so the front door is a line scan plus one
+    * `from_json` projection into the documents shape. One line = one
+    * document; `textField`/`idField` name the payload and id keys (HF
+    * defaults "text"/"id"; a numeric id reads as its string form).
+    *
+    * doc_id = xxhash64(path, id) when the line carries an id, else
+    * xxhash64(path, text) — deterministic across runs and partitionings
+    * but HASH-width, so chain [[graft.operators.Sampling.densifyIds]]
+    * before Lehmer-domain ops, exactly as with [[ingestTextDir]].
+    * Lines that fail to parse or lack the text field are DROPPED (a
+    * front door must not manufacture null documents); id-less
+    * byte-identical duplicate lines within one file collapse to one
+    * doc_id (they are exact duplicates — dd_exact would collapse them
+    * anyway).
+    *
+    * Scale shape: gz/zstd files are non-splittable, so parallelism is
+    * one task per file — the sharded-many-files layout real corpora
+    * arrive in; everything added is per-row projection. */
+  def ingestJsonlDir(spark: SparkSession, dir: String,
+      source: String = "ingest", textField: String = "text",
+      idField: String = "id"): DataFrame = {
+    require(textField != idField, "textField and idField must differ")
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val schema = StructType(Seq(
+      StructField(idField, StringType), StructField(textField, StringType)))
+    spark.read.text(dir)
+      .select(from_json(col("value"), schema).as("j"),
+        input_file_name().as("path"))
+      .select(
+        when(col(s"j.`$idField`").isNotNull,
+          xxhash64(col("path"), col(s"j.`$idField`")))
+          .otherwise(xxhash64(col("path"), col(s"j.`$textField`")))
+          .as("doc_id"),
+        lit(source).as("source"),
+        col(s"j.`$textField`").as("text"),
+        length(col(s"j.`$textField`")).cast("long").as("n_chars"),
+        col("path"))
+      .filter(col("text").isNotNull)
+  }
+
+  /** A corpus directory tagged with its ingestion format — the source
+    * unit of `Pipeline.ingestAndAssembleFrom`. */
+  sealed trait CorpusDir { def dir: String }
+
+  /** Raw text files, one file = one document ([[ingestTextDir]]). */
+  final case class TextDir(dir: String) extends CorpusDir
+
+  /** JSONL / JSONL.gz / JSONL.zst, one line = one document
+    * ([[ingestJsonlDir]]). */
+  final case class JsonlDir(dir: String, textField: String = "text",
+      idField: String = "id") extends CorpusDir
+
   /** Binary-payload ingestion — the multimodal front door: a directory
     * of image/audio/video files becomes the engine's multimodal shape
     * (doc_id, payload, n_bytes, path, mod_time). Spark's `binaryFile`
