@@ -197,10 +197,45 @@ object Reports {
           checks :+= check(s"buildings.$f", "null_value",
             exists(col("buildings"), b => b.getField(f).isNull))
         }
+      // the rating BAND is an enum, not free text: a band the dashboards
+      // don't know (schema drift, locale leak) must flag here, not
+      // render as a blank bar downstream
+      if (fieldAt(Seq("buildings")).exists {
+        case ArrayType(st: StructType, _) => st.fieldNames.contains("rating")
+        case _ => false
+      })
+        checks :+= check("buildings.rating", "invalid_rating",
+          exists(col("buildings"), b => b.getField("rating").isNotNull &&
+            !b.getField("rating")
+              .isin("NoData", "Excellent", "Good", "Average", "Poor")))
     }
 
     val base = structural.toSeq.toDF("field", "violation")
     checks.foldLeft(base)(_ unionByName _).orderBy("field", "violation")
+  }
+
+  /** File-facing export validation — the twin of the reference
+    * validate_json.py `main()` (src/validate_json.py:70): read an
+    * [[exportJson]] output path back and run [[validateReport]] on the
+    * document. A missing path or a file that does not parse as JSON
+    * returns the corresponding error row — the reference's "file not
+    * found" / "invalid JSON" exits — instead of throwing, so a pipeline
+    * can gate publication on `validateExport(...).isEmpty` without
+    * try/catch plumbing. */
+  def validateExport(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val err = (v: String) => Seq(("<document>", v)).toDF("field", "violation")
+    try {
+      val back = spark.read.json(path)
+      // a file of non-JSON lines parses to the corrupt-record column (or
+      // to no columns at all when every line is blank)
+      if (back.columns.isEmpty ||
+          back.columns.sameElements(Array("_corrupt_record")))
+        err("invalid_json")
+      else validateReport(back)
+    } catch {
+      case _: org.apache.spark.sql.AnalysisException => err("file_not_found")
+    }
   }
 
   /** Single-entity benchmark — the library twin of the reference's API

@@ -107,6 +107,46 @@ class CompletenessSpec extends AnyFunSuite {
       .contains(("buildings", "null_value")))
   }
 
+  test("validateExport gates a good export, a broken one, and a missing path") {
+    // the validate_json.py main() loop, file-facing: a freshly stamped
+    // export validates clean straight from disk
+    val asOf = java.time.Instant.parse("2026-08-13T00:00:00Z")
+    val good = java.nio.file.Files.createTempDirectory("vexp-good").toString
+    Reports.exportJson(metrics, good, asOf = Some(asOf))
+    assert(Reports.validateExport(spark, good).count() === 0)
+    // a rating band the dashboards don't know must flag as the enum
+    // violation (the band list is the contract, not free text)
+    val banded = java.nio.file.Files.createTempDirectory("vexp-band").toString
+    Reports.portfolioReport(metrics, Some(asOf))
+      .withColumn("buildings", transform(col("buildings"),
+        b => b.withField("rating", lit("Stupendous"))))
+      .coalesce(1).write.mode("overwrite").json(banded)
+    assert(Reports.validateExport(spark, banded)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+      .contains(("buildings.rating", "invalid_rating")))
+    // a gutted document read from disk reports the same structural
+    // errors the reference's validator prints
+    val broken = java.nio.file.Files.createTempDirectory("vexp-bad").toString
+    Reports.portfolioReport(metrics, Some(asOf))
+      .drop("portfolio_summary", "generated_at")
+      .coalesce(1).write.mode("overwrite").json(broken)
+    val got = Reports.validateExport(spark, broken)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got.contains(("portfolio_summary", "missing_field")))
+    assert(got.contains(("generated_at", "missing_field")))
+    // non-JSON bytes and a missing path return the reference's two
+    // hard-exit cases as error rows instead of throwing
+    val junk = java.nio.file.Files.createTempDirectory("vexp-junk").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(junk, "doc.json"),
+      "p}{lainly not json".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    assert(Reports.validateExport(spark, junk)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq ===
+      Seq(("<document>", "invalid_json")))
+    assert(Reports.validateExport(spark, "/no/such/path-xyz")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq ===
+      Seq(("<document>", "file_not_found")))
+  }
+
   test("single-building benchmark matches the reference's EUI semantics") {
     val r = Reports.benchmarkBuilding("B001", 1000.0, 50000.0)
     assert(r.eui === 50.0)
