@@ -196,8 +196,9 @@ object Dedup {
   /** The verified (vec_a, vec_b, cosine) stream of [[embeddingNearDupLsh]]
     * before its presentation sort — shared with [[embeddingNearDupTopM]],
     * which caps the OUTPUT instead of materializing the full pair
-    * stream. */
-  private def embeddingPairsUnsorted(embeddings: DataFrame,
+    * stream. private[graft] so PlanQualitySpec can pin the
+    * kernel-bearing plan above the checkpoint boundary. */
+  private[graft] def embeddingPairsUnsorted(embeddings: DataFrame,
       threshold: Double, tables: Int, planes: Int, maxBucket: Int,
       corpusSize: Long): DataFrame = {
     // the corpus count (a full action) runs ONLY when auto resolution

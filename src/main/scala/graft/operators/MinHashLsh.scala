@@ -93,29 +93,27 @@ object MinHashLsh {
         s"(> $maxBucket members): pairing degraded to hub stars, " +
         s"<= ${overStats.getLong(1) / 2} candidate pairs skipped")
     }
-    def selfJoinPairs(small: DataFrame): DataFrame = {
-      val a = small.as("a")
-      val b = small.as("b")
-      val joinCond = bucketCols.map(c => col(s"a.$c") === col(s"b.$c"))
-        .reduce(_ && _) && col(s"a.$idCol") < col(s"b.$idCol")
-      val smallCols = bucketCols.map(c => col(s"a.$c").as(c)) ++
-        Seq(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b")) ++
-        carry.flatMap(c => Seq(col(s"a.$c").as(s"${c}_a"), col(s"b.$c").as(s"${c}_b"))) :+
-        lit(false).as("is_hub")
-      a.join(b, joinCond).select(smallCols: _*)
-    }
-    // the common (no-oversized-bucket) path: the eager diagnostic above
-    // has already PROVED every bucket is within maxBucket, so the
-    // per-row `count(*) over (bucket)` window — an exchange + sort over
-    // every bucket row whose only purpose is separating small from big —
-    // is dead weight. Pair exhaustively off the checkpointed rows
-    // directly; the window runs only in degenerate hub mode.
-    if (overStats.getLong(0) == 0L)
-      return (selfJoinPairs(src), 0L, src)
+    // The window stays even when the eager diagnostic above has proved
+    // nOver == 0 and the small/big split is vacuous. The "obvious"
+    // optimization — skip the window, self-join the checkpointed rows
+    // directly — was built and MEASURED OFF (r14 A/B at sf1, same
+    // session): dd_cluster 8.38 -> 11.74 s, dd_minhash_lsh 6.22 ->
+    // 9.34 s WITH the skip. The window's one exchange+sort is shared by
+    // BOTH self-join sides (ReusedExchange feeding the sort-merge join
+    // directly), while the windowless join re-shuffles and re-sorts the
+    // bucket rows per side — two exchanges cost more than one window.
     val w = Window.partitionBy(parts: _*)
     val withM = src.withColumn("__m", count(lit(1)).over(w))
-    val smallPairs = selfJoinPairs(
-      withM.filter(col("__m") <= maxBucket).drop("__m"))
+    val small = withM.filter(col("__m") <= maxBucket).drop("__m")
+    val a = small.as("a")
+    val b = small.as("b")
+    val joinCond = bucketCols.map(c => col(s"a.$c") === col(s"b.$c"))
+      .reduce(_ && _) && col(s"a.$idCol") < col(s"b.$idCol")
+    val smallCols = bucketCols.map(c => col(s"a.$c").as(c)) ++
+      Seq(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b")) ++
+      carry.flatMap(c => Seq(col(s"a.$c").as(s"${c}_a"), col(s"b.$c").as(s"${c}_b"))) :+
+      lit(false).as("is_hub")
+    val smallPairs = a.join(b, joinCond).select(smallCols: _*)
     // hub = bucket-minimum id; its carried values come along in the min
     // struct (ids are unique, so the struct min IS the min-id row)
     val hubStruct = min(struct((Seq(col(idCol)) ++ carry.map(col)): _*)).over(w)

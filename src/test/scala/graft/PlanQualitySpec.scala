@@ -120,7 +120,11 @@ class PlanQualitySpec extends AnyFunSuite {
     val pPairs = plan(MinHashLsh.exactPairs(docs, 0.9))
     assert(!pPairs.contains("CartesianProduct")
       && !pPairs.contains("BroadcastNestedLoopJoin"), pPairs)
-    val pEmb = plan(Dedup.embeddingNearDupLsh(Tables.embeddings(spark, sf)))
+    // the kernel-bearing stage sits below the r14 survivor checkpoint
+    // (the public form's top plan is just the presentation sort over the
+    // checkpointed rows), so the pin reads the pre-checkpoint stage
+    val pEmb = plan(Dedup.embeddingPairsUnsorted(
+      Tables.embeddings(spark, sf), 0.3, 8, 0, 4096, 0L))
     assert(!pEmb.contains("CartesianProduct")
       && !pEmb.contains("BroadcastNestedLoopJoin"), pEmb)
     // pair verify runs the fused cosine kernel (one int loop + one division
