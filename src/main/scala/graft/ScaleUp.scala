@@ -14,18 +14,21 @@ import org.apache.spark.sql.functions._
   * Shape-preserving choices, per table family:
   *   - region/nation stay single-copy (fixed-size dimensions, as in
   *     TPC-H's own scaling rules).
-  *   - documents: replica 0 is verbatim; other replicas salt every token
-  *     with a replica tag, so each replica's INTERNAL near-duplicate
+  *   - documents: every replica (r = 0 included) salts every token with
+  *     its replica tag, so each replica's INTERNAL near-duplicate
   *     structure is identical to the original corpus while cross-replica
   *     token overlap is zero — duplicate/candidate-pair density scales
   *     linearly, the way a bigger crawl actually behaves (10 verbatim
   *     copies would instead explode pair counts quadratically and
-  *     falsely flag the dedup family as super-linear).
-  *   - embeddings: replica r cyclically rotates each vector's components
-  *     by 7·r positions — norms, within-replica cosine structure and
-  *     per-replica cell geometry are preserved exactly, while
-  *     cross-replica cosines fall to the background (a rotated random
-  *     vector decorrelates), so ANN candidate volume scales linearly.
+  *     falsely flag the dedup family as super-linear). No replica is an
+  *     identity image: identities break composability (see the inline
+  *     comments — the double-application collision found in r14).
+  *   - embeddings: replica r applies cyclic rotation ∘ per-replica
+  *     sign-flip mask — norms, within-replica cosine structure and
+  *     per-replica cell geometry are preserved exactly (both maps are
+  *     orthogonal), while cross-replica cosines fall to the background,
+  *     so ANN candidate volume scales linearly — and the mask keeps the
+  *     transform family collision-free under repeated application.
   *   - events: user_id shifts per replica (10× users, each with the
   *     original per-user event stream) — sessionization and windowed
   *     state scale by key count, their true scaling axis.
@@ -113,42 +116,63 @@ object ScaleUp {
         "user_id" -> off(events, "user_id"))), "events")
 
     val documents = read("documents")
-    // the salt ends in '§' so a verbatim replica-0 token can only collide
-    // with a salted one if it itself starts with "r<digit>§" — without
+    // the salt ends in '§' so tokens from different replicas can only
+    // collide if a source token itself starts with "r<digit>§" — without
     // the separator, an original token like "r1x" would equal replica 1's
     // salting of "x", breaking the zero-cross-replica-overlap invariant
-    // the linear duplicate-density claim rests on
+    // the linear duplicate-density claim rests on.
+    //
+    // EVERY replica is salted, including r = 0. A verbatim replica 0 is
+    // an identity transform, and identities make ScaleUp non-composable:
+    // scaling sf0.1→sf1→sf10 (the r14 third-scale-point study) composed
+    // the salts as "r{b}§r{a}§token", so outer-replica b over verbatim
+    // inner 0 ("r{b}§t") collided with outer 0 over inner b (also
+    // "r{b}§t") — 9 of 100 composed blocks were byte-identical twins,
+    // 45,728 verbatim duplicate documents at sf10, and the dedup-family
+    // slopes read 43-68× instead of the corpus's real growth. With no
+    // identity replica, composed salt prefixes are distinct for every
+    // (inner, outer) pair by construction, at any nesting depth.
     write(replicate(documents, Map("doc_id" -> off(documents, "doc_id")),
-      extra = (d, r) =>
-        if (r == 0) d
-        else d
-          .withColumn("text", array_join(
-            transform(split(col("text"), " "), t => concat(lit(s"r$r§"), t)), " "))
-          .withColumn("n_chars", length(col("text")).cast("long"))),
+      extra = (d, r) => d
+        .withColumn("text", array_join(
+          transform(split(col("text"), " "), t => concat(lit(s"r$r§"), t)), " "))
+        .withColumn("n_chars", length(col("text")).cast("long"))),
       "documents")
 
     val embeddings = read("embeddings")
     val dim = embeddings.select(size(col("embedding"))).head.getInt(0)
-    // DISTINCT non-zero rotation for every replica r > 0: shift = r walks
-    // the permutation 1..dim-1 directly, so no two replicas share a
-    // rotation (a shared shift — the old ((7·r−1) % (dim−1))+1 form
-    // repeated with period (dim−1)/gcd(7, dim−1) — writes VERBATIM
-    // cross-replica vector copies, exactly the quadratic-duplicate
-    // artifact the rotation exists to prevent). Distinctness holds only
-    // for factor ≤ dim, so larger factors fail fast instead of silently
-    // degrading the linear-candidate-density invariant.
-    require(dim < 2 || factor <= dim,
-      s"embedding rotation supports at most dim=$dim replicas " +
-        s"(factor=$factor): replicas beyond dim-1 would repeat a rotation " +
-        "and plant verbatim cross-replica duplicates")
+    // Every replica (including r = 0) gets rotation ∘ sign-flip — both
+    // orthogonal, so norms and within-replica cosine structure are
+    // preserved EXACTLY while cross-replica cosines fall to the
+    // background. The sign-flip mask (deterministic splitmix64 of
+    // (r, component)) is what makes the transform family composable:
+    // pure rotations form a cyclic group, so scaling twice composes
+    // shifts ADDITIVELY and different (inner, outer) replica pairs with
+    // the same shift sum write VERBATIM cross-replica vector copies —
+    // the r14 sf1→sf10 study landed on only 19 distinct composed shifts
+    // across 100 blocks, i.e. 162,000 of 200,000 vectors were byte
+    // duplicates, exactly the quadratic artifact the transform exists to
+    // prevent. With per-replica masks, two composed transforms coincide
+    // only if their 64·dim-bit composed masks collide (~2⁻⁶⁴ per pair,
+    // and the ScaleUpSpec composition test verifies zero duplicates on
+    // the corpus it generates). Masks also remove the old factor ≤ dim
+    // cap: replicas past dim−1 repeat a rotation but never a mask.
+    def signMask(r: Int): Seq[Float] = (0 until dim).map { i =>
+      var z = (r.toLong << 32 | i.toLong) + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      if (((z ^ (z >>> 31)) & 1L) == 0L) 1f else -1f
+    }
     write(replicate(embeddings, Map("vec_id" -> off(embeddings, "vec_id")),
       extra = (d, r) => {
-        val shift =
-          if (r == 0 || dim < 2) 0 else ((r - 1) % (dim - 1)) + 1
-        if (shift == 0) d
-        else d.withColumn("embedding", concat(
-          slice(col("embedding"), shift + 1, dim - shift),
-          slice(col("embedding"), 1, shift)))
+        val shift = if (r == 0 || dim < 2) 0 else ((r - 1) % (dim - 1)) + 1
+        val rotated =
+          if (shift == 0) col("embedding")
+          else concat(
+            slice(col("embedding"), shift + 1, dim - shift),
+            slice(col("embedding"), 1, shift))
+        d.withColumn("embedding",
+          zip_with(rotated, typedLit(signMask(r)), (x, m) => x * m))
       }), "embeddings")
   }
 }

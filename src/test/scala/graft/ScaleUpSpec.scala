@@ -102,8 +102,30 @@ class ScaleUpSpec extends AnyFunSuite {
       .select("embedding").head.getSeq[Float](0)
     val b = emb.filter(col("vec_id") === lit(n0))
       .select("embedding").head.getSeq[Float](0)
-    // replica vector is a cyclic rotation: same multiset of components
-    assert(a.sorted === b.sorted)
+    // rotation ∘ sign-flip: same multiset of |components| (norms exact —
+    // float negation is lossless), but not the same vector
+    assert(a.map(math.abs).sorted === b.map(math.abs).sorted)
     assert(a !== b)
+  }
+
+  test("ScaleUp composes: scaling a scaled corpus keeps duplicate density linear") {
+    // the r14 third-scale-point study scaled sf0.1→sf1→sf10 and the old
+    // identity-replica / pure-rotation transforms composed into 45,728
+    // verbatim twin documents and 162,000 verbatim twin vectors at sf10
+    // (slopes read 43-97× instead of the corpus's growth). This pins the
+    // fix: after scaling TWICE, exact-duplicate mass scales by exactly
+    // the total factor — no cross-application collisions.
+    val d2 = java.nio.file.Files.createTempDirectory("scaleup-spec2").toString
+    ScaleUp.run(spark, dest, d2, factor = 2)
+    def dupMass(dir: String, table: String, c: String): Long = {
+      val df = spark.read.parquet(s"$dir/$table.parquet")
+      df.count() - df.select(col(c)).distinct().count()
+    }
+    assert(dupMass(d2, "documents", "text") ===
+      4 * dupMass(src, "documents", "text"),
+      "composed document replicas planted cross-application verbatim twins")
+    assert(dupMass(d2, "embeddings", "embedding") ===
+      4 * dupMass(src, "embeddings", "embedding"),
+      "composed embedding replicas planted cross-application verbatim twins")
   }
 }
