@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, MinHashLsh}
+import graft.sources.Tables
+
+/** Stage profiler for dd_embedding (`Dedup.embeddingNearDupTopM`) — the
+  * same measure-first harness as [[ProfileLsh]]: each stage timed in
+  * isolation over a pre-materialized input, noop-sink evaluation.
+  *
+  * Stages (key defaults: threshold=0.3, m=10, tables=8, planes=auto,
+  * maxBucket=4096):
+  *   buckets   — the embeddingLshBuckets kernel + posexplode
+  *   pairs     — first-agree bucket self-join (the candidate stage)
+  *   verify    — quantize + broadcast attach + quantized-cosine filter
+  *   topm_tail — checkpoint + mirror + per-vector top-m window + sort,
+  *               measured as full minus a re-run of verify
+  *
+  * Usage: runMain graft.ProfileEmb <sfDir> [reps]
+  */
+object ProfileEmb {
+
+  private def timed(reps: Int)(df: => DataFrame): Double =
+    (1 to reps).map { _ =>
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }.min
+
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: ProfileEmb <sfDir> [reps]")
+    val sfDir = args(0)
+    val reps = if (args.length > 1) args(1).toInt else 3
+    val spark = SparkSession.builder()
+      .appName("graft-profile-emb").master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try run(spark, sfDir, reps) finally spark.stop()
+  }
+
+  def run(spark: SparkSession, sfDir: String, reps: Int): Unit = {
+    val threshold = 0.3; val m = 10; val tables = 8; val maxBucket = 4096
+    val emb = Tables.embeddings(spark, sfDir)
+    emb.write.format("noop").mode("overwrite").save() // reader warm-up
+    val n = emb.count()
+    val planes = Dedup.resolvePlanes(0, n)
+
+    val tBuckets = timed(reps)(Dedup.embeddingBuckets(emb, tables, planes))
+    val bucketed = Dedup.embeddingBuckets(emb, tables, planes)
+      .localCheckpoint(true)
+    val tPairs = timed(reps)(MinHashLsh.firstAgreeBucketPairs(bucketed,
+      "bkts", "t", Seq("t", "bucket"), "vec_id", maxBucket, tables))
+    val nCand = MinHashLsh.firstAgreeBucketPairs(bucketed,
+      "bkts", "t", Seq("t", "bucket"), "vec_id", maxBucket, tables).count()
+    val tVerify = timed(reps)(Dedup.embeddingPairsUnsorted(
+      emb, threshold, tables, 0, maxBucket, n))
+    val nVerified = Dedup.embeddingPairsUnsorted(
+      emb, threshold, tables, 0, maxBucket, n).count()
+    val tFull = timed(reps)(Dedup.embeddingNearDupTopM(
+      emb, threshold, m, tables, 0, maxBucket, n))
+    val nOut = Dedup.embeddingNearDupTopM(
+      emb, threshold, m, tables, 0, maxBucket, n).count()
+
+    println(f"""{"profile":"dd_embedding","sf":"$sfDir","vecs":$n,""" +
+      f""""planes":$planes,"candidates":$nCand,"verified":$nVerified,""" +
+      f""""out":$nOut,"buckets":$tBuckets%.3f,"pairs":$tPairs%.3f,""" +
+      f""""verify":$tVerify%.3f,"topm_tail":${tFull - tVerify}%.3f,""" +
+      f""""full":$tFull%.3f}""")
+  }
+}

@@ -62,8 +62,16 @@ object ProfileLsh {
       .localCheckpoint(true)
     val nCand = pairs.count()
     def estimate(sorted: Boolean): DataFrame = {
-      val sa = sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))
-      val sb = sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+      // the same size-aware broadcast decision the shipped operator makes
+      // (candidatePairsUnsorted) — a plain join here would profile a
+      // shuffle shape the key never runs once the payload fits the
+      // heap-derived budget (found in r14: the hand-rolled stage read
+      // 130 s at sf10 while the real path ran 16 s)
+      val sigBytes = sigs.count() * (32L + 8L * k)
+      val sa = MinHashLsh.maybeBroadcast(
+        sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), sigBytes)
+      val sb = MinHashLsh.maybeBroadcast(
+        sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), sigBytes)
       val est = pairs
         .join(sa, "doc_a").join(sb, "doc_b")
         .withColumn("jaccard_est",

@@ -204,9 +204,10 @@ object Dedup {
     // the corpus count (a full action) runs ONLY when auto resolution
     // needs it and the caller did not supply the size
     val src = embeddings
-    val resolvedPlanes =
-      if (planes > 0) planes
-      else resolvePlanes(0, if (corpusSize > 0L) corpusSize else src.count())
+    // the corpus size feeds the auto plane schedule AND the verify-side
+    // broadcast decision below; an explicit corpusSize skips the action
+    val n = if (corpusSize > 0L) corpusSize else src.count()
+    val resolvedPlanes = if (planes > 0) planes else resolvePlanes(0, n)
     val bucketed = embeddingBuckets(src, tables, resolvedPlanes)
     // bucket-local pairing behind the same hot-bucket guard as the text
     // path: a degenerate sign-pattern bucket (e.g. a corpus of
@@ -227,10 +228,19 @@ object Dedup {
       col("vec_id"),
       VectorMath.quantize7(col("embedding")).as("q"),
       sqrt(VectorMath.normSqDec(col("embedding")).cast("double")).as("snrm"))
-    val ea = e.select(col("vec_id").as("vec_a"),
-      col("q").as("q_a"), col("snrm").as("snrm_a"))
-    val eb = e.select(col("vec_id").as("vec_b"),
-      col("q").as("q_b"), col("snrm").as("snrm_b"))
+    // size-aware broadcast of the quantized verify payload — the same
+    // heap-derived budget as the text-dedup verifies (MinHashLsh). With
+    // neither hint nor gate, the 10 MB auto-broadcast threshold flips
+    // this to a sort-merge join once the corpus passes ~30k vectors and
+    // the CANDIDATE PAIR STREAM — the big side — shuffles twice with
+    // per-row quantized payloads (the r14 third-scale-point study's
+    // dd_embedding cliff). One 1-row job reads the vector width.
+    val dim = src.select(size(col("embedding"))).head.getInt(0)
+    val sideBytes = n * (48L + 4L * dim)
+    val ea = MinHashLsh.maybeBroadcast(e.select(col("vec_id").as("vec_a"),
+      col("q").as("q_a"), col("snrm").as("snrm_a")), sideBytes)
+    val eb = MinHashLsh.maybeBroadcast(e.select(col("vec_id").as("vec_b"),
+      col("q").as("q_b"), col("snrm").as("snrm_b")), sideBytes)
     pairs.join(ea, "vec_a").join(eb, "vec_b")
       .select(col("vec_a"), col("vec_b"),
         org.apache.spark.sql.graft.ColumnBridge.quantizedCosine14(
@@ -394,7 +404,7 @@ object Dedup {
     // merge of a hash function's images), so it degrades to a
     // zero-false-negative prefilter and the string intersect re-verifies
     // the output-bound survivors. Payload sides broadcast size-aware
-    // (the MinHashLsh 256 MB budget): under it, candidates flow through
+    // (the MinHashLsh heap-derived budget): under it, candidates flow through
     // the verify without a pair shuffle; past it the shuffle join is the
     // 100-TB shape.
     val stats = toks.agg(count(lit(1)), coalesce(sum(col("n")), lit(0L))).head()

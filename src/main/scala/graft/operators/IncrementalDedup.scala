@@ -586,14 +586,6 @@ object IncrementalDedup {
     * point) stay pruned. */
   private[graft] val StreamingBatchFraction = 16L
 
-  /** Absolute ceiling on the streaming path's batch size: its exploded
-    * batch side is BROADCAST (bands rows/doc, each carrying the k-long
-    * signature + bucket array ≈ bands·(k+bands)·8 B/doc ≈ 18 KB/doc at
-    * the defaults), so a fraction test alone would route a huge batch
-    * over a huge corpus onto a multi-GB broadcast that dies at Spark's
-    * 8 GB hard limit. Past the cap (~1 GB broadcast) the pruned path's
-    * shuffle joins handle any batch size. */
-  private[graft] val MaxStreamedBatchDocs = 50000L
 
   /** Below this corpus size the streamed probe wins for ANY batch size:
     * the pruned path's floor is ~6 driver-scheduled jobs plus the
@@ -610,12 +602,19 @@ object IncrementalDedup {
   /** The probe-path routing rule, extracted for direct spec coverage:
     * stream when the index is below [[StreamedCorpusDocsFloor]] (small
     * enough that one scan undercuts the pruned path's fixed job floor)
-    * OR the batch is a corpus-scale fraction of it — but never past the
-    * broadcast-size batch ceiling. */
+    * OR the batch is a corpus-scale fraction of it. Batch SIZE no
+    * longer gates the route: [[streamedMatches]] broadcasts its
+    * exploded batch only while it fits the heap-derived budget and
+    * shuffle-joins past it, so a corpus-scale batch too big to
+    * broadcast streams through one bipartite shuffle instead of
+    * falling back to the pruned path — whose materialized candidate
+    * set is exactly what a corpus-scale batch makes enormous (the r14
+    * third-scale-point study measured the old cap routing a 100k-doc
+    * batch × 400k-doc index probe to the pruned path at 139.6 s; the
+    * shuffle-streamed form runs the same probe in one pass). */
   private[graft] def useStreamedProbe(batchN: Long, corpusApprox: Long): Boolean =
-    (corpusApprox <= StreamedCorpusDocsFloor ||
-      batchN * StreamingBatchFraction >= corpusApprox) &&
-      batchN <= MaxStreamedBatchDocs
+    corpusApprox <= StreamedCorpusDocsFloor ||
+      batchN * StreamingBatchFraction >= corpusApprox
 
   /** Flag each new document against the stored corpus. Micro-batches
     * against a LARGE index run the PRUNED probe: one pruned bucket scan
@@ -780,13 +779,25 @@ object IncrementalDedup {
 
   /** The one-scan streaming probe (corpus-scale-batch path): the logical
     * index (base + delta) streams exploded through one bucket join with
-    * the BROADCAST batch; (corpus, batch) pairs colliding in several
-    * bands are kept only at the FIRST agreeing band — flat element_at
-    * arithmetic over the two carried bucket arrays, in whole-stage
-    * codegen, no distinct over the candidate stream — and the agreement
-    * estimate runs inline. Nothing is materialized: the candidate volume
+    * the batch; (corpus, batch) pairs colliding in several bands are
+    * kept only at the FIRST agreeing band — flat element_at arithmetic
+    * over the two carried bucket arrays, in whole-stage codegen, no
+    * distinct over the candidate stream — and the agreement estimate
+    * runs inline. Nothing is materialized: the candidate volume
     * (≈ batch × corpus collision density for a corpus-scale batch) flows
-    * through codegen instead of a shuffle. */
+    * through codegen instead of a shuffle.
+    *
+    * The exploded batch side (bands rows/doc, each carrying the k-long
+    * signature + bucket array ≈ bands·(k+bands)·8 B/doc ≈ 18 KB/doc at
+    * the defaults) BROADCASTS while it fits the heap-derived budget
+    * (MinHashLsh.maxBroadcastVerifyBytes — ~15k docs at the 256 MB
+    * floor); past that the join runs as one bipartite SHUFFLE on
+    * (band, bucket) — the same rows, with shuffle volume ≈ one pass of
+    * each side's exploded signatures, which is how a probe whose batch
+    * is a material fraction of a large corpus must flow on a cluster
+    * (neither side fits one executor, and the pruned path's
+    * materialized candidate set is batch × collision density —
+    * measured 139.6 s vs this path at a 100k × 400k probe, r14). */
   private[graft] def streamedMatches(index: SigIndex, batch: DataFrame,
       threshold: Double): DataFrame = {
     val bands = index.bands
@@ -801,7 +812,12 @@ object IncrementalDedup {
         lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
     val earlierMask = expr("shiftleft(CAST(1 AS BIGINT), band)") - lit(1L)
-    corpusB.join(broadcast(batchB), Seq("band", "bucket"))
+    // batch.count() is instant — dedupAgainstSigned requires a
+    // materialized batch, and both direct spec callers checkpoint it
+    val batchBytes =
+      batch.count() * bands * (8L * (index.k + bands) + 48L)
+    corpusB.join(MinHashLsh.maybeBroadcast(batchB, batchBytes),
+        Seq("band", "bucket"))
       .filter(agreeBits.bitwiseAND(earlierMask) === 0L)
       .withColumn("est",
         org.apache.spark.sql.graft.ColumnBridge

@@ -276,7 +276,7 @@ object MinHashLsh {
     * closing costs and both are shape, not volume:
     *   - the estimate join attached signatures to the 18.7M-row pair
     *     stream through two SHUFFLE joins; the signature table itself is
-    *     ~1 KB/doc, so under [[MaxBroadcastVerifyBytes]] it broadcasts
+    *     ~1 KB/doc, so under [[maxBroadcastVerifyBytes]] it broadcasts
     *     (same dial as the exactPairs verify) and the candidate stream
     *     flows join→join→filter in one fused stage, never shuffling a
     *     pair row;
@@ -349,15 +349,33 @@ object MinHashLsh {
     * corpora — flows from the banded self-join through the verify
     * filters in ONE fused stage, never shuffling a pair row; above it
     * (the 100-TB corpus), the shuffle join is the only correct shape
-    * and pairs ship to their payloads. 256 MB: far under Spark's 8 GB
-    * broadcast hard limit, ~2× headroom per executor at typical 4-8 GB
-    * executor memory, and a corpus whose per-doc payload exceeds it
-    * (≥ ~1M docs after exact-collapse) is past broadcast territory
-    * anyway. */
-  private[graft] val MaxBroadcastVerifyBytes = 256L << 20
+    * and pairs ship to their payloads.
+    *
+    * The budget is derived from the memory the executors actually
+    * have, not a constant sized for a hypothetical small executor: the
+    * r14 third-scale-point study measured the cliff a fixed 256 MB
+    * carves — at 500k docs the 528 MB signature table fell off the
+    * broadcast path and the estimate stage went 1.6 s → 165.7 s (the
+    * 187M-row candidate stream shuffled twice with ~1 KB payloads,
+    * 102× for 10× data) while every other stage scaled linearly.
+    * Rule: heap/12 (≈2× headroom over the ~1.5× expansion of a
+    * broadcast hash relation plus the scan working set, per side, two
+    * sides live at once), floored at 256 MB (any realistic executor
+    * broadcasts that comfortably — Spark's own hard limit is 8 GB),
+    * capped at 2 GB (past it, relation build time and driver collect
+    * pressure dominate whatever the shuffle would have cost). Heap is
+    * `spark.executor.memory` when set (plan time runs on the driver,
+    * whose heap may differ from the executors'), else this JVM's max
+    * heap — which in local mode IS the executor heap. */
+  private[graft] def maxBroadcastVerifyBytes(df: DataFrame): Long = {
+    val heap = df.sparkSession.conf.getOption("spark.executor.memory")
+      .map(org.apache.spark.network.util.JavaUtils.byteStringAsBytes)
+      .getOrElse(Runtime.getRuntime.maxMemory)
+    math.min(2L << 30, math.max(256L << 20, heap / 12))
+  }
 
   private[graft] def maybeBroadcast(df: DataFrame, estBytes: Long): DataFrame =
-    if (estBytes <= MaxBroadcastVerifyBytes) broadcast(df) else df
+    if (estBytes <= maxBroadcastVerifyBytes(df)) broadcast(df) else df
 
   /** True iff the engine-neutral 64-bit token hash is INJECTIVE over the
     * corpus vocabulary of `toks`: every hash value maps back to exactly

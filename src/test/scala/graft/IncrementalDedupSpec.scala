@@ -469,19 +469,23 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(pruned === streamed)
   }
 
-  test("probe routing: streamed below the corpus floor, pruned above, capped by batch size") {
-    import IncrementalDedup.{useStreamedProbe, StreamedCorpusDocsFloor, MaxStreamedBatchDocs, StreamingBatchFraction}
+  test("probe routing: streamed below the corpus floor, pruned above") {
+    import IncrementalDedup.{useStreamedProbe, StreamedCorpusDocsFloor, StreamingBatchFraction}
     // any micro-batch streams while the index is small enough that one
     // scan undercuts the pruned path's fixed job floor
     assert(useStreamedProbe(500L, StreamedCorpusDocsFloor))
     assert(useStreamedProbe(1L, StreamedCorpusDocsFloor))
     // past the floor, micro-batches go pruned...
     assert(!useStreamedProbe(500L, StreamedCorpusDocsFloor + 1))
-    // ...but corpus-scale batches still stream
+    // ...but corpus-scale batches still stream — at ANY batch size: the
+    // streamed join broadcasts only while the exploded batch fits the
+    // heap-derived budget and shuffle-joins past it, so there is no
+    // batch-size ceiling to route around (r14 — the old 50k cap sent a
+    // 100k-doc corpus-scale probe to the pruned path, which
+    // materialized its ~10× candidate set at 139.6 s)
     val big = StreamedCorpusDocsFloor * 4
     assert(useStreamedProbe(big / StreamingBatchFraction, big))
-    // the broadcast-size ceiling overrides both stream triggers
-    assert(!useStreamedProbe(MaxStreamedBatchDocs + 1, MaxStreamedBatchDocs + 1))
+    assert(useStreamedProbe(big, big))
   }
 
   test("appended batches are visible to later batches") {
