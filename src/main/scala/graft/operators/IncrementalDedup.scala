@@ -552,7 +552,7 @@ object IncrementalDedup {
     * broadcast batch buckets on (band, bucket). Lazy. */
   private[graft] def candidates(spark: SparkSession, path: String,
       batchB: DataFrame, pbs: Seq[Int],
-      delta: Option[DataFrame] = None): DataFrame = {
+      delta: Option[DataFrame] = None, batchBRows: Long = 0L): DataFrame = {
     val base = spark.read.parquet(s"$path/buckets")
       .filter(col("pb").isin(pbs.map(Int.box): _*))
       .select("doc_id", "band", "bucket")
@@ -560,8 +560,16 @@ object IncrementalDedup {
       base.unionByName(d.select(col("doc_id"),
         posexplode(col("bkts")).as(Seq("band", "bucket"))))
     }.getOrElse(base)
+    // the batch's exploded bucket rows are 24 B each, but a 100-TB
+    // micro-batch can still be millions of docs: broadcast under the
+    // heap-derived budget, shuffle past it (same gate as every other
+    // batch-side payload since r14). The row count arrives from the
+    // caller's instant checkpointed-batch count — no extra job on the
+    // pruned path's measured ~6-job floor; 0 (unknown) keeps the
+    // broadcast, preserving the micro-batch callers' shape.
+    val bb = batchB.select("q_id", "band", "bucket")
     all
-      .join(broadcast(batchB.select("q_id", "band", "bucket")),
+      .join(MinHashLsh.maybeBroadcast(bb, batchBRows * 32L),
         Seq("band", "bucket"))
       .select(col("doc_id").as("c_id"), col("q_id"))
       .dropDuplicates("c_id", "q_id")
@@ -741,7 +749,9 @@ object IncrementalDedup {
     // re-running the pruned scan + bucket join — one scan execution per
     // probe, with no standalone checkpoint job (the r7 form re-executed
     // the scan; the recompute grew with corpus collision density)
-    val cand = candidates(spark, index.path, batchB, pbs, delta)
+    val batchN = batch.count() // instant: checkpointed
+    val cand = candidates(spark, index.path, batchB, pbs, delta,
+        batchBRows = batchN * index.bands)
       .localCheckpoint(false)
     // one job yields the candidate count (broadcast decision) and the sp
     // dirs the signature fetch must read, and materializes `cand`
@@ -767,8 +777,12 @@ object IncrementalDedup {
       if (candN <= MaxBroadcastCandidates) corpusSigs.join(broadcast(cand), "c_id")
       else corpusSigs.join(cand, "c_id")
     withSigs
-      .join(broadcast(batch.select(col("doc_id").as("q_id"),
-        col("sig").as("q_sig"))), "q_id")
+      // batch signatures ride the heap-derived budget too: ~1 KB/doc,
+      // so a millions-of-docs micro-batch on a 100-TB index shuffles
+      // instead of building a multi-GB broadcast relation
+      .join(MinHashLsh.maybeBroadcast(
+        batch.select(col("doc_id").as("q_id"), col("sig").as("q_sig")),
+        batchN * (48L + 8L * index.k)), "q_id")
       .withColumn("est",
         org.apache.spark.sql.graft.ColumnBridge
           .matchCount(col("sig"), col("q_sig")).cast("double") / lit(index.k))
