@@ -93,9 +93,14 @@ object Bench {
     // captured stdout tail, and a 72-key line overflows the tail window —
     // BENCH_r07.json survived only truncated mid-JSON. The file is the
     // complete, parseable record regardless of how much stdout survives.
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
-    java.nio.file.Files.write(java.nio.file.Paths.get(out),
-      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // A SPARK_GRAFT_ONLY subset never writes the default BENCH.json: that
+    // file is the committed 84-key record, and a subset overwrite has
+    // clobbered it twice (r13 c3456c6, again during the r14 arbitration
+    // runs). Subset runs still honor an EXPLICIT SPARK_GRAFT_BENCH_OUT.
+    val out = sys.env.get("SPARK_GRAFT_BENCH_OUT")
+      .orElse(if (only.isEmpty) Some("BENCH.json") else None)
+    out.foreach(o => java.nio.file.Files.write(java.nio.file.Paths.get(o),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)))
     // …and a COMPACT final line (≤ ~300 B): the driver's per-round
     // artifact is a captured stdout TAIL, and the full per-key line
     // overflows its window at 80+ keys (BENCH_r07/r11 survived only
@@ -103,7 +108,7 @@ object Bench {
     // captured tail always ends with a complete, parseable record —
     // totals, failure names, and a pointer to the full file — no matter
     // how much of the big line survives.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir","full":"$out"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir","full":"${out.getOrElse("(not written: subset run)")}"}""")
     spark.stop()
   }
 }

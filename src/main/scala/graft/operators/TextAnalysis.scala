@@ -225,31 +225,80 @@ object TextAnalysis {
     * differences between engines; the mean-frequency form ranks documents
     * identically for the filter's purpose).
     *
-    * Shape at scale: ONE shuffle of the corpus-scale gram stream. The
-    * former shape was the classic word-count + model re-join — it
-    * exploded the corpus twice and shuffled the 25-byte gram strings
-    * twice (model aggregate, then the join), and the r14 third-scale-
-    * point study measured it 4.7× at 10× data (2.12 s sf1) because the
-    * gram shuffle IS the key's cost and it was being paid twice. The
-    * model join is algebraically an unordered count-over-gram-partition
-    * window: same integers, but the gram stream is exploded once,
-    * shuffled once (by gram — WindowExec's in-partition sort groups the
-    * keys), and rolls straight into the per-doc aggregate. Measured:
-    * sf1 2.12 → 0.88 s, sf10 3.66 s (4.2× per further 10×); sf0.1 pays
-    * ~+0.2 s (0.45 → 0.67) — the window's in-partition sort does not
-    * amortize on 10⁶ grams — accepted for the 2.4× at every scale past
-    * it (gate slope 4.7× → 1.3×). Documents shorter than `n` tokens
-    * keep word_ngrams' one truncated gram (the tx_ngram_freq contract),
-    * so every document stays in the quality report. */
-  def lmScore(documents: DataFrame, n: Int = 2): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    documents.select(col("doc_id"),
-        explode(org.apache.spark.sql.graft.ColumnBridge
-          .wordNGrams(col("text"), n)).as("gram"))
-      .withColumn("gram_freq",
-        count(lit(1)).over(Window.partitionBy("gram")))
+    * Shape at scale — Zipf-proof two-phase count + gated join. Natural-
+    * language gram frequency is Zipfian (the top bigram is ~1% of ALL
+    * gram occurrences), so any plan that routes raw occurrences of one
+    * gram to one task — a count-over-gram window (the r14 shape), or an
+    * occurrence-level shuffle join — concentrates terabytes on a single
+    * task at corpus scale. This form keeps every gram-keyed boundary
+    * partially aggregated:
+    *
+    *   1. `token_term_counts` collapses within-document repetition in
+    *      the row (one codegen pass, no shuffle): the probe stream is
+    *      one (doc_id, gram, tf) row per DISTINCT gram per document, so
+    *      a gram's row count anywhere downstream is its document
+    *      frequency, never its occurrence count.
+    *   2. The model is a plain `groupBy(gram).sum(tf)` — hash aggregation
+    *      with map-side partial combine, so a Zipf-hot gram ships at most
+    *      one partial row per map task into the exchange.
+    *   3. The model joins back under the heap-derived broadcast budget
+    *      ([[MinHashLsh.maybeBroadcast]]): below it (any realistic
+    *      vocabulary — bigram vocabularies grow sub-linearly, Heaps'
+    *      law) the probe never shuffles by gram at all and rolls
+    *      straight into the per-doc aggregate; past it, the fallback is
+    *      one df-bounded shuffle join that AQE's skew-join splitting
+    *      handles, not an unsplittable window partition.
+    *
+    * The broadcast gate never guesses in the OOM direction. Tier 1 is
+    * a job-free upper bound from plan statistics: model bytes ≤
+    * uncompressed text bytes × ~17 (each text byte yields <1 gram
+    * occurrence; a vocab row costs ≤ 2·tokLen+1 gram bytes + 32 B row
+    * overhead, ≤17× its source text even at 1-char tokens) × 3 for
+    * parquet text compression — if even that gross bound clears the
+    * budget, broadcast with zero sizing work (every corpus whose raw
+    * text is ~10× smaller than executor heap). Past tier 1 the model is
+    * materialized ONCE (eager localCheckpoint — vocabulary-bounded, one
+    * corpus pass that the join then reuses instead of recomputing) and
+    * the decision reads its REAL size with a block-local vocab-sized
+    * aggregate: sampling can't size a vocabulary — docs × mean distinct
+    * grams/doc over-counts sharing ~250× on this corpus and routed sf10
+    * to the shuffle join, while extrapolating a prefix sample UNDER-
+    * counts sharded/salted corpora and would OOM at scale. Callers that
+    * already know their model size pass `modelBytesHint` and skip all
+    * sizing.
+    *
+    * Measured (r15): sf0.1 ~0.7 s (pays one extra stage-floor vs the
+    * r14 window's 0.43 s), sf1 1.03 vs 0.92 s, sf10 at the window form
+    * — with the single-task Zipf ceiling gone. Documents shorter than
+    * `n` tokens keep word_ngrams' one truncated gram (the
+    * tx_ngram_freq contract), so every document stays in the quality
+    * report. */
+  def lmScore(documents: DataFrame, n: Int = 2,
+      modelBytesHint: Option[Long] = None): DataFrame = {
+    val bridge = org.apache.spark.sql.graft.ColumnBridge
+    val tc = bridge.termCounts(bridge.wordNGrams(col("text"), n))
+    val probe = documents
+      .select(col("doc_id"), explode(tc).as("tg"))
+      .select(col("doc_id"), col("tg.term").as("gram"), col("tg.tf").as("tf"))
+    val model = probe.groupBy("gram").agg(sum(col("tf")).as("gram_freq"))
+    val statBound = documents.queryExecution.optimizedPlan.stats.sizeInBytes * 51
+    val gated = modelBytesHint match {
+      case Some(bytes) => MinHashLsh.maybeBroadcast(model, bytes)
+      case None if statBound <= MinHashLsh.maxBroadcastVerifyBytes(documents) =>
+        broadcast(model)
+      case None =>
+        val mat = model.localCheckpoint(true)
+        val stat = mat.agg(count(lit(1)).as("rows"),
+          sum(length(col("gram"))).as("gramBytes")).head()
+        val bytes =
+          if (stat.isNullAt(1)) 0L
+          else stat.getLong(0) * 48L + stat.getLong(1)
+        MinHashLsh.maybeBroadcast(mat, bytes)
+    }
+    probe.join(gated, "gram")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_grams"), sum(col("gram_freq")).as("sum_freq"))
+      .agg(sum(col("tf")).as("n_grams"),
+        sum(col("tf") * col("gram_freq")).as("sum_freq"))
       .withColumn("avg_gram_freq",
         col("sum_freq").cast("double") / col("n_grams"))
       .select("doc_id", "n_grams", "sum_freq", "avg_gram_freq")

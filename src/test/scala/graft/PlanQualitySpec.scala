@@ -210,6 +210,14 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!pLm.contains("CartesianProduct"), pLm)
     // the gram build is the native word_ngrams kernel, not the HOF chain
     assert(pLm.contains("word_ngrams"), pLm)
+    // Zipf-proofing (r15): NO count-over-gram window — a window
+    // partitioned by raw gram has no partial aggregation, so one
+    // Zipf-hot gram lands its every occurrence on one task at scale.
+    // The model is a partial-agg groupBy joined back under the heap
+    // budget — on this corpus the model broadcasts and the probe never
+    // shuffles by gram at all.
+    assert(!pLm.contains("Window"), pLm)
+    assert(pLm.contains("BroadcastHashJoin"), pLm)
     val pTf = plan(TextAnalysis.salientTerms(docs))
     assert(!pTf.contains("CartesianProduct"), pTf)
     // N rides as a broadcast single-row side, never a shuffle

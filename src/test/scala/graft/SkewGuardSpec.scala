@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 
-import graft.operators.{ConnectedComponents, Dedup, MinHashLsh, SimHash}
+import graft.operators.{ConnectedComponents, Dedup, MinHashLsh, SimHash, TextAnalysis}
 import graft.sources.Tables
 
 /** Scale-robustness guards: hot-bucket degradation in the LSH paths and
@@ -174,5 +174,78 @@ class SkewGuardSpec extends AnyFunSuite {
       Dedup.embeddingNearDup(emb, 0.3, maxBlock = 10)
     }
     assert(e.getMessage.contains("embeddingNearDupLsh"))
+  }
+
+  /** Planted-Zipf corpus: one bigram is ~90% of ALL gram occurrences —
+    * the shape under which a count-over-gram window (no partial agg)
+    * ships every occurrence of the hot gram to ONE task. The r15 form
+    * collapses within-doc repetition in the row (token_term_counts) and
+    * partially aggregates the model, so no gram-keyed boundary ever
+    * carries occurrence-level rows. */
+  private lazy val zipf = {
+    (0 until 400).map { i =>
+      val filler = (0 until 5).map(j => s"u${i}_$j").mkString(" ")
+      (i.toLong, Seq.fill(100)("h").mkString(" ") + " " + filler)
+    }.toDF("doc_id", "text")
+  }
+
+  test("lm score on a planted-Zipf corpus: exact vs brute force") {
+    val gramsOf: String => Seq[String] = { t =>
+      val toks = t.split(" ", -1).toSeq
+      if (toks.length < 2) Seq(toks.mkString(" "))
+      else toks.sliding(2).map(_.mkString(" ")).toSeq
+    }
+    val docs = zipf.collect()
+      .map(r => r.getLong(0) -> gramsOf(r.getString(1))).toMap
+    val freq = docs.values.flatten
+      .groupBy(identity).map { case (g, o) => g -> o.size.toLong }
+    val out = TextAnalysis.lmScore(zipf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out.keySet === docs.keySet)
+    docs.foreach { case (id, grams) =>
+      val r = out(id)
+      assert(r.getAs[Long]("n_grams") === grams.size.toLong)
+      assert(r.getAs[Long]("sum_freq") === grams.map(freq).sum)
+    }
+  }
+
+  test("lm score bounds per-task input under Zipf, even past the broadcast budget") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    // the hot gram has 99 occurrences × 400 docs = 39,600 occurrence
+    // rows; a window-by-gram plan reads ≥ all of them in one task. The
+    // two-phase form shuffles only df-bounded distinct (doc, gram) rows
+    // and partial-agg model rows — a few thousand in TOTAL, so even if
+    // AQE coalesces everything into one task it stays far under the
+    // occurrence count.
+    val records = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val listener = new SparkListener {
+      override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+        val m = e.taskMetrics
+        if (m != null) records.add(m.shuffleReadMetrics.recordsRead)
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // hint past any budget: forces the shuffle-join fallback path
+      val forced = TextAnalysis.lmScore(zipf, 2, Some(Long.MaxValue))
+      assert(!forced.queryExecution.optimizedPlan.toString.contains("Window"))
+      val rows = forced.collect()
+      assert(rows.length === 400)
+      // listener bus drains asynchronously — poll until stable
+      var prev = -1
+      var stable = 0
+      val deadline = System.nanoTime + 10L * 1000 * 1000 * 1000
+      while (stable < 3 && System.nanoTime < deadline) {
+        Thread.sleep(200)
+        val n = records.size
+        if (n == prev) stable += 1 else { stable = 0; prev = n }
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+    val maxTask = records.toArray(Array.empty[java.lang.Long])
+      .map(_.longValue).foldLeft(0L)(math.max)
+    assert(maxTask > 0L, "listener captured no shuffle reads")
+    assert(maxTask < 10000L,
+      s"a task read $maxTask shuffle rows — occurrence-level skew is back " +
+        "(the planted hot gram alone has 39,600 occurrences)")
   }
 }

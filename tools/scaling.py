@@ -144,9 +144,9 @@ def main():
         elif slope <= limit:
             gate = "ok" if k not in WAIVERS else f"ok (waiver {limit:.1f}x)"
         else:
-            gate = f"FAIL (> {limit:.0f}x)"
+            gate = f"FAIL (> {limit:.1f}x)"
             violations.append(
-                f"{k}: slope {slope:.1f}x > {limit:.0f}x "
+                f"{k}: slope {slope:.1f}x > {limit:.1f}x "
                 f"({ta:.2f}s -> {tb:.2f}s)")
         print(f"| {k} | {ta:.2f} | {tb:.2f} | {slope:.1f}x | {gate} |")
     ta_tot = sum(t for t in qa.values() if t >= 0)
