@@ -92,10 +92,17 @@ object AnnLsh {
       tables: Int): Int =
     if (planes > 0) planes
     else {
-      // non-silent cost growth (the count here is only for the advisory
-      // threshold and is one metadata-cheap job; the GEOMETRY itself no
-      // longer depends on it — anchorPlanes is corpus-free)
-      AdaptiveAnn.adviseDefaultDial("AnnLsh", embeddings.count())
+      // non-silent cost growth. The advisory sizes the corpus from plan
+      // STATISTICS, not a count(): an action here re-executed an
+      // un-cached upstream pipeline's whole lineage once per index/topK
+      // call just to decide whether to LOG (r15 advisor finding). The
+      // bytes/52 row estimate (the narrowest plausible embedding row)
+      // can only OVER-estimate rows, so the advisory may fire a little
+      // early but never goes silently quiet on a big corpus; the
+      // GEOMETRY itself is corpus-free (anchorPlanes).
+      val estRows = (embeddings.queryExecution.optimizedPlan.stats
+        .sizeInBytes / 52).min(BigInt(Long.MaxValue)).toLong
+      AdaptiveAnn.adviseDefaultDial("AnnLsh", estRows)
       anchorPlanes(tables)
     }
 

@@ -234,9 +234,22 @@ object Dedup {
     // this to a sort-merge join once the corpus passes ~30k vectors and
     // the CANDIDATE PAIR STREAM — the big side — shuffles twice with
     // per-row quantized payloads (the r14 third-scale-point study's
-    // dd_embedding cliff). One 1-row job reads the vector width.
-    val dim = src.select(size(col("embedding"))).head.getInt(0)
-    val sideBytes = n * (48L + 4L * dim)
+    // dd_embedding cliff). The decision needs the vector width only in
+    // the middle zone: when even a 4096-wide payload fits the budget the
+    // side broadcasts with no action at all (also the empty-corpus path
+    // — the former unconditional head() threw there), and when even a
+    // 1-wide payload can't fit, no width can save it. Only between the
+    // two bounds does a one-row job (null-safe) read the true width.
+    val budget = MinHashLsh.maxBroadcastVerifyBytes(src)
+    val hiBound = n * (48L + 4L * 4096L)
+    val sideBytes =
+      if (hiBound <= budget) hiBound
+      else if (n * 52L > budget) Long.MaxValue
+      else src.where(col("embedding").isNotNull)
+        .select(size(col("embedding"))).head(1) match {
+          case Array(r) => n * (48L + 4L * r.getInt(0))
+          case _ => Long.MaxValue // no non-null vectors: nothing verifies
+        }
     val ea = MinHashLsh.maybeBroadcast(e.select(col("vec_id").as("vec_a"),
       col("q").as("q_a"), col("snrm").as("snrm_a")), sideBytes)
     val eb = MinHashLsh.maybeBroadcast(e.select(col("vec_id").as("vec_b"),
@@ -276,21 +289,22 @@ object Dedup {
       corpusSize: Long = 0L): DataFrame = {
     require(m >= 1, s"m must be >= 1 (got $m)")
     import org.apache.spark.sql.expressions.Window
-    // EAGER checkpoint: both legs of the mirror union read the verified
-    // stream — without materialization each leg would re-run the whole
-    // bucket-join + verify lineage (the dominant cost), and a lazy
-    // checkpoint leaves the two legs racing to compute the same cached
-    // partitions inside one job
     val pairs = embeddingPairsUnsorted(embeddings, threshold, tables,
-      planes, maxBucket, corpusSize).localCheckpoint(true)
+      planes, maxBucket, corpusSize)
     // near-duplication is symmetric: each verified pair is a neighbor
-    // edge in both directions
+    // edge in both directions. The mirror is ONE generator pass over the
+    // verified stream — each row explodes into its two directed edges in
+    // the same stage, so the (unbounded) pair stream is never
+    // materialized and never read twice (the former union-of-two-legs
+    // needed an eager localCheckpoint of the full stream to avoid
+    // re-running the bucket-join + verify lineage per leg).
     val mirrored = pairs
-      .select(col("vec_a").as("vec_id"), col("vec_b").as("neighbor_id"),
-        col("cosine"))
-      .unionByName(pairs
-        .select(col("vec_b").as("vec_id"), col("vec_a").as("neighbor_id"),
-          col("cosine")))
+      .select(explode(array(
+        struct(col("vec_a").as("vec_id"), col("vec_b").as("neighbor_id"),
+          col("cosine")),
+        struct(col("vec_b").as("vec_id"), col("vec_a").as("neighbor_id"),
+          col("cosine")))).as("e"))
+      .select(col("e.vec_id"), col("e.neighbor_id"), col("e.cosine"))
     val w = Window.partitionBy("vec_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
     mirrored

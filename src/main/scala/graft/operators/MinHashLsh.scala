@@ -368,9 +368,19 @@ object MinHashLsh {
     * whose heap may differ from the executors'), else this JVM's max
     * heap — which in local mode IS the executor heap. */
   private[graft] def maxBroadcastVerifyBytes(df: DataFrame): Long = {
-    val heap = df.sparkSession.conf.getOption("spark.executor.memory")
+    val conf = df.sparkSession.conf
+    val confHeap = conf.getOption("spark.executor.memory")
       .map(org.apache.spark.network.util.JavaUtils.byteStringAsBytes)
-      .getOrElse(Runtime.getRuntime.maxMemory)
+    // the driver-JVM fallback is trustworthy only in local mode (there
+    // the driver heap IS the executor heap). On a cluster whose executor
+    // memory is configured outside the session conf (spark-defaults,
+    // operator env), a large driver would otherwise overestimate small
+    // executors and push a multi-GB broadcast into their heaps — so the
+    // non-local fallback stays at the floor, which any realistic
+    // executor broadcasts comfortably (r15 advisor finding).
+    val isLocal = conf.getOption("spark.master").exists(_.startsWith("local"))
+    val heap = confHeap.getOrElse(
+      if (isLocal) Runtime.getRuntime.maxMemory else 0L)
     math.min(2L << 30, math.max(256L << 20, heap / 12))
   }
 

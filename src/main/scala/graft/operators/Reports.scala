@@ -221,7 +221,11 @@ object Reports {
     * returns the corresponding error row — the reference's "file not
     * found" / "invalid JSON" exits — instead of throwing, so a pipeline
     * can gate publication on `validateExport(...).isEmpty` without
-    * try/catch plumbing. */
+    * try/catch plumbing. Only the path-not-found error CLASS maps to
+    * the file_not_found row; any other AnalysisException (permissions,
+    * unsupported scheme, bad filesystem) rethrows — a gate that
+    * mislabels an infrastructure failure as a missing file sends the
+    * operator hunting the wrong cause (r15 advisor finding). */
   def validateExport(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     val err = (v: String) => Seq(("<document>", v)).toDF("field", "violation")
@@ -234,7 +238,10 @@ object Reports {
         err("invalid_json")
       else validateReport(back)
     } catch {
-      case _: org.apache.spark.sql.AnalysisException => err("file_not_found")
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getCondition != null &&
+            e.getCondition.startsWith("PATH_NOT_FOUND") =>
+        err("file_not_found")
     }
   }
 

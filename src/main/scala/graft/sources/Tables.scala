@@ -256,15 +256,21 @@ object Tables {
     * document; `textField`/`idField` name the payload and id keys (HF
     * defaults "text"/"id"; a numeric id reads as its string form).
     *
-    * doc_id = xxhash64(path, id) when the line carries an id, else
-    * xxhash64(path, text) — deterministic across runs and partitionings
-    * but HASH-width, so chain [[graft.operators.Sampling.densifyIds]]
-    * before Lehmer-domain ops, exactly as with [[ingestTextDir]].
-    * Lines that fail to parse or lack the text field are DROPPED (a
-    * front door must not manufacture null documents); id-less
-    * byte-identical duplicate lines within one file collapse to one
-    * doc_id (they are exact duplicates — dd_exact would collapse them
-    * anyway).
+    * doc_id = xxhash64(path, id, text) when the line carries an id,
+    * else xxhash64(path, text) — deterministic across runs and
+    * partitionings but HASH-width, so chain
+    * [[graft.operators.Sampling.densifyIds]] before Lehmer-domain ops,
+    * exactly as with [[ingestTextDir]]. The id participates so two
+    * byte-identical texts with DISTINCT ids keep distinct identities;
+    * the text participates so two lines SHARING an id with different
+    * payloads (malformed but observed in real exports) never alias one
+    * doc_id — without it densifyIds' (path, doc_id) order would be
+    * non-total there and dense-id assignment partition-dependent (r15
+    * advisor finding). Lines that fail to parse or lack the text field
+    * are DROPPED (a front door must not manufacture null documents);
+    * byte-identical duplicate lines within one file (same id or none)
+    * collapse to one doc_id (they are exact duplicates — dd_exact
+    * would collapse them anyway).
     *
     * Scale shape: gz/zstd files are non-splittable, so parallelism is
     * one task per file — the sharded-many-files layout real corpora
@@ -281,7 +287,7 @@ object Tables {
         input_file_name().as("path"))
       .select(
         when(col(s"j.`$idField`").isNotNull,
-          xxhash64(col("path"), col(s"j.`$idField`")))
+          xxhash64(col("path"), col(s"j.`$idField`"), col(s"j.`$textField`")))
           .otherwise(xxhash64(col("path"), col(s"j.`$textField`")))
           .as("doc_id"),
         lit(source).as("source"),

@@ -157,6 +157,31 @@ class IngestionSpec extends AnyFunSuite {
     assert(d1 === d2)
   }
 
+  test("jsonl reused ids never alias: same id + different text keeps two identities") {
+    val dir = tmp("ingest-dupid")
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "d.jsonl"),
+      Seq(
+        """{"id": "k1", "text": "first payload under a reused id"}""",
+        """{"id": "k1", "text": "second payload under the same id"}""",
+        """{"id": "k2", "text": "first payload under a reused id"}"""
+      ).mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val docs = Tables.ingestJsonlDir(spark, dir)
+    val rows = docs.collect()
+    assert(rows.length === 3)
+    // same id + different text → distinct doc_ids (a malformed export
+    // must not alias two documents); same text + different id → distinct
+    // doc_ids (two legitimate copies keep their identities)
+    assert(rows.map(_.getAs[Long]("doc_id")).distinct.length === 3)
+    // with aliasing gone, (path, doc_id) is a total order again and
+    // dense-id assignment is partitioning-independent
+    val d1 = Sampling.densifyIds(docs, Seq("path", "doc_id")).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("dense_id"))).toMap
+    val d2 = Sampling.densifyIds(docs.repartition(3), Seq("path", "doc_id"))
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("dense_id"))).toMap
+    assert(d1 === d2)
+  }
+
   test("ingestAndAssembleFrom mixes a text corpus with a jsonl corpus, replay bit-identical") {
     val webDir = tmp("corpus-web2")
     val sent = "the quick brown fox jumps over the lazy dog and then " +

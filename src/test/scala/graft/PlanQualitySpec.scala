@@ -78,6 +78,17 @@ class PlanQualitySpec extends AnyFunSuite {
     val pEmb = plan(Dedup.embeddingNearDup(Tables.embeddings(spark, sf)))
     assert(pEmb.contains("decimal_quantize7") && pEmb.contains("quantized_dot14"), pEmb)
     assert(!pEmb.contains("lambdafunction"), pEmb)
+    // top-m mirrors in ONE generator pass (r15): the verified PAIR
+    // stream is never materialized (no checkpoint scan with the
+    // (vec_a, vec_b, cosine) schema — the bucket-stage checkpoints
+    // below it are a different, bounded payload) and there is exactly
+    // one mirror generator, not a union of two re-computed legs
+    val pTopM = plan(Dedup.embeddingNearDupTopM(Tables.embeddings(spark, sf)))
+    assert(!"ExistingRDD\\[vec_a".r.findFirstIn(pTopM).isDefined,
+      s"top-m still materializes the pair stream:\n$pTopM")
+    val mirrors = "Generate explode\\(array\\(struct\\(vec_id".r
+      .findAllIn(pTopM).length
+    assert(mirrors === 1, s"$mirrors mirror generators:\n$pTopM")
     // signatures are checkpointed before banding, so the signature kernel
     // lives in the (eager) signature stage plan and the match-count kernel
     // in the verify plan downstream of the checkpoint

@@ -176,6 +176,17 @@ class SkewGuardSpec extends AnyFunSuite {
     assert(e.getMessage.contains("embeddingNearDupLsh"))
   }
 
+  test("embedding near-dup paths return empty on an empty corpus, no sizing crash") {
+    // r15 advisor: the former unconditional head() on the width-sizing
+    // job threw NoSuchElementException on an empty input (and NPE'd on a
+    // null first embedding); the gate now decides without a job outside
+    // the middle zone
+    val empty = Seq.empty[(Long, Array[Float], Int)]
+      .toDF("vec_id", "embedding", "label")
+    assert(Dedup.embeddingNearDupLsh(empty).count() === 0L)
+    assert(Dedup.embeddingNearDupTopM(empty).count() === 0L)
+  }
+
   /** Planted-Zipf corpus: one bigram is ~90% of ALL gram occurrences —
     * the shape under which a count-over-gram window (no partial agg)
     * ships every occurrence of the hot gram to ONE task. The r15 form
