@@ -96,6 +96,12 @@ object RecallProbe {
     // "ratio" from ordering alone). One full untimed warm-up round,
     // then per-dial minima over INTERLEAVED rounds — drift hits every
     // dial in each round equally, so the minima are comparable.
+    // escalated-query share per auto probe (thread-local, captured right
+    // after each call): the cost dial's other half — `_auto_cost_x`
+    // bounds the price, `_auto_escalated` pins WHO pays it (background
+    // corpus: everything escalates by design; planted corpus: nothing
+    // should). Both gate in tools/scaling.py (r15).
+    val escFrac = scala.collection.mutable.Map[String, Double]()
     val probes: Seq[() => Map[Long, Set[Long]]] = Seq(
       () => collectHits(AnnLsh.topKBatch(emb, qids, k)),
       () => collectHits(Ivf.topKBatch(emb, cents, qids, k)),
@@ -108,8 +114,14 @@ object RecallProbe {
       // track the wide point and its cost ratio (vs the budget probe)
       // is the measured price of the recall floor; on the planted
       // corpus nothing escalates, so recall and cost track the budget
-      () => collectHits(AdaptiveAnn.lshTopKBatchAuto(emb, qids, k)),
-      () => collectHits(AdaptiveAnn.ivfTopKBatchAuto(emb, cents, qids, k)))
+      () => {
+        val h = collectHits(AdaptiveAnn.lshTopKBatchAuto(emb, qids, k))
+        escFrac("lsh") = AdaptiveAnn.lastEscalatedFraction; h
+      },
+      () => {
+        val h = collectHits(AdaptiveAnn.ivfTopKBatchAuto(emb, cents, qids, k))
+        escFrac("ivf") = AdaptiveAnn.lastEscalatedFraction; h
+      })
     val results = probes.map(f => f())
     val secs = Array.fill(probes.size)(Double.MaxValue)
     for (_ <- 1 to 2; i <- probes.indices) {
@@ -132,9 +144,14 @@ object RecallProbe {
       "sim_ann_lsh_planted" ->
         recallOf(collectHits(AnnLsh.topKBatch(augmented, qids, k)), truthPlanted),
       "sim_ann_lsh_auto" -> recallOf(lshAuto, truth),
-      "sim_ann_lsh_auto_planted" ->
-        recallOf(collectHits(
-          AdaptiveAnn.lshTopKBatchAuto(augmented, qids, k)), truthPlanted),
+      "sim_ann_lsh_auto_escalated" -> escFrac.getOrElse("lsh", -1.0),
+      "sim_ann_lsh_auto_planted" -> {
+        val r = recallOf(collectHits(
+          AdaptiveAnn.lshTopKBatchAuto(augmented, qids, k)), truthPlanted)
+        escFrac("lsh_planted") = AdaptiveAnn.lastEscalatedFraction; r
+      },
+      "sim_ann_lsh_auto_escalated_planted" ->
+        escFrac.getOrElse("lsh_planted", -1.0),
       "sim_ann_lsh_budget" -> recallOf(lshBudget, truth),
       "sim_ann_lsh_default_cost_x" ->
         (if (lshBudgetSecs > 0) lshDefaultSecs / lshBudgetSecs else -1.0),
@@ -147,9 +164,14 @@ object RecallProbe {
       "sim_ivf_planted" ->
         recallOf(collectHits(Ivf.topKBatch(augmented, cents, qids, k)), truthPlanted),
       "sim_ivf_auto" -> recallOf(ivfAuto, truth),
-      "sim_ivf_auto_planted" ->
-        recallOf(collectHits(
-          AdaptiveAnn.ivfTopKBatchAuto(augmented, cents, qids, k)), truthPlanted),
+      "sim_ivf_auto_escalated" -> escFrac.getOrElse("ivf", -1.0),
+      "sim_ivf_auto_planted" -> {
+        val r = recallOf(collectHits(
+          AdaptiveAnn.ivfTopKBatchAuto(augmented, cents, qids, k)), truthPlanted)
+        escFrac("ivf_planted") = AdaptiveAnn.lastEscalatedFraction; r
+      },
+      "sim_ivf_auto_escalated_planted" ->
+        escFrac.getOrElse("ivf_planted", -1.0),
       "sim_ivf_budget" -> recallOf(ivfBudget, truth),
       "sim_ivf_default_cost_x" ->
         (if (ivfBudgetSecs > 0) ivfDefaultSecs / ivfBudgetSecs else -1.0),

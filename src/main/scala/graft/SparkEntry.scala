@@ -143,6 +143,14 @@ object SparkEntry {
     // replayed inside this key's oracle CTEs) is output-bound
     // near-quadratic by corpus construction (the retired 3.5x waiver)
     "dd_embedding" -> ((s, dir) => Dedup.embeddingNearDupTopM(Tables.embeddings(s, dir))),
+    // explicit anchor-dial twin (r15): planes pinned to the oracle's 6,
+    // so the key is oracle-green at ANY sf — the guarded correctness run
+    // (forced broadcast budget, sf0.1) uses it to prove the shuffle-mode
+    // verify bit-matches; the default-dial key above stays the benched
+    // scale form (its auto plane schedule resolves to 6 only at the
+    // sf0.01 gate's n <= 1024)
+    "dd_embedding_anchor" -> ((s, dir) =>
+      Dedup.embeddingNearDupTopM(Tables.embeddings(s, dir), planes = 6)),
     "sim_topk" -> ((s, dir) => Similarity.bruteForceTopK(Tables.embeddings(s, dir), 0L, 20)),
     // frame-sampling plumbing: fixed windows at a regular stride, digested
     // per frame so the oracle rebuilds them from the payload text
@@ -270,6 +278,14 @@ object SparkEntry {
     //     except st_window_agg; cross-checked behaviorally in specs) ---
     "dd_minhash_lsh" -> ((s, dir) =>
       MinHashLsh.candidatePairs(Tables.documents(s, dir), threshold = 0.95)),
+    // the hub-star guard EXERCISED against the oracle (r15 ask #4):
+    // maxBucket = 64 is under this corpus's real bucket sizes (up to
+    // ~104 at sf0.01, ~1015 at sf0.1), so oversized buckets degrade to
+    // hub-star pairing on REAL data here — the DuckDB twin replicates
+    // the hub semantics (bucket-minimum star, union, distinct) exactly
+    "dd_minhash_lsh_hub" -> ((s, dir) =>
+      MinHashLsh.candidatePairs(Tables.documents(s, dir), threshold = 0.95,
+        maxBucket = 64)),
     "dd_simhash" -> ((s, dir) => SimHash.nearDupPairs(Tables.documents(s, dir))),
     "sim_ann_lsh" -> ((s, dir) => AnnLsh.topK(Tables.embeddings(s, dir), 0L, 10)),
     // unfiltered scoring surface: deterministic row set (one per rolling-
@@ -548,6 +564,78 @@ object SparkEntry {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** The HUB-MODE minhash twin (dd_minhash_lsh_hub): same banding, but
+    * candidate generation replicates the hot-bucket guard exactly at
+    * maxBucket = 64 — buckets of ≤64 members pair all-pairs, oversized
+    * buckets pair every member with the bucket-minimum hub only, and the
+    * union is distinct (first-agree dedup ≡ DISTINCT over (a, b)). The
+    * hub is always the smallest id, so doc_a < doc_b holds on both
+    * branches. */
+  private lazy val minhashHubOracleSql: String = {
+    s"""${minhashCtes(8)},
+       |mstat AS (
+       |  SELECT band, bucket, count(*) AS m, min(doc_id) AS hub
+       |  FROM banded GROUP BY band, bucket),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM banded x
+       |  JOIN banded y ON x.band = y.band AND x.bucket = y.bucket
+       |    AND x.doc_id < y.doc_id
+       |  JOIN mstat s ON s.band = x.band AND s.bucket = x.bucket
+       |  WHERE s.m <= 64
+       |  UNION
+       |  SELECT s.hub AS doc_a, x.doc_id AS doc_b
+       |  FROM banded x
+       |  JOIN mstat s ON s.band = x.band AND s.bucket = x.bucket
+       |  WHERE s.m > 64 AND x.doc_id <> s.hub)
+       |SELECT doc_a, doc_b,
+       |  len(list_filter(range(1, 129), i -> sa.sig[i] = sb.sig[i]))::DOUBLE / 128
+       |    AS jaccard_est
+       |FROM cand
+       |JOIN sigs sa ON sa.doc_id = cand.doc_a
+       |JOIN sigs sb ON sb.doc_id = cand.doc_b
+       |WHERE len(list_filter(range(1, 129), i -> sa.sig[i] = sb.sig[i]))::DOUBLE / 128 >= 0.95
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** The bounded top-m embedding near-dup twin, shared verbatim by
+    * dd_embedding (default dial — its auto plane schedule resolves to
+    * this SQL's 6 planes at the sf0.01 gate's n ≤ 1024) and
+    * dd_embedding_anchor (planes pinned to 6 explicitly, green at every
+    * sf — the guarded shuffle-mode correctness run's key). */
+  private lazy val embeddingTopMOracleSql: String =
+    s"""WITH base AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding,
+       |           x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS iv
+       |  FROM embeddings),
+       |bk AS (
+       |  SELECT vec_id, t, ${lshBucketSql(6)} AS bucket
+       |  FROM (SELECT vec_id, iv, unnest(generate_series(0, 7)) AS t FROM base)),
+       |pr AS (
+       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM bk a JOIN bk b
+       |    ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+       |n AS (
+       |  SELECT vec_id, embedding, ${dotSql("embedding", "embedding")} AS nrm
+       |  FROM embeddings),
+       |c AS (
+       |  SELECT vec_a, vec_b,
+       |         CAST(${dotSql("a.embedding", "b.embedding")} AS DOUBLE)
+       |           / (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))) AS cosine
+       |  FROM pr JOIN n a ON pr.vec_a = a.vec_id JOIN n b ON pr.vec_b = b.vec_id),
+       |kept AS (SELECT vec_a, vec_b, cosine FROM c WHERE cosine >= 0.3),
+       |mir AS (
+       |  SELECT vec_a AS vec_id, vec_b AS neighbor_id, cosine FROM kept
+       |  UNION ALL
+       |  SELECT vec_b AS vec_id, vec_a AS neighbor_id, cosine FROM kept)
+       |SELECT vec_id, neighbor_id, cosine, rank FROM (
+       |  SELECT mir.*, CAST(row_number() OVER (PARTITION BY vec_id
+       |           ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+       |  FROM mir)
+       |WHERE rank <= 10
+       |ORDER BY vec_id, rank""".stripMargin
+
   /** The batched-IVF oracle SQL, shared by sim_ivf_batch (hash-exact)
     * and sim_ivf_auto (rows+schema contract — see the map entry): the
     * full IVF pipeline replayed via [[ivfCtes]], per-query cell ranks
@@ -736,6 +824,7 @@ object SparkEntry {
     * same parquet tables. Omitted keys → driver records rows-only check. */
   def oracleSql: Map[String, String] = Map(
     "dd_minhash_lsh" -> minhashOracleSql,
+    "dd_minhash_lsh_hub" -> minhashHubOracleSql,
     "dd_simhash" -> simhashOracleSql,
     // bipartite twin of dedupAgainst over the persisted signature index
     // (16 bands — saveSignatures' default): batch docs (doc_id%5=0) match
@@ -1143,39 +1232,8 @@ object SparkEntry {
         |FROM d ORDER BY doc_id""".stripMargin,
 
 
-    "dd_embedding" ->
-      s"""WITH base AS (
-         |  SELECT vec_id,
-         |         list_transform(embedding,
-         |           x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS iv
-         |  FROM embeddings),
-         |bk AS (
-         |  SELECT vec_id, t, ${lshBucketSql(6)} AS bucket
-         |  FROM (SELECT vec_id, iv, unnest(generate_series(0, 7)) AS t FROM base)),
-         |pr AS (
-         |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-         |  FROM bk a JOIN bk b
-         |    ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
-         |n AS (
-         |  SELECT vec_id, embedding, ${dotSql("embedding", "embedding")} AS nrm
-         |  FROM embeddings),
-         |c AS (
-         |  SELECT vec_a, vec_b,
-         |         CAST(${dotSql("a.embedding", "b.embedding")} AS DOUBLE)
-         |           / (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))) AS cosine
-         |  FROM pr JOIN n a ON pr.vec_a = a.vec_id JOIN n b ON pr.vec_b = b.vec_id),
-         |kept AS (SELECT vec_a, vec_b, cosine FROM c WHERE cosine >= 0.3),
-         |mir AS (
-         |  SELECT vec_a AS vec_id, vec_b AS neighbor_id, cosine FROM kept
-         |  UNION ALL
-         |  SELECT vec_b AS vec_id, vec_a AS neighbor_id, cosine FROM kept)
-         |SELECT vec_id, neighbor_id, cosine, rank FROM (
-         |  SELECT mir.*, CAST(row_number() OVER (PARTITION BY vec_id
-         |           ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
-         |  FROM mir)
-         |WHERE rank <= 10
-         |ORDER BY vec_id, rank""".stripMargin,
-
+    "dd_embedding" -> embeddingTopMOracleSql,
+    "dd_embedding_anchor" -> embeddingTopMOracleSql,
 
     // AnnLsh's plane family (tables 64..87; 5 planes — the r14
     // recall-anchored default geometry, corpus-size-free by

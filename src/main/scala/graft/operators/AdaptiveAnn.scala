@@ -165,6 +165,20 @@ object AdaptiveAnn {
     }.toSet
   }
 
+  /** Escalated-query share of the most recent auto probe on this thread
+    * — bench telemetry (RecallProbe emits it beside the `_auto_cost_x`
+    * ratios so escalation drift fails the scaling gate loudly, r15).
+    * Read it immediately after an auto entry point returns; it is not
+    * part of any query-result contract. */
+  private val lastEscalation = new ThreadLocal[(Int, Int)] {
+    override def initialValue: (Int, Int) = (0, 0)
+  }
+
+  private[graft] def lastEscalatedFraction: Double = {
+    val (e, t) = lastEscalation.get()
+    if (t == 0) 0.0 else e.toDouble / t
+  }
+
   /** Shared two-phase driver: collect the default batch probe, keep the
     * concentrated queries' rows as a local DataFrame, re-probe the rest
     * wide, union. Output schema/ordering match the batch probes. */
@@ -174,6 +188,7 @@ object AdaptiveAnn {
     val p1 = defaultProbe
     val rows = p1.collect()
     val esc = escalationSet(rows, queryIds, k, mu, sigma)
+    lastEscalation.set((esc.size, queryIds.size))
     val kept = spark.createDataFrame(
       java.util.Arrays.asList(rows.filterNot(r => esc(r.getLong(0))): _*),
       p1.schema)

@@ -368,6 +368,14 @@ object MinHashLsh {
     * whose heap may differ from the executors'), else this JVM's max
     * heap — which in local mode IS the executor heap. */
   private[graft] def maxBroadcastVerifyBytes(df: DataFrame): Long = {
+    // forced-path dial (guarded verify runs, specs): pin the budget to an
+    // explicit byte count so every shuffle-mode fallback — the estimate/
+    // verify joins here, the embedding verify, the incremental bipartite
+    // probe — EXECUTES against the real oracle gate on small corpora,
+    // where the 256 MB floor otherwise makes those paths unreachable
+    // (every fallback is a plan choice, never a result change, so the
+    // same oracles must stay green; r15 verdict ask #4)
+    sys.props.get("graft.broadcastBudgetBytes").foreach(v => return v.toLong)
     val conf = df.sparkSession.conf
     val confHeap = conf.getOption("spark.executor.memory")
       .map(org.apache.spark.network.util.JavaUtils.byteStringAsBytes)
@@ -384,8 +392,21 @@ object MinHashLsh {
     math.min(2L << 30, math.max(256L << 20, heap / 12))
   }
 
-  private[graft] def maybeBroadcast(df: DataFrame, estBytes: Long): DataFrame =
-    if (estBytes <= maxBroadcastVerifyBytes(df)) broadcast(df) else df
+  private[graft] def maybeBroadcast(df: DataFrame, estBytes: Long): DataFrame = {
+    val budget = maxBroadcastVerifyBytes(df)
+    if (estBytes <= budget) broadcast(df)
+    else {
+      // the guarded-verify evidence line: correctness runs with the
+      // forced budget grep for it to prove shuffle mode actually ran.
+      // WARN only under the forced dial — at real scale this branch is
+      // normal operation, not a warning
+      val msg = s"verify payload ~$estBytes B past broadcast budget " +
+        s"$budget B: shuffle join"
+      if (sys.props.contains("graft.broadcastBudgetBytes")) log.warn(msg)
+      else log.info(msg)
+      df
+    }
+  }
 
   /** True iff the engine-neutral 64-bit token hash is INJECTIVE over the
     * corpus vocabulary of `toks`: every hash value maps back to exactly

@@ -69,6 +69,22 @@ DEFAULT_MAX_SLOPE = 3.0
 # so flat-ish per-batch cost is the sub-linear-probe claim).
 INGEST_MAX_RATIO = 2.5
 
+# AdaptiveAnn escalation contract (r15): auto = budget probe + wide
+# re-probe of the escalated queries + a fixed collect overhead, so its
+# cost ratio vs the budget probe may exceed (1 + default_cost_x) by at
+# most this slack — a scale-free ceiling (default_cost_x itself grows
+# with the corpus because the wide dial is a constant FRACTION; a fixed
+# auto ceiling would fail by design at some scale).
+AUTO_COST_SLACK = 1.0
+# The synthetic corpus has no neighbor structure: the escalation
+# detector must fire on (nearly) every background query — a lazy
+# detector silently rides the budget probe's decaying recall.
+MIN_BG_ESCALATED = 0.8
+# Planted near-dup structure must be answered by the budget probe —
+# escalating it pays the wide price for exactly the queries the budget
+# dial exists to serve cheaply.
+MAX_PLANTED_ESCALATED = 0.2
+
 
 def load(path):
     with open(path) as f:
@@ -157,6 +173,35 @@ def main():
         for name, d in (("sf0.1", a), ("sf1", b)):
             if blk in d:
                 print(f"{blk} @ {name}: {json.dumps(d[blk])}")
+    # AdaptiveAnn escalation gates (r15) — keys absent in pre-r15 bench
+    # files are skipped, not failed
+    for name, d in (("sf0.1", a), ("sf1", b)):
+        r = d.get("recall")
+        if not r:
+            continue
+        for fam in ("sim_ann_lsh", "sim_ivf"):
+            auto = r.get(f"{fam}_auto_cost_x")
+            dflt = r.get(f"{fam}_default_cost_x")
+            bg = r.get(f"{fam}_auto_escalated")
+            pl = r.get(f"{fam}_auto_escalated_planted")
+            if auto is not None and dflt is not None and auto > 0 and dflt > 0:
+                lim = 1.0 + dflt + AUTO_COST_SLACK
+                print(f"{fam} auto @ {name}: cost {auto:.2f}x "
+                      f"(ceiling {lim:.2f}x), escalated bg={bg} planted={pl}")
+                if check and auto > lim:
+                    violations.append(
+                        f"{fam}: auto cost {auto:.2f}x > 1 + default "
+                        f"{dflt:.2f}x + {AUTO_COST_SLACK} @ {name}")
+            if check and bg is not None and 0 <= bg < MIN_BG_ESCALATED:
+                violations.append(
+                    f"{fam}: background escalated fraction {bg:.2f} < "
+                    f"{MIN_BG_ESCALATED} @ {name} — escalation detector "
+                    "gone lazy (recall is riding the budget probe)")
+            if check and pl is not None and pl > MAX_PLANTED_ESCALATED:
+                violations.append(
+                    f"{fam}: planted escalated fraction {pl:.2f} > "
+                    f"{MAX_PLANTED_ESCALATED} @ {name} — planted structure "
+                    "should be answered by the budget probe")
     ia, ib = steady_batch_mean(a), steady_batch_mean(b)
     if ia is not None and ib is not None and ia > 0:
         ratio = ib / ia
