@@ -53,7 +53,20 @@ import sys
 # size), with the raw pair stream still available as
 # embeddingNearDupLsh and its arithmetic still DuckDB-twinned inside
 # the top-m oracle's CTEs.)
-WAIVERS = {}
+# (r15: dd_embedding_anchor is the one named waiver — and the first
+# key whose super-linearity is the CONTRACT rather than a defect. It
+# pins planes to the DuckDB oracle's fixed 6 at EVERY scale so the
+# quantized-cosine verify arithmetic can be bit-checked against the
+# oracle at sf0.1+ (the guarded correctness run's key); with the plane
+# count frozen, bucket occupancy — and thus candidate volume — grows
+# linearly with the corpus ON TOP of corpus growth, which is exactly
+# the decay the production key dd_embedding's auto plane schedule
+# (6 + 1.5/doubling past 1024 rows) exists to remove: dd_embedding
+# itself holds ~2.2x at the same pair. Measured 4.9x at sf1/sf0.1;
+# 8x waiver headroom covers the next scale point. A fixed-dial
+# correctness twin should never be anyone's scale path — the Scaladoc
+# and docs/indexes.md both route scale users to the default dial.)
+WAIVERS = {"dd_embedding_anchor": 8.0}
 
 # Keys faster than this at the LARGER scale are noise-exempt: a 0.1s ->
 # 0.4s "4x slope" is scheduler jitter, not a scale signal.
