@@ -235,15 +235,18 @@ object Dedup {
     // the CANDIDATE PAIR STREAM — the big side — shuffles twice with
     // per-row quantized payloads (the r14 third-scale-point study's
     // dd_embedding cliff). The decision needs the vector width only in
-    // the middle zone: when even a 4096-wide payload fits the budget the
-    // side broadcasts with no action at all (also the empty-corpus path
-    // — the former unconditional head() threw there), and when even a
-    // 1-wide payload can't fit, no width can save it. Only between the
-    // two bounds does a one-row job (null-safe) read the true width.
+    // the middle zone: when a 4096-wide payload fits a QUARTER of the
+    // budget the side broadcasts with no action at all (the 4× headroom
+    // keeps even a freak 16k-dim corpus inside the budget, so the
+    // job-free zone can never over-broadcast; it is also the
+    // empty-corpus path — the former unconditional head() threw there),
+    // and when even a 1-wide payload can't fit, no width can save it.
+    // Only between the two bounds does a one-row job (null-safe) read
+    // the true width.
     val budget = MinHashLsh.maxBroadcastVerifyBytes(src)
     val hiBound = n * (48L + 4L * 4096L)
     val sideBytes =
-      if (hiBound <= budget) hiBound
+      if (hiBound * 4L <= budget) hiBound
       else if (n * 52L > budget) Long.MaxValue
       else src.where(col("embedding").isNotNull)
         .select(size(col("embedding"))).head(1) match {

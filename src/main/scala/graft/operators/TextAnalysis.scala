@@ -267,9 +267,11 @@ object TextAnalysis {
     * already know their model size pass `modelBytesHint` and skip all
     * sizing.
     *
-    * Measured (r15): sf0.1 ~0.7 s (pays one extra stage-floor vs the
-    * r14 window's 0.43 s), sf1 1.03 vs 0.92 s, sf10 at the window form
-    * — with the single-task Zipf ceiling gone. Documents shorter than
+    * Measured (r15, same-session head-to-head vs the r14 window form):
+    * sf0.1 0.45 s in the committed full-run record (r14: 0.43), sf1
+    * 1.03 vs 0.92 s, sf10 3.99 vs 3.61 s — inside the box's ±15-25 %
+    * band at every scale, with the single-task Zipf ceiling gone and
+    * the sf1→sf10 slope at 3.9×. Documents shorter than
     * `n` tokens keep word_ngrams' one truncated gram (the
     * tx_ngram_freq contract), so every document stays in the quality
     * report. */
