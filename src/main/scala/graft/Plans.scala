@@ -71,6 +71,13 @@ object Plans {
         "nested-loop join; every corpus row scores itself per-row via " +
         "array_intersect — the corpus is read once and never shuffles " +
         "(no hashpartitioning exchange on doc_id anywhere)"),
+      "tx_lm_score" -> ("corpus-LM fluency (r15 Zipf-proof form): the " +
+        "token_term_counts kernel collapses within-doc repetition in the " +
+        "row, the bigram model is a partial-agg groupBy (a Zipf-hot gram " +
+        "ships one partial row per map task, never its occurrences) and " +
+        "joins back as a BroadcastHashJoin under the heap budget — no " +
+        "count-over-gram Window anywhere, so no unsplittable hot-key " +
+        "task at any corpus size"),
       "tx_pii" -> ("PII scan: four regexp counts + ordered " +
         "regexp_replace redaction digest, all per-row inside one " +
         "whole-stage-codegen project over the scan — no exchange except " +
