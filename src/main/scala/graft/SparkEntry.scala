@@ -185,6 +185,12 @@ object SparkEntry {
     // order within shard → bit-reproducible (oracle: same window SQL)
     "tx_pack" -> ((s, dir) =>
       operators.Packing.packSequences(Tables.documents(s, dir))),
+    // per-document overlapping chunking (r15) — the long-doc half of the
+    // packing story: budget 64 / overlap 16 so the gate corpus (~100+
+    // tokens/doc) genuinely multi-chunks; pure per-row explode+slice
+    "tx_chunk" -> ((s, dir) =>
+      operators.Packing.chunkDocuments(Tables.documents(s, dir),
+        budget = 64, overlap = 16)),
     "tx_quality" -> ((s, dir) => TextAnalysis.qualityScore(Tables.documents(s, dir))),
     "tx_langid" -> ((s, dir) => TextAnalysis.languageId(Tables.documents(s, dir))),
     "tx_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(Tables.documents(s, dir))),
@@ -1316,6 +1322,21 @@ object SparkEntry {
         |       CAST((start_tok + n_tokens - 1) // 2048
         |         - start_tok // 2048 + 1 AS BIGINT) AS n_seqs
         |FROM c ORDER BY doc_id""".stripMargin,
+    // chunk count in the same INTEGER form as the Spark side
+    // (⌈max(n−overlap,1)/step⌉ via (x + step−1) // step); list slices
+    // are 1-based inclusive and clamp in both engines, and the re-join
+    // over single-space tokens reproduces exact source substrings
+    "tx_chunk" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |c AS (SELECT doc_id, toks,
+        |        greatest((greatest(len(toks) - 16, 1) + 47) // 48, 1) AS n_chunks
+        |      FROM d)
+        |SELECT c.doc_id,
+        |       CAST(t.chunk_no AS BIGINT) AS chunk_no,
+        |       array_to_string(c.toks[t.chunk_no*48+1 : t.chunk_no*48+64], ' ') AS chunk_text,
+        |       CAST(len(c.toks[t.chunk_no*48+1 : t.chunk_no*48+64]) AS BIGINT) AS n_tokens
+        |FROM c, unnest(generate_series(0, c.n_chunks - 1)) AS t(chunk_no)
+        |ORDER BY doc_id, chunk_no""".stripMargin,
     "tx_tokens" ->
       """SELECT doc_id, n_chars,
         |       CAST(length(text) AS BIGINT) AS n_chars_calc,

@@ -78,4 +78,52 @@ object Packing {
           col("start_tok") + col("n_tokens") - lit(1L), lit(budget))
           - col("seq_id") + lit(1L))
   }
+
+  /** Per-document chunking — the OTHER long-document pass every training
+    * and embedding pipeline runs: split each document into overlapping
+    * fixed-token-budget windows (context-window fitting, long-doc
+    * embedding, retrieval indexing), one output row per chunk. Where
+    * [[packSequences]] concatenates documents ACROSS rows into
+    * sequences, chunking cuts WITHIN a row — the two compose (chunk
+    * long docs first, pack the chunks).
+    *
+    * Chunk k of a document covers tokens [k·(budget−overlap),
+    * k·(budget−overlap)+budget); the last chunk may be shorter, and the
+    * chunk count is ⌈max(n−overlap, 1) / (budget−overlap)⌉ in INTEGER
+    * arithmetic, so every token is covered, consecutive chunks share
+    * exactly `overlap` tokens (except a shorter tail), and a document
+    * shorter than the budget is exactly one chunk — itself.
+    *
+    * Entirely per-row (explode over a sequence of chunk indices + array
+    * slices of the one token split): no shuffle at any corpus size
+    * except the presentation sort; 100 TB cost is one scan with ~
+    * (1 + overlap/budget)× output amplification. Tokens are the engine
+    * convention ([[TextAnalysis.tokenCount]]'s whitespace split), and
+    * chunk_text re-joins with single spaces — over the split-on-every-
+    * single-space token contract that reproduces the exact source
+    * substring, so the DuckDB twin (string_split / list slice /
+    * array_to_string, same integer chunk-count form) is bit-exact. */
+  def chunkDocuments(documents: DataFrame, budget: Int = 512,
+      overlap: Int = 64): DataFrame = {
+    require(budget > 0, s"budget must be positive (got $budget)")
+    require(overlap >= 0 && overlap < budget,
+      s"overlap must be in [0, budget) (got $overlap for budget $budget)")
+    val step = budget - overlap
+    documents
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("n_chunks",
+        greatest(call_function("div",
+          greatest(size(col("toks")).cast("long") - lit(overlap.toLong), lit(1L))
+            + lit(step.toLong - 1L), lit(step.toLong)), lit(1L)))
+      .select(col("doc_id"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_no"),
+        col("toks"))
+      .withColumn("chunk_toks",
+        slice(col("toks"), (col("chunk_no") * step + 1).cast("int"), lit(budget)))
+      .select(
+        col("doc_id"), col("chunk_no"),
+        array_join(col("chunk_toks"), " ").as("chunk_text"),
+        size(col("chunk_toks")).cast("long").as("n_tokens"))
+      .orderBy("doc_id", "chunk_no")
+  }
 }

@@ -770,4 +770,52 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(shuffled.collect().map(_.toString).sorted
       .sameElements(packed.collect().map(_.toString).sorted))
   }
+
+  test("chunking: full coverage, exact overlap, substring-exact chunks") {
+    val docs = Tables.documents(spark, sf)
+    val (budget, overlap) = (64, 16)
+    val step = budget - overlap
+    val chunks = graft.operators.Packing
+      .chunkDocuments(docs, budget, overlap).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(chunks.keySet === texts.keySet, "every document must chunk")
+    for ((id, rows) <- chunks) {
+      val toks = texts(id).split(" ", -1)
+      val sorted = rows.sortBy(_.getAs[Long]("chunk_no"))
+      // chunk count is the integer ceiling form
+      val want = math.max((math.max(toks.length - overlap, 1) + step - 1) / step, 1)
+      assert(sorted.length === want, s"doc $id: ${sorted.length} chunks != $want")
+      sorted.zipWithIndex.foreach { case (r, k) =>
+        assert(r.getAs[Long]("chunk_no") === k.toLong)
+        val expect = toks.slice(k * step, k * step + budget)
+        // substring-exact: single-space re-join over the single-space
+        // token contract reproduces the source text span
+        assert(r.getAs[String]("chunk_text") === expect.mkString(" "))
+        assert(r.getAs[Long]("n_tokens") === expect.length.toLong)
+      }
+      // coverage: the last chunk reaches the document's end
+      assert((sorted.length - 1) * step + budget >= toks.length,
+        s"doc $id: tail tokens uncovered")
+      // multi-chunk docs share exactly `overlap` tokens between
+      // consecutive chunks (except a shorter tail)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          val at = a.getAs[String]("chunk_text").split(" ", -1)
+          val bt = b.getAs[String]("chunk_text").split(" ", -1)
+          assert(at.takeRight(at.length - step).sameElements(
+            bt.take(at.length - step)))
+        case _ =>
+      }
+    }
+    // this corpus genuinely multi-chunks at the registered dials
+    assert(chunks.values.exists(_.length > 1), "no doc multi-chunked")
+    // short doc: one chunk, itself
+    import spark.implicits._
+    val one = graft.operators.Packing.chunkDocuments(
+      Seq((1L, "tiny doc", "s")).toDF("doc_id", "text", "source"),
+      budget, overlap).collect()
+    assert(one.length === 1 && one.head.getAs[String]("chunk_text") === "tiny doc")
+  }
 }
