@@ -40,6 +40,32 @@ object Bench {
       require(unknown.isEmpty,
         s"SPARK_GRAFT_ONLY names not in SparkEntry.queries: ${unknown.mkString(", ")}")
     }
+    // box-noise probe (r15): five runs of ONE fixed data-independent
+    // workload, recorded beside the timings — this session measured the
+    // same code at 50.9 s and 54.9 s two hours apart (co-tenant drift),
+    // and every cross-round or cross-scale comparison needs to know the
+    // session's noise floor rather than assume the documented ±15-25 %.
+    // The probe is a 200M-row range aggregate: pure CPU + scheduler, no
+    // I/O, so its dispersion is the BOX, not the data. Skipped (like
+    // recall/ingest) on subset runs.
+    val noise =
+      if (only.nonEmpty) ""
+      else {
+        def probe(): Double = {
+          val t0 = System.nanoTime()
+          spark.range(200L * 1000 * 1000).selectExpr("sum(id * 3 + 1) AS s")
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        probe() // untimed: the probe's own codegen/JIT warm-up
+        val secs = (1 to 5).map(_ => probe())
+        val mean = secs.sum / secs.size
+        val cv = math.sqrt(secs.map(s => (s - mean) * (s - mean)).sum / secs.size) / mean
+        val f3 = (x: Double) =>
+          String.format(java.util.Locale.ROOT, "%.3f", Double.box(x))
+        s""","noise":{"secs":[${secs.map(f3).mkString(",")}],""" +
+          s""""spread_x":${f3(secs.max / secs.min)},"cv":${f3(cv)}}"""
+      }
     val results = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -87,7 +113,7 @@ object Bench {
           s""""batch_secs":$bs,"index_rows":${r.indexRows.mkString("[", ",", "]")},""" +
           s""""fresh_secs":${f3(r.freshSecs)},"fresh_gated_secs":${f3(r.freshGatedSecs)}}"""
       } catch { case _: Throwable => "" }
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")}$recall$ingest,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")}$recall$ingest$noise,"sf":"$sfDir"}"""
     println(line)
     // the JSON also lands in a FILE: the driver's per-round artifact is a
     // captured stdout tail, and a 72-key line overflows the tail window —

@@ -189,6 +189,18 @@ def main():
         for name, d in (("sf0.1", a), ("sf1", b)):
             if blk in d:
                 print(f"{blk} @ {name}: {json.dumps(d[blk])}")
+    # box-noise probes (r15): each bench line carries five runs of a
+    # fixed data-independent workload; a high spread means this PAIR was
+    # measured on a noisy box and slope flags deserve isolated
+    # re-measure before being read as scale defects
+    for name, d in (("sf0.1", a), ("sf1", b)):
+        nz = d.get("noise")
+        if nz:
+            print(f"box noise @ {name}: spread {nz.get('spread_x')}x, "
+                  f"cv {nz.get('cv')} ({json.dumps(nz.get('secs'))})")
+            if float(nz.get("spread_x", 1)) > 1.3:
+                print(f"  NOTE: >1.3x probe spread — treat slope flags as "
+                      f"arbitration candidates, not verdicts")
     # AdaptiveAnn escalation gates (r15) — keys absent in pre-r15 bench
     # files are skipped, not failed
     for name, d in (("sf0.1", a), ("sf1", b)):
