@@ -48,9 +48,12 @@ object Bench {
     // The probe is a 200M-row range aggregate: pure CPU + scheduler, no
     // I/O, so its dispersion is the BOX, not the data. Skipped (like
     // recall/ingest) on subset runs.
+    // A probe failure must not abort the bench before any query has been
+    // timed (r15 advisor finding) — degrade to a sentinel noise field and
+    // let the query loop produce its record.
     val noise =
       if (only.nonEmpty) ""
-      else {
+      else try {
         def probe(): Double = {
           val t0 = System.nanoTime()
           spark.range(200L * 1000 * 1000).selectExpr("sum(id * 3 + 1) AS s")
@@ -65,7 +68,7 @@ object Bench {
           String.format(java.util.Locale.ROOT, "%.3f", Double.box(x))
         s""","noise":{"secs":[${secs.map(f3).mkString(",")}],""" +
           s""""spread_x":${f3(secs.max / secs.min)},"cv":${f3(cv)}}"""
-      }
+      } catch { case _: Throwable => ""","noise":{"secs":[],"failed":true}""" }
     val results = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>

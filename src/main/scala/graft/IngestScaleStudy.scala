@@ -56,24 +56,29 @@ object IngestScaleStudy {
     val zstDir = new java.io.File(s"$work/hf_zst")
     org.apache.commons.io.FileUtils.deleteQuietly(zstDir)
     zstDir.mkdirs()
-    new java.io.File(s"$work/hf_zst_plain").listFiles()
-      .filter(f => f.getName.startsWith("part-")).zipWithIndex
-      .foreach { case (f, i) =>
-        val out = new com.github.luben.zstd.ZstdOutputStream(
-          new java.io.FileOutputStream(s"$work/hf_zst/part$i.jsonl.zst"))
-        try java.nio.file.Files.copy(f.toPath, out)
-        finally out.close()
-      }
+    val plainParts = Option(
+      new java.io.File(s"$work/hf_zst_plain").listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.getName.startsWith("part-"))
+    require(plainParts.nonEmpty,
+      s"zstd staging wrote no part files under $work/hf_zst_plain")
+    plainParts.zipWithIndex.foreach { case (f, i) =>
+      val out = new com.github.luben.zstd.ZstdOutputStream(
+        new java.io.FileOutputStream(s"$work/hf_zst/part$i.jsonl.zst"))
+      try java.nio.file.Files.copy(f.toPath, out)
+      finally out.close()
+    }
     val txtDir = new java.io.File(s"$work/txt")
     txtDir.mkdirs()
-    docs.filter(col("doc_id") % 5 === 2).limit(2000)
-      .select("doc_id", "text").collect().foreach { r =>
-        java.nio.file.Files.write(
-          java.nio.file.Paths.get(s"$work/txt/doc_${r.getLong(0)}.txt"),
-          r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      }
+    val txtRows = docs.filter(col("doc_id") % 5 === 2).limit(2000)
+      .select("doc_id", "text").collect()
+    txtRows.foreach { r =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$work/txt/doc_${r.getLong(0)}.txt"),
+        r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
     val nDocs = spark.read.text(s"$work/hf_gz").count() +
-      spark.read.text(s"$work/hf_zst").count() + 2000L
+      spark.read.text(s"$work/hf_zst").count() + txtRows.length
 
     // --- the measured runs ---
     def assemble(out: String): (Double, Array[org.apache.spark.sql.Row]) = {

@@ -222,10 +222,12 @@ object Reports {
     * found" / "invalid JSON" exits — instead of throwing, so a pipeline
     * can gate publication on `validateExport(...).isEmpty` without
     * try/catch plumbing. Only the path-not-found error CLASS maps to
-    * the file_not_found row; any other AnalysisException (permissions,
-    * unsupported scheme, bad filesystem) rethrows — a gate that
-    * mislabels an infrastructure failure as a missing file sends the
-    * operator hunting the wrong cause (r15 advisor finding). */
+    * the file_not_found row, and the no-inferable-schema class (an
+    * existing-but-empty export — a document with no parseable JSON in
+    * it) maps to invalid_json; any other AnalysisException
+    * (permissions, unsupported scheme, bad filesystem) rethrows — a
+    * gate that mislabels an infrastructure failure as a missing file
+    * sends the operator hunting the wrong cause (r15 advisor finding). */
   def validateExport(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     val err = (v: String) => Seq(("<document>", v)).toDF("field", "violation")
@@ -242,6 +244,10 @@ object Reports {
           if e.getCondition != null &&
             e.getCondition.startsWith("PATH_NOT_FOUND") =>
         err("file_not_found")
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getCondition != null &&
+            e.getCondition.startsWith("UNABLE_TO_INFER_SCHEMA") =>
+        err("invalid_json")
     }
   }
 

@@ -145,6 +145,13 @@ class CompletenessSpec extends AnyFunSuite {
     assert(Reports.validateExport(spark, "/no/such/path-xyz")
       .collect().map(r => (r.getString(0), r.getString(1))).toSeq ===
       Seq(("<document>", "file_not_found")))
+    // an existing-but-empty export (Spark: UNABLE_TO_INFER_SCHEMA) is an
+    // unparseable document, not an infrastructure failure — it must gate
+    // as invalid_json rather than propagate (r15 advisor finding)
+    val empty = java.nio.file.Files.createTempDirectory("vexp-empty").toString
+    assert(Reports.validateExport(spark, empty)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq ===
+      Seq(("<document>", "invalid_json")))
   }
 
   test("single-building benchmark matches the reference's EUI semantics") {
