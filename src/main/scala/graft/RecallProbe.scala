@@ -85,6 +85,27 @@ object RecallProbe {
     val truth = bruteTruth(emb)
     val truthPlanted = bruteTruth(augmented)
 
+    // dd_embedding dial telemetry (r16): planted-pair recall of the
+    // near-dup TOP-M key itself, default dial vs the density-capped dial
+    // (cap 128 — dd_embedding_capped's operating point). Each query's 10
+    // planted near-dups are its true top-10 at cosine ≈ 1, so a capped
+    // dial that drops the WRONG buckets (the small, structure-bearing
+    // ones) reads directly as lost recall here; the scaling gate holds
+    // the capped point at ≥ 0.95.
+    val plantedPairs: Map[Long, Set[Long]] = qids.map(q =>
+      q -> (1 to dups).map(j => 1000000000L + q * 64L + j.toLong).toSet).toMap
+    def nearDupPlantedRecall(cap: Int): Double = {
+      val out = graft.operators.Dedup
+        .embeddingNearDupTopM(augmented, densityCap = cap)
+        .filter(col("vec_id").isin(qids: _*))
+        .select("vec_id", "neighbor_id").collect()
+        .groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+      val per = plantedPairs.map { case (q, t) =>
+        out.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size }
+      if (per.isEmpty) 0.0 else per.sum / per.size
+    }
+
     val cells = math.max(2, math.ceil(math.sqrt(n.toDouble)).toInt)
     val cents = Ivf.kmeansCentroids(emb, cells, 8, inputMaterialized = true)
 
@@ -135,6 +156,8 @@ object RecallProbe {
       lshAutoSecs, ivfAutoSecs) = secs.toSeq
 
     Map(
+      "dd_embedding_planted" -> nearDupPlantedRecall(0),
+      "dd_embedding_capped_planted" -> nearDupPlantedRecall(128),
       "sim_ann_lsh" -> recallOf(lshDefault, truth),
       "sim_ann_lsh_wide" ->
         recallOf(collectHits(

@@ -151,6 +151,15 @@ object SparkEntry {
     // sf0.01 gate's n <= 1024)
     "dd_embedding_anchor" -> ((s, dir) =>
       Dedup.embeddingNearDupTopM(Tables.embeddings(s, dir), planes = 6)),
+    // density-capped dial (r16): same auto planes + verify arithmetic,
+    // but candidate GENERATION bounded at <= 128 per vector (each vector
+    // keeps only its smallest buckets — Dedup.capBuckets), so total
+    // candidate volume is ~cap·n at any corpus size where the default
+    // dial's grows ~2x per decade (the r15 scale study's one measured
+    // super-linear production curve). Planted-recall telemetry for this
+    // dial rides every bench (RecallProbe) and gates in tools/scaling.py.
+    "dd_embedding_capped" -> ((s, dir) =>
+      Dedup.embeddingNearDupTopM(Tables.embeddings(s, dir), densityCap = 128)),
     "sim_topk" -> ((s, dir) => Similarity.bruteForceTopK(Tables.embeddings(s, dir), 0L, 20)),
     // frame-sampling plumbing: fixed windows at a regular stride, digested
     // per frame so the oracle rebuilds them from the payload text
@@ -604,24 +613,84 @@ object SparkEntry {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
-  /** The bounded top-m embedding near-dup twin, shared verbatim by
-    * dd_embedding (default dial — its auto plane schedule resolves to
-    * this SQL's 6 planes at the sf0.01 gate's n ≤ 1024) and
-    * dd_embedding_anchor (planes pinned to 6 explicitly, green at every
-    * sf — the guarded shuffle-mode correctness run's key). */
-  private lazy val embeddingTopMOracleSql: String =
-    s"""WITH base AS (
+  /** Dynamic-planes form of [[lshBucketSql]]: the same two-round-LCG
+    * plane weights and sign-bit packing, but with the PLANE COUNT read
+    * from a `pl` CTE column (`planes`) instead of unrolled at build
+    * time — so the oracle tracks Dedup.resolvePlanes at ANY scale
+    * factor. Nested lambdas (outer plane index `p`, inner component
+    * `i`) keep the arithmetic identical to the unrolled form; the
+    * weight for bit p is 2^(planes−1−p) via a BIGINT shift. */
+  private val dynLshBucketSql: String =
+    "list_sum(list_transform(generate_series(0, planes - 1), p -> " +
+      "CASE WHEN list_sum(list_transform(generate_series(1, len(iv)), i -> iv[i] * " +
+      "((((((t*1000003 + p*8191 + (i-1)) * 1103515245 + 12345) % 2147483648) " +
+      "* 1103515245 + 12345) % 2147483648) % 65536 - 32768))) >= 0 " +
+      "THEN (CAST(1 AS BIGINT) << (planes - 1 - p)) ELSE 0 END))"
+
+  /** CTE twin of Dedup.resolvePlanes(0, n): 6 planes at or under the
+    * 1024-row anchor, else 6 + ⌈1.5·log₂(n/1024)⌉ — written as
+    * ln(x)/ln(2), the same op chain as the Scala side (math.log/
+    * math.log(2.0)), so the two engines round identically. The ceil
+    * boundary is the one residual risk (a corpus size where
+    * 1.5·log₂(n/1024) sits within an ulp of an integer without being
+    * exact could diverge); no committed corpus size is near one. */
+  private val embPlanesCte: String =
+    """pl AS (
+      |  SELECT CASE WHEN cnt <= 1024 THEN 6
+      |              ELSE 6 + CAST(ceil(1.5 * (ln(CAST(cnt AS DOUBLE) / 1024.0)
+      |                                        / ln(CAST(2.0 AS DOUBLE)))) AS INTEGER)
+      |         END AS planes
+      |  FROM (SELECT count(*) AS cnt FROM embeddings))""".stripMargin
+
+  /** Builder for the bounded top-m embedding near-dup twins. The bucket
+    * expression is either the unrolled static form (the anchor key's
+    * frozen 6-plane dial) or [[dynLshBucketSql]] joined to
+    * [[embPlanesCte]] (the default dial — tracks the auto plane schedule
+    * at every sf, closing the r15 verdict's scale-dial/oracle gap).
+    * `densityCap > 0` inserts the capped candidate CTEs — the SQL twin
+    * of Dedup.capBuckets: per-(t, bucket) sizes, each vector's buckets
+    * ranked ascending (size, t), kept while the running Σ(m−1) stays
+    * within the cap (first bucket always kept). */
+  private def embeddingTopMSql(dynamicPlanes: Boolean,
+      densityCap: Int): String = {
+    val bucketExpr = if (dynamicPlanes) dynLshBucketSql else lshBucketSql(6)
+    val bkFrom =
+      if (dynamicPlanes)
+        "(SELECT vec_id, iv, unnest(generate_series(0, 7)) AS t FROM base) CROSS JOIN pl"
+      else
+        "(SELECT vec_id, iv, unnest(generate_series(0, 7)) AS t FROM base)"
+    val planesCte = if (dynamicPlanes) embPlanesCte + ",\n" else ""
+    val prCte =
+      if (densityCap > 0)
+        s"""msz AS (SELECT t, bucket, count(*) AS m FROM bk GROUP BY 1, 2),
+           |keptb AS (
+           |  SELECT vec_id, t, bucket FROM (
+           |    SELECT b.vec_id, b.t, b.bucket,
+           |           row_number() OVER (PARTITION BY b.vec_id
+           |             ORDER BY s.m, b.t) AS rk,
+           |           sum(s.m - 1) OVER (PARTITION BY b.vec_id
+           |             ORDER BY s.m, b.t
+           |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           |    FROM bk b JOIN msz s ON s.t = b.t AND s.bucket = b.bucket)
+           |  WHERE rk = 1 OR cum <= $densityCap),
+           |pr AS (
+           |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+           |  FROM keptb a JOIN keptb b
+           |    ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id),""".stripMargin
+      else
+        """pr AS (
+          |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+          |  FROM bk a JOIN bk b
+          |    ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id),""".stripMargin
+    s"""WITH ${planesCte}base AS (
        |  SELECT vec_id,
        |         list_transform(embedding,
        |           x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS iv
        |  FROM embeddings),
        |bk AS (
-       |  SELECT vec_id, t, ${lshBucketSql(6)} AS bucket
-       |  FROM (SELECT vec_id, iv, unnest(generate_series(0, 7)) AS t FROM base)),
-       |pr AS (
-       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-       |  FROM bk a JOIN bk b
-       |    ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+       |  SELECT vec_id, t, $bucketExpr AS bucket
+       |  FROM $bkFrom),
+       |$prCte
        |n AS (
        |  SELECT vec_id, embedding, ${dotSql("embedding", "embedding")} AS nrm
        |  FROM embeddings),
@@ -641,6 +710,25 @@ object SparkEntry {
        |  FROM mir)
        |WHERE rank <= 10
        |ORDER BY vec_id, rank""".stripMargin
+  }
+
+  /** dd_embedding's twin — dynamic planes, so the oracle tracks the auto
+    * plane schedule at EVERY scale factor (at the sf0.01 gate's n ≤ 1024
+    * it resolves to the same 6 planes as before; at sf0.1's n = 10,000
+    * it resolves to 11, where the former static-6 SQL diverged — the
+    * exact gap the r15 verdict's sf0.1 oracle ask exists to close). */
+  private lazy val embeddingTopMOracleSql: String =
+    embeddingTopMSql(dynamicPlanes = true, densityCap = 0)
+
+  /** dd_embedding_anchor's twin — the frozen 6-plane dial at every sf
+    * (the guarded shuffle-mode correctness run's bit-checkable key). */
+  private lazy val embeddingTopMAnchorOracleSql: String =
+    embeddingTopMSql(dynamicPlanes = false, densityCap = 0)
+
+  /** dd_embedding_capped's twin — dynamic planes plus the density-cap
+    * CTEs at the key's cap of 128. */
+  private lazy val embeddingTopMCappedOracleSql: String =
+    embeddingTopMSql(dynamicPlanes = true, densityCap = 128)
 
   /** The batched-IVF oracle SQL, shared by sim_ivf_batch (hash-exact)
     * and sim_ivf_auto (rows+schema contract — see the map entry): the
@@ -1239,7 +1327,8 @@ object SparkEntry {
 
 
     "dd_embedding" -> embeddingTopMOracleSql,
-    "dd_embedding_anchor" -> embeddingTopMOracleSql,
+    "dd_embedding_anchor" -> embeddingTopMAnchorOracleSql,
+    "dd_embedding_capped" -> embeddingTopMCappedOracleSql,
 
     // AnnLsh's plane family (tables 64..87; 5 planes — the r14
     // recall-anchored default geometry, corpus-size-free by

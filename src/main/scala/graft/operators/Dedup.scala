@@ -181,17 +181,62 @@ object Dedup {
     * action, which is a metadata-only scan for the common
     * materialized-parquet input but re-executes an un-cached upstream
     * pipeline (cache/checkpoint such an input first, or pass
-    * `corpusSize`/an explicit `planes`). */
+    * `corpusSize`/an explicit `planes`).
+    *
+    * `densityCap > 0` bounds each vector's CANDIDATE GENERATION (see
+    * [[capBuckets]]) — the density-capped dial for corpora where even
+    * the auto plane schedule's ~2× per-decade candidate-density growth
+    * (the r15 scale study's one super-linear production curve) is too
+    * much. Recall becomes the capped contract: pairs outside both
+    * endpoints' kept buckets are never considered. 0 (the default)
+    * generates from every bucket — the oracle-twinned semantics. */
   def embeddingNearDupLsh(embeddings: DataFrame, threshold: Double = 0.3,
       tables: Int = 8, planes: Int = 0, maxBucket: Int = 4096,
-      corpusSize: Long = 0L): DataFrame =
+      corpusSize: Long = 0L, densityCap: Int = 0): DataFrame =
     // materialize the verified survivors before the presentation sort so
     // the range sampler reads 24-byte rows instead of re-executing the
     // bucket join + verify lineage (the r14 dd_minhash_lsh profile fix)
     embeddingPairsUnsorted(embeddings, threshold, tables, planes,
-        maxBucket, corpusSize)
+        maxBucket, corpusSize, densityCap)
       .localCheckpoint(false)
       .orderBy("vec_a", "vec_b")
+
+  /** Per-vector candidate-density cap over exploded LSH bucket rows
+    * (vec_id, t, bucket): each vector keeps its SMALLEST buckets — in
+    * ascending (bucket size, table) order — until the kept buckets'
+    * candidate budget Σ(m−1) exceeds `cap`, with the single smallest
+    * bucket always kept so no vector is orphaned. Generation from the
+    * kept rows is then ≤ cap candidates per vector BY CONSTRUCTION (plus
+    * the always-kept first bucket), making total candidate volume ≤
+    * ~cap·n at ANY corpus size — the linear-work dial the auto plane
+    * schedule alone cannot provide (it holds recall by letting density
+    * grow ~2× per decade; r15 profile: 291→602 candidates/vector at
+    * sf1→sf10).
+    *
+    * Why recall survives the cut: a true near-duplicate pair shares its
+    * agreeing buckets, and a bucket's SIZE is a property of the bucket —
+    * both endpoints therefore rank their shared buckets identically and
+    * keep them together, while the buckets the cap drops first are
+    * exactly the large, low-selectivity ones whose members are
+    * overwhelmingly background. Planted-near-dup recall at the default
+    * cap gates in tools/scaling.py via the bench recall telemetry.
+    *
+    * Cost shape: one (t, bucket) count window + one per-vector running
+    * sum — two linear exchanges of 24-byte rows — in place of the
+    * super-linear candidate tail they remove. */
+  private[graft] def capBuckets(bucketRows: DataFrame, cap: Int): DataFrame = {
+    require(cap >= 1, s"densityCap must be >= 1 (got $cap)")
+    val wB = Window.partitionBy(col("t"), col("bucket"))
+    val wV = Window.partitionBy(col("vec_id")).orderBy(col("m"), col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bucketRows
+      .withColumn("m", count(lit(1)).over(wB))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("m"), col("t"))))
+      .withColumn("cum", sum(col("m") - lit(1L)).over(wV))
+      .filter(col("rk") === 1 || col("cum") <= cap)
+      .select("vec_id", "t", "bucket")
+  }
 
   /** The verified (vec_a, vec_b, cosine) stream of [[embeddingNearDupLsh]]
     * before its presentation sort — shared with [[embeddingNearDupTopM]],
@@ -200,7 +245,7 @@ object Dedup {
     * kernel-bearing plan above the checkpoint boundary. */
   private[graft] def embeddingPairsUnsorted(embeddings: DataFrame,
       threshold: Double, tables: Int, planes: Int, maxBucket: Int,
-      corpusSize: Long): DataFrame = {
+      corpusSize: Long, densityCap: Int = 0): DataFrame = {
     // the corpus count (a full action) runs ONLY when auto resolution
     // needs it and the caller did not supply the size
     val src = embeddings
@@ -212,9 +257,19 @@ object Dedup {
     // bucket-local pairing behind the same hot-bucket guard as the text
     // path: a degenerate sign-pattern bucket (e.g. a corpus of
     // near-constant vectors) pairs linearly, not quadratically — and
-    // pairs are deduped shuffle-free at their first agreeing table
-    val pairs = MinHashLsh.firstAgreeBucketPairs(bucketed, "bkts", "t",
-        Seq("t", "bucket"), "vec_id", maxBucket, tables)
+    // pairs are deduped shuffle-free at their first agreeing table.
+    // Under a density cap the kept bucket rows are a per-vector SUBSET,
+    // so first-agree dedup (which consults the FULL bucket arrays) would
+    // wrongly suppress a pair whose earlier agreeing table one endpoint
+    // dropped; the capped volume is ≤ ~cap·n by construction, so a
+    // plain guarded distinct is both correct and linear there.
+    val pairs = (if (densityCap > 0)
+      MinHashLsh.guardedBucketPairs(
+        capBuckets(bucketed.select("vec_id", "t", "bucket"), densityCap),
+        Seq("t", "bucket"), "vec_id", maxBucket)
+    else
+      MinHashLsh.firstAgreeBucketPairs(bucketed, "bkts", "t",
+        Seq("t", "bucket"), "vec_id", maxBucket, tables))
       .withColumnRenamed("id_a", "vec_a")
       .withColumnRenamed("id_b", "vec_b")
     // quantized once per VECTOR (scale-7 unscaled ints — same width as
@@ -289,11 +344,11 @@ object Dedup {
     * the presentation sort is too. */
   def embeddingNearDupTopM(embeddings: DataFrame, threshold: Double = 0.3,
       m: Int = 10, tables: Int = 8, planes: Int = 0, maxBucket: Int = 4096,
-      corpusSize: Long = 0L): DataFrame = {
+      corpusSize: Long = 0L, densityCap: Int = 0): DataFrame = {
     require(m >= 1, s"m must be >= 1 (got $m)")
     import org.apache.spark.sql.expressions.Window
     val pairs = embeddingPairsUnsorted(embeddings, threshold, tables,
-      planes, maxBucket, corpusSize)
+      planes, maxBucket, corpusSize, densityCap)
     // near-duplication is symmetric: each verified pair is a neighbor
     // edge in both directions. The mirror is ONE generator pass over the
     // verified stream — each row explodes into its two directed edges in

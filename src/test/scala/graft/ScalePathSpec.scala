@@ -133,6 +133,82 @@ class ScalePathSpec extends AnyFunSuite {
     }
   }
 
+  test("density cap: bounded per-vector generation, planted recall intact") {
+    import spark.implicits._
+    // same corpus recipe as the top-m spec: seeded background + three
+    // planted groups of four near-identical vectors
+    val rng = new scala.util.Random(7)
+    val base = (0 until 800).map { i =>
+      (i.toLong, Array.fill(8)((rng.nextDouble() * 2.0 - 1.0).toFloat),
+        s"l${i % 5}")
+    }
+    val planted = Seq(100L, 200L, 300L).map { g =>
+      g -> Array.fill(8)((rng.nextDouble() * 2.0 - 1.0).toFloat)
+    }.flatMap { case (g, v) =>
+      (1 to 4).map(j => (10000L + g * 10L + j, v.map(x => x + j * 1e-4f), "lp"))
+    }
+    val emb = (base ++ planted).toDF("vec_id", "embedding", "label")
+
+    // the capBuckets contract: each vector's kept buckets spend at most
+    // `cap` candidate budget Σ(m−1) — except a lone first bucket, which
+    // is always kept so no vector is orphaned
+    val cap = 64
+    val bucketed = Dedup.embeddingBuckets(emb, tables = 8, planes = 6)
+      .select("vec_id", "t", "bucket")
+    val sizes = bucketed.groupBy("t", "bucket").agg(count(lit(1)).as("m"))
+    val kept = Dedup.capBuckets(bucketed, cap)
+    val spend = kept.join(sizes, Seq("t", "bucket"))
+      .groupBy("vec_id")
+      .agg(sum(col("m") - 1).as("budget"), count(lit(1)).as("n_kept"),
+        max(col("m")).as("max_m"))
+      .collect()
+    assert(spend.nonEmpty)
+    spend.foreach { r =>
+      val over = r.getAs[Long]("budget") > cap
+      // over-budget is legal only via the always-kept first bucket
+      assert(!over || r.getAs[Long]("n_kept") === 1L,
+        s"vec ${r.getLong(0)} spent ${r.getAs[Long]("budget")} > $cap " +
+          s"across ${r.getAs[Long]("n_kept")} kept buckets")
+    }
+    // every vector keeps at least one bucket
+    assert(kept.select("vec_id").distinct().count() ===
+      bucketed.select("vec_id").distinct().count())
+
+    // planted recall: the capped dial reproduces the uncapped top-m
+    // output exactly at threshold 0.99 — planted groups land in SMALL
+    // buckets (4 near-identical members), which the size-ascending keep
+    // order preserves first
+    val uncapped = Dedup.embeddingNearDupTopM(emb, threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = Dedup.embeddingNearDupTopM(emb, threshold = 0.99,
+        densityCap = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.nonEmpty)
+    assert(capped === uncapped,
+      s"capped dial lost planted pairs: ${(uncapped -- capped).take(5)}")
+
+    // a cap that never binds reproduces the uncapped pair set exactly —
+    // the guarded-distinct pairing and the first-agree pairing are
+    // set-equal on the same kept buckets
+    val loose = Dedup.embeddingNearDupLsh(emb, threshold = 0.3,
+        densityCap = 1000000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Dedup.embeddingNearDupLsh(emb, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(loose === full)
+
+    // degenerate corpus: every vector identical — one giant bucket per
+    // table; the cap keeps only each vector's first bucket and the hub
+    // guard keeps pairing linear, but the near-dup star still surfaces
+    val const = (0 until 300).map(i =>
+      (i.toLong, Array.fill(8)(0.5f), "c")).toDF("vec_id", "embedding", "label")
+    val star = Dedup.embeddingNearDupLsh(const, threshold = 0.99,
+        maxBucket = 64, densityCap = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(star.length === 299, s"hub star expected 299 pairs, got ${star.length}")
+    assert(star.forall(_._1 === 0L))
+  }
+
   test("ANN dial geometry: recall-anchored defaults, constant-cost budget opt-ins") {
     import spark.implicits._
     // AnnLsh BUDGET planes (the pre-r14 default, now AdaptiveAnn's first

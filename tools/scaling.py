@@ -101,6 +101,14 @@ MIN_BG_ESCALATED = 0.8
 # dial exists to serve cheaply.
 MAX_PLANTED_ESCALATED = 0.2
 
+# dd_embedding_capped (r16): the density-capped dial bounds candidate
+# generation at ~128 per vector, trading BACKGROUND tail recall for
+# linear work — but planted near-dup structure lives in SMALL buckets,
+# which the size-ascending keep order preserves first, so its planted
+# recall must stay ~1.0 at every scale. A drop means the cap started
+# cutting structure, not background.
+MIN_CAPPED_PLANTED_RECALL = 0.95
+
 
 def load(path):
     with open(path) as f:
@@ -207,6 +215,15 @@ def main():
         r = d.get("recall")
         if not r:
             continue
+        cp = r.get("dd_embedding_capped_planted")
+        if cp is not None:
+            print(f"dd_embedding_capped planted recall @ {name}: {cp:.3f} "
+                  f"(floor {MIN_CAPPED_PLANTED_RECALL})")
+            if check and cp < MIN_CAPPED_PLANTED_RECALL:
+                violations.append(
+                    f"dd_embedding_capped: planted recall {cp:.3f} < "
+                    f"{MIN_CAPPED_PLANTED_RECALL} @ {name} — the density cap "
+                    "is cutting structure, not background")
         for fam in ("sim_ann_lsh", "sim_ivf"):
             auto = r.get(f"{fam}_auto_cost_x")
             dflt = r.get(f"{fam}_default_cost_x")
