@@ -75,6 +75,36 @@ object GraftExtensions {
         lit[Boolean](es(2), "distinct") { case b: Boolean => b })
     })
 
+  /** Key prefixes exposed as SQL views by [[registerViews]]: the
+    * alert-store query API and benchmarking surface (the engine-native
+    * analog of the reference's HTTP endpoints, src/api.py:62-265 and
+    * src/dashboard_app.py) plus the headline analytics. Every key behind
+    * these prefixes is a pure LAZY DataFrame plan — registration runs no
+    * job; each SQL query executes the plan on demand, exactly like a
+    * view over tables. The dedup/ANN/sampling families are deliberately
+    * NOT view-registered: their builders run eager setup actions
+    * (corpus counts, checkpoint materialization, k-means), which a view
+    * registration API must never hide. */
+  private val ViewPrefixes = Seq("al_", "bm_", "q_")
+
+  /** Engine-native analog of the reference's query API: registers every
+    * alert/benchmarking/headline query key as a temp view
+    * `graft_<key>` over the parquet tables in `dir`, so a SQL-only
+    * client runs the reference's API queries with plain
+    * `spark.sql("SELECT * FROM graft_al_summary WHERE ...")` — no Scala.
+    * Filters a client adds on top (WHERE / projections) optimize THROUGH
+    * the view into the underlying scans (Catalyst sees one plan), so the
+    * SQL surface pays no materialization tax over the registry path.
+    * Returns the registered view names. */
+  def registerViews(spark: SparkSession, dir: String): Seq[String] = {
+    val keys = SparkEntry.queries.keys
+      .filter(k => ViewPrefixes.exists(k.startsWith)).toSeq.sorted
+    keys.map { k =>
+      SparkEntry.queries(k)(spark, dir).createOrReplaceTempView(s"graft_$k")
+      s"graft_$k"
+    }
+  }
+
   /** Register on an already-running session. */
   def register(spark: SparkSession): Unit = {
     functions.foreach { case (name, builder) =>

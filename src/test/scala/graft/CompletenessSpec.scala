@@ -154,6 +154,36 @@ class CompletenessSpec extends AnyFunSuite {
       Seq(("<document>", "invalid_json")))
   }
 
+  test("registerViews exposes the query API surface to SQL-only clients") {
+    // the engine-native analog of the reference's HTTP query surface
+    // (src/api.py:62-265): every al_/bm_/q_ key becomes a temp view, and
+    // plain SQL over the view is row-identical to the Scala registry path
+    val views = GraftExtensions.registerViews(spark, sf)
+    assert(views.contains("graft_al_summary"))
+    assert(views.contains("graft_bm_entity_metrics"))
+    assert(views.contains("graft_q_pricing_summary"))
+    // all al_/bm_/q_ keys registered, nothing else
+    val expected = SparkEntry.queries.keys
+      .filter(k => Seq("al_", "bm_", "q_").exists(k.startsWith))
+      .map("graft_" + _).toSet
+    assert(views.toSet === expected)
+    for (key <- Seq("al_summary", "bm_entity_metrics", "q_pricing_summary",
+        "al_filter_rule", "bm_top_entities")) {
+      val viaSql = spark.sql(s"SELECT * FROM graft_$key").collect()
+        .map(_.toSeq).toSeq
+      val viaRegistry = SparkEntry.queries(key)(spark, sf).collect()
+        .map(_.toSeq).toSeq
+      assert(viaSql === viaRegistry, s"view graft_$key diverges from registry")
+    }
+    // a client-side filter composes through the view (the api.py
+    // /alerts?severity=... shape) and agrees with filtering the registry
+    val sqlFiltered = spark.sql(
+      "SELECT * FROM graft_al_filter_rule WHERE severity = 'high'").count()
+    val regFiltered = SparkEntry.queries("al_filter_rule")(spark, sf)
+      .filter(col("severity") === "high").count()
+    assert(sqlFiltered === regFiltered)
+  }
+
   test("single-building benchmark matches the reference's EUI semantics") {
     val r = Reports.benchmarkBuilding("B001", 1000.0, 50000.0)
     assert(r.eui === 50.0)

@@ -150,9 +150,26 @@ def steady_batch_mean(d):
     return sum(tail) / len(tail) if tail else None
 
 
+def load_arbitration(args):
+    """Optional --arbitration FILE (tools/arbitrate.py output): isolated
+    fresh-JVM min-of-3 re-measures of flagged keys.  A slope violation
+    whose ARBITRATED verdict is ok/noise-exempt is downgraded to a note —
+    the full-sweep reading was warm-JVM / co-tenant noise, and the
+    isolated minimum is the number the gate trusts (the r13-r15 verdicts
+    all applied exactly this rule by hand)."""
+    if "--arbitration" not in args:
+        return {}, args
+    i = args.index("--arbitration")
+    path = args[i + 1]
+    rest = args[:i] + args[i + 2:]
+    with open(path) as f:
+        return json.load(f).get("keys", {}), rest
+
+
 def main():
     args = [x for x in sys.argv[1:] if x != "--check"]
     check = "--check" in sys.argv[1:]
+    arb, args = load_arbitration(args)
     if len(args) == 1:
         # the combined study artifact: {"sf0.1": {...}, "sf1": {...}}
         d = json.load(open(args[0]))
@@ -181,13 +198,33 @@ def main():
             violations.append(f"{k}: failed to run (ta={ta}, tb={tb})")
         elif tb < MIN_SF1_SECONDS:
             gate = "noise-exempt"
+        elif k == "dd_embedding_anchor" and k in arb \
+                and arb[k].get("slope") is not None:
+            # the anchor is a fixed-dial correctness instrument whose
+            # full-sweep slope swings 4.9-8.1x with warm-JVM state (r15);
+            # its gate reading is ALWAYS the isolated arbitration when
+            # one is supplied (r15 verdict ask #5)
+            aslope = arb[k]["slope"]
+            if aslope <= limit:
+                gate = f"ok (arbitrated {aslope:.1f}x, waiver {limit:.1f}x)"
+            else:
+                gate = f"FAIL (arbitrated {aslope:.1f}x > {limit:.1f}x)"
+                violations.append(
+                    f"{k}: ISOLATED slope {aslope:.1f}x > {limit:.1f}x")
         elif slope <= limit:
             gate = "ok" if k not in WAIVERS else f"ok (waiver {limit:.1f}x)"
+        elif k in arb and arb[k].get("verdict") in ("ok", "noise-exempt"):
+            aslope = arb[k].get("slope")
+            gate = (f"ok (sweep {slope:.1f}x, arbitrated "
+                    f"{aslope:.1f}x <= {limit:.1f}x)")
         else:
             gate = f"FAIL (> {limit:.1f}x)"
             violations.append(
                 f"{k}: slope {slope:.1f}x > {limit:.1f}x "
-                f"({ta:.2f}s -> {tb:.2f}s)")
+                f"({ta:.2f}s -> {tb:.2f}s)" +
+                ("" if k in arb else
+                 " — not arbitrated; run tools/arbitrate.py "
+                 f"--keys {k} and re-gate with --arbitration"))
         print(f"| {k} | {ta:.2f} | {tb:.2f} | {slope:.1f}x | {gate} |")
     ta_tot = sum(t for t in qa.values() if t >= 0)
     tb_tot = sum(t for t in qb.values() if t >= 0)
