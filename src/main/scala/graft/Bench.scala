@@ -116,7 +116,24 @@ object Bench {
           s""""batch_secs":$bs,"index_rows":${r.indexRows.mkString("[", ",", "]")},""" +
           s""""fresh_secs":${f3(r.freshSecs)},"fresh_gated_secs":${f3(r.freshGatedSecs)}}"""
       } catch { case _: Throwable => "" }
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")}$recall$ingest$noise,"sf":"$sfDir"}"""
+    // the streaming form of the ingest loop (foreachBatch under the
+    // streaming runtime + a stateful RocksDB leg) rides along full runs
+    // under the same skip dial — per-batch secs from the query's own
+    // progress records, state rows/bytes from the stateful operator.
+    val streamIngest =
+      if (sys.env.get("SPARK_GRAFT_INGEST").contains("0") || only.nonEmpty) ""
+      else try {
+        val r = StreamingIngestBench.run(spark, sfDir)
+        val f3 = (xs: Seq[Double]) => xs.map(s =>
+          String.format(java.util.Locale.ROOT, "%.3f", Double.box(s)))
+          .mkString("[", ",", "]")
+        s""","ingest_streaming":{"batch_rows":${r.batchRows.mkString("[", ",", "]")},""" +
+          s""""batch_secs":${f3(r.batchSecs)},"index_rows":${r.indexRows},""" +
+          s""""flagged_dups":${r.flaggedDups},"provider":"rocksdb",""" +
+          s""""state_batch_secs":${f3(r.stateBatchSecs)},""" +
+          s""""state_rows":${r.stateRowsTotal},"state_mem_bytes":${r.stateMemBytes}}"""
+      } catch { case _: Throwable => "" }
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")}$recall$ingest$streamIngest$noise,"sf":"$sfDir"}"""
     println(line)
     // the JSON also lands in a FILE: the driver's per-round artifact is a
     // captured stdout tail, and a 72-key line overflows the tail window —

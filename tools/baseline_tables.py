@@ -44,8 +44,18 @@ def main(base_path, bench_path):
     gp = pt + sum(base[k] for k in ext)
     gs = st + sum(bench[k] for k in ext)
     n = len(mapped) + len(ext)
-    print(f"| **grand total ({n} keys)** | **{gp:.1f}** | **{gs:.1f}** |")
-    print(f"\nratios: mapped {pt/st:.1f}x, grand {gp/gs:.1f}x")
+    print(f"| **grand total ({n} keys)** | **{gp:.1f}** | **{gs:.1f}** "
+          f"| **{gp/gs:.1f}×** |")
+    # BOTH margins, permanently (r15 verdict ask #7): the reference-mapped
+    # margin is the apples-to-apples number (families the reference
+    # actually ships); the grand total includes the LLM-extension keys,
+    # where sub-100ms pandas twins sit against Spark's constant
+    # scheduling floor at sf0.1 — so the grand margin DILUTES as the
+    # mapping widens, by construction, and quoting either alone moves
+    # round over round for reasons that are mapping growth, not
+    # performance. BASELINE.md cites both.
+    print(f"\nHEADLINE (quote both): reference-mapped ({len(mapped)} keys) "
+          f"{pt/st:.2f}x | grand total ({n} keys) {gp/gs:.2f}x")
 
 
 if __name__ == "__main__":

@@ -1,11 +1,16 @@
 #!/usr/bin/env python3
 """Local replica of the driver's correctness gate (NOT part of the library).
 
-Usage: python3 tools/check.py <sfDir> <outDir>
+Usage: python3 tools/check.py <sfDir> <outDir> [--json FILE]
   - <outDir> is what `sbt "runMain graft.Verify <sfDir> <outDir>"` wrote.
   - Registers the sf tables as DuckDB views, runs each oracle_sql.json
     entry, and compares against the Spark parquet dump: columns sorted by
     name, rows sorted, exact value + dtype equality.
+  - --json FILE additionally writes the per-key record in the driver's
+    CORRECTNESS format ({key: {rows_match, schema_match, hash_match,
+    spark_rows, oracle_rows, err}}), so off-gate scale runs (e.g. the
+    committed sf0.1 sweep) produce the same artifact shape the driver
+    does at sf0.01.
 """
 import json
 import sys
@@ -44,13 +49,21 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
-def main(sf_dir: str, out_dir: str) -> int:
+def main(sf_dir: str, out_dir: str, json_out: str = None) -> int:
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     failures = 0
+    report = {}
+
+    def rec(name, rows=False, schema=False, hsh=False, sr=None, orr=None,
+            err=None):
+        report[name] = {"rows_match": rows, "schema_match": schema,
+                        "hash_match": hsh, "spark_rows": sr,
+                        "oracle_rows": orr, "err": err}
+
     import os
     dumped = {d for d in os.listdir(out_dir)
               if os.path.isdir(os.path.join(out_dir, d))}
@@ -60,16 +73,19 @@ def main(sf_dir: str, out_dir: str) -> int:
                 f"SELECT count(*) FROM read_parquet('{out_dir}/{name}/*.parquet')"
             ).fetchone()[0]
             print(f"ROWS {name}: {n} rows (no oracle)")
+            rec(name, rows=n > 0, sr=n, err=None if n else "0 rows, no oracle")
             if n == 0:
                 print(f"  WARNING: {name} returned 0 rows")
         except Exception as e:
             print(f"FAIL {name}: rows-only read error: {e}")
+            rec(name, err=f"rows-only read error: {e}")
             failures += 1
     for name, sql in sorted(oracle.items()):
         try:
             want = con.execute(sql).df()
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
+            rec(name, err=f"oracle error: {e}")
             failures += 1
             continue
         try:
@@ -77,15 +93,18 @@ def main(sf_dir: str, out_dir: str) -> int:
                 f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").df()
         except Exception as e:
             print(f"FAIL {name}: spark result missing: {e}")
+            rec(name, orr=len(want), err=f"spark result missing: {e}")
             failures += 1
             continue
         w, g = norm(want), norm(got)
         if list(w.columns) != list(g.columns):
             print(f"FAIL {name}: columns {list(g.columns)} != {list(w.columns)}")
+            rec(name, rows=len(g) == len(w), sr=len(g), orr=len(w))
             failures += 1
             continue
         if len(w) != len(g):
             print(f"FAIL {name}: rows {len(g)} != {len(w)}")
+            rec(name, schema=True, sr=len(g), orr=len(w))
             failures += 1
             continue
         dt_mismatch = [(c, str(g[c].dtype), str(w[c].dtype))
@@ -100,17 +119,24 @@ def main(sf_dir: str, out_dir: str) -> int:
                 print(f"OK   {name}: {len(g)} rows "
                       f"(rows+schema contract; estimate cols {sorted(est)} "
                       f"excluded by design)")
+                rec(name, rows=True, schema=True, hsh=False,
+                    sr=len(g), orr=len(w))
             except AssertionError:
                 failures += 1
                 print(f"FAIL {name}: non-estimate columns differ")
+                rec(name, rows=True, schema=True, sr=len(g), orr=len(w),
+                    err="non-estimate columns differ")
             continue
         try:
             pd.testing.assert_frame_equal(g, w, check_dtype=False, check_exact=True)
             status = "OK" if not dt_mismatch else f"OK (dtype warn: {dt_mismatch})"
             print(f"{status:4s} {name}: {len(g)} rows")
+            rec(name, rows=True, schema=True, hsh=True, sr=len(g), orr=len(w))
         except AssertionError as e:
             failures += 1
             print(f"FAIL {name}: value mismatch")
+            rec(name, rows=True, schema=True, sr=len(g), orr=len(w),
+                err="value mismatch")
             diffcols = []
             for c in w.columns:
                 if not g[c].equals(w[c]):
@@ -122,8 +148,18 @@ def main(sf_dir: str, out_dir: str) -> int:
                 for i in idx:
                     print(f"    {c}[{i}]: spark={g[c][i]!r} oracle={w[c][i]!r}")
     print(f"\n{'ALL GREEN' if failures == 0 else f'{failures} FAILURES'}")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(report, f, indent=4, sort_keys=True)
+        print(f"wrote {json_out}")
     return 1 if failures else 0
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    argv = sys.argv[1:]
+    jout = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        jout = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    sys.exit(main(argv[0], argv[1], jout))

@@ -143,9 +143,9 @@ def load(path):
     raise SystemExit(f"no bench JSON line found in {path}")
 
 
-def steady_batch_mean(d):
+def steady_batch_mean(d, block="ingest"):
     """Mean per-batch seconds, skipping the first (warm-up) batch."""
-    secs = d.get("ingest", {}).get("batch_secs") or []
+    secs = d.get(block, {}).get("batch_secs") or []
     tail = secs[1:] if len(secs) > 1 else secs
     return sum(tail) / len(tail) if tail else None
 
@@ -301,6 +301,30 @@ def main():
         violations.append(
             "ingest: telemetry missing or non-positive at one scale "
             f"(sf0.1 mean={ia}, sf1 mean={ib}) — gate cannot run")
+    # the STREAMING ingest record (r16): same steady-state rule under the
+    # streaming runtime. Absent at both scales = a pre-r16 record pair
+    # (skip); absent at exactly one = dropped telemetry (fail).
+    sa, sb = (steady_batch_mean(a, "ingest_streaming"),
+              steady_batch_mean(b, "ingest_streaming"))
+    if sa is not None and sb is not None and sa > 0:
+        ratio = sb / sa
+        print(f"streaming ingest steady-state per-batch: {sa:.2f}s -> "
+              f"{sb:.2f}s ({ratio:.2f}x across scales, "
+              f"limit {INGEST_MAX_RATIO}x)")
+        for name, d in (("sf0.1", a), ("sf1", b)):
+            st = d.get("ingest_streaming", {})
+            if st:
+                print(f"  state store @ {name}: provider="
+                      f"{st.get('provider')} rows={st.get('state_rows')} "
+                      f"mem_bytes={st.get('state_mem_bytes')}")
+        if check and ratio > INGEST_MAX_RATIO:
+            violations.append(
+                f"streaming ingest: steady per-batch {ratio:.2f}x > "
+                f"{INGEST_MAX_RATIO}x ({sa:.2f}s -> {sb:.2f}s)")
+    elif check and (sa is None) != (sb is None):
+        violations.append(
+            "streaming ingest: telemetry present at only one scale "
+            f"(sf0.1 mean={sa}, sf1 mean={sb})")
     if check:
         lopsided = sorted(set(qa) ^ set(qb))
         if lopsided:
