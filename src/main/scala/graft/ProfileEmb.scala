@@ -45,6 +45,7 @@ object ProfileEmb {
 
   def run(spark: SparkSession, sfDir: String, reps: Int): Unit = {
     val threshold = 0.3; val m = 10; val tables = 8; val maxBucket = 4096
+    val cap = 128 // dd_embedding_capped's operating point
     val emb = Tables.embeddings(spark, sfDir)
     emb.write.format("noop").mode("overwrite").save() // reader warm-up
     val n = emb.count()
@@ -66,10 +67,28 @@ object ProfileEmb {
     val nOut = Dedup.embeddingNearDupTopM(
       emb, threshold, m, tables, 0, maxBucket, n).count()
 
+    // the density-capped dial (r16), same stage split: capped candidate
+    // volume, its verified survivors, and the full capped top-m key —
+    // the per-vector density ratio (candidates*2/n vs cap) is the
+    // scale-study evidence that generation is bounded
+    val capCand = MinHashLsh.guardedBucketPairs(
+      Dedup.capBuckets(bucketed.select("vec_id", "t", "bucket"), cap),
+      Seq("t", "bucket"), "vec_id", maxBucket).count()
+    val tCapVerify = timed(reps)(Dedup.embeddingPairsUnsorted(
+      emb, threshold, tables, 0, maxBucket, n, cap))
+    val capVerified = Dedup.embeddingPairsUnsorted(
+      emb, threshold, tables, 0, maxBucket, n, cap).count()
+    val tCapFull = timed(reps)(Dedup.embeddingNearDupTopM(
+      emb, threshold, m, tables, 0, maxBucket, n, cap))
+    val capOut = Dedup.embeddingNearDupTopM(
+      emb, threshold, m, tables, 0, maxBucket, n, cap).count()
+
     println(f"""{"profile":"dd_embedding","sf":"$sfDir","vecs":$n,""" +
       f""""planes":$planes,"candidates":$nCand,"verified":$nVerified,""" +
       f""""out":$nOut,"buckets":$tBuckets%.3f,"pairs":$tPairs%.3f,""" +
       f""""verify":$tVerify%.3f,"topm_tail":${tFull - tVerify}%.3f,""" +
-      f""""full":$tFull%.3f}""")
+      f""""full":$tFull%.3f,"cap":$cap,"cap_candidates":$capCand,""" +
+      f""""cap_verified":$capVerified,"cap_out":$capOut,""" +
+      f""""cap_verify_secs":$tCapVerify%.3f,"cap_full":$tCapFull%.3f}""")
   }
 }
