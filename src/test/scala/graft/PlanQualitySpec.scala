@@ -108,6 +108,18 @@ class PlanQualitySpec extends AnyFunSuite {
     val pPub = plan(MinHashLsh.candidatePairs(Tables.documents(spark, sf)))
     assert(pPub.contains("ExistingRDD"), pPub)
     assert(!pPub.contains("long_array_match_count"), pPub)
+    // the density-capped dial (r16): same verify kernels, and the cap
+    // stage is two linear window passes — never a cartesian or a
+    // pair-stream re-computation
+    val pCap = plan(Dedup.embeddingPairsUnsorted(
+      Tables.embeddings(spark, sf), 0.3, 8, 0, 4096, 0L, 128))
+    assert(pCap.contains("quantized_cosine14"), pCap)
+    assert(!pCap.contains("CartesianProduct"), pCap)
+    // four linear window passes: bucket-size count, the per-vector
+    // (rank, running-sum) pair, and the hub guard's size window — each a
+    // 24-byte-row exchange, nothing keyed on a pair
+    val capWindows = "Window \\[".r.findAllIn(pCap).length
+    assert(capWindows <= 4, s"$capWindows window passes in capped plan:\n$pCap")
   }
 
   test("LSH candidate streams are never distinct-shuffled on the normal corpus") {
