@@ -40,15 +40,28 @@ object StreamingAlerts {
   /** Open a streaming source over an events parquet directory. The stored
     * ts type is discovered with a cheap batch schema peek (driver-side
     * footer read; also flips the legacy nanos conf if — and only if — the
-    * file is NANOS-annotated, which the stream's own scan then needs). */
+    * file is NANOS-annotated, which the stream's own scan then needs).
+    *
+    * Handles BOTH table layouts: `events.parquet` as a single file (the
+    * driver-generated sf dirs) is pinned via pathGlobFilter over the sf
+    * directory, while `events.parquet` as a DIRECTORY of part files (the
+    * multi-file layout every real writer produces — ScaleUp, any Spark
+    * job) streams the directory itself. The former glob-only form read
+    * ZERO rows from the directory layout — part files are named
+    * part-*.parquet, so the glob silently excluded them (caught by the
+    * r16 streaming scale record's empty state leg at sf1). */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     val tsType = graft.sources.Tables.eventsRaw(spark, dir).schema("ts").dataType
-    // the file source wants a directory; pathGlobFilter pins it to the
-    // events table inside the shared sf directory
-    withEventTime(
-      spark.readStream.schema(eventsSchema(tsType))
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir))
+    val p = new org.apache.hadoop.fs.Path(dir, "events.parquet")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val src =
+      if (fs.exists(p) && fs.getFileStatus(p).isDirectory)
+        spark.readStream.schema(eventsSchema(tsType)).parquet(p.toString)
+      else
+        spark.readStream.schema(eventsSchema(tsType))
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(dir)
+    withEventTime(src)
   }
 
   /** 10-minute tumbling-window counts/sums per event type with a 1-hour

@@ -395,6 +395,28 @@ class ScalePathSpec extends AnyFunSuite {
     assert(got.sameElements(want))
   }
 
+  test("readEvents streams the DIRECTORY table layout too") {
+    // every real writer (ScaleUp, any Spark job) lays events.parquet out
+    // as a directory of part files; the former glob-only read silently
+    // matched ZERO of them (part-*.parquet), which the r16 streaming
+    // scale record exposed as an empty state leg at sf1
+    val dirSf = java.nio.file.Files.createTempDirectory("evdir").toString
+    graft.sources.Tables.eventsRaw(spark, sf)
+      .repartition(3).write.parquet(s"$dirSf/events.parquet")
+    val q = StreamingAlerts.windowedCounts(
+        StreamingAlerts.readEvents(spark, dirSf))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("st_dirlayout")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.table("st_dirlayout")
+      .orderBy("window_start_us", "event_type").collect()
+    val want = StreamingAlerts.windowedCountsBatch(spark, sf).collect()
+    assert(got.nonEmpty, "directory layout streamed zero rows")
+    assert(got.length === want.length)
+  }
+
   test("streaming windowed counts equal the batch plan") {
     val stream = StreamingAlerts.readEvents(spark, sf)
     val q = StreamingAlerts.windowedCounts(stream)
