@@ -60,14 +60,33 @@ object Bench {
             .write.format("noop").mode("overwrite").save()
           (System.nanoTime() - t0) / 1e9
         }
+        // second flavor (r16): a fixed SHUFFLE workload — exchange
+        // serialization + memory bandwidth + sort, the resources a
+        // co-tenant eating I/O/memory steals that the pure-CPU range
+        // aggregate cannot see (this session's r16 sf1 sweep measured
+        // real keys 1.5x slower while the CPU probe stayed at 1.2x
+        // spread — the probe's measured blind spot)
+        def shuffleProbe(): Double = {
+          val t0 = System.nanoTime()
+          spark.range(30L * 1000 * 1000)
+            .selectExpr("pmod(id * 2654435761, 1000003) AS k", "id")
+            .repartition(32, org.apache.spark.sql.functions.col("k"))
+            .sortWithinPartitions("k", "id")
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
         probe() // untimed: the probe's own codegen/JIT warm-up
+        shuffleProbe()
         val secs = (1 to 5).map(_ => probe())
+        val shuf = (1 to 5).map(_ => shuffleProbe())
         val mean = secs.sum / secs.size
         val cv = math.sqrt(secs.map(s => (s - mean) * (s - mean)).sum / secs.size) / mean
         val f3 = (x: Double) =>
           String.format(java.util.Locale.ROOT, "%.3f", Double.box(x))
         s""","noise":{"secs":[${secs.map(f3).mkString(",")}],""" +
-          s""""spread_x":${f3(secs.max / secs.min)},"cv":${f3(cv)}}"""
+          s""""spread_x":${f3(secs.max / secs.min)},"cv":${f3(cv)},""" +
+          s""""shuffle_secs":[${shuf.map(f3).mkString(",")}],""" +
+          s""""shuffle_spread_x":${f3(shuf.max / shuf.min)}}"""
       } catch { case _: Throwable => ""","noise":{"secs":[],"failed":true}""" }
     val results = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }

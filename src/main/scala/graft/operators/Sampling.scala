@@ -173,6 +173,117 @@ object Sampling {
       .sortWithinPartitions(col("shard"), col("pos"))
       .write.mode("overwrite").partitionBy("shard").parquet(path)
 
+  /** Per-row 64-bit content hash over the NAME-SORTED data columns (all
+    * but the partition column), string-canonicalized — shared by the
+    * manifest writer and the validator so both sides hash identically. */
+  private def shardRowHash(df: DataFrame): (Seq[String], Column) = {
+    val dataCols = df.columns.filter(_ != "shard").sorted.toSeq
+    (dataCols, xxhash64(dataCols.map(c => col(c).cast("string")): _*))
+  }
+
+  /** Publishable-artifact manifest for a written shard set — the
+    * engine-side half of dataset publication. The reference ships
+    * upload scripts (push_to_huggingface.py:1-141); uploading is an
+    * external-service action outside an engine's charter, but producing
+    * the VERIFIABLE artifact record a publication step needs IS one:
+    * per-shard row counts and order-insensitive content checksums
+    * (bit_xor of xxhash64 over every data column, name-sorted — XOR so
+    * the checksum is independent of read order and file split), plus
+    * totals and the column list, written as `_manifest.json` inside the
+    * shard root (underscore-prefixed, so Spark readers ignore it like
+    * _SUCCESS). One column-pruned aggregate over the shard set; the
+    * driver holds one row per shard.
+    *
+    * [[validateShards]] is the consumer gate: recompute and compare, an
+    * empty result means the artifact on disk is exactly what the
+    * manifest promises (the validateExport discipline, applied to the
+    * training-data artifact). */
+  def writeShardManifest(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val back = spark.read.parquet(path)
+    require(back.columns.contains("shard"),
+      s"$path is not a shard layout (no `shard` partition column)")
+    val (dataCols, rowHash) = shardRowHash(back)
+    val per = back
+      .withColumn("__h", rowHash)
+      .groupBy(col("shard").cast("long").as("shard"))
+      .agg(count(lit(1)).as("rows"), expr("bit_xor(__h)").as("checksum"))
+      .orderBy("shard")
+      .collect()
+    val shardsJson = per.map(r =>
+      s"""{"shard":${r.getLong(0)},"rows":${r.getLong(1)},""" +
+        s""""checksum":"${java.lang.Long.toHexString(r.getLong(2))}"}""")
+      .mkString("[", ",", "]")
+    val json =
+      s"""{"n_shards":${per.length},"total_rows":${per.map(_.getLong(1)).sum},""" +
+        s""""columns":${dataCols.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+        s""""shards":$shardsJson}"""
+    val p = new org.apache.hadoop.fs.Path(path, "_manifest.json")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Consumer-side artifact gate: recompute every shard's row count and
+    * content checksum and compare against `_manifest.json`. Returns
+    * (field, violation) rows — empty means the artifact matches its
+    * manifest exactly, so a loader can gate on
+    * `validateShards(...).isEmpty` the way publication gates on
+    * [[graft.operators.Reports.validateExport]]. Violations: a missing
+    * manifest, a changed column set, per-shard row/checksum mismatches,
+    * and shards present on only one side. */
+  def validateShards(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    import spark.implicits._
+    val err = (f: String, v: String) => Seq((f, v)).toDF("field", "violation")
+    val mp = new org.apache.hadoop.fs.Path(path, "_manifest.json")
+    val fs = mp.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(mp)) return err("<manifest>", "manifest_not_found")
+    // parsed driver-side (Jackson, already on Spark's classpath): Spark's
+    // default path filter hides underscore-prefixed files from its
+    // readers even when pointed at the file directly — which is exactly
+    // why the manifest is invisible to shard CONSUMERS, and why the
+    // validator cannot use spark.read.json on it
+    import scala.jdk.CollectionConverters._
+    val in = fs.open(mp)
+    val txt =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt)
+    if (root == null || root.get("shards") == null || root.get("columns") == null)
+      return err("<manifest>", "invalid_json")
+    val wantCols = root.get("columns").elements().asScala.map(_.asText()).toSeq
+    val want = root.get("shards").elements().asScala.map { s =>
+      s.get("shard").asLong() ->
+        ((s.get("rows").asLong(), s.get("checksum").asText()))
+    }.toMap
+    val back = spark.read.parquet(path)
+    val (dataCols, rowHash) = shardRowHash(back)
+    if (dataCols != wantCols)
+      return err("columns", "columns_mismatch")
+    val got = back
+      .withColumn("__h", rowHash)
+      .groupBy(col("shard").cast("long").as("shard"))
+      .agg(count(lit(1)).as("rows"), expr("bit_xor(__h)").as("checksum"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), java.lang.Long.toHexString(r.getLong(2))))).toMap
+    val rows =
+      (want.keySet -- got.keySet).toSeq.sorted.map(s =>
+        (s"shard=$s", "shard_missing")) ++
+      (got.keySet -- want.keySet).toSeq.sorted.map(s =>
+        (s"shard=$s", "shard_unexpected")) ++
+      (want.keySet & got.keySet).toSeq.sorted.flatMap { s =>
+        val (wr, wc) = want(s)
+        val (gr, gc) = got(s)
+        (if (gr != wr) Seq((s"shard=$s", "rows_mismatch")) else Nil) ++
+          (if (gc != wc) Seq((s"shard=$s", "checksum_mismatch")) else Nil)
+      }
+    if (rows.isEmpty) spark.emptyDataset[(String, String)].toDF("field", "violation")
+    else rows.toDF("field", "violation")
+  }
+
   /** Epoch/repetition planning — the step AFTER [[mixToTarget]] when the
     * target proportions exceed what sources can supply without
     * repetition: real LLM data recipes repeat scarce high-value domains

@@ -127,6 +127,62 @@ class AssemblySpec extends AnyFunSuite {
     }
   }
 
+  test("shard manifest round-trips and the validator catches every tamper class") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("shards-man").toString
+    try {
+      Sampling.writeShards(assembled, dir)
+      Sampling.writeShardManifest(spark, dir)
+      // the manifest is invisible to parquet readers (underscore file)
+      assert(spark.read.parquet(dir).count() === assembled.count())
+      // a freshly-written artifact validates clean
+      assert(Sampling.validateShards(spark, dir).count() === 0)
+      // read-order independence: the checksum is an XOR aggregate, so a
+      // re-laid-out (but row-identical) shard still validates — rewrite
+      // shard 0 from a scrambled re-read of itself
+      val scratch = java.nio.file.Files.createTempDirectory("shards-scr").toString
+      // operate on shard dirs that actually exist (not every residue in
+      // [0, nShards) necessarily received rows at this corpus size)
+      val Seq(sa, sb, sc) = new java.io.File(dir).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("shard="))
+        .map(_.getName).sorted.take(3).toSeq
+      val s0 = spark.read.parquet(s"$dir/$sa").repartition(5)
+      s0.write.mode("overwrite").parquet(s"$scratch/t0")
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(s"$dir/$sa"))
+      spark.read.parquet(s"$scratch/t0").write.parquet(s"$dir/$sa")
+      assert(Sampling.validateShards(spark, dir).count() === 0)
+      // tampering with a row flags that shard's checksum (same row count)
+      val tampered = spark.read.parquet(s"$dir/$sb")
+        .withColumn("pos", when(col("pos") === min("pos").over(
+          org.apache.spark.sql.expressions.Window.orderBy("pos")),
+          lit(999999L)).otherwise(col("pos")))
+      tampered.write.mode("overwrite").parquet(s"$scratch/t1")
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(s"$dir/$sb"))
+      spark.read.parquet(s"$scratch/t1").write.parquet(s"$dir/$sb")
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(scratch))
+      val v1 = Sampling.validateShards(spark, dir)
+        .collect().map(r => (r.getString(0), r.getString(1)))
+      assert(v1.contains((sb, "checksum_mismatch")), v1.toSeq)
+      assert(!v1.exists(_._2 == "rows_mismatch"), v1.toSeq)
+      // a vanished shard directory flags shard_missing
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(s"$dir/$sc"))
+      assert(Sampling.validateShards(spark, dir)
+        .collect().map(r => (r.getString(0), r.getString(1)))
+        .contains((sc, "shard_missing")))
+      // a missing manifest is its own violation, not an exception
+      new java.io.File(s"$dir/_manifest.json").delete()
+      assert(Sampling.validateShards(spark, dir)
+        .collect().map(r => (r.getString(0), r.getString(1))).toSeq ===
+        Seq(("<manifest>", "manifest_not_found")))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("sampleKey enforces the Lehmer domain: aliasing ids fail loudly") {
     import spark.implicits._
     // in-domain ids: plain arithmetic, bijective on [1, 2^31-2]

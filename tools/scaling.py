@@ -243,7 +243,12 @@ def main():
         if nz:
             print(f"box noise @ {name}: spread {nz.get('spread_x')}x, "
                   f"cv {nz.get('cv')} ({json.dumps(nz.get('secs'))})")
-            if float(nz.get("spread_x", 1)) > 1.3:
+            if nz.get("shuffle_secs"):
+                print(f"  shuffle probe: spread {nz.get('shuffle_spread_x')}x "
+                      f"({json.dumps(nz.get('shuffle_secs'))})")
+            spreads = [float(nz.get("spread_x", 1)),
+                       float(nz.get("shuffle_spread_x", 1) or 1)]
+            if max(spreads) > 1.3:
                 print(f"  NOTE: >1.3x probe spread — treat slope flags as "
                       f"arbitration candidates, not verdicts")
     # AdaptiveAnn escalation gates (r15) — keys absent in pre-r15 bench
