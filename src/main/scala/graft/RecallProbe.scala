@@ -86,8 +86,9 @@ object RecallProbe {
     val truthPlanted = bruteTruth(augmented)
 
     // dd_embedding dial telemetry (r16): planted-pair recall of the
-    // near-dup TOP-M key itself, default dial vs the density-capped dial
-    // (cap 128 — dd_embedding_capped's operating point). Each query's 10
+    // near-dup TOP-M key itself, uncapped dial vs the density-capped
+    // dial (Dedup.DefaultDensityCap — dd_embedding's production
+    // operating point since r17). Each query's 10
     // planted near-dups are its true top-10 at cosine ≈ 1, so a capped
     // dial that drops the WRONG buckets (the small, structure-bearing
     // ones) reads directly as lost recall here; the scaling gate holds
@@ -157,7 +158,8 @@ object RecallProbe {
 
     Map(
       "dd_embedding_planted" -> nearDupPlantedRecall(0),
-      "dd_embedding_capped_planted" -> nearDupPlantedRecall(128),
+      "dd_embedding_capped_planted" ->
+        nearDupPlantedRecall(graft.operators.Dedup.DefaultDensityCap),
       "sim_ann_lsh" -> recallOf(lshDefault, truth),
       "sim_ann_lsh_wide" ->
         recallOf(collectHits(

@@ -141,8 +141,22 @@ object SparkEntry {
     // neighbors — n·m output rows at any corpus size, where the raw pair
     // stream (embeddingNearDupLsh, same gate + verify arithmetic, also
     // replayed inside this key's oracle CTEs) is output-bound
-    // near-quadratic by corpus construction (the retired 3.5x waiver)
-    "dd_embedding" -> ((s, dir) => Dedup.embeddingNearDupTopM(Tables.embeddings(s, dir))),
+    // near-quadratic by corpus construction (the retired 3.5x waiver).
+    // SINCE r17 the registered key runs the DENSITY-CAPPED dial (cap =
+    // Dedup.DefaultDensityCap): the r16 three-point study proved it
+    // strictly better at scale (flat ~55-63 candidates/vector across
+    // 20k→600k vectors vs the uncapped dial's 645→1,349, 9.5× faster at
+    // 600k where uncapped OOMs an 8 GB heap, planted recall
+    // 0.992-1.000), so it is the dial a 100-TB deployment runs. The
+    // uncapped oracle-twinned semantics live on as dd_embedding_uncapped.
+    "dd_embedding" -> ((s, dir) => Dedup.embeddingNearDupTopM(
+      Tables.embeddings(s, dir), densityCap = Dedup.DefaultDensityCap)),
+    // the uncapped auto-plane twin (the pre-r17 dd_embedding semantics):
+    // every candidate bucket generates, so recall is the plane
+    // schedule's contract alone — the dial for corpora small enough
+    // that its ~2×/decade candidate-density growth is affordable
+    "dd_embedding_uncapped" -> ((s, dir) => Dedup.embeddingNearDupTopM(
+      Tables.embeddings(s, dir), densityCap = 0)),
     // explicit anchor-dial twin (r15): planes pinned to the oracle's 6,
     // so the key is oracle-green at ANY sf — the guarded correctness run
     // (forced broadcast budget, sf0.1) uses it to prove the shuffle-mode
@@ -151,15 +165,13 @@ object SparkEntry {
     // sf0.01 gate's n <= 1024)
     "dd_embedding_anchor" -> ((s, dir) =>
       Dedup.embeddingNearDupTopM(Tables.embeddings(s, dir), planes = 6)),
-    // density-capped dial (r16): same auto planes + verify arithmetic,
-    // but candidate GENERATION bounded at <= 128 per vector (each vector
-    // keeps only its smallest buckets — Dedup.capBuckets), so total
-    // candidate volume is ~cap·n at any corpus size where the default
-    // dial's grows ~2x per decade (the r15 scale study's one measured
-    // super-linear production curve). Planted-recall telemetry for this
+    // LEDGER NOTE (r17): the r16 key dd_embedding_capped is retired —
+    // its density-capped dial (candidate GENERATION bounded at <=
+    // Dedup.DefaultDensityCap per vector via Dedup.capBuckets, total
+    // candidate volume ~cap·n at any corpus size) is now dd_embedding
+    // itself, and dd_embedding_uncapped above holds the former
+    // dd_embedding semantics. Planted-recall telemetry for the capped
     // dial rides every bench (RecallProbe) and gates in tools/scaling.py.
-    "dd_embedding_capped" -> ((s, dir) =>
-      Dedup.embeddingNearDupTopM(Tables.embeddings(s, dir), densityCap = 128)),
     "sim_topk" -> ((s, dir) => Similarity.bruteForceTopK(Tables.embeddings(s, dir), 0L, 20)),
     // frame-sampling plumbing: fixed windows at a regular stride, digested
     // per frame so the oracle rebuilds them from the payload text
@@ -628,17 +640,20 @@ object SparkEntry {
       "THEN (CAST(1 AS BIGINT) << (planes - 1 - p)) ELSE 0 END))"
 
   /** CTE twin of Dedup.resolvePlanes(0, n): 6 planes at or under the
-    * 1024-row anchor, else 6 + ⌈1.5·log₂(n/1024)⌉ — written as
-    * ln(x)/ln(2), the same op chain as the Scala side (math.log/
-    * math.log(2.0)), so the two engines round identically. The ceil
-    * boundary is the one residual risk (a corpus size where
-    * 1.5·log₂(n/1024) sits within an ulp of an integer without being
-    * exact could diverge); no committed corpus size is near one. */
+    * 1024-row anchor, else 6 + ⌈(1.5·ln(n/1024))/ln 2⌉ — associated
+    * EXACTLY as the Scala side (`PlanesPerDoubling * math.log(...) /
+    * math.log(2.0)` parses as `(1.5 * ln(x)) / ln 2`, multiply before
+    * divide), so the two engines run the same rounded-double op chain
+    * and round identically (r17 fix: the former `1.5 * (ln(x)/ln 2)`
+    * association could diverge within an ulp of a ceil boundary). The
+    * ceil boundary itself is the one residual risk (a corpus size where
+    * the product sits within an ulp of an integer without being exact);
+    * no committed corpus size is near one. */
   private val embPlanesCte: String =
     """pl AS (
       |  SELECT CASE WHEN cnt <= 1024 THEN 6
-      |              ELSE 6 + CAST(ceil(1.5 * (ln(CAST(cnt AS DOUBLE) / 1024.0)
-      |                                        / ln(CAST(2.0 AS DOUBLE)))) AS INTEGER)
+      |              ELSE 6 + CAST(ceil((1.5 * ln(CAST(cnt AS DOUBLE) / 1024.0))
+      |                                 / ln(CAST(2.0 AS DOUBLE))) AS INTEGER)
       |         END AS planes
       |  FROM (SELECT count(*) AS cnt FROM embeddings))""".stripMargin
 
@@ -712,7 +727,8 @@ object SparkEntry {
        |ORDER BY vec_id, rank""".stripMargin
   }
 
-  /** dd_embedding's twin — dynamic planes, so the oracle tracks the auto
+  /** dd_embedding_uncapped's twin (dd_embedding's until r17) — dynamic
+    * planes, so the oracle tracks the auto
     * plane schedule at EVERY scale factor (at the sf0.01 gate's n ≤ 1024
     * it resolves to the same 6 planes as before; at sf0.1's n = 10,000
     * it resolves to 11, where the former static-6 SQL diverged — the
@@ -725,10 +741,12 @@ object SparkEntry {
   private lazy val embeddingTopMAnchorOracleSql: String =
     embeddingTopMSql(dynamicPlanes = false, densityCap = 0)
 
-  /** dd_embedding_capped's twin — dynamic planes plus the density-cap
-    * CTEs at the key's cap of 128. */
+  /** dd_embedding's twin (dd_embedding_capped's in r16, promoted with
+    * the key in r17) — dynamic planes plus the density-cap CTEs at the
+    * production cap. */
   private lazy val embeddingTopMCappedOracleSql: String =
-    embeddingTopMSql(dynamicPlanes = true, densityCap = 128)
+    embeddingTopMSql(dynamicPlanes = true,
+      densityCap = graft.operators.Dedup.DefaultDensityCap)
 
   /** The batched-IVF oracle SQL, shared by sim_ivf_batch (hash-exact)
     * and sim_ivf_auto (rows+schema contract — see the map entry): the
@@ -1326,9 +1344,9 @@ object SparkEntry {
         |FROM d ORDER BY doc_id""".stripMargin,
 
 
-    "dd_embedding" -> embeddingTopMOracleSql,
+    "dd_embedding" -> embeddingTopMCappedOracleSql,
+    "dd_embedding_uncapped" -> embeddingTopMOracleSql,
     "dd_embedding_anchor" -> embeddingTopMAnchorOracleSql,
-    "dd_embedding_capped" -> embeddingTopMCappedOracleSql,
 
     // AnnLsh's plane family (tables 64..87; 5 planes — the r14
     // recall-anchored default geometry, corpus-size-free by

@@ -155,6 +155,44 @@ object Dedup {
     * would cost j=0.9 recall 0.45 — too much for the default. */
   private[graft] val PlanesPerDoubling = 1.5
 
+  /** Sentinel for "resolve the density cap from the corpus size"
+    * (see [[resolveDensityCap]]) — the production default of the
+    * embedding near-dup entry points since r17. */
+  val AutoDensityCap: Int = -1
+
+  /** The density-capped dial's default candidate budget per vector —
+    * dd_embedding's registered operating point. The r16 three-point
+    * study (EMB_DENSITY_r16.json, 20k/200k/600k vectors) measured this
+    * cap holding candidate density flat at ~55–63/vector where the
+    * uncapped auto-plane dial grows 645→1,349, at planted near-dup
+    * recall 0.992–1.000 — 9.5× faster at the 600k point, where the
+    * uncapped dial OOMs an 8 GB heap. */
+  val DefaultDensityCap: Int = 128
+
+  /** Corpus size above which [[AutoDensityCap]] engages
+    * [[DefaultDensityCap]] (32× [[PlaneAnchorRows]]). Below it the auto
+    * dial stays uncapped: every oracle corpus (≤ 20k vectors at sf1)
+    * keeps the richer uncapped recall and its bit-exact DuckDB twin,
+    * while any corpus in the regime where the uncapped dial's measured
+    * ~2× per-decade candidate-density growth bites (the 200k/600k study
+    * points sit just above) gets the linear-work cap without the
+    * caller having to know the dial exists. */
+  val CapAutoRows: Long = 32768L
+
+  /** `densityCap` resolution: `> 0` is an explicit per-vector budget,
+    * `0` explicitly disables capping (the oracle-twinned uncapped
+    * semantics), and [[AutoDensityCap]] (the default) engages
+    * [[DefaultDensityCap]] once the corpus passes [[CapAutoRows]] —
+    * so the out-of-the-box dial is the one a 100-TB deployment should
+    * run, not the one that is only safe at oracle sizes. */
+  private[graft] def resolveDensityCap(densityCap: Int, n: Long): Int = {
+    require(densityCap >= AutoDensityCap,
+      s"densityCap must be > 0, 0 (uncapped) or AutoDensityCap (got $densityCap)")
+    if (densityCap >= 0) densityCap
+    else if (n > CapAutoRows) DefaultDensityCap
+    else 0
+  }
+
   /** `planes = 0` (the default) resolves to
     * 6 + ⌈[[PlanesPerDoubling]]·log₂(n/1024)⌉ beyond the anchor — the
     * corpus-size-scaled geometry. A FIXED plane count means in-bucket
@@ -188,11 +226,13 @@ object Dedup {
     * the auto plane schedule's ~2× per-decade candidate-density growth
     * (the r15 scale study's one super-linear production curve) is too
     * much. Recall becomes the capped contract: pairs outside both
-    * endpoints' kept buckets are never considered. 0 (the default)
-    * generates from every bucket — the oracle-twinned semantics. */
+    * endpoints' kept buckets are never considered. 0 generates from
+    * every bucket — the oracle-twinned uncapped semantics. The default
+    * is [[AutoDensityCap]]: uncapped at or under [[CapAutoRows]] rows,
+    * [[DefaultDensityCap]] above (see [[resolveDensityCap]]). */
   def embeddingNearDupLsh(embeddings: DataFrame, threshold: Double = 0.3,
       tables: Int = 8, planes: Int = 0, maxBucket: Int = 4096,
-      corpusSize: Long = 0L, densityCap: Int = 0): DataFrame =
+      corpusSize: Long = 0L, densityCap: Int = AutoDensityCap): DataFrame =
     // materialize the verified survivors before the presentation sort so
     // the range sampler reads 24-byte rows instead of re-executing the
     // bucket join + verify lineage (the r14 dd_minhash_lsh profile fix)
@@ -253,6 +293,10 @@ object Dedup {
     // broadcast decision below; an explicit corpusSize skips the action
     val n = if (corpusSize > 0L) corpusSize else src.count()
     val resolvedPlanes = if (planes > 0) planes else resolvePlanes(0, n)
+    // AutoDensityCap resolves HERE, where the corpus size is known: the
+    // caller-facing default engages the linear-work cap only above
+    // CapAutoRows, so oracle-size corpora keep uncapped semantics
+    val resolvedCap = resolveDensityCap(densityCap, n)
     val bucketed = embeddingBuckets(src, tables, resolvedPlanes)
     // bucket-local pairing behind the same hot-bucket guard as the text
     // path: a degenerate sign-pattern bucket (e.g. a corpus of
@@ -263,9 +307,9 @@ object Dedup {
     // wrongly suppress a pair whose earlier agreeing table one endpoint
     // dropped; the capped volume is ≤ ~cap·n by construction, so a
     // plain guarded distinct is both correct and linear there.
-    val pairs = (if (densityCap > 0)
+    val pairs = (if (resolvedCap > 0)
       MinHashLsh.guardedBucketPairs(
-        capBuckets(bucketed.select("vec_id", "t", "bucket"), densityCap),
+        capBuckets(bucketed.select("vec_id", "t", "bucket"), resolvedCap),
         Seq("t", "bucket"), "vec_id", maxBucket)
     else
       MinHashLsh.firstAgreeBucketPairs(bucketed, "bkts", "t",
@@ -344,7 +388,7 @@ object Dedup {
     * the presentation sort is too. */
   def embeddingNearDupTopM(embeddings: DataFrame, threshold: Double = 0.3,
       m: Int = 10, tables: Int = 8, planes: Int = 0, maxBucket: Int = 4096,
-      corpusSize: Long = 0L, densityCap: Int = 0): DataFrame = {
+      corpusSize: Long = 0L, densityCap: Int = AutoDensityCap): DataFrame = {
     require(m >= 1, s"m must be >= 1 (got $m)")
     import org.apache.spark.sql.expressions.Window
     val pairs = embeddingPairsUnsorted(embeddings, threshold, tables,

@@ -175,11 +175,34 @@ object Sampling {
 
   /** Per-row 64-bit content hash over the NAME-SORTED data columns (all
     * but the partition column), string-canonicalized — shared by the
-    * manifest writer and the validator so both sides hash identically. */
+    * manifest writer and the validator so both sides hash identically.
+    * Each column goes through a NULL SENTINEL (r17): xxhash64 skips null
+    * inputs entirely, so without it two rows differing only in WHICH of
+    * two adjacent columns holds a value vs null hashed identically — a
+    * silent validator false-pass. The sentinel starts with NUL, which no
+    * cast-to-string value produces, so it cannot collide with data. */
   private def shardRowHash(df: DataFrame): (Seq[String], Column) = {
     val dataCols = df.columns.filter(_ != "shard").sorted.toSeq
-    (dataCols, xxhash64(dataCols.map(c => col(c).cast("string")): _*))
+    (dataCols, xxhash64(dataCols.map(c =>
+      coalesce(col(c).cast("string"), lit("\u0000null"))): _*))
   }
+
+  /** Order-insensitive per-shard checksum over the `__h` row hashes:
+    * SUM mod 2⁶⁴ (r17). The former bit_xor aggregate let any tamper
+    * applied to an EVEN count of identical rows cancel to a clean
+    * checksum (row count unchanged → validateShards passed); modular
+    * addition is still read-order- and file-split-independent but only
+    * cancels if the hash multiset's SUM is preserved, which duplicate-
+    * row tampering does not do. Decimal(38,0) holds the pre-mod sum
+    * exactly to ~10¹⁸ rows per shard. */
+  private def shardChecksum: Column = {
+    val two64 = new java.math.BigDecimal(
+      java.math.BigInteger.ONE.shiftLeft(64))
+    pmod(sum(col("__h").cast("decimal(38,0)")), lit(two64))
+  }
+
+  private def checksumHex(r: org.apache.spark.sql.Row, i: Int): String =
+    r.getDecimal(i).toBigInteger.toString(16)
 
   /** Publishable-artifact manifest for a written shard set — the
     * engine-side half of dataset publication. The reference ships
@@ -187,8 +210,10 @@ object Sampling {
     * external-service action outside an engine's charter, but producing
     * the VERIFIABLE artifact record a publication step needs IS one:
     * per-shard row counts and order-insensitive content checksums
-    * (bit_xor of xxhash64 over every data column, name-sorted — XOR so
-    * the checksum is independent of read order and file split), plus
+    * (sum mod 2⁶⁴ of null-sentinel xxhash64 over every data column,
+    * name-sorted — modular addition so the checksum is independent of
+    * read order and file split without XOR's even-count tamper
+    * cancellation; see [[shardChecksum]]), plus
     * totals and the column list, written as `_manifest.json` inside the
     * shard root (underscore-prefixed, so Spark readers ignore it like
     * _SUCCESS). One column-pruned aggregate over the shard set; the
@@ -207,12 +232,12 @@ object Sampling {
     val per = back
       .withColumn("__h", rowHash)
       .groupBy(col("shard").cast("long").as("shard"))
-      .agg(count(lit(1)).as("rows"), expr("bit_xor(__h)").as("checksum"))
+      .agg(count(lit(1)).as("rows"), shardChecksum.as("checksum"))
       .orderBy("shard")
       .collect()
     val shardsJson = per.map(r =>
       s"""{"shard":${r.getLong(0)},"rows":${r.getLong(1)},""" +
-        s""""checksum":"${java.lang.Long.toHexString(r.getLong(2))}"}""")
+        s""""checksum":"${checksumHex(r, 2)}"}""")
       .mkString("[", ",", "]")
     val json =
       s"""{"n_shards":${per.length},"total_rows":${per.map(_.getLong(1)).sum},""" +
@@ -265,10 +290,9 @@ object Sampling {
     val got = back
       .withColumn("__h", rowHash)
       .groupBy(col("shard").cast("long").as("shard"))
-      .agg(count(lit(1)).as("rows"), expr("bit_xor(__h)").as("checksum"))
+      .agg(count(lit(1)).as("rows"), shardChecksum.as("checksum"))
       .collect()
-      .map(r => r.getLong(0) ->
-        ((r.getLong(1), java.lang.Long.toHexString(r.getLong(2))))).toMap
+      .map(r => r.getLong(0) -> ((r.getLong(1), checksumHex(r, 2)))).toMap
     val rows =
       (want.keySet -- got.keySet).toSeq.sorted.map(s =>
         (s"shard=$s", "shard_missing")) ++

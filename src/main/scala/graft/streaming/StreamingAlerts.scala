@@ -64,6 +64,20 @@ object StreamingAlerts {
     withEventTime(src)
   }
 
+  /** Streaming source over a directory of time-ordered event chunk files,
+    * one file per micro-batch (`maxFilesPerTrigger = 1`) — the replay
+    * harness for SUSTAINED stateful runs ([[graft.StreamingIngestBench]]
+    * drives N ≥ 8 micro-batches through [[windowedCounts]] with it). The
+    * chunks are expected already written in event-time order (the file
+    * source delivers by modification time), so the watermark advances
+    * monotonically across batches and closed windows evict — the
+    * bounded-state claim the sustained record measures. */
+  def replayEvents(spark: SparkSession, chunkDir: String,
+      tsType: DataType): DataFrame =
+    withEventTime(spark.readStream.schema(eventsSchema(tsType))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(chunkDir))
+
   /** 10-minute tumbling-window counts/sums per event type with a 1-hour
     * watermark (append-mode compatible). */
   def windowedCounts(events: DataFrame): DataFrame =

@@ -137,7 +137,8 @@ class AssemblySpec extends AnyFunSuite {
       assert(spark.read.parquet(dir).count() === assembled.count())
       // a freshly-written artifact validates clean
       assert(Sampling.validateShards(spark, dir).count() === 0)
-      // read-order independence: the checksum is an XOR aggregate, so a
+      // read-order independence: the checksum is an order-insensitive
+      // aggregate (sum of row hashes mod 2^64 since r17), so a
       // re-laid-out (but row-identical) shard still validates — rewrite
       // shard 0 from a scrambled re-read of itself
       val scratch = java.nio.file.Files.createTempDirectory("shards-scr").toString
@@ -180,6 +181,65 @@ class AssemblySpec extends AnyFunSuite {
         Seq(("<manifest>", "manifest_not_found")))
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("shard checksum catches even-count identical-row tampering and null swaps") {
+    // the two silent false-pass classes of the pre-r17 bit_xor checksum
+    // (r16 advice): (1) XOR of two identical row hashes is 0, so
+    // tampering BOTH copies of a duplicated row identically left the
+    // checksum unchanged at unchanged row count; (2) xxhash64 skips null
+    // inputs, so two rows differing only in WHICH of two adjacent
+    // columns holds the value vs null hashed identically. The modular
+    // sum + per-column null sentinel must flag both.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("shards-cls").toString
+    val scratch = java.nio.file.Files.createTempDirectory("shards-cls-s").toString
+    try {
+      // shard 0 carries a DUPLICATED row ("b") and a null-bearing pair
+      Seq((1L, Option("a"), Option.empty[String], 0L),
+          (2L, Option("b"), Option("x"), 0L),
+          (2L, Option("b"), Option("x"), 0L),
+          (3L, Option("v"), Option.empty[String], 0L))
+        .toDF("doc_id", "c1", "c2", "shard")
+        .write.mode("overwrite").partitionBy("shard").parquet(dir)
+      Sampling.writeShardManifest(spark, dir)
+      assert(Sampling.validateShards(spark, dir).count() === 0)
+      // class 1: modify BOTH copies of the duplicated row identically
+      val evenTamper = spark.read.parquet(s"$dir/shard=0")
+        .withColumn("c1", when(col("c1") === "b", "TAMPERED")
+          .otherwise(col("c1")))
+      evenTamper.write.parquet(s"$scratch/t")
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(s"$dir/shard=0"))
+      spark.read.parquet(s"$scratch/t").write.parquet(s"$dir/shard=0")
+      val v1 = Sampling.validateShards(spark, dir)
+        .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      assert(v1.contains(("shard=0", "checksum_mismatch")), v1)
+      assert(!v1.exists(_._2 == "rows_mismatch"), v1)
+      // class 2: swap which of two adjacent columns holds the value —
+      // rebuild the artifact clean, then move row 3's "v" from c1 to c2
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      Seq((1L, Option("a"), Option.empty[String], 0L),
+          (3L, Option("v"), Option.empty[String], 0L))
+        .toDF("doc_id", "c1", "c2", "shard")
+        .write.mode("overwrite").partitionBy("shard").parquet(dir)
+      Sampling.writeShardManifest(spark, dir)
+      val nullSwap = spark.read.parquet(s"$dir/shard=0")
+        .withColumn("c2", when(col("doc_id") === 3L, col("c1"))
+          .otherwise(col("c2")))
+        .withColumn("c1", when(col("doc_id") === 3L, lit(null: String))
+          .otherwise(col("c1")))
+      nullSwap.write.mode("overwrite").parquet(s"$scratch/t2")
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(s"$dir/shard=0"))
+      spark.read.parquet(s"$scratch/t2").write.parquet(s"$dir/shard=0")
+      val v2 = Sampling.validateShards(spark, dir)
+        .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      assert(v2.contains(("shard=0", "checksum_mismatch")), v2)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(scratch))
     }
   }
 

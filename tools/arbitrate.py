@@ -31,6 +31,7 @@ Output: a markdown table plus an ARBITRATION json
 --arbitration FILE` consults before failing a flagged key.
 """
 import argparse
+import hashlib
 import json
 import os
 import subprocess
@@ -88,6 +89,14 @@ def run_isolated(key, sf_dir, cpus="32"):
         return None
 
 
+def queries_fingerprint(queries):
+    """Stable hash of a bench line's per-key block — the provenance an
+    ARBITRATION file is bound to, so a stale file can never silently
+    waive a regression measured on a DIFFERENT bench pair (r16 advice)."""
+    return hashlib.sha256(
+        json.dumps(queries, sort_keys=True).encode()).hexdigest()[:16]
+
+
 def flag_from_pair(path_a, path_b):
     """The same flag rule as scaling.py's gate, plus the anchor."""
     a, b = load(path_a), load(path_b)
@@ -116,8 +125,17 @@ def main():
     args = ap.parse_args()
 
     keys = []
+    pair = None
     if args.from_pair:
         keys = flag_from_pair(*args.from_pair)
+        # bind this arbitration to the pair it arbitrates: paths plus a
+        # fingerprint of each side's queries block, which scaling.py
+        # verifies before applying any downgrade (a keys-only run emits
+        # no binding and scaling.py warns it is unbound)
+        pa, pb = (load(p) for p in args.from_pair)
+        pair = {"paths": list(args.from_pair),
+                "fingerprints": [queries_fingerprint(pa["queries"]),
+                                 queries_fingerprint(pb["queries"])]}
     if args.keys:
         keys += [k for k in args.keys.split(",") if k and k not in keys]
     if not keys:
@@ -126,7 +144,7 @@ def main():
         # pair and found nothing to re-measure
         with open(args.out, "w") as f:
             json.dump({"scales": [args.scale_a, args.scale_b],
-                       "keys": {}}, f, indent=1)
+                       "pair": pair, "keys": {}}, f, indent=1)
         return
     if not os.path.isdir(CLASSES):
         raise SystemExit(f"{CLASSES} missing — run `sbt compile` first")
@@ -149,8 +167,8 @@ def main():
               f"(limit {limit:.1f}x) [{verdict}]")
 
     with open(args.out, "w") as f:
-        json.dump({"scales": [args.scale_a, args.scale_b], "keys": rows},
-                  f, indent=1)
+        json.dump({"scales": [args.scale_a, args.scale_b], "pair": pair,
+                   "keys": rows}, f, indent=1)
     print(f"wrote {args.out}")
     if any(r["verdict"] in ("over", "probe-failed") for r in rows.values()):
         raise SystemExit(1)

@@ -73,6 +73,13 @@ def main():
     print()
     for a, b in zip(pts, pts[1:]):
         decades = math.log10(b["vecs"] / a["vecs"])
+        if decades <= 0:
+            # two profile points at one scale (same profile passed twice,
+            # or duplicate runs) — a clean gate message, not the
+            # ZeroDivisionError the per-decade normalization would raise
+            raise SystemExit(
+                f"duplicate/non-increasing scale point: n={a['vecs']} -> "
+                f"n={b['vecs']} — pass each scale's profile once, ascending")
         for dial, key in (("default", "full"), ("capped", "cap_full")):
             ratio = b[key] / a[key]
             per_dec = ratio ** (1.0 / decades)

@@ -18,6 +18,7 @@ not data growth. The ingest block is gated too (steady-state per-batch
 cost across the two scales), since the ingest loop is the operator a
 production pipeline runs continuously.
 """
+import hashlib
 import json
 import sys
 
@@ -84,6 +85,13 @@ DEFAULT_MAX_SLOPE = 3.0
 # the two scales (constant batch size; the index is ~17x bigger at sf1,
 # so flat-ish per-batch cost is the sub-linear-probe claim).
 INGEST_MAX_RATIO = 2.5
+
+# Within one sustained stateful run (r17), the last steady micro-batch
+# may cost at most this much vs the first: the watermark evicts closed
+# windows, so a rising per-batch curve means state (and its maintenance
+# cost) is NOT bounded — the exact failure the sustained record exists
+# to catch. 2x absorbs RocksDB compaction jitter on sub-second batches.
+STATE_DRIFT_MAX = 2.0
 
 # AdaptiveAnn escalation contract (r15): auto = budget probe + wide
 # re-probe of the escalated queries + a fixed collect overhead, so its
@@ -156,20 +164,55 @@ def load_arbitration(args):
     whose ARBITRATED verdict is ok/noise-exempt is downgraded to a note —
     the full-sweep reading was warm-JVM / co-tenant noise, and the
     isolated minimum is the number the gate trusts (the r13-r15 verdicts
-    all applied exactly this rule by hand)."""
+    all applied exactly this rule by hand).  Returns (doc, rest): the
+    whole document so main() can verify the file's pair BINDING against
+    the bench pair actually being gated (r16 advice: a stale file must
+    never silently waive a regression on a different pair)."""
     if "--arbitration" not in args:
-        return {}, args
+        return None, args
     i = args.index("--arbitration")
     path = args[i + 1]
     rest = args[:i] + args[i + 2:]
     with open(path) as f:
-        return json.load(f).get("keys", {}), rest
+        return json.load(f), rest
+
+
+def queries_fingerprint(queries):
+    """Must match tools/arbitrate.py's queries_fingerprint."""
+    return hashlib.sha256(
+        json.dumps(queries, sort_keys=True).encode()).hexdigest()[:16]
+
+
+def bind_arbitration(doc, qa, qb):
+    """Apply the arbitration file only if its recorded pair fingerprints
+    match the pair being gated.  Unbound files (keys-only arbitrate.py
+    runs, pre-r17 records) apply with a loud warning; a MISMATCHED
+    binding refuses — the downgrades were earned on different numbers."""
+    if doc is None:
+        return {}
+    pair = doc.get("pair")
+    keys = doc.get("keys", {})
+    if not keys:
+        return {}
+    if not pair or not pair.get("fingerprints"):
+        print("WARNING: arbitration file carries no pair binding "
+              "(keys-only or pre-r17 run) — applying unverified; re-run "
+              "tools/arbitrate.py --from-pair to bind it")
+        return keys
+    got = [queries_fingerprint(qa), queries_fingerprint(qb)]
+    if got != pair["fingerprints"]:
+        print("WARNING: arbitration file is bound to a DIFFERENT bench "
+              f"pair ({pair.get('paths')}, fingerprints "
+              f"{pair['fingerprints']} != this pair's {got}) — REFUSING "
+              "to apply it; flagged keys gate un-arbitrated")
+        return {}
+    return keys
 
 
 def main():
     args = [x for x in sys.argv[1:] if x != "--check"]
     check = "--check" in sys.argv[1:]
-    arb, args = load_arbitration(args)
+    arb_doc, args = load_arbitration(args)
     if len(args) == 1:
         # the combined study artifact: {"sf0.1": {...}, "sf1": {...}}
         d = json.load(open(args[0]))
@@ -177,6 +220,7 @@ def main():
     else:
         a, b = load(args[0]), load(args[1])
     qa, qb = a["queries"], b["queries"]
+    arb = bind_arbitration(arb_doc, qa, qb)
     keys = sorted(set(qa) & set(qb))
     rows = []
     for k in keys:
@@ -330,8 +374,47 @@ def main():
         violations.append(
             "streaming ingest: telemetry present at only one scale "
             f"(sf0.1 mean={sa}, sf1 mean={sb})")
+    # the STATEFUL leg (r17): the sustained RocksDB windowed-agg replay's
+    # per-batch curve rides the same steady-state rule across scales, and
+    # each run's own curve must not trend up (bounded state = flat cost:
+    # the last steady batch may cost at most STATE_DRIFT_MAX x the first).
+    def state_means(d):
+        secs = d.get("ingest_streaming", {}).get("state_batch_secs") or []
+        tail = secs[1:] if len(secs) > 1 else secs
+        return (sum(tail) / len(tail) if tail else None), tail
+    (ka, taila), (kb, tailb) = state_means(a), state_means(b)
+    if ka is not None and kb is not None and ka > 0:
+        ratio = kb / ka
+        print(f"stateful steady-state per-batch: {ka:.2f}s -> {kb:.2f}s "
+              f"({ratio:.2f}x across scales, limit {INGEST_MAX_RATIO}x)")
+        if check and ratio > INGEST_MAX_RATIO:
+            violations.append(
+                f"stateful leg: steady per-batch {ratio:.2f}x > "
+                f"{INGEST_MAX_RATIO}x ({ka:.2f}s -> {kb:.2f}s)")
+        for name, tail in (("sf0.1", taila), ("sf1", tailb)):
+            if len(tail) >= 3 and tail[0] > 0:
+                drift = tail[-1] / tail[0]
+                print(f"  in-run drift @ {name}: {drift:.2f}x "
+                      f"(first->last steady batch, limit {STATE_DRIFT_MAX}x)")
+                if check and drift > STATE_DRIFT_MAX:
+                    violations.append(
+                        f"stateful leg @ {name}: in-run per-batch drift "
+                        f"{drift:.2f}x > {STATE_DRIFT_MAX}x — state cost "
+                        "is trending up within a single run")
+    elif check and (ka is None) != (kb is None):
+        violations.append(
+            "stateful leg: per-batch telemetry present at only one scale "
+            f"(sf0.1 mean={ka}, sf1 mean={kb})")
     if check:
+        # keys a bench RECORDED as deliberately skipped (the r17 sweep
+        # skip-list, e.g. dd_embedding_anchor above 100k embeddings) are
+        # documented asymmetry, not silent loss — noted, never failed
+        skipped = set(a.get("skipped", [])) | set(b.get("skipped", []))
         lopsided = sorted(set(qa) ^ set(qb))
+        noted = [k for k in lopsided if k in skipped]
+        lopsided = [k for k in lopsided if k not in skipped]
+        if noted:
+            print(f"note: skipped-by-record at one scale: {', '.join(noted)}")
         if lopsided:
             violations.append(
                 f"keys present at only one scale (silently uncompared): "
