@@ -13,6 +13,7 @@ Usage: python3 tools/check.py <sfDir> <outDir> [--json FILE]
     does at sf0.01.
 """
 import json
+import os
 import sys
 
 import duckdb
@@ -51,6 +52,12 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
 
 def main(sf_dir: str, out_dir: str, json_out: str = None) -> int:
     con = duckdb.connect()
+    # GRAFT_CHECK_THREADS caps DuckDB's parallelism so an off-gate scale
+    # run (e.g. the sf1 sweep) can share the box with Spark benches; the
+    # driver leaves it unset and gets DuckDB's default (all cores).
+    threads = os.environ.get("GRAFT_CHECK_THREADS")
+    if threads:
+        con.execute(f"SET threads={int(threads)}")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
@@ -64,7 +71,6 @@ def main(sf_dir: str, out_dir: str, json_out: str = None) -> int:
                         "hash_match": hsh, "spark_rows": sr,
                         "oracle_rows": orr, "err": err}
 
-    import os
     dumped = {d for d in os.listdir(out_dir)
               if os.path.isdir(os.path.join(out_dir, d))}
     for name in sorted(dumped - set(oracle)):
