@@ -59,8 +59,14 @@ def main(sf_dir: str, out_dir: str, json_out: str = None) -> int:
     if threads:
         con.execute(f"SET threads={int(threads)}")
     for t in TABLES:
+        # two layouts: the driver's single-file tables (sf0.01/sf0.1) and
+        # ScaleUp's Spark-written DIRECTORIES (testdata-sf1, /tmp/sf10) —
+        # read_parquet on a directory path needs the part-file glob
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     failures = 0
     report = {}
