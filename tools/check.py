@@ -15,6 +15,7 @@ Usage: python3 tools/check.py <sfDir> <outDir> [--json FILE]
 import json
 import os
 import sys
+import time
 
 import duckdb
 import pandas as pd
@@ -58,6 +59,12 @@ def main(sf_dir: str, out_dir: str, json_out: str = None) -> int:
     threads = os.environ.get("GRAFT_CHECK_THREADS")
     if threads:
         con.execute(f"SET threads={int(threads)}")
+    # GRAFT_CHECK_MEM (e.g. "24GB") caps DuckDB's memory so parallel
+    # per-key gate processes (the sf1 heavy-twin fan-out) cannot each
+    # claim the default 80% of RAM and collectively OOM the box.
+    mem = os.environ.get("GRAFT_CHECK_MEM")
+    if mem:
+        con.execute(f"SET memory_limit='{mem}'")
     for t in TABLES:
         # two layouts: the driver's single-file tables (sf0.01/sf0.1) and
         # ScaleUp's Spark-written DIRECTORIES (testdata-sf1, /tmp/sf10) —
@@ -68,6 +75,18 @@ def main(sf_dir: str, out_dir: str, json_out: str = None) -> int:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # --only k1,k2 (via GRAFT_CHECK_ONLY or the --only flag handled in
+    # __main__): restrict to a key subset so the heavy dd_* DuckDB twins
+    # (recursive closure / LSH replays — 60+ min EACH at sf1) can run as
+    # parallel per-key processes and the rest in one quick pass; per-key
+    # JSONs are merged afterward (tools/merge_correctness.py pattern).
+    only = os.environ.get("GRAFT_CHECK_ONLY")
+    if only:
+        keys = {k for k in only.split(",") if k}
+        unknown = keys - set(oracle)
+        if unknown:
+            raise SystemExit(f"GRAFT_CHECK_ONLY unknown keys: {sorted(unknown)}")
+        oracle = {k: v for k, v in oracle.items() if k in keys}
     failures = 0
     report = {}
 
@@ -79,6 +98,8 @@ def main(sf_dir: str, out_dir: str, json_out: str = None) -> int:
 
     dumped = {d for d in os.listdir(out_dir)
               if os.path.isdir(os.path.join(out_dir, d))}
+    if only:
+        dumped &= {k for k in only.split(",") if k}
     for name in sorted(dumped - set(oracle)):
         try:
             n = duckdb.connect().execute(
@@ -93,8 +114,12 @@ def main(sf_dir: str, out_dir: str, json_out: str = None) -> int:
             rec(name, err=f"rows-only read error: {e}")
             failures += 1
     for name, sql in sorted(oracle.items()):
+        t0 = time.time()
         try:
             want = con.execute(sql).df()
+            dt = time.time() - t0
+            if dt > 10:
+                print(f"     [{name}: oracle {dt:.0f}s]", flush=True)
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
             rec(name, err=f"oracle error: {e}")
