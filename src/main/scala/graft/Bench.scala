@@ -55,7 +55,15 @@ object Bench {
       if (only.nonEmpty) Set.empty
       else try {
         val n = graft.sources.Tables.embeddings(spark, sfDir).count()
-        if (n >= 100000L) Set("dd_embedding_anchor") else Set.empty
+        // dd_embedding_uncapped joined the list in r17: it preserves the
+        // pre-cap oracle semantics (the dial a 100-TB deployment should
+        // never choose — the r16 density study measured it OOMing an 8 GB
+        // heap at 600k vectors), and at the r17 sf10 sweep it cost 64.6 s
+        // (10%) and drove the shuffle-spill spike that filled /tmp. Its
+        // scale reading is dd_embedding (capped, the production default);
+        // its oracle runs at the gate sfs where it is hash-exact.
+        if (n >= 100000L) Set("dd_embedding_anchor", "dd_embedding_uncapped")
+        else Set.empty
       } catch { case _: Throwable => Set.empty }
     val skip = sys.env.get("SPARK_GRAFT_SKIP")
       .map(_.split(",").filter(_.nonEmpty).toSet).getOrElse(autoSkip)
