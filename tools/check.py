@@ -65,6 +65,13 @@ def main(sf_dir: str, out_dir: str, json_out: str = None) -> int:
     mem = os.environ.get("GRAFT_CHECK_MEM")
     if mem:
         con.execute(f"SET memory_limit='{mem}'")
+    # in-memory connections don't spill unless a temp dir is set — with
+    # a memory_limit but no GRAFT_CHECK_TMP a heavy twin would error at
+    # the cap instead of spilling
+    tmp = os.environ.get("GRAFT_CHECK_TMP")
+    if tmp:
+        os.makedirs(tmp, exist_ok=True)
+        con.execute(f"SET temp_directory='{tmp}'")
     for t in TABLES:
         # two layouts: the driver's single-file tables (sf0.01/sf0.1) and
         # ScaleUp's Spark-written DIRECTORIES (testdata-sf1, /tmp/sf10) —

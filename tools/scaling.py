@@ -70,7 +70,21 @@ import sys
 # A fixed-dial
 # correctness twin should never be anyone's scale path — the Scaladoc
 # and docs/indexes.md both route scale users to the default dial.)
-WAIVERS = {"dd_embedding_anchor": 12.0}
+# (r17: st_dedup and tx_ngram_freq carry a named STEP waiver, not a
+# slope waiver. Isolated sf0.1->sf1 probes read 3.60x/4.18x — over the
+# default gate — but the committed sf10 sweep shows the cost is a
+# scale-INDEPENDENT overhead step of ~1.5-2s that appears once between
+# the 0.2s sf0.1 floor and sf1, then goes FLAT-TO-FALLING at the next
+# decade: st_dedup 2.44s@sf1 -> 2.52s@sf10 (1.03x for 10x data),
+# tx_ngram_freq 1.87s -> 1.15s (0.62x). A genuine scale defect repeats
+# its slope every decade; a fixed overhead reads as "10x" exactly once.
+# Evidence: ARBITRATION_r17.json next_decade_sweep fields +
+# BENCH_sf1.json / BENCH_full_sf10_r17.json. The 6.0 ceiling still
+# fails loudly on anything that actually scales super-linearly past
+# the step.)
+WAIVERS = {"dd_embedding_anchor": 12.0,
+           "st_dedup": 6.0,
+           "tx_ngram_freq": 6.0}
 
 # Keys faster than this at the LARGER scale are noise-exempt: a 0.1s ->
 # 0.4s "4x slope" is scheduler jitter, not a scale signal.
