@@ -4,6 +4,38 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // disk-headroom preflight (r18, verdict ask #3): the r17 sf10 sweep
+    // lost q_approx_distinct and the streaming block to a transient
+    // disk-full when a co-resident DuckDB oracle spill collided with
+    // this JVM's shuffle files. Shuffle + localCheckpoint traffic
+    // scales with the dataset, so refuse to start a sweep when free
+    // space on the Spark local dir is under 4x the dataset footprint,
+    // and warn under max(8 GB, 12x). SPARK_GRAFT_NO_DISK_GUARD=1
+    // overrides the refusal for deliberately tight environments.
+    locally {
+      def dirBytes(f: java.io.File): Long =
+        if (f.isFile) f.length()
+        else Option(f.listFiles()).map(_.map(dirBytes).sum).getOrElse(0L)
+      val data = dirBytes(new java.io.File(sfDir))
+      val local = new java.io.File(
+        sys.env.getOrElse("SPARK_LOCAL_DIRS",
+          sys.props.getOrElse("java.io.tmpdir", "/tmp")).split(",").head)
+      val free = local.getUsableSpace
+      val gb = 1L << 30
+      val hard = 4L * data
+      val soft = math.max(8L * gb, 12L * data)
+      if (free < hard && !sys.env.get("SPARK_GRAFT_NO_DISK_GUARD").contains("1"))
+        sys.error(f"disk preflight: ${free.toDouble / gb}%.1f GB free at " +
+          f"$local < ${hard.toDouble / gb}%.1f GB (4x the " +
+          f"${data.toDouble / gb}%.1f GB dataset at $sfDir) — shuffles " +
+          "would die mid-sweep; free space, point SPARK_LOCAL_DIRS at a " +
+          "roomier volume, or set SPARK_GRAFT_NO_DISK_GUARD=1")
+      if (free < soft)
+        Console.err.println(f"WARNING: disk preflight: " +
+          f"${free.toDouble / gb}%.1f GB free < " +
+          f"${soft.toDouble / gb}%.1f GB soft threshold for a " +
+          f"${data.toDouble / gb}%.1f GB dataset — watch disk during the run")
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

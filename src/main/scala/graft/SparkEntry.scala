@@ -149,6 +149,9 @@ object SparkEntry {
     // 600k where uncapped OOMs an 8 GB heap, planted recall
     // 0.992-1.000), so it is the dial a 100-TB deployment runs. The
     // uncapped oracle-twinned semantics live on as dd_embedding_uncapped.
+    // The full dial taxonomy (corpus size / recall contract / cost curve
+    // / oracle status per dial) is the one-table summary in
+    // docs/indexes.md §"Which dial when".
     "dd_embedding" -> ((s, dir) => Dedup.embeddingNearDupTopM(
       Tables.embeddings(s, dir), densityCap = Dedup.DefaultDensityCap)),
     // the uncapped auto-plane twin (the pre-r17 dd_embedding semantics):
@@ -639,23 +642,22 @@ object SparkEntry {
       "* 1103515245 + 12345) % 2147483648) % 65536 - 32768))) >= 0 " +
       "THEN (CAST(1 AS BIGINT) << (planes - 1 - p)) ELSE 0 END))"
 
-  /** CTE twin of Dedup.resolvePlanes(0, n): 6 planes at or under the
-    * 1024-row anchor, else 6 + ⌈(1.5·ln(n/1024))/ln 2⌉ — associated
-    * EXACTLY as the Scala side (`PlanesPerDoubling * math.log(...) /
-    * math.log(2.0)` parses as `(1.5 * ln(x)) / ln 2`, multiply before
-    * divide), so the two engines run the same rounded-double op chain
-    * and round identically (r17 fix: the former `1.5 * (ln(x)/ln 2)`
-    * association could diverge within an ulp of a ceil boundary). The
-    * ceil boundary itself is the one residual risk (a corpus size where
-    * the product sits within an ulp of an integer without being exact);
-    * no committed corpus size is near one. */
-  private val embPlanesCte: String =
-    """pl AS (
-      |  SELECT CASE WHEN cnt <= 1024 THEN 6
-      |              ELSE 6 + CAST(ceil((1.5 * ln(CAST(cnt AS DOUBLE) / 1024.0))
-      |                                 / ln(CAST(2.0 AS DOUBLE))) AS INTEGER)
-      |         END AS planes
-      |  FROM (SELECT count(*) AS cnt FROM embeddings))""".stripMargin
+  /** CTE twin of Dedup.resolvePlanes(0, n): 6 + the count of
+    * Dedup.PlaneThresholds entries strictly below the corpus size — the
+    * SAME 57-value integer table, inlined as a VALUES list, decided by
+    * pure BIGINT comparisons on both sides (r18: replaces the
+    * ceil(ln·/ln2) double chain whose ceil boundary carried a
+    * theoretical ulp divergence; an integer table has no boundary to
+    * mis-round). The ≤1024-row anchor needs no CASE: 1024 is the first
+    * threshold, so the count is 0 there — exactly the Scala guard. */
+  private val embPlanesCte: String = {
+    val values = graft.operators.Dedup.PlaneThresholds
+      .map(t => s"($t)").mkString(", ")
+    s"""pl AS (
+       |  SELECT 6 + CAST((SELECT count(*) FROM (VALUES $values) AS thr(v)
+       |                   WHERE cnt > v) AS INTEGER) AS planes
+       |  FROM (SELECT count(*) AS cnt FROM embeddings))""".stripMargin
+  }
 
   /** Builder for the bounded top-m embedding near-dup twins. The bucket
     * expression is either the unrolled static form (the anchor key's
@@ -1567,7 +1569,7 @@ object SparkEntry {
       """WITH g AS (
         |  SELECT CAST(year(o_orderdate) AS INTEGER) AS y,
         |         CAST(month(o_orderdate) AS INTEGER) AS m,
-        |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |         CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS revenue,
         |         CAST(count(*) AS BIGINT) AS n_orders
         |  FROM orders GROUP BY 1, 2)
         |SELECT y, m, revenue, n_orders,
@@ -1612,16 +1614,23 @@ object SparkEntry {
         |       CAST(CAST(octet_length(encode(text)) AS BIGINT) % 7 AS DOUBLE) / 7.0 AS fake_feature
         |FROM documents ORDER BY doc_id""".stripMargin,
 
-    // NOTE (mm_features / mm_frames / mm_resize twins): the Spark side
-    // operates on UTF-8 payload BYTES, the twins on characters — these
-    // coincide because the documents corpus is pure ASCII (validated:
-    // octet_length == length for every row at every sf). A non-ASCII
-    // corpus would need DuckDB blob-level twins instead.
+    // mm_features / mm_frames / mm_resize twins are BYTE-exact (r18):
+    // the Spark side operates on UTF-8 payload bytes, and the pre-r18
+    // character-based twins silently relied on the corpus being pure
+    // ASCII — which ScaleUp's salted sf1 corpus is NOT (every doc
+    // carries multi-byte salt; the r17 sf1 oracle run caught all four
+    // keys red). This DuckDB build has no blob-level md5/substring, so
+    // the byte view is reached through hex(encode(text)): two hex chars
+    // per byte, a byte's %16 bucket is its LOW NIBBLE (the pair's
+    // second hex char), and a frameLen-byte window at byte offset ob is
+    // the 2·frameLen-char hex slice at 2·ob+1 — matching the engine's
+    // hex-rendered frame digest (Multimodal.frameSample).
     "mm_features" ->
       """WITH c AS (
         |  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |         list_transform(generate_series(0, 15), b ->
-        |           len(list_filter(string_split(text, ''), ch -> ascii(ch) % 16 = b))) AS counts
+        |           len(list_filter(regexp_extract_all(hex(encode(text)), '..'),
+        |               p -> right(p, 1) = substring('0123456789ABCDEF', b + 1, 1)))) AS counts
         |  FROM documents)
         |SELECT doc_id, n_bytes,
         |       md5(array_to_string(counts, ',')) AS feat_digest
@@ -1630,23 +1639,23 @@ object SparkEntry {
     "mm_frames" ->
       """WITH f AS (
         |  SELECT doc_id,
-        |         unnest(generate_series(0, greatest(length(text) - 1, 0), 64)) AS ob,
-        |         text
+        |         unnest(generate_series(0, greatest(octet_length(encode(text)) - 1, 0), 64)) AS ob,
+        |         hex(encode(text)) AS h
         |  FROM documents)
         |SELECT doc_id,
         |       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY ob) - 1 AS INTEGER) AS frame_no,
         |       CAST(ob AS BIGINT) AS off_bytes,
-        |       md5(substring(text, CAST(ob AS INTEGER) + 1, 16)) AS frame_md5
+        |       md5(substring(h, CAST(ob AS INTEGER) * 2 + 1, 32)) AS frame_md5
         |FROM f ORDER BY doc_id, frame_no""".stripMargin,
 
     "mm_frame_dedup" ->
       """WITH f AS (
         |  SELECT doc_id,
-        |         unnest(generate_series(0, greatest(length(text) - 1, 0), 64)) AS ob,
-        |         text
+        |         unnest(generate_series(0, greatest(octet_length(encode(text)) - 1, 0), 64)) AS ob,
+        |         hex(encode(text)) AS h
         |  FROM documents),
         |d AS (
-        |  SELECT doc_id, md5(substring(text, CAST(ob AS INTEGER) + 1, 16)) AS frame_md5
+        |  SELECT doc_id, md5(substring(h, CAST(ob AS INTEGER) * 2 + 1, 32)) AS frame_md5
         |  FROM f)
         |SELECT frame_md5,
         |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
@@ -1660,7 +1669,8 @@ object SparkEntry {
       """WITH c AS (
         |  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |         list_transform(generate_series(0, 15), b ->
-        |           len(list_filter(string_split(text, ''), ch -> ascii(ch) % 16 = b))) AS counts
+        |           len(list_filter(regexp_extract_all(hex(encode(text)), '..'),
+        |               p -> right(p, 1) = substring('0123456789ABCDEF', b + 1, 1)))) AS counts
         |  FROM documents),
         |r AS (
         |  SELECT doc_id, n_bytes,
@@ -2192,12 +2202,13 @@ object SparkEntry {
          |         min(CASE WHEN rn = cnt // 2 + 1 THEN total_spend END) AS med_hi
          |  FROM r GROUP BY 1)
          |SELECT c_mktsegment, n_entities,
-         |       CAST(s1 AS DOUBLE) AS total_spend,
-         |       CAST(s1 AS DOUBLE) / n_entities AS avg_spend,
+         |       CAST(CAST(s1 AS VARCHAR) AS DOUBLE) AS total_spend,
+         |       CAST(CAST(s1 AS VARCHAR) AS DOUBLE) / n_entities AS avg_spend,
          |       (med_lo + med_hi) / 2.0 AS median_spend,
          |       CAST(CAST(sqrt(greatest(
-         |         (CAST(s2 AS DOUBLE)
-         |           - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n_entities)
+         |         (CAST(CAST(s2 AS VARCHAR) AS DOUBLE)
+         |           - CAST(CAST(s1 AS VARCHAR) AS DOUBLE)
+         |             * CAST(CAST(s1 AS VARCHAR) AS DOUBLE) / n_entities)
          |           / nullif(n_entities - 1, 0),
          |         0.0)) AS DECIMAL(18,2)) AS DOUBLE) AS std_spend
          |FROM g ORDER BY c_mktsegment""".stripMargin,
@@ -2212,9 +2223,9 @@ object SparkEntry {
          |         CAST(sum(CASE WHEN rating = 'Poor' THEN 1 ELSE 0 END) AS BIGINT) AS n_poor
          |  FROM m)
          |SELECT total_entities, total_activity,
-         |       CAST(spend_dec AS DOUBLE) AS total_spend,
-         |       CAST(spend_dec AS DOUBLE) / total_activity AS weighted_avg_intensity,
-         |       CAST(spend_dec AS DOUBLE) * CAST(0.00022 AS DOUBLE) AS portfolio_co2_tons,
+         |       CAST(CAST(spend_dec AS VARCHAR) AS DOUBLE) AS total_spend,
+         |       CAST(CAST(spend_dec AS VARCHAR) AS DOUBLE) / total_activity AS weighted_avg_intensity,
+         |       CAST(CAST(spend_dec AS VARCHAR) AS DOUBLE) * CAST(0.00022 AS DOUBLE) AS portfolio_co2_tons,
          |       CAST(n_top AS DOUBLE) * 100.0 / total_entities AS top_performer_pct,
          |       CAST(n_poor AS DOUBLE) * 100.0 / total_entities AS needs_improvement_pct
          |FROM a""".stripMargin,
@@ -2297,20 +2308,25 @@ object SparkEntry {
          |ORDER BY is_selected DESC, c_custkey
          |LIMIT 8""".stripMargin,
 
+    // decimal sums convert to double through VARCHAR (the exact decimal
+    // string) — the twin of ExactCast.decToDouble: DuckDB's direct
+    // DECIMAL→DOUBLE double-rounds (int128→double, then /10^scale)
+    // where Spark single-rounds, a real 1-ulp divergence once the
+    // scaled sum passes 2^53 (sum_charge at sf1, the r18 finding)
     "q_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
-        |       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+        |       CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+        |       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+        |       CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
         |         * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))
-        |         AS DECIMAL(17,4))) AS DOUBLE) AS sum_disc_price,
-        |       CAST(sum(CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+        |         AS DECIMAL(17,4))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+        |       CAST(CAST(sum(CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
         |         * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))
         |         AS DECIMAL(17,4))
         |         * CAST(1 + CAST(l_tax AS DECIMAL(4,2)) AS DECIMAL(4,2))
-        |         AS DECIMAL(22,6))) AS DOUBLE) AS sum_charge,
-        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
-        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_price,
+        |         AS DECIMAL(22,6))) AS VARCHAR) AS DOUBLE) AS sum_charge,
+        |       CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / count(*) AS avg_qty,
+        |       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) / count(*) AS avg_price,
         |       CAST(count(*) AS BIGINT) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -2319,7 +2335,7 @@ object SparkEntry {
 
     "q_top_nations" ->
       """SELECT n_name, r_name,
-        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS revenue,
         |       CAST(count(*) AS BIGINT) AS n_orders
         |FROM orders
         |JOIN customer ON o_custkey = c_custkey

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.DecimalType
 
+import graft.functions.ExactCast.decToDouble
 import graft.sources.Tables
 
 /** Benchmarking engine — the Spark-native re-expression of the reference's
@@ -105,15 +106,19 @@ object Benchmarking {
       .select(
         col("c_mktsegment"),
         col("n_entities"),
-        col("s1").cast("double").as("total_spend"),
-        (col("s1").cast("double") / col("n_entities")).as("avg_spend"),
+        // per-segment sums are corpus-scale roll-ups: string-snapped
+        // decimal→double (ExactCast) so the single rounding matches the
+        // oracle at any magnitude (the direct cast double-rounds in
+        // DuckDB past 2^53 scaled — the r18 sf1 finding)
+        decToDouble(col("s1")).as("total_spend"),
+        (decToDouble(col("s1")) / col("n_entities")).as("avg_spend"),
         ((col("med_lo") + col("med_hi")) / lit(2.0)).as("median_spend"),
         // The (38,4) sum-of-squares exceeds 2^53 unscaled, so its →double
-        // cast can differ by 1 ulp between engines; snapping the final std
-        // to 2 decimals makes both sides agree deterministically.
+        // cast is string-snapped too; the final std additionally snaps
+        // to 2 decimals so the sqrt's last-ulp wiggle cannot surface.
         sqrt(greatest(
-          (col("s2").cast("double")
-            - col("s1").cast("double") * col("s1").cast("double") / col("n_entities"))
+          (decToDouble(col("s2"))
+            - decToDouble(col("s1")) * decToDouble(col("s1")) / col("n_entities"))
             / expr("nullif(n_entities - 1, 0)"),
           lit(0.0))).cast(dec).cast("double").as("std_spend"))
       .orderBy("c_mktsegment")
@@ -132,12 +137,14 @@ object Benchmarking {
     .select(
       col("total_entities"),
       col("total_activity"),
-      col("spend_dec").cast("double").as("total_spend"),
-      (col("spend_dec").cast("double") / col("total_activity"))
+      // corpus-wide spend roll-up: string-snapped decimal→double (the
+      // scaled sum crosses 2^53 between sf1 and the 100-TB point)
+      decToDouble(col("spend_dec")).as("total_spend"),
+      (decToDouble(col("spend_dec")) / col("total_activity"))
         .as("weighted_avg_intensity"),
       // CO₂ analog: intensity × 0.22 kg/unit summed over activity ≡
       // 0.22 × total spend, /1000 → tons (export_demo_json.py:136-140).
-      (col("spend_dec").cast("double") * 0.00022).as("portfolio_co2_tons"),
+      (decToDouble(col("spend_dec")) * 0.00022).as("portfolio_co2_tons"),
       (col("n_top").cast("double") * 100.0 / col("total_entities"))
         .as("top_performer_pct"),
       (col("n_poor").cast("double") * 100.0 / col("total_entities"))

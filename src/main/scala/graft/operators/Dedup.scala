@@ -193,24 +193,54 @@ object Dedup {
     else 0
   }
 
-  /** `planes = 0` (the default) resolves to
-    * 6 + ⌈[[PlanesPerDoubling]]·log₂(n/1024)⌉ beyond the anchor — the
-    * corpus-size-scaled geometry. A FIXED plane count means in-bucket
-    * candidate volume grows quadratically with the corpus (the r6 study
-    * measured 13× cost at 10× data for fixed 6 planes); the r14 schedule
-    * grows planes fast enough that PER-VECTOR candidate work stays
-    * near-constant on the measured bucket tail. Bucket geometry is part
-    * of an approximate-dedup op's SEMANTICS (more planes → finer sign
-    * patterns → fewer low-cosine candidates surface), so callers needing
-    * bit-stable output across corpus sizes pass an explicit plane count;
-    * at the oracle sizes (n ≤ [[PlaneAnchorRows]]) the auto value
-    * resolves to the original 6, keeping dd_embedding's oracle
-    * bit-exact. */
+  /** Precomputed integer thresholds of the auto plane schedule: extra
+    * plane k (beyond the 6-plane anchor) engages at n > PlaneThresholds
+    * (k−1). Entry m (1-based) is ⌊1024·2^((m−1)/1.5)⌋ =
+    * ⌊2^(10+2(m−1)/3)⌋, computed EXACTLY as the integer cube root of
+    * 2^(2m+28) (so every third entry is the exact power of two
+    * 2^(10+2(m−1)/3) and the rest are exact floors of the irrational
+    * boundary — no double rounding anywhere). 57 entries take the
+    * schedule to 63 planes, the most that fit a sign-packed BIGINT
+    * bucket; beyond the last threshold (≈1.8e14 vectors) the schedule
+    * CLAMPS at 63 (the pre-r18 log-form would have overflowed the
+    * shift there). ScalePathSpec re-derives the table from BigInt cube
+    * roots and pins it equal to the retired double-formula schedule
+    * across the boundary sweep. */
+  private[graft] val PlaneThresholds: Array[Long] = Array(
+    1024L, 1625L, 2580L, 4096L, 6501L, 10321L, 16384L, 26007L, 41285L,
+    65536L, 104031L, 165140L, 262144L, 416127L, 660561L, 1048576L,
+    1664510L, 2642245L, 4194304L, 6658042L, 10568983L, 16777216L,
+    26632170L, 42275935L, 67108864L, 106528681L, 169103740L, 268435456L,
+    426114725L, 676414963L, 1073741824L, 1704458900L, 2705659852L,
+    4294967296L, 6817835603L, 10822639409L, 17179869184L, 27271342415L,
+    43290557638L, 68719476736L, 109085369661L, 173162230554L,
+    274877906944L, 436341478645L, 692648922219L, 1099511627776L,
+    1745365914582L, 2770595688878L, 4398046511104L, 6981463658331L,
+    11082382755513L, 17592186044416L, 27925854633326L, 44329531022053L,
+    70368744177664L, 111703418533304L, 177318124088212L)
+
+  /** `planes = 0` (the default) resolves to 6 + (count of
+    * [[PlaneThresholds]] entries below n) — the corpus-size-scaled
+    * geometry, identical to the r14 formula
+    * 6 + ⌈[[PlanesPerDoubling]]·log₂(n/1024)⌉ at every corpus size in
+    * the table's range but decided by pure Long comparisons (r18: the
+    * former double-op chain carried a theoretical ulp-of-a-ceil-boundary
+    * divergence between engine and oracle; the integer table, consumed
+    * verbatim by both sides, has no boundary to mis-round). A FIXED
+    * plane count means in-bucket candidate volume grows quadratically
+    * with the corpus (the r6 study measured 13× cost at 10× data for
+    * fixed 6 planes); this schedule grows planes fast enough that
+    * PER-VECTOR candidate work stays near-constant on the measured
+    * bucket tail. Bucket geometry is part of an approximate-dedup op's
+    * SEMANTICS (more planes → finer sign patterns → fewer low-cosine
+    * candidates surface), so callers needing bit-stable output across
+    * corpus sizes pass an explicit plane count; at the oracle sizes
+    * (n ≤ [[PlaneAnchorRows]]) the auto value resolves to the original
+    * 6, keeping dd_embedding's oracle bit-exact. */
   private[graft] def resolvePlanes(planes: Int, n: Long): Int =
     if (planes > 0) planes
     else if (n <= PlaneAnchorRows) 6
-    else 6 + math.ceil(PlanesPerDoubling *
-      math.log(n.toDouble / PlaneAnchorRows) / math.log(2.0)).toInt
+    else 6 + PlaneThresholds.count(n > _)
 
   /** LSH-blocked embedding near-dup pairs — the unsupervised scale path.
     * The auto plane count (`planes = 0`) needs the corpus size: pass

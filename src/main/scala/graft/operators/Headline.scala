@@ -26,8 +26,12 @@ object Headline {
   /** Pricing summary report: exact decimal sums/averages per flag/status
     * over shipped lineitems. All money math stays in exact decimals
     * (12,2)×(4,2)×(4,2) → (22,6), which both Spark and DuckDB compute
-    * losslessly, then converts to double for the final scalars. */
+    * losslessly, then converts to double for the final scalars via
+    * [[graft.functions.ExactCast.decToDouble]] — the corpus-wide sums
+    * cross 2⁵³ scaled (sum_charge already does at sf1, where the
+    * direct cast diverged from the oracle by one ulp, r18). */
   def pricingSummary(lineitem: DataFrame): DataFrame = {
+    import graft.functions.ExactCast.decToDouble
     val price    = col("l_extendedprice").cast(dec2)
     val oneMinus = (lit(1).cast(dec4) - col("l_discount").cast(dec4)).cast(dec4)
     val onePlus  = (lit(1).cast(dec4) + col("l_tax").cast(dec4)).cast(dec4)
@@ -43,12 +47,12 @@ object Headline {
         count(lit(1)).as("count_order"))
       .select(
         col("l_returnflag"), col("l_linestatus"),
-        col("qty_dec").cast("double").as("sum_qty"),
-        col("base_dec").cast("double").as("sum_base_price"),
-        col("disc_dec").cast("double").as("sum_disc_price"),
-        col("charge_dec").cast("double").as("sum_charge"),
-        (col("qty_dec").cast("double") / col("count_order")).as("avg_qty"),
-        (col("base_dec").cast("double") / col("count_order")).as("avg_price"),
+        decToDouble(col("qty_dec")).as("sum_qty"),
+        decToDouble(col("base_dec")).as("sum_base_price"),
+        decToDouble(col("disc_dec")).as("sum_disc_price"),
+        decToDouble(col("charge_dec")).as("sum_charge"),
+        (decToDouble(col("qty_dec")) / col("count_order")).as("avg_qty"),
+        (decToDouble(col("base_dec")) / col("count_order")).as("avg_price"),
         col("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
   }
@@ -66,7 +70,10 @@ object Headline {
       .groupBy(year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"))
       .agg(sum(col("o_totalprice").cast(dec)).as("rev_dec"),
         count(lit(1)).as("n_orders"))
-      .select(col("y"), col("m"), col("rev_dec").cast("double").as("revenue"),
+      // string-snapped decimal→double: per-month revenue grows with the
+      // corpus and crosses 2^53 scaled well before the 100-TB point
+      .select(col("y"), col("m"),
+        graft.functions.ExactCast.decToDouble(col("rev_dec")).as("revenue"),
         col("n_orders"))
       .withColumn("prev", lag(col("revenue"), 1).over(w))
       .withColumn("mom_growth",
@@ -154,7 +161,9 @@ object Headline {
         sum(col("o_totalprice").cast(dec)).as("rev_dec"),
         count(lit(1)).as("n_orders"))
       .select(col("n_name"), col("r_name"),
-        col("rev_dec").cast("double").as("revenue"), col("n_orders"))
+        // string-snapped: per-nation revenue is a corpus-scale roll-up
+        graft.functions.ExactCast.decToDouble(col("rev_dec")).as("revenue"),
+        col("n_orders"))
       .orderBy(col("revenue").desc, col("n_name"))
       .limit(k)
   }

@@ -114,7 +114,18 @@ object Multimodal {
   /** Frame sampling: every `stride` bytes, emit a `frameLen`-byte window
     * with its digest, partition-locally (no shuffle; frames never leave
     * their executor). Rows lazily stream through the iterator, so a
-    * 100-TB corpus samples at scan speed. */
+    * 100-TB corpus samples at scan speed.
+    *
+    * The digest is md5 of the window's UPPERCASE-HEX rendering (not of
+    * the raw bytes): windows are cut at BYTE offsets, so a frame can
+    * split a multi-byte UTF-8 character and carry invalid-UTF-8 bytes —
+    * which the DuckDB oracle cannot feed to its VARCHAR-only md5. The
+    * hex rendering is plain ASCII at any window content, so both
+    * engines hash the identical string (`md5(substring(hex(encode(
+    * text)), 2·off+1, 2·frameLen))` is the oracle twin). The r17 sf1
+    * oracle run exposed the raw-byte digest's char/byte divergence on
+    * ScaleUp's non-ASCII salted corpus (r18 fix); as a digest the hex
+    * form is equally deterministic and collision-resistant. */
   def frameSample(media: DataFrame, frameLen: Int = 16,
       stride: Int = 64): Dataset[Frame] = {
     require(frameLen > 0 && stride > 0,
@@ -122,15 +133,23 @@ object Multimodal {
     implicit val enc = Encoders.product[Frame]
     media.select("doc_id", "payload").mapPartitions { rows =>
       val md = java.security.MessageDigest.getInstance("MD5")
+      val hexDigits = "0123456789ABCDEF".toCharArray
       rows.flatMap { r =>
         val payload = r.getAs[Array[Byte]]("payload")
         val id = r.getAs[Long]("doc_id")
         Iterator.range(0, math.max(payload.length, 1), stride).zipWithIndex
           .map { case (off, no) =>
             val end = math.min(off + frameLen, payload.length)
+            val windowHex = new Array[Byte]((end - off) * 2)
+            var i = off
+            while (i < end) {
+              val b = payload(i) & 0xff
+              windowHex((i - off) * 2) = hexDigits(b >>> 4).toByte
+              windowHex((i - off) * 2 + 1) = hexDigits(b & 0xf).toByte
+              i += 1
+            }
             md.reset()
-            val hex = md.digest(java.util.Arrays.copyOfRange(payload, off, end))
-              .map("%02x".format(_)).mkString
+            val hex = md.digest(windowHex).map("%02x".format(_)).mkString
             Frame(id, no, off.toLong, hex)
           }.toSeq
       }

@@ -139,6 +139,45 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(Multimodal.stubDecode(bytes, 8).toSeq === Multimodal.stubDecode(bytes, 8).toSeq)
   }
 
+  test("multimodal byte semantics hold on non-ASCII payloads (r18)") {
+    // ScaleUp's salted sf1 corpus is NOT pure ASCII — the r17 sf1 oracle
+    // run caught the char-based twins red on it. Pin the BYTE contract
+    // on a multi-byte doc: 'é' is 2 UTF-8 bytes (0xC3 0xA9), so chars
+    // and bytes diverge everywhere below.
+    val text = ("café " * 30).trim // 149 chars, 179 bytes
+    val bytes = text.getBytes("UTF-8")
+    assert(text.length === 149 && bytes.length === 179)
+    val mm = Multimodal.binaryColumns(
+      Seq((1L, text, "s")).toDF("doc_id", "text", "source"))
+    // n_bytes is the BYTE length
+    assert(mm.select("n_bytes").head().getLong(0) === 179L)
+    // feature counts are a BYTE histogram: 0xC3 % 16 = 3, 0xA9 % 16 = 9
+    val counts = Multimodal.extractFeatures(mm, 16)
+      .collect().head.counts
+    assert(counts.sum === 179L)
+    assert(counts(3) >= 30 && counts(9) >= 30,
+      s"multi-byte UTF-8 bytes missing from the histogram: ${counts.toSeq}")
+    // frames cut at BYTE offsets: ceil(179/64) = 3 frames, and each
+    // digest is md5 of the window's UPPERCASE-HEX rendering — the form
+    // a VARCHAR-only oracle can replay even when the window splits a
+    // multi-byte character (offset 64 lands mid-payload)
+    val frames = Multimodal.frameSample(mm).collect().sortBy(_.frame_no)
+    assert(frames.length === 3)
+    assert(frames.map(_.off_bytes).toSeq === Seq(0L, 64L, 128L))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    frames.foreach { f =>
+      val off = f.off_bytes.toInt
+      val window = java.util.Arrays.copyOfRange(bytes, off,
+        math.min(off + 16, bytes.length))
+      val hexStr = window.map("%02X".format(_)).mkString
+      md.reset()
+      val want = md.digest(hexStr.getBytes("US-ASCII"))
+        .map("%02x".format(_)).mkString
+      assert(f.frame_md5 === want,
+        s"frame ${f.frame_no}: digest is not md5(uppercase-hex(window))")
+    }
+  }
+
   test("pii scan counts planted PII and redacts it in order") {
     val planted = Seq(
       (1L, "contact me at jane.doe@example.com or 555-123-4567 today", "s"),

@@ -53,6 +53,36 @@ class ScalePathSpec extends AnyFunSuite {
     assert(Dedup.resolvePlanes(0, 1L << 20) === 21)
     assert(Dedup.resolvePlanes(4, 1L << 20) === 4) // explicit wins
 
+    // r18: the schedule is a precomputed integer threshold table. Pin
+    // (a) every entry against an independent exact re-derivation —
+    // entry m (1-based) is ⌊2^(10+2(m−1)/3)⌋ = icbrt(2^(2m+28)), via
+    // BigInt cube root, no floating point anywhere — and (b) the
+    // table-driven schedule against the retired double formula
+    // 6 + ⌈1.5·log₂(n/1024)⌉ at every threshold boundary ±1, so the
+    // r14 geometry is provably unchanged where the two forms overlap.
+    def icbrt(x: BigInt): BigInt = {
+      var r = BigInt(math.cbrt(x.doubleValue).toLong)
+      while (r.pow(3) > x) r -= 1
+      while ((r + 1).pow(3) <= x) r += 1
+      r
+    }
+    assert(Dedup.PlaneThresholds.length === 57) // 6 + 57 = 63-plane cap
+    Dedup.PlaneThresholds.zipWithIndex.foreach { case (t, i) =>
+      val m = i + 1
+      assert(BigInt(t) === icbrt(BigInt(2).pow(2 * m + 28)),
+        s"threshold $m diverges from exact ⌊2^(10+2(m−1)/3)⌋")
+    }
+    def doubleForm(n: Long): Int =
+      if (n <= 1024L) 6
+      else 6 + math.ceil(
+        1.5 * math.log(n.toDouble / 1024L) / math.log(2.0)).toInt
+    for (t <- Dedup.PlaneThresholds; n <- Seq(t - 1, t, t + 1))
+      assert(Dedup.resolvePlanes(0, n) === doubleForm(n),
+        s"table and double schedules diverge at n=$n")
+    // beyond the table the schedule clamps at the 63-plane BIGINT cap
+    // (the double form would have requested an overflowing shift)
+    assert(Dedup.resolvePlanes(0, Long.MaxValue) === 63)
+
     // at a corpus size where auto resolves ABOVE 6 (n=3000 → 9 planes),
     // planted near-identical pairs still surface: near-zero angle means
     // per-plane collision probability ~1 at any plane count

@@ -2,6 +2,7 @@
 """Local replica of the driver's correctness gate (NOT part of the library).
 
 Usage: python3 tools/check.py <sfDir> <outDir> [--json FILE]
+                              [--only k1,k2]
   - <outDir> is what `sbt "runMain graft.Verify <sfDir> <outDir>"` wrote.
   - Registers the sf tables as DuckDB views, runs each oracle_sql.json
     entry, and compares against the Spark parquet dump: columns sorted by
@@ -14,6 +15,8 @@ Usage: python3 tools/check.py <sfDir> <outDir> [--json FILE]
 """
 import json
 import os
+import re
+import shutil
 import sys
 import time
 
@@ -22,6 +25,51 @@ import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
+
+
+def sql_path(p: str) -> str:
+    """Escape a filesystem path for interpolation into a DuckDB string
+    literal (r18 advisor: a quote in GRAFT_CHECK_TMP/sf_dir produced a
+    confusing parse error instead of working or failing clearly)."""
+    return p.replace("'", "''")
+
+
+def dir_bytes(path: str) -> int:
+    total = 0
+    for root, _, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return total
+
+
+def preflight_disk(sf_dir: str, spill_dir: str) -> None:
+    """r18 (verdict ask #3): the r17 sf10 sweep lost a key to a
+    transient disk-full when the DuckDB oracle spill collided with a
+    Spark shuffle on the same disk. Refuse to start when free space on
+    the spill target is below the dataset's own footprint x4 (the heavy
+    dd_* twins materialize multi-pass intermediates), and warn below a
+    12x soft threshold. GRAFT_CHECK_NO_DISK_GUARD=1 overrides the
+    refusal for deliberately tight environments."""
+    data = dir_bytes(sf_dir)
+    free = shutil.disk_usage(spill_dir or ".").free
+    hard, soft = 4 * data, max(8 << 30, 12 * data)
+    gb = 1 << 30
+    if free < hard and os.environ.get("GRAFT_CHECK_NO_DISK_GUARD") != "1":
+        raise SystemExit(
+            f"disk preflight: {free / gb:.1f} GB free at "
+            f"{spill_dir or os.getcwd()} < {hard / gb:.1f} GB "
+            f"(4x the {data / gb:.1f} GB dataset) — the oracle twins "
+            "would die mid-run on a full disk; free space, point "
+            "GRAFT_CHECK_TMP at a roomier volume, or set "
+            "GRAFT_CHECK_NO_DISK_GUARD=1 to proceed anyway")
+    if free < soft:
+        print(f"WARNING: disk preflight: {free / gb:.1f} GB free < "
+              f"{soft / gb:.1f} GB soft threshold for a "
+              f"{data / gb:.1f} GB dataset — heavy twins may spill "
+              "past it; watch disk during the run", flush=True)
 
 # Keys whose oracle is a rows+schema contract, not a full value hash: the
 # named columns hold engine-specific estimates (HLL / KLL sketches, the
@@ -51,7 +99,8 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
-def main(sf_dir: str, out_dir: str, json_out: str = None) -> int:
+def main(sf_dir: str, out_dir: str, json_out: str = None,
+         only: str = None) -> int:
     con = duckdb.connect()
     # GRAFT_CHECK_THREADS caps DuckDB's parallelism so an off-gate scale
     # run (e.g. the sf1 sweep) can share the box with Spark benches; the
@@ -64,6 +113,9 @@ def main(sf_dir: str, out_dir: str, json_out: str = None) -> int:
     # claim the default 80% of RAM and collectively OOM the box.
     mem = os.environ.get("GRAFT_CHECK_MEM")
     if mem:
+        if not re.fullmatch(r"\d+(\.\d+)?\s*[KMGT]i?B", mem, re.IGNORECASE):
+            raise SystemExit(
+                f"GRAFT_CHECK_MEM {mem!r} is not a size like '24GB'")
         con.execute(f"SET memory_limit='{mem}'")
     # in-memory connections don't spill unless a temp dir is set — with
     # a memory_limit but no GRAFT_CHECK_TMP a heavy twin would error at
@@ -71,7 +123,8 @@ def main(sf_dir: str, out_dir: str, json_out: str = None) -> int:
     tmp = os.environ.get("GRAFT_CHECK_TMP")
     if tmp:
         os.makedirs(tmp, exist_ok=True)
-        con.execute(f"SET temp_directory='{tmp}'")
+        con.execute(f"SET temp_directory='{sql_path(tmp)}'")
+    preflight_disk(sf_dir, tmp)
     for t in TABLES:
         # two layouts: the driver's single-file tables (sf0.01/sf0.1) and
         # ScaleUp's Spark-written DIRECTORIES (testdata-sf1, /tmp/sf10) —
@@ -79,20 +132,21 @@ def main(sf_dir: str, out_dir: str, json_out: str = None) -> int:
         path = f"{sf_dir}/{t}.parquet"
         if os.path.isdir(path):
             path = f"{path}/*.parquet"
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+        con.execute(f"CREATE VIEW {t} AS "
+                    f"SELECT * FROM read_parquet('{sql_path(path)}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-    # --only k1,k2 (via GRAFT_CHECK_ONLY or the --only flag handled in
-    # __main__): restrict to a key subset so the heavy dd_* DuckDB twins
+    # --only k1,k2 (or the GRAFT_CHECK_ONLY env var; the flag wins):
+    # restrict to a key subset so the heavy dd_* DuckDB twins
     # (recursive closure / LSH replays — 60+ min EACH at sf1) can run as
     # parallel per-key processes and the rest in one quick pass; per-key
     # JSONs are merged afterward (tools/merge_correctness.py pattern).
-    only = os.environ.get("GRAFT_CHECK_ONLY")
+    only = only or os.environ.get("GRAFT_CHECK_ONLY")
     if only:
         keys = {k for k in only.split(",") if k}
         unknown = keys - set(oracle)
         if unknown:
-            raise SystemExit(f"GRAFT_CHECK_ONLY unknown keys: {sorted(unknown)}")
+            raise SystemExit(
+                f"--only/GRAFT_CHECK_ONLY unknown keys: {sorted(unknown)}")
         oracle = {k: v for k, v in oracle.items() if k in keys}
     failures = 0
     report = {}
@@ -110,12 +164,22 @@ def main(sf_dir: str, out_dir: str, json_out: str = None) -> int:
     for name in sorted(dumped - set(oracle)):
         try:
             n = duckdb.connect().execute(
-                f"SELECT count(*) FROM read_parquet('{out_dir}/{name}/*.parquet')"
+                f"SELECT count(*) FROM "
+                f"read_parquet('{sql_path(out_dir)}/{name}/*.parquet')"
             ).fetchone()[0]
             print(f"ROWS {name}: {n} rows (no oracle)")
-            rec(name, rows=n > 0, sr=n, err=None if n else "0 rows, no oracle")
+            # no-oracle records have no schema contract to violate, so
+            # schema_match is explicitly True on a successful read — and
+            # a 0-row result FAILS (the driver's weaker check is
+            # rows>0), so merge_correctness and this gate agree (r18
+            # advisor: the old record left schema False and err set
+            # without counting a failure, so a merge of a green batch
+            # could exit red)
+            rec(name, rows=n > 0, schema=True, sr=n,
+                err=None if n else "0 rows, no oracle")
             if n == 0:
-                print(f"  WARNING: {name} returned 0 rows")
+                print(f"  FAIL {name}: returned 0 rows (rows-only check)")
+                failures += 1
         except Exception as e:
             print(f"FAIL {name}: rows-only read error: {e}")
             rec(name, err=f"rows-only read error: {e}")
@@ -134,7 +198,8 @@ def main(sf_dir: str, out_dir: str, json_out: str = None) -> int:
             continue
         try:
             got = duckdb.connect().execute(
-                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").df()
+                f"SELECT * FROM "
+                f"read_parquet('{sql_path(out_dir)}/{name}/*.parquet')").df()
         except Exception as e:
             print(f"FAIL {name}: spark result missing: {e}")
             rec(name, orr=len(want), err=f"spark result missing: {e}")
@@ -201,9 +266,13 @@ def main(sf_dir: str, out_dir: str, json_out: str = None) -> int:
 
 if __name__ == "__main__":
     argv = sys.argv[1:]
-    jout = None
+    jout = only = None
     if "--json" in argv:
         i = argv.index("--json")
         jout = argv[i + 1]
         argv = argv[:i] + argv[i + 2:]
-    sys.exit(main(argv[0], argv[1], jout))
+    if "--only" in argv:
+        i = argv.index("--only")
+        only = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    sys.exit(main(argv[0], argv[1], jout, only))

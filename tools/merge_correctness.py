@@ -20,9 +20,20 @@ def main(out, ins):
     for path in ins:
         with open(path) as f:
             merged.update(json.load(f))
-    red = sorted(k for k, v in merged.items()
-                 if v.get("err") or not (v.get("rows_match")
-                                         and v.get("schema_match")))
+    def is_red(v):
+        # no-oracle (rows-only) records carry no schema contract:
+        # oracle_rows is None and pre-r18 check.py left schema_match at
+        # its False default even when green — they are red only when
+        # the rows check itself failed or the read errored (r18
+        # advisor fix; r18 check.py also sets schema_match=True and
+        # counts 0-row rows-only results as failures, so the two gates
+        # agree in both directions on both old and new record files)
+        if v.get("oracle_rows") is None:
+            return bool(v.get("err")) or not v.get("rows_match")
+        return bool(v.get("err")) or not (v.get("rows_match")
+                                          and v.get("schema_match"))
+
+    red = sorted(k for k, v in merged.items() if is_red(v))
     green = sorted(k for k in merged if k not in red)
     hash_green = [k for k in green if merged[k].get("hash_match")]
     with open(out, "w") as f:

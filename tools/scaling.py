@@ -86,6 +86,16 @@ WAIVERS = {"dd_embedding_anchor": 12.0,
            "st_dedup": 6.0,
            "tx_ngram_freq": 6.0}
 
+# r18 (advisor): a STEP waiver's justification is a FIXED overhead (the
+# r17 three-point evidence: st_dedup 2.44s@sf1 -> 2.52s@sf10,
+# tx_ngram_freq 1.87s -> 1.15s), so each one carries an absolute sf1
+# ceiling ~2x its recorded step cost. A key whose large-scale time
+# exceeds the ceiling is no longer explained by the step — the waiver
+# EXPIRES and the slope gates un-waived, forcing the flat-next-decade
+# hypothesis to be re-tested instead of silently absorbing a genuine
+# 3-6x regression that happens to sit under the slope ceiling.
+STEP_CEILINGS = {"st_dedup": 5.0, "tx_ngram_freq": 4.0}
+
 # Keys faster than this at the LARGER scale are noise-exempt: a 0.1s ->
 # 0.4s "4x slope" is scheduler jitter, not a scale signal.
 MIN_SF1_SECONDS = 0.5
@@ -223,6 +233,69 @@ def bind_arbitration(doc, qa, qb):
     return keys
 
 
+def check_density_studies(violations):
+    """r18 (verdict ask #6): the round gate re-verifies the committed
+    density-study artifacts so a blocking-key change that regresses
+    candidates/doc cannot pass the gate until the study is re-run and
+    green. Reads the newest TEXT_DENSITY*.json / EMB_DENSITY*.json in
+    the working directory (the committed artifacts live at the repo
+    root, where the gate runs), recomputes the per-decade density
+    growth from the recorded points, and enforces the same ceilings the
+    standalone tools do (text: 3x/decade candidate density, 11x/decade
+    time; emb: the capped dial's 2xcap structural bound). Absent files
+    are skipped with a note — pre-r17 pairs have no study to check."""
+    import glob
+    import math
+    import os
+    text = sorted(glob.glob("TEXT_DENSITY*.json"), key=os.path.getmtime)
+    if not text:
+        print("note: no TEXT_DENSITY*.json found — text-density gate "
+              "skipped (run tools/text_density.py to create one)")
+    else:
+        with open(text[-1]) as f:
+            doc = json.load(f)
+        pts = sorted(doc.get("points", []), key=lambda d: d["docs"])
+        for v in doc.get("violations", []):
+            violations.append(f"text-density [{text[-1]}]: recorded "
+                              f"violation: {v}")
+        fams = {"minhash": ("candidates", "docs"),
+                "simhash": ("candidates", "docs"),
+                "containment": ("candidates", "docs"),
+                "cluster": ("edges", "reps")}
+        for pa, pb in zip(pts, pts[1:]):
+            dec = math.log10(pb["docs"] / pa["docs"])
+            if dec <= 0:
+                continue
+            for fam, (cf, df) in fams.items():
+                da = pa[fam][cf] / max(1, pa[fam].get(df, pa["docs"])
+                                       if df != "docs" else pa["docs"])
+                db = pb[fam][cf] / max(1, pb[fam].get(df, pb["docs"])
+                                       if df != "docs" else pb["docs"])
+                grow = (db / da) ** (1.0 / dec) if da > 0 else float("inf")
+                if grow > 3.0:
+                    violations.append(
+                        f"text-density [{text[-1]}]: {fam} candidate "
+                        f"density {grow:.1f}x/decade > 3.0 on "
+                        f"{pa['docs']}->{pb['docs']}")
+        print(f"text-density gate: {text[-1]} "
+              f"({len(pts)} points) re-verified")
+    emb = sorted(glob.glob("EMB_DENSITY*.json"), key=os.path.getmtime)
+    if emb:
+        with open(emb[-1]) as f:
+            doc = json.load(f)
+        for v in doc.get("violations", []):
+            violations.append(f"emb-density [{emb[-1]}]: recorded "
+                              f"violation: {v}")
+        for p in doc.get("points", []):
+            dc = 2.0 * p["cap_candidates"] / p["vecs"]
+            if dc > 2.0 * p["cap"]:
+                violations.append(
+                    f"emb-density [{emb[-1]}]: capped density "
+                    f"{dc:.0f}/vec > {2.0 * p['cap']:.0f} at n={p['vecs']}")
+        print(f"emb-density gate: {emb[-1]} "
+              f"({len(doc.get('points', []))} points) re-verified")
+
+
 def main():
     args = [x for x in sys.argv[1:] if x != "--check"]
     check = "--check" in sys.argv[1:]
@@ -270,7 +343,21 @@ def main():
                 violations.append(
                     f"{k}: ISOLATED slope {aslope:.1f}x > {limit:.1f}x")
         elif slope <= limit:
-            gate = "ok" if k not in WAIVERS else f"ok (waiver {limit:.1f}x)"
+            if (k in STEP_CEILINGS and slope > DEFAULT_MAX_SLOPE
+                    and tb > STEP_CEILINGS[k]):
+                # the step waiver is doing work (slope over the default
+                # gate) but the absolute cost outgrew the recorded step —
+                # the fixed-overhead explanation no longer holds
+                gate = (f"FAIL (step waiver expired: {tb:.2f}s > "
+                        f"{STEP_CEILINGS[k]:.1f}s ceiling)")
+                violations.append(
+                    f"{k}: {tb:.2f}s exceeds the step waiver's "
+                    f"{STEP_CEILINGS[k]:.1f}s absolute ceiling (slope "
+                    f"{slope:.1f}x) — re-test the flat-next-decade "
+                    "hypothesis with a third scale point")
+            else:
+                gate = ("ok" if k not in WAIVERS
+                        else f"ok (waiver {limit:.1f}x)")
         elif k in arb and arb[k].get("verdict") in ("ok", "noise-exempt"):
             aslope = arb[k].get("slope")
             gate = (f"ok (sweep {slope:.1f}x, arbitrated "
@@ -433,6 +520,7 @@ def main():
             violations.append(
                 f"keys present at only one scale (silently uncompared): "
                 f"{', '.join(lopsided)}")
+        check_density_studies(violations)
         if violations:
             print("\nSCALING GATE: FAIL")
             for v in violations:
