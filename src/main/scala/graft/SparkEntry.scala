@@ -557,7 +557,11 @@ object SparkEntry {
       case (ai, bi) =>
         s"list_min(list_transform(hs, h -> ($ai * h + $bi) % $p))"
     }.mkString(",\n      ")
-    s"""WITH $rec$prelude hs AS (
+    // sigs/banded are each referenced 2-3x downstream (candidate join +
+    // both sides of the estimate join); MATERIALIZED stops DuckDB's
+    // inlining from recomputing the 128-hash signature chain per
+    // reference (r18 — ~3x off the dd_cluster twin's 65-minute sf1 run)
+    s"""WITH $rec$prelude hs AS MATERIALIZED (
        |  SELECT doc_id,
        |    list_transform(list_distinct(string_split(text, ' ')), t ->
        |      CASE WHEN length(t) = 0 THEN 0
@@ -567,11 +571,11 @@ object SparkEntry {
        |             (acc, c) -> (acc * 31 + c) % $p)
        |      END) AS hs
        |  FROM $src),
-       |sigs AS (
+       |sigs AS MATERIALIZED (
        |  SELECT doc_id, [
        |      $sigExprs
        |    ] AS sig FROM hs),
-       |banded AS (
+       |banded AS MATERIALIZED (
        |  SELECT doc_id, band,
        |    list_reduce([band::BIGINT] || sig[band*$rows+1 : band*$rows+$rows],
        |      (acc, v) -> (acc * $a + v) % $p) AS bucket
@@ -677,10 +681,15 @@ object SparkEntry {
       else
         "(SELECT vec_id, iv, unnest(generate_series(0, 7)) AS t FROM base)"
     val planesCte = if (dynamicPlanes) embPlanesCte + ",\n" else ""
+    // bk/keptb/n/kept are each referenced twice (both sides of the
+    // pairing self-join / the mirror union) — MATERIALIZED stops the
+    // bucket expression and norm chain from evaluating per reference
+    // (r18; the anchor twin's sf1 run previously spilled to disk-full)
     val prCte =
       if (densityCap > 0)
-        s"""msz AS (SELECT t, bucket, count(*) AS m FROM bk GROUP BY 1, 2),
-           |keptb AS (
+        s"""msz AS MATERIALIZED (
+           |  SELECT t, bucket, count(*) AS m FROM bk GROUP BY 1, 2),
+           |keptb AS MATERIALIZED (
            |  SELECT vec_id, t, bucket FROM (
            |    SELECT b.vec_id, b.t, b.bucket,
            |           row_number() OVER (PARTITION BY b.vec_id
@@ -699,16 +708,16 @@ object SparkEntry {
           |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
           |  FROM bk a JOIN bk b
           |    ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id),""".stripMargin
-    s"""WITH ${planesCte}base AS (
+    s"""WITH ${planesCte}base AS MATERIALIZED (
        |  SELECT vec_id,
        |         list_transform(embedding,
        |           x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS iv
        |  FROM embeddings),
-       |bk AS (
+       |bk AS MATERIALIZED (
        |  SELECT vec_id, t, $bucketExpr AS bucket
        |  FROM $bkFrom),
        |$prCte
-       |n AS (
+       |n AS MATERIALIZED (
        |  SELECT vec_id, embedding, ${dotSql("embedding", "embedding")} AS nrm
        |  FROM embeddings),
        |c AS (
@@ -716,7 +725,8 @@ object SparkEntry {
        |         CAST(${dotSql("a.embedding", "b.embedding")} AS DOUBLE)
        |           / (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))) AS cosine
        |  FROM pr JOIN n a ON pr.vec_a = a.vec_id JOIN n b ON pr.vec_b = b.vec_id),
-       |kept AS (SELECT vec_a, vec_b, cosine FROM c WHERE cosine >= 0.3),
+       |kept AS MATERIALIZED (
+       |  SELECT vec_a, vec_b, cosine FROM c WHERE cosine >= 0.3),
        |mir AS (
        |  SELECT vec_a AS vec_id, vec_b AS neighbor_id, cosine FROM kept
        |  UNION ALL
@@ -809,18 +819,27 @@ object SparkEntry {
     *  - the probe is the sim_ann-proven cosineDouble chain + row-number
     *    windows with the (cosine DESC, vec_id) tie-break.
     * Cells that lose all members keep their previous centroid (the LEFT
-    * JOIN + coalesce mirrors the Spark loop's no-member branch). */
+    * JOIN + coalesce mirrors the Spark loop's no-member branch).
+    *
+    * Every CTE is `AS MATERIALIZED` (r18): each round references the
+    * previous round's `cent` CTE twice (the assignment AND the
+    * carry-forward join), so DuckDB's default inlining re-evaluates the
+    * whole upstream chain per reference — 2^iters expansions of the
+    * n×cells assignment. That is why this twin finished at sf0.1 but
+    * spilled tens of GB without terminating at sf1 in r17.
+    * Materialization evaluates each round exactly once (the semantics
+    * are identical); the sf1 twin completes in minutes. */
   private def ivfCtes(iters: Int): String = {
     val sb = new StringBuilder
     sb.append(
-      """WITH prm AS (
+      """WITH prm AS MATERIALIZED (
         |  SELECT CAST(greatest(2, ceil(sqrt(count(*)))) AS INTEGER) AS cells
         |  FROM embeddings),
-        |np AS (
+        |np AS MATERIALIZED (
         |  SELECT greatest(1, CAST(ceil(cells * CAST(0.27 AS DOUBLE))
         |           AS INTEGER)) AS np
         |  FROM prm),
-        |cent0 AS (
+        |cent0 AS MATERIALIZED (
         |  SELECT CAST(row_number() OVER (
         |           ORDER BY (vec_id * 48271) % 2147483647, vec_id) - 1
         |         AS INTEGER) AS cell,
@@ -829,14 +848,14 @@ object SparkEntry {
         |  QUALIFY row_number() OVER (
         |            ORDER BY (vec_id * 48271) % 2147483647, vec_id)
         |          <= (SELECT cells FROM prm)),
-        |qs AS (
+        |qs AS MATERIALIZED (
         |  SELECT vec_id,
         |         list_transform(embedding, v ->
         |           CAST(CAST(CAST(v AS DOUBLE) AS DECIMAL(9,7)) * 10000000
         |                AS HUGEINT)) AS q
         |  FROM embeddings),""".stripMargin)
     def assignCte(name: String, cent: String): String =
-      s"""$name AS (
+      s"""$name AS MATERIALIZED (
          |  SELECT vec_id, cell FROM (
          |    SELECT e.vec_id, c.cell,
          |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
@@ -850,19 +869,19 @@ object SparkEntry {
     for (r <- 1 to iters) {
       sb.append("\n").append(assignCte(s"a$r", s"cent${r - 1}")).append(",")
       sb.append(s"""
-         |sc$r AS (
+         |sc$r AS MATERIALIZED (
          |  SELECT a.cell, t.j, sum(q.q[t.j]) AS sv,
          |         CAST(count(*) AS HUGEINT) AS c
          |  FROM a$r a JOIN qs q USING (vec_id),
          |       unnest(generate_series(1, len(q.q))) AS t(j)
          |  GROUP BY a.cell, t.j),
-         |m$r AS (
+         |m$r AS MATERIALIZED (
          |  SELECT cell,
          |         list(CASE WHEN sv >= 0 THEN (2 * sv + c) // (2 * c)
          |                   ELSE -((2 * (-sv) + c) // (2 * c)) END
          |              ORDER BY j) AS mu
          |  FROM sc$r GROUP BY cell),
-         |cent$r AS (
+         |cent$r AS MATERIALIZED (
          |  SELECT p.cell,
          |         coalesce(list_transform(m.mu, u ->
          |           CAST(CAST(CAST(u AS DOUBLE) / 10000000 AS REAL) AS DOUBLE)),
@@ -1000,16 +1019,19 @@ object SparkEntry {
     // recursive-CTE transitive closure (Spark's propagation loop and the
     // closure both converge to min-id-in-component)
     "dd_cluster" -> {
+      // t0/r0/reps are each read 2-3x downstream (the verify join reads
+      // reps twice, the final projection reads r0 again) — MATERIALIZED
+      // keeps the token-sort pass single-evaluation (r18)
       val prelude =
-        """t0 AS (
+        """t0 AS MATERIALIZED (
           |  SELECT doc_id, text,
           |         list_sort(list_distinct(string_split(text, ' '))) AS toks
           |  FROM documents),
-          |r0 AS (
+          |r0 AS MATERIALIZED (
           |  SELECT doc_id, toks,
           |         min(doc_id) OVER (PARTITION BY toks) AS rep_id
           |  FROM t0),
-          |reps AS (
+          |reps AS MATERIALIZED (
           |  SELECT r0.doc_id, r0.toks, CAST(len(r0.toks) AS BIGINT) AS n,
           |         t0.text
           |  FROM r0 JOIN t0 ON t0.doc_id = r0.doc_id
@@ -1841,8 +1863,17 @@ object SparkEntry {
         |ORDER BY g.doc_id""".stripMargin,
 
     // exhaustive twin of the prefix-filtered containment join (the prefix
-    // candidates have zero false negatives, so all-pairs is the same set);
-    // the threshold is the shared integer predicate, exact in both engines
+    // candidates have zero false negatives, so the full inverted-index
+    // join is the same set); the threshold is the shared integer
+    // predicate, exact in both engines. r18: the twin pairs docs through
+    // an exploded (doc, shingle) self-join + group-count instead of the
+    // former all-pairs list_intersect — identical output (per-doc
+    // shingles are distinct, so the join count IS the intersection
+    // size, and zero-overlap pairs cannot pass n_common >= 0.8·n_a),
+    // but Σ df(shingle)² work instead of n²·|toks|: the all-pairs form
+    // ran 6+ hours at sf1 without finishing, this one takes minutes.
+    // No prefix trick is used, so the oracle stays independent of the
+    // engine's PPJoin candidate generation.
     "dd_containment" ->
       """WITH g AS (
         |  SELECT doc_id,
@@ -1850,13 +1881,22 @@ object SparkEntry {
         |           generate_series(0, greatest(len(string_split(text, ' ')) - 3, 0)),
         |           i -> array_to_string((string_split(text, ' '))[i+1:i+3], ' ')))) AS toks
         |  FROM documents),
-        |t AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM g)
-        |SELECT a.doc_id AS contained_id, b.doc_id AS container_id,
-        |       a.n AS n_a, b.n AS n_b,
-        |       CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS n_common,
-        |       CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / a.n AS containment
-        |FROM t a JOIN t b ON a.doc_id <> b.doc_id
-        |WHERE len(list_intersect(a.toks, b.toks)) * 100 >= 80 * a.n
+        |t AS MATERIALIZED (
+        |  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM g),
+        |x AS MATERIALIZED (
+        |  SELECT doc_id, unnest(toks) AS tok FROM t),
+        |p AS MATERIALIZED (
+        |  SELECT a.doc_id AS contained_id, b.doc_id AS container_id,
+        |         CAST(count(*) AS BIGINT) AS n_common
+        |  FROM x a JOIN x b ON a.tok = b.tok AND a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT p.contained_id, p.container_id,
+        |       ta.n AS n_a, tb.n AS n_b, p.n_common,
+        |       CAST(p.n_common AS DOUBLE) / ta.n AS containment
+        |FROM p
+        |JOIN t ta ON ta.doc_id = p.contained_id
+        |JOIN t tb ON tb.doc_id = p.container_id
+        |WHERE p.n_common * 100 >= 80 * ta.n
         |ORDER BY contained_id, container_id""".stripMargin,
 
     // tf in-row over the token list, df via distinct (doc, term) counts,
