@@ -68,4 +68,29 @@ class BenchmarkingSpec extends AnyFunSuite {
     val expected = li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp")).count()
     assert(total === expected)
   }
+
+  test("decToDouble single-rounds decimals past 2^53 scaled (r18)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // the sf1 finding: a DECIMAL(22,6) whose scaled integer exceeds
+    // 2^53 — the direct decimal→double cast double-rounds in DuckDB
+    // (int128→double then /10^6) where Spark single-rounds, so
+    // corpus-scale roll-ups convert through the exact decimal string
+    // on both sides. Pin the Spark half: decToDouble(x) equals the
+    // correctly-rounded parse of x's exact digits, for values around
+    // the observed divergence point and at 10× it.
+    val cases = Seq("27864155010.941593", "27864155010.941592",
+      "278641550109.415926", "9007199254.740993", "0.000001")
+    val rows = cases.map(s => Row(new java.math.BigDecimal(s)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows),
+      StructType(Seq(StructField("d", DecimalType(22, 6)))))
+    val got = df.select(
+      graft.functions.ExactCast.decToDouble(col("d")).as("v"))
+      .collect().map(_.getDouble(0))
+    val want = cases.map(java.lang.Double.parseDouble)
+    assert(got.toSeq === want.toSeq,
+      "decToDouble must equal the correctly-rounded parse of the " +
+        "decimal's exact digit string")
+  }
 }
