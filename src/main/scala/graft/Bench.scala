@@ -13,14 +13,22 @@ object Bench {
     // and warn under max(8 GB, 12x). SPARK_GRAFT_NO_DISK_GUARD=1
     // overrides the refusal for deliberately tight environments.
     locally {
+      // symlinks are skipped: a link into the dataset (or a link cycle)
+      // would double-count or never terminate — only regular files count
       def dirBytes(f: java.io.File): Long =
-        if (f.isFile) f.length()
+        if (java.nio.file.Files.isSymbolicLink(f.toPath)) 0L
+        else if (f.isFile) f.length()
         else Option(f.listFiles()).map(_.map(dirBytes).sum).getOrElse(0L)
       val data = dirBytes(new java.io.File(sfDir))
       val local = new java.io.File(
         sys.env.getOrElse("SPARK_LOCAL_DIRS",
           sys.props.getOrElse("java.io.tmpdir", "/tmp")).split(",").head)
-      val free = local.getUsableSpace
+      // getUsableSpace on a not-yet-created dir returns 0, which would
+      // hard-refuse every run on a path Spark itself would mkdir — walk
+      // up to the nearest EXISTING ancestor and read the volume there
+      val probe = Iterator.iterate(local.getAbsoluteFile)(_.getParentFile)
+        .takeWhile(_ != null).find(_.exists()).getOrElse(local)
+      val free = probe.getUsableSpace
       val gb = 1L << 30
       val hard = 4L * data
       val soft = math.max(8L * gb, 12L * data)

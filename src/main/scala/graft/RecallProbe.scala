@@ -120,7 +120,10 @@ object RecallProbe {
     // dial in each round equally, so the minima are comparable.
     // escalated-query share per auto probe (thread-local, captured right
     // after each call): the cost dial's other half — `_auto_cost_x`
-    // bounds the price, `_auto_escalated` pins WHO pays it (background
+    // bounds the price, `_auto_escalated_frac` pins WHO pays it — an
+    // escalated-query FRACTION, 0.0..1.0, NOT a recall (r19 rename: the
+    // old `_auto_escalated` name sat beside true recalls where a planted
+    // 0.0 — the ideal — read as catastrophic) (background
     // corpus: everything escalates by design; planted corpus: nothing
     // should). Both gate in tools/scaling.py (r15).
     val escFrac = scala.collection.mutable.Map[String, Double]()
@@ -169,13 +172,13 @@ object RecallProbe {
       "sim_ann_lsh_planted" ->
         recallOf(collectHits(AnnLsh.topKBatch(augmented, qids, k)), truthPlanted),
       "sim_ann_lsh_auto" -> recallOf(lshAuto, truth),
-      "sim_ann_lsh_auto_escalated" -> escFrac.getOrElse("lsh", -1.0),
+      "sim_ann_lsh_auto_escalated_frac" -> escFrac.getOrElse("lsh", -1.0),
       "sim_ann_lsh_auto_planted" -> {
         val r = recallOf(collectHits(
           AdaptiveAnn.lshTopKBatchAuto(augmented, qids, k)), truthPlanted)
         escFrac("lsh_planted") = AdaptiveAnn.lastEscalatedFraction; r
       },
-      "sim_ann_lsh_auto_escalated_planted" ->
+      "sim_ann_lsh_auto_escalated_frac_planted" ->
         escFrac.getOrElse("lsh_planted", -1.0),
       "sim_ann_lsh_budget" -> recallOf(lshBudget, truth),
       "sim_ann_lsh_default_cost_x" ->
@@ -189,13 +192,13 @@ object RecallProbe {
       "sim_ivf_planted" ->
         recallOf(collectHits(Ivf.topKBatch(augmented, cents, qids, k)), truthPlanted),
       "sim_ivf_auto" -> recallOf(ivfAuto, truth),
-      "sim_ivf_auto_escalated" -> escFrac.getOrElse("ivf", -1.0),
+      "sim_ivf_auto_escalated_frac" -> escFrac.getOrElse("ivf", -1.0),
       "sim_ivf_auto_planted" -> {
         val r = recallOf(collectHits(
           AdaptiveAnn.ivfTopKBatchAuto(augmented, cents, qids, k)), truthPlanted)
         escFrac("ivf_planted") = AdaptiveAnn.lastEscalatedFraction; r
       },
-      "sim_ivf_auto_escalated_planted" ->
+      "sim_ivf_auto_escalated_frac_planted" ->
         escFrac.getOrElse("ivf_planted", -1.0),
       "sim_ivf_budget" -> recallOf(ivfBudget, truth),
       "sim_ivf_default_cost_x" ->

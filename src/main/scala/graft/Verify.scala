@@ -6,6 +6,15 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
+    // SPARK_GRAFT_SQL_ONLY=1: render oracle_sql.json and exit without a
+    // Spark session — the determinism lint (tools/lint_oracle.py, r19)
+    // needs the RENDERED SQL (builder-interpolated strings) but not the
+    // query dumps, and the map itself is pure code
+    if (sys.env.get("SPARK_GRAFT_SQL_ONLY").contains("1")) {
+      new java.io.File(outDir).mkdirs()
+      writeOracleSql(outDir, None)
+      return
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -32,6 +41,11 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    writeOracleSql(outDir, only)
+    spark.stop()
+  }
+
+  private def writeOracleSql(outDir: String, only: Option[Set[String]]): Unit = {
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -48,6 +62,5 @@ object Verify {
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    spark.stop()
   }
 }

@@ -381,4 +381,143 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(corpusShuffles === 0, s"corpus doc_id shuffle present:\n$p")
     assert(p.contains("Generate explode"), "epoch rows are not a scan-side explode:\n" + p)
   }
+
+  // ---- determinism lint (r19, verdict ask #5) --------------------------
+  // SURVEY §4 rule 1 as a living check: a DECIMAL aggregate converted to
+  // DOUBLE by a direct cast single-rounds in Spark but double-rounds in
+  // DuckDB once the scaled integer passes 2^53, so every UNBOUNDED decimal
+  // roll-up must route through ExactCast.decToDouble (the string hop,
+  // whose analyzed form is Cast(Cast(agg, String), Double) and therefore
+  // never matches here). Bounded-window sums keep the direct cast by
+  // contract — window aggregates live under WindowExpression, which is
+  // explicitly excluded. The oracle-SQL side of the same rule is
+  // tools/lint_oracle.py.
+  private def directDecimalAggCasts(df: DataFrame): Seq[String] = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, WindowExpression}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val analyzed = df.queryExecution.analyzed
+    // exprIds of decimal-typed aggregate RESULTS, so a cast applied in a
+    // Project above the Aggregate is caught too; plain group keys are not
+    // collected — casting a single decimal VALUE is one exact rounding
+    val aggIds = analyzed.collect { case a: Aggregate =>
+      a.aggregateExpressions.collect {
+        case al: Alias if al.dataType.isInstanceOf[DecimalType] &&
+            al.child.exists(_.isInstanceOf[AggregateExpression]) =>
+          al.exprId
+      }
+    }.flatten.toSet
+    val hits = scala.collection.mutable.ListBuffer[String]()
+    analyzed.foreach { node =>
+      node.expressions.foreach(_.foreach {
+        case c: Cast if c.dataType == DoubleType =>
+          c.child match {
+            case ar: AttributeReference if aggIds.contains(ar.exprId) =>
+              hits += c.sql
+            case ch if ch.dataType.isInstanceOf[DecimalType] &&
+                ch.exists(_.isInstanceOf[AggregateExpression]) &&
+                !ch.exists(_.isInstanceOf[WindowExpression]) =>
+              hits += c.sql
+            case _ => ()
+          }
+        case _ => ()
+      })
+    }
+    hits.toList
+  }
+
+  /** Direct decimal-agg->double casts that are BOUNDED BY THE DATA MODEL
+    * and therefore exact-safe at any corpus size (ExactCast's contract:
+    * the string hop is for UNBOUNDED roll-ups). Every entry here is a
+    * per-high-cardinality-key aggregate whose GROUP SIZE is
+    * scale-invariant — the corpus grows by adding entities (ScaleUp
+    * salts new buildings/customers/docs), never by growing one entity's
+    * history — so the summed magnitude at sf1000 equals the magnitude
+    * verified hash-exact at sf0.01/sf0.1/sf1. A NEW key (or a new cast
+    * in an old key) fails the lint below until it either routes through
+    * decToDouble or earns a waiver here with the same boundedness
+    * argument.
+    *
+    *  - s1/s2: per-(entity, rule) z-score sufficient statistics over
+    *    that entity's OWN readings (AnomalyRules.zscore).
+    *  - spend_dec: per-entity order spend (Benchmarking.entityMetrics);
+    *    orders-per-customer is constant across SF in the TPC-H model.
+    *    The CORPUS-scale re-roll-ups of these per-entity values are the
+    *    r18 decToDouble sites (Benchmarking.scala:142-147) — not waived.
+    *  - v_dec/vdec: per-(entity, resample-bucket) / per-session sums —
+    *    windows of fixed span over one entity's readings.
+    */
+  private val boundedDecimalCastWaivers: Map[String, Set[String]] = {
+    val zscoreStats = Set("CAST(s1 AS DOUBLE)", "CAST(s2 AS DOUBLE)")
+    val entitySpend = Set("CAST(spend_dec AS DOUBLE)")
+    Map(
+      "ad_all_rules" -> zscoreStats,
+      "ad_zscore" -> zscoreStats,
+      "al_filter_rule" -> zscoreStats,
+      "al_summary_rules" -> zscoreStats,
+      "al_summary_top" -> zscoreStats,
+      "bm_co2" -> entitySpend,
+      "bm_entity_metrics" -> entitySpend,
+      "bm_group_summary" -> entitySpend,
+      "bm_percentile" -> entitySpend,
+      "bm_portfolio_summary" -> entitySpend,
+      "bm_rating_dist" -> entitySpend,
+      "bm_recommendations" -> entitySpend,
+      "bm_representatives" -> entitySpend,
+      "bm_top_entities" -> entitySpend,
+      "bm_type_shares" -> entitySpend,
+      "q_topk_custom" -> entitySpend,
+      "st_session" -> Set("CAST(vdec AS DOUBLE)"),
+      "ts_resample" -> Set("CAST(v_dec AS DOUBLE)"),
+      "ts_sessionize" -> Set("CAST(v_dec AS DOUBLE)"))
+  }
+
+  test("no registered key casts an unbounded decimal aggregate straight to double") {
+    spark.sharedState.cacheManager.clearCache()
+    val flagged = SparkEntry.queries.toSeq.sortBy(_._1).map {
+      case (name, fn) => name -> directDecimalAggCasts(fn(spark, sf)).toSet
+    }
+    val offenders = flagged.flatMap { case (name, casts) =>
+      val unwaived = casts -- boundedDecimalCastWaivers.getOrElse(name, Set.empty)
+      if (unwaived.nonEmpty) Some(s"$name: ${unwaived.mkString("; ")}") else None
+    }
+    assert(offenders.isEmpty,
+      "direct decimal-aggregate->double casts with no boundedness waiver " +
+        "(use ExactCast.decToDouble, or document why the group size is " +
+        "scale-invariant; SURVEY §4 rule 1):\n" + offenders.mkString("\n"))
+    // and the waiver table cannot rot: every waived cast must still exist
+    val byKey = flagged.toMap
+    val stale = boundedDecimalCastWaivers.toSeq.flatMap { case (name, waived) =>
+      val missing = waived -- byKey.getOrElse(name, Set.empty)
+      if (missing.nonEmpty) Some(s"$name: ${missing.mkString("; ")}") else None
+    }
+    assert(stale.isEmpty, "stale waivers (cast no longer present — drop " +
+      "the entry):\n" + stale.mkString("\n"))
+  }
+
+  test("the decimal-cast lint fires on a planted direct cast") {
+    // the parquet columns are physical doubles — the engine constructs
+    // decimals for exact accumulation, so the planted shapes do too
+    val li = Tables.lineitem(spark, sf)
+      .withColumn("price_dec", col("l_extendedprice").cast("decimal(18,2)"))
+    // the exact shape that diverged at sf1 in r17: an unbounded decimal
+    // roll-up cast directly — inline in the Aggregate...
+    val inline = li.groupBy(col("l_returnflag"))
+      .agg(sum(col("price_dec")).cast("double").as("bad"))
+    assert(directDecimalAggCasts(inline).nonEmpty)
+    // ...and one Project above it (the lint must see through the attr)
+    val above = li.groupBy(col("l_returnflag"))
+      .agg(sum(col("price_dec")).as("s"))
+      .select(col("s").cast("double").as("bad"))
+    assert(directDecimalAggCasts(above).nonEmpty)
+    // while the decToDouble form and a bounded-window cast stay clean
+    val good = li.groupBy(col("l_returnflag"))
+      .agg(graft.functions.ExactCast.decToDouble(sum(col("price_dec"))).as("ok"))
+    assert(directDecimalAggCasts(good).isEmpty)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("l_suppkey").orderBy("l_orderkey").rowsBetween(-23, 0)
+    val windowed = li.select(sum(col("price_dec")).over(w).cast("double").as("ok"))
+    assert(directDecimalAggCasts(windowed).isEmpty)
+  }
 }

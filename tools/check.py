@@ -3,6 +3,12 @@
 
 Usage: python3 tools/check.py <sfDir> <outDir> [--json FILE]
                               [--only k1,k2]
+Env: GRAFT_CHECK_THREADS / GRAFT_CHECK_MEM / GRAFT_CHECK_TMP (DuckDB
+     threads / memory_limit / temp_directory), GRAFT_CHECK_ONLY (key
+     subset), GRAFT_CHECK_WORKERS (fan-out width — divides the spill
+     dir's free-space headroom into per-process max_temp_directory_size
+     quotas so parallel twins cannot collectively fill the disk),
+     GRAFT_CHECK_NO_DISK_GUARD=1 (override the preflight refusal).
   - <outDir> is what `sbt "runMain graft.Verify <sfDir> <outDir>"` wrote.
   - Registers the sf tables as DuckDB views, runs each oracle_sql.json
     entry, and compares against the Spark parquet dump: columns sorted by
@@ -45,31 +51,44 @@ def dir_bytes(path: str) -> int:
     return total
 
 
-def preflight_disk(sf_dir: str, spill_dir: str) -> None:
+def preflight_disk(sf_dir: str, spill_dir: str) -> int:
     """r18 (verdict ask #3): the r17 sf10 sweep lost a key to a
     transient disk-full when the DuckDB oracle spill collided with a
     Spark shuffle on the same disk. Refuse to start when free space on
     the spill target is below the dataset's own footprint x4 (the heavy
     dd_* twins materialize multi-pass intermediates), and warn below a
     12x soft threshold. GRAFT_CHECK_NO_DISK_GUARD=1 overrides the
-    refusal for deliberately tight environments."""
+    refusal for deliberately tight environments.
+
+    r19 (advisor): the hard refusal only applies when a spill dir IS
+    configured — without temp_directory this in-memory connection never
+    spills, so blocking on free space at '.' blocked runs that would
+    not have touched that volume at all. Unconfigured spill keeps the
+    soft warning (a heavy twin will OOM at the memory cap instead of
+    spilling, worth knowing about) but never refuses.
+
+    Returns the free-space HEADROOM in bytes above the hard floor (the
+    budget the per-worker spill quota divides — see main())."""
     data = dir_bytes(sf_dir)
     free = shutil.disk_usage(spill_dir or ".").free
     hard, soft = 4 * data, max(8 << 30, 12 * data)
     gb = 1 << 30
-    if free < hard and os.environ.get("GRAFT_CHECK_NO_DISK_GUARD") != "1":
+    if (spill_dir and free < hard
+            and os.environ.get("GRAFT_CHECK_NO_DISK_GUARD") != "1"):
         raise SystemExit(
             f"disk preflight: {free / gb:.1f} GB free at "
-            f"{spill_dir or os.getcwd()} < {hard / gb:.1f} GB "
+            f"{spill_dir} < {hard / gb:.1f} GB "
             f"(4x the {data / gb:.1f} GB dataset) — the oracle twins "
             "would die mid-run on a full disk; free space, point "
             "GRAFT_CHECK_TMP at a roomier volume, or set "
             "GRAFT_CHECK_NO_DISK_GUARD=1 to proceed anyway")
     if free < soft:
-        print(f"WARNING: disk preflight: {free / gb:.1f} GB free < "
-              f"{soft / gb:.1f} GB soft threshold for a "
-              f"{data / gb:.1f} GB dataset — heavy twins may spill "
-              "past it; watch disk during the run", flush=True)
+        where = spill_dir or f"{os.getcwd()} (no spill dir configured)"
+        print(f"WARNING: disk preflight: {free / gb:.1f} GB free at "
+              f"{where} < {soft / gb:.1f} GB soft threshold for a "
+              f"{data / gb:.1f} GB dataset — heavy twins may "
+              "spill/OOM past it; watch disk during the run", flush=True)
+    return max(0, free - hard)
 
 # Keys whose oracle is a rows+schema contract, not a full value hash: the
 # named columns hold engine-specific estimates (HLL / KLL sketches, the
@@ -124,7 +143,28 @@ def main(sf_dir: str, out_dir: str, json_out: str = None,
     if tmp:
         os.makedirs(tmp, exist_ok=True)
         con.execute(f"SET temp_directory='{sql_path(tmp)}'")
-    preflight_disk(sf_dir, tmp)
+    headroom = preflight_disk(sf_dir, tmp)
+    # r19 (verdict ask #4): the start-time preflight is necessary but not
+    # sufficient — SURVEY §22 records 12 parallel per-key processes whose
+    # spills COLLECTIVELY blew through a headroom each one individually
+    # fit in. Turn the preflight into a RUNNING guard: GRAFT_CHECK_WORKERS
+    # (the fan-out width; default 1) divides the measured headroom into
+    # per-process max_temp_directory_size quotas, so the fan-out cannot
+    # exceed what the preflight approved — a twin that needs more than
+    # its share dies with DuckDB's named quota error instead of filling
+    # the disk under everyone.
+    if tmp:
+        workers = max(1, int(os.environ.get("GRAFT_CHECK_WORKERS", "1")))
+        # a zero headroom only arises under GRAFT_CHECK_NO_DISK_GUARD=1
+        # (the guard would have refused otherwise) — keep a 512MB floor
+        # so the explicit override still lets small twins spill at all
+        quota = max(headroom // workers, 512 << 20)
+        con.execute(f"SET max_temp_directory_size='{quota // (1 << 20)}MB'")
+        if workers > 1:
+            print(f"spill guard: {workers} workers share "
+                  f"{headroom / (1 << 30):.1f} GB headroom -> "
+                  f"{quota / (1 << 30):.1f} GB max_temp_directory_size "
+                  "each", flush=True)
     for t in TABLES:
         # two layouts: the driver's single-file tables (sf0.01/sf0.1) and
         # ScaleUp's Spark-written DIRECTORIES (testdata-sf1, /tmp/sf10) —

@@ -262,23 +262,54 @@ def check_density_studies(violations):
                 "simhash": ("candidates", "docs"),
                 "containment": ("candidates", "docs"),
                 "cluster": ("edges", "reps")}
+        # text_density.py's TIME ceiling (11x/decade = 10x data + slack);
+        # keep in sync with tools/text_density.py MAX_SLOPE_PER_DECADE
+        max_time_slope = 11.0
         for pa, pb in zip(pts, pts[1:]):
             dec = math.log10(pb["docs"] / pa["docs"])
             if dec <= 0:
                 continue
             for fam, (cf, df) in fams.items():
-                da = pa[fam][cf] / max(1, pa[fam].get(df, pa["docs"])
-                                       if df != "docs" else pa["docs"])
-                db = pb[fam][cf] / max(1, pb[fam].get(df, pb["docs"])
-                                       if df != "docs" else pb["docs"])
-                grow = (db / da) ** (1.0 / dec) if da > 0 else float("inf")
+                # r19 (advisor): an older/partial artifact missing a
+                # family or field must surface as a NAMED violation, not
+                # a KeyError that kills the whole gate
+                fa, fb = pa.get(fam), pb.get(fam)
+                if (not isinstance(fa, dict) or not isinstance(fb, dict)
+                        or cf not in fa or cf not in fb):
+                    violations.append(
+                        f"text-density [{text[-1]}]: malformed artifact — "
+                        f"family '{fam}' (field '{cf}') absent at "
+                        f"{pa['docs']}->{pb['docs']}; re-run "
+                        "tools/text_density.py")
+                    continue
+                da = fa[cf] / max(1, fa.get(df, pa["docs"])
+                                  if df != "docs" else pa["docs"])
+                db = fb[cf] / max(1, fb.get(df, pb["docs"])
+                                  if df != "docs" else pb["docs"])
+                # both zero = flat (nothing grew); only a 0->nonzero
+                # step is genuinely unbounded growth
+                grow = (0.0 if db == 0 else float("inf")) if da == 0 \
+                    else (db / da) ** (1.0 / dec)
                 if grow > 3.0:
                     violations.append(
                         f"text-density [{text[-1]}]: {fam} candidate "
                         f"density {grow:.1f}x/decade > 3.0 on "
                         f"{pa['docs']}->{pb['docs']}")
+                # r19 (advisor): the docstring promised the TIME ceiling
+                # was re-enforced but only density was — recompute the
+                # per-decade full-time slope from the recorded `full`
+                # seconds exactly as text_density.py does at study time
+                ta, tb = fa.get("full"), fb.get("full")
+                if ta and tb and ta > 0:
+                    tslope = (tb / ta) ** (1.0 / dec)
+                    if tslope > max_time_slope:
+                        violations.append(
+                            f"text-density [{text[-1]}]: {fam} full-time "
+                            f"slope {tslope:.1f}x/decade > "
+                            f"{max_time_slope} on "
+                            f"{pa['docs']}->{pb['docs']}")
         print(f"text-density gate: {text[-1]} "
-              f"({len(pts)} points) re-verified")
+              f"({len(pts)} points) re-verified (density + time slopes)")
     emb = sorted(glob.glob("EMB_DENSITY*.json"), key=os.path.getmtime)
     if emb:
         with open(emb[-1]) as f:
@@ -287,11 +318,21 @@ def check_density_studies(violations):
             violations.append(f"emb-density [{emb[-1]}]: recorded "
                               f"violation: {v}")
         for p in doc.get("points", []):
-            dc = 2.0 * p["cap_candidates"] / p["vecs"]
-            if dc > 2.0 * p["cap"]:
+            # r19 (advisor): guard field access — a partial artifact
+            # becomes a named violation, not a KeyError crash
+            cap, cc, vecs = (p.get("cap"), p.get("cap_candidates"),
+                             p.get("vecs"))
+            if cap is None or cc is None or not vecs:
+                violations.append(
+                    f"emb-density [{emb[-1]}]: malformed artifact — "
+                    f"cap/cap_candidates/vecs missing in point "
+                    f"{json.dumps(p)[:80]}; re-run tools/emb_density.py")
+                continue
+            dc = 2.0 * cc / vecs
+            if dc > 2.0 * cap:
                 violations.append(
                     f"emb-density [{emb[-1]}]: capped density "
-                    f"{dc:.0f}/vec > {2.0 * p['cap']:.0f} at n={p['vecs']}")
+                    f"{dc:.0f}/vec > {2.0 * cap:.0f} at n={vecs}")
         print(f"emb-density gate: {emb[-1]} "
               f"({len(doc.get('points', []))} points) re-verified")
 
@@ -414,8 +455,13 @@ def main():
         for fam in ("sim_ann_lsh", "sim_ivf"):
             auto = r.get(f"{fam}_auto_cost_x")
             dflt = r.get(f"{fam}_default_cost_x")
-            bg = r.get(f"{fam}_auto_escalated")
-            pl = r.get(f"{fam}_auto_escalated_planted")
+            # r19 rename: the escalated-query FRACTION now carries _frac
+            # so it can't be misread as a recall; pre-r19 bench files
+            # keep the old names — fall back for cross-round reads
+            bg = r.get(f"{fam}_auto_escalated_frac",
+                       r.get(f"{fam}_auto_escalated"))
+            pl = r.get(f"{fam}_auto_escalated_frac_planted",
+                       r.get(f"{fam}_auto_escalated_planted"))
             if auto is not None and dflt is not None and auto > 0 and dflt > 0:
                 lim = 1.0 + dflt + AUTO_COST_SLACK
                 print(f"{fam} auto @ {name}: cost {auto:.2f}x "
