@@ -582,20 +582,75 @@ object SparkEntry {
        |  FROM sigs CROSS JOIN (SELECT unnest(range($bands)) AS band))""".stripMargin
   }
 
+  /** dd_minhash_lsh twin, narrow-row form (r19). The r18 shape — DISTINCT
+    * candidate pairs joined back to `sigs` twice and compared with
+    * `list_filter` — carried two 1 KB signature lists per candidate
+    * through the join stack; at sf10 (500k docs, 187M distinct
+    * candidates) DuckDB materialized >63 GB of spill and died at any
+    * quota this box can grant. This form computes the SAME output with
+    * no list payload ever crossing a >500k-row join, via exact integer
+    * arithmetic:
+    *
+    *  1. `cand2`: candidate pairs colliding in >= 2 bands. Lossless for
+    *     the 0.95 threshold by pigeonhole: est >= 0.95 means >= 122 of
+    *     128 positions match, so <= 6 mismatches, so >= 2 of the 8
+    *     16-row bands match in FULL — and a fully-matching band's bucket
+    *     (a deterministic function of the band slice) collides.
+    *  2. `cm`: per-pair count of matching 4-position chunks, each chunk
+    *     packed EXACTLY into a HUGEINT (4 x 31-bit values, 124 bits) —
+    *     chunk equality iff all 4 positions equal, no hashing. Keep
+    *     pairs with >= 26 matching chunks (<= 6 position mismatches can
+    *     spoil at most 6 chunks).
+    *  3. `rep`: for survivors, re-count matches INSIDE their <= 6
+    *     mismatched chunks position-by-position.
+    *     matches = 4*cm + rep, and est = matches::DOUBLE / 128 is the
+    *     identical IEEE value (integer cast + power-of-two divide).
+    *
+    * Measured at sf10: the old form never finished (63 GB spill wall);
+    * this one is all narrow streams with sub-3 GB aggregation states. */
   private lazy val minhashOracleSql: String = {
     s"""${minhashCtes(8)},
-       |cand AS (
-       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |cand2 AS MATERIALIZED (
+       |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
        |  FROM banded x JOIN banded y
-       |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id)
-       |SELECT doc_a, doc_b,
-       |  len(list_filter(range(1, 129), i -> sa.sig[i] = sb.sig[i]))::DOUBLE / 128
-       |    AS jaccard_est
-       |FROM cand
-       |JOIN sigs sa ON sa.doc_id = cand.doc_a
-       |JOIN sigs sb ON sb.doc_id = cand.doc_b
-       |WHERE len(list_filter(range(1, 129), i -> sa.sig[i] = sb.sig[i]))::DOUBLE / 128 >= 0.95
-       |ORDER BY doc_a, doc_b""".stripMargin
+       |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2
+       |  HAVING count(*) >= 2),
+       |chunks AS MATERIALIZED (
+       |  SELECT doc_id, ci,
+       |    ((sig[ci*4+1]::HUGEINT * 2147483648 + sig[ci*4+2]) * 2147483648
+       |      + sig[ci*4+3]) * 2147483648 + sig[ci*4+4] AS cv
+       |  FROM sigs CROSS JOIN (SELECT unnest(range(32)) AS ci)),
+       |cm AS MATERIALIZED (
+       |  SELECT c.doc_a, c.doc_b, count(*) AS cm
+       |  FROM cand2 c
+       |  JOIN chunks ca ON ca.doc_id = c.doc_a
+       |  JOIN chunks cb ON cb.doc_id = c.doc_b
+       |    AND cb.ci = ca.ci AND cb.cv = ca.cv
+       |  GROUP BY 1, 2
+       |  HAVING count(*) >= 26),
+       |pos AS MATERIALIZED (
+       |  SELECT doc_id, (i-1)//4 AS ci, i, sig[i] AS v
+       |  FROM sigs CROSS JOIN (SELECT unnest(range(1, 129)) AS i)),
+       |mm AS (
+       |  SELECT m.doc_a, m.doc_b, ca.ci
+       |  FROM cm m
+       |  JOIN chunks ca ON ca.doc_id = m.doc_a
+       |  LEFT JOIN chunks cb ON cb.doc_id = m.doc_b
+       |    AND cb.ci = ca.ci AND cb.cv = ca.cv
+       |  WHERE cb.doc_id IS NULL),
+       |rep AS (
+       |  SELECT mm.doc_a, mm.doc_b, count(*) FILTER (WHERE pa.v = pb.v) AS r
+       |  FROM mm
+       |  JOIN pos pa ON pa.doc_id = mm.doc_a AND pa.ci = mm.ci
+       |  JOIN pos pb ON pb.doc_id = mm.doc_b AND pb.i = pa.i
+       |  GROUP BY 1, 2)
+       |SELECT m.doc_a, m.doc_b,
+       |  (4 * m.cm + coalesce(r.r, 0))::DOUBLE / 128 AS jaccard_est
+       |FROM cm m
+       |LEFT JOIN rep r ON r.doc_a = m.doc_a AND r.doc_b = m.doc_b
+       |WHERE (4 * m.cm + coalesce(r.r, 0))::DOUBLE / 128 >= 0.95
+       |ORDER BY m.doc_a, m.doc_b""".stripMargin
   }
 
   /** The HUB-MODE minhash twin (dd_minhash_lsh_hub): same banding, but
@@ -1068,22 +1123,60 @@ object SparkEntry {
          |ORDER BY r0.doc_id""".stripMargin
     },
 
+    // narrow-row form (r19) — same pigeonhole surgery as
+    // minhashOracleSql (which see for the full derivation), adapted to
+    // this key's 16 bands x 8 rows and 0.9 threshold: est >= 0.9 means
+    // >= 116 of 128 positions match, so <= 12 mismatches, so >= 4 of
+    // the 16 bands collide in full (cand2 HAVING >= 4, lossless) and
+    // >= 20 of the 32 exact HUGEINT 4-chunks match (cm HAVING >= 20,
+    // lossless); the <= 12 spoiled chunks are re-counted position-wise.
+    // The r18 list-payload form spilled past 48 GB at sf10 on the
+    // bipartite 100k x 400k candidate stream.
     "dd_incremental" ->
       s"""${minhashCtes(16)},
-         |cand AS (
-         |  SELECT DISTINCT x.doc_id AS q_id, y.doc_id AS c_id
+         |cand2 AS MATERIALIZED (
+         |  SELECT x.doc_id AS q_id, y.doc_id AS c_id
          |  FROM banded x JOIN banded y
          |    ON x.band = y.band AND x.bucket = y.bucket
-         |  WHERE x.doc_id % 5 = 0 AND y.doc_id % 5 <> 0),
-         |m AS (
-         |  SELECT q_id, c_id,
-         |    len(list_filter(range(1, 129), i -> sq.sig[i] = sc.sig[i]))::DOUBLE / 128 AS est
-         |  FROM cand
-         |  JOIN sigs sq ON sq.doc_id = cand.q_id
-         |  JOIN sigs sc ON sc.doc_id = cand.c_id),
+         |  WHERE x.doc_id % 5 = 0 AND y.doc_id % 5 <> 0
+         |  GROUP BY 1, 2
+         |  HAVING count(*) >= 4),
+         |chunks AS MATERIALIZED (
+         |  SELECT doc_id, ci,
+         |    ((sig[ci*4+1]::HUGEINT * 2147483648 + sig[ci*4+2]) * 2147483648
+         |      + sig[ci*4+3]) * 2147483648 + sig[ci*4+4] AS cv
+         |  FROM sigs CROSS JOIN (SELECT unnest(range(32)) AS ci)),
+         |cm AS MATERIALIZED (
+         |  SELECT c.q_id, c.c_id, count(*) AS cm
+         |  FROM cand2 c
+         |  JOIN chunks ca ON ca.doc_id = c.q_id
+         |  JOIN chunks cb ON cb.doc_id = c.c_id
+         |    AND cb.ci = ca.ci AND cb.cv = ca.cv
+         |  GROUP BY 1, 2
+         |  HAVING count(*) >= 20),
+         |pos AS MATERIALIZED (
+         |  SELECT doc_id, (i-1)//4 AS ci, i, sig[i] AS v
+         |  FROM sigs CROSS JOIN (SELECT unnest(range(1, 129)) AS i)),
+         |mm AS (
+         |  SELECT m.q_id, m.c_id, ca.ci
+         |  FROM cm m
+         |  JOIN chunks ca ON ca.doc_id = m.q_id
+         |  LEFT JOIN chunks cb ON cb.doc_id = m.c_id
+         |    AND cb.ci = ca.ci AND cb.cv = ca.cv
+         |  WHERE cb.doc_id IS NULL),
+         |rep AS (
+         |  SELECT mm.q_id, mm.c_id, count(*) FILTER (WHERE pa.v = pb.v) AS r
+         |  FROM mm
+         |  JOIN pos pa ON pa.doc_id = mm.q_id AND pa.ci = mm.ci
+         |  JOIN pos pb ON pb.doc_id = mm.c_id AND pb.i = pa.i
+         |  GROUP BY 1, 2),
          |f AS (
-         |  SELECT q_id, min(c_id) AS dup_of, max(est) AS match_est
-         |  FROM m WHERE est >= 0.9 GROUP BY q_id)
+         |  SELECT m.q_id, min(m.c_id) AS dup_of,
+         |         max((4 * m.cm + coalesce(r.r, 0))::DOUBLE / 128) AS match_est
+         |  FROM cm m
+         |  LEFT JOIN rep r ON r.q_id = m.q_id AND r.c_id = m.c_id
+         |  WHERE (4 * m.cm + coalesce(r.r, 0))::DOUBLE / 128 >= 0.9
+         |  GROUP BY m.q_id)
          |SELECT d.doc_id, f.dup_of IS NOT NULL AS is_duplicate,
          |       f.dup_of, f.match_est
          |FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
