@@ -308,6 +308,16 @@ def check_density_studies(violations):
                             f"slope {tslope:.1f}x/decade > "
                             f"{max_time_slope} on "
                             f"{pa['docs']}->{pb['docs']}")
+                else:
+                    # r20 (advisor): a missing/zero 'full' must surface
+                    # as a named violation like the density fields do —
+                    # an older/partial artifact otherwise passed the
+                    # time gate with no signal it wasn't checked
+                    violations.append(
+                        f"text-density [{text[-1]}]: malformed artifact "
+                        f"— '{fam}' has no usable 'full' seconds at "
+                        f"{pa['docs']}->{pb['docs']} (got {ta!r}->{tb!r})"
+                        "; re-run tools/text_density.py")
         print(f"text-density gate: {text[-1]} "
               f"({len(pts)} points) re-verified (density + time slopes)")
     emb = sorted(glob.glob("EMB_DENSITY*.json"), key=os.path.getmtime)
