@@ -27,13 +27,34 @@ not workload. Exit 0 always (a report, not a gate — the gate is
 scaling.py; arbitration decides flagged keys).
 """
 import argparse
+import re
 import json
 import sys
 
 
 def load(path):
-    d = json.load(open(path))
+    try:
+        d = json.load(open(path))
+    except json.JSONDecodeError as e:
+        raise SystemExit(f"{path}: not valid JSON ({e}) — expected a "
+                         "full bench record (the one Bench prints as a "
+                         "single JSON line and the session saves as "
+                         "BENCH.json / BENCH_sf1.json)")
     if "queries" not in d:
+        # r20 (verdict ask #7): the driver's BENCH_r*.json files are a
+        # TRUNCATED wrapper ({n, rc, tail, ...}) around the run's stdout
+        # tail — name the format and point at the archived full record
+        # instead of a bare "no queries" error.
+        if "tail" in d:
+            hint = ""
+            m = re.search(r'"full"\s*:\s*"([^"]+)"', d.get("tail") or "")
+            if m:
+                hint = (f" — its full-format twin was written as "
+                        f"'{m.group(1)}' at run time (committed copies "
+                        "are archived under docs/history/)")
+            raise SystemExit(
+                f"{path}: this is a driver-side truncated round wrapper "
+                f"(tail format), not a full bench record{hint}")
         raise SystemExit(f"{path}: no 'queries' block — not a full bench "
                          "record (compact BENCH_r*.json lines truncate; "
                          "use the full BENCH*.json)")

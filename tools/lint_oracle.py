@@ -84,6 +84,13 @@ def lint_decimal_cast(sql: str):
     contract: bounded frames never leave the 2^53-exact range (SURVEY
     §4).
 
+    WAIVER MARKER: a cast body containing a `/*bounded-agg: reason*/`
+    comment is skipped — the registry uses it for aggregates whose
+    magnitude is PROVABLY scale-invariant (e.g. per-entity sums where
+    ScaleUp replicates entities but never grows an entity's own row
+    set, SURVEY §4). Waived casts are counted in the summary line so a
+    creeping waiver population stays visible.
+
     KNOWN GAPS (by design — this is a lexical lint, no data flow):
       - an aggregate over an ALIASED or CTE-derived decimal column that
         isn't literally named in DECIMAL_COLS (self-test carries an
@@ -93,7 +100,7 @@ def lint_decimal_cast(sql: str):
         deterministic hop over the flagged aggregate suppresses the hit
         (conservatively lenient; no such shape exists in the registry).
     """
-    hits = []
+    hits, waived = [], 0
     for m in re.finditer(r"CAST\s*\(", sql, re.IGNORECASE):
         open_idx = m.end() - 1
         end = _balanced(sql, open_idx)
@@ -109,9 +116,12 @@ def lint_decimal_cast(sql: str):
         cols = {w.lower() for w in _WORD.findall(body)}
         if cols & DECIMAL_COLS and not re.search(
                 r"AS\s+VARCHAR", body, re.IGNORECASE):
+            if re.search(r"/\*\s*bounded-agg\b", body, re.IGNORECASE):
+                waived += 1
+                continue
             snippet = re.sub(r"\s+", " ", sql[m.start():end + 8])
             hits.append(snippet[:100])
-    return hits
+    return hits, waived
 
 
 def lint_char_slice_digest(sql: str):
@@ -125,11 +135,14 @@ def lint_char_slice_digest(sql: str):
     return hits
 
 
-def lint(oracle: dict):
+def lint(oracle: dict, waiver_count: list = None):
     violations = []
     for key in sorted(oracle):
         sql = oracle[key]
-        for hit in lint_decimal_cast(sql):
+        hits, waived = lint_decimal_cast(sql)
+        if waiver_count is not None:
+            waiver_count.append(waived)
+        for hit in hits:
             violations.append(
                 (key, "decimal-cast", f"direct decimal aggregate -> "
                  f"DOUBLE (double-rounds in DuckDB past 2^53; route "
@@ -160,6 +173,12 @@ def self_test() -> int:
         "good_frames": "SELECT md5(substring(h, ob * 2 + 1, 32)) FROM "
                        "(SELECT hex(encode(text)) AS h, 0 AS ob "
                        "FROM documents)",
+        # r20: the bounded-agg waiver marker — a provably scale-invariant
+        # aggregate keeps the direct cast with an in-cast justification
+        "good_waived": "SELECT CAST(/*bounded-agg: per-entity sum, "
+                       "scale-invariant*/ coalesce(sum(CAST("
+                       "o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) "
+                       "FROM orders GROUP BY o_custkey",
     }
     planted = {
         "bad_sum": "SELECT CAST(SUM(l_extendedprice * (1 - l_discount))"
@@ -213,11 +232,13 @@ def main(argv):
         print(__doc__)
         return 2
     oracle = json.load(open(argv[0]))
-    violations = lint(oracle)
+    waivers = []
+    violations = lint(oracle, waivers)
     for key, rule, msg in violations:
         print(f"VIOLATION {key} [{rule}]: {msg}")
     print(f"lint_oracle: {len(oracle)} keys, "
-          f"{len(violations)} violations")
+          f"{len(violations)} violations, "
+          f"{sum(waivers)} bounded-agg waivers")
     return 1 if violations else 0
 
 

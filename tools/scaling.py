@@ -347,9 +347,56 @@ def check_density_studies(violations):
               f"({len(doc.get('points', []))} points) re-verified")
 
 
+def check_oracle_lint(violations, oracle_path=None):
+    """r20 (verdict ask #5): run tools/lint_oracle.py over the RENDERED
+    oracle SQL as part of the round gate, so the SURVEY §4 determinism
+    rules are enforced every round rather than on-demand. Uses --oracle
+    PATH when given; otherwise renders oracle_sql.json itself via the
+    SPARK_GRAFT_SQL_ONLY Verify entry (no Spark session — seconds, not
+    minutes). A render or lint failure is a NAMED violation, never a
+    silent skip: the gate's promise is that the lint ran."""
+    import os
+    import subprocess
+    import tempfile
+    here = os.path.dirname(os.path.abspath(__file__))
+    if oracle_path is None:
+        td = tempfile.mkdtemp(prefix="graft_lint_")
+        env = dict(os.environ, SPARK_GRAFT_SQL_ONLY="1")
+        try:
+            subprocess.run(
+                ["sbt", "--batch", f"runMain graft.Verify ignored {td}"],
+                cwd=os.path.dirname(here), env=env, check=True,
+                timeout=600, stdout=subprocess.DEVNULL,
+                stderr=subprocess.DEVNULL)
+            oracle_path = os.path.join(td, "oracle_sql.json")
+        except Exception as e:
+            violations.append(
+                f"oracle-lint: could not render oracle_sql.json via sbt "
+                f"({e}); pass --oracle <rendered oracle_sql.json>")
+            return
+    try:
+        sys.path.insert(0, here)
+        import lint_oracle
+        oracle = json.load(open(oracle_path))
+        waivers = []
+        v = lint_oracle.lint(oracle, waivers)
+        for key, rule, msg in v:
+            violations.append(f"oracle-lint {key} [{rule}]: {msg[:120]}")
+        print(f"oracle-lint gate: {len(oracle)} keys, {len(v)} "
+              f"violations, {sum(waivers)} bounded-agg waivers "
+              f"({oracle_path})")
+    except Exception as e:
+        violations.append(f"oracle-lint: lint failed to run ({e})")
+
+
 def main():
     args = [x for x in sys.argv[1:] if x != "--check"]
     check = "--check" in sys.argv[1:]
+    oracle_path = None
+    if "--oracle" in args:
+        i = args.index("--oracle")
+        oracle_path = args[i + 1]
+        args = args[:i] + args[i + 2:]
     arb_doc, args = load_arbitration(args)
     if len(args) == 1:
         # the combined study artifact: {"sf0.1": {...}, "sf1": {...}}
@@ -577,6 +624,7 @@ def main():
                 f"keys present at only one scale (silently uncompared): "
                 f"{', '.join(lopsided)}")
         check_density_studies(violations)
+        check_oracle_lint(violations, oracle_path)
         if violations:
             print("\nSCALING GATE: FAIL")
             for v in violations:
