@@ -80,6 +80,13 @@ def main():
                     help="ignore keys under this on BOTH sides "
                          "(scheduling-floor jitter)")
     ap.add_argument("--json", help="write the machine-readable reading")
+    ap.add_argument("--arbitrate", action="store_true",
+                    help="r20 (verdict ask #8): after the report, shell "
+                         "into tools/arbitrate.py --keys <flagged> so "
+                         "every beyond-band key gets its isolated "
+                         "fresh-JVM re-measure filed in the same session")
+    ap.add_argument("--arbitration-out", default="ARBITRATION.json",
+                    help="output file for --arbitrate")
     args = ap.parse_args()
 
     a, b = load(args.old), load(args.new)
@@ -142,6 +149,26 @@ def main():
                        "min_secs": args.min_secs,
                        "flagged": flagged}, fh, indent=1)
         print(f"\nwrote {args.json}")
+    if args.arbitrate:
+        if not flagged:
+            print("\n--arbitrate: nothing flagged — no arbitration "
+                  "needed")
+        else:
+            import os
+            import subprocess
+            keys = ",".join(sorted({f["key"] for f in flagged}))
+            cmd = [sys.executable,
+                   os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "arbitrate.py"),
+                   "--keys", keys, "--out", args.arbitration_out]
+            print(f"\n--arbitrate: running {' '.join(cmd)}")
+            rc = subprocess.call(cmd)
+            if rc == 0:
+                print(f"arbitration filed: {args.arbitration_out}")
+            else:
+                print(f"arbitrate.py FAILED (exit {rc}) — file the "
+                      "arbitration manually")
+                return rc
     return 0
 
 
