@@ -457,7 +457,12 @@ object SparkEntry {
       |  FROM (
       |    SELECT c_custkey, c_mktsegment, c_acctbal,
       |           CAST(count(o_orderkey) AS BIGINT) AS n_orders,
-      |           CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS total_spend,
+      |           CAST(/*bounded-agg: per-entity sum — each customer keeps
+      |             its original order set under ScaleUp replication, so
+      |             this sum is scale-INVARIANT (max ~3e8 cents, far under
+      |             2^53) and the direct decimal->double cast is exact at
+      |             any sf (SURVEY §4)*/
+      |             coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS total_spend,
       |           min(o_orderdate) AS first_order
       |    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
       |    GROUP BY 1, 2, 3))""".stripMargin
@@ -1072,7 +1077,41 @@ object SparkEntry {
     // in its exact integer form (m >= 96 of 128), the exact integer
     // jaccard >= 0.9 verify, then min-label connected components via a
     // recursive-CTE transitive closure (Spark's propagation loop and the
-    // closure both converge to min-id-in-component)
+    // closure both converge to min-id-in-component).
+    //
+    // r20: the est stage is the narrow-row chunk form — the r18 shape
+    // (every banded candidate joined to `sigs` twice, list_filter over
+    // two 1 KB lists) died at a 57 GB spill wall at sf10, and the r19
+    // 4-position-chunk surgery was REVERTED because its pigeonhole bound
+    // is VACUOUS at this threshold: m >= 96 allows <= 32 mismatches,
+    // which can spoil all 32 4-chunks, so `HAVING cm >= 0` kept every
+    // banded pair down to est ~0.5 and the repair set dominated (69 GB,
+    // worse than the original). With 2-POSITION chunks there are 64, so
+    // <= 32 mismatches spoil <= 32 and `cm >= 32` is a LOSSLESS
+    // prefilter that actually cuts at est ~0.7 (a random-ish pair at
+    // est 0.5 expects 64 * 0.25 = 16 matching 2-chunks, well under 32).
+    // Each 2-chunk packs exactly into a BIGINT (2 x 31-bit sig values,
+    // 62 bits) — chunk equality iff both positions equal, no hashing —
+    // then survivors re-count their <= 32 spoiled chunks position-wise
+    // and the final est keeps 2*cm + repair >= 96, the same integer set
+    // as len(list_filter(...)) >= 96. Unlike dd_minhash_lsh, this key's
+    // OUTPUT never exposes the estimate — est is a pure filter — so
+    // pairs with cm >= 48 auto-pass (m >= 2*cm >= 96) and skip the
+    // repair join entirely; only the 32 <= cm < 48 margin is repaired,
+    // and true near-dup pairs (est ~1.0, cm ~64) never touch it.
+    //
+    // The VERIFY stage got the same narrow-row surgery: the testdata
+    // corpus's est >= 0.75 graph is DENSE (sf0.1: 1.27M est-pass pairs
+    // over 3,935 reps, measured — 324 edges per rep), so the r18 form's
+    // list_intersect join dragged two full token LISTS through 1.27M
+    // (sf10: ~127M) pair rows — 60 GB RSS at sf0.1, the 57 GB sf10
+    // spill wall. `inter` instead counts the exact set intersection as
+    // a grouped join over the EXPLODED (doc_id, token) table (toks is
+    // list_distinct upstream, so count(*) == len(list_intersect));
+    // est pairs with zero overlap drop out of the inner join and could
+    // never pass the 0.9 threshold anyway. Only (pair, count) rows
+    // cross the aggregation. Validated hash-identical at
+    // sf0.01/sf0.1/sf1 against the r18 form's committed records.
     "dd_cluster" -> {
       // t0/r0/reps are each read 2-3x downstream (the verify join reads
       // reps twice, the final projection reads r0 again) — MATERIALIZED
@@ -1092,20 +1131,60 @@ object SparkEntry {
           |  FROM r0 JOIN t0 ON t0.doc_id = r0.doc_id
           |  WHERE r0.doc_id = r0.rep_id),""".stripMargin
       s"""${minhashCtes(16, prelude, "reps", recursive = true)},
-         |cand AS (
-         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |cand2 AS MATERIALIZED (
+         |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
          |  FROM banded x JOIN banded y
-         |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
-         |est AS (
-         |  SELECT doc_a, doc_b FROM cand
-         |  JOIN sigs sa ON sa.doc_id = cand.doc_a
-         |  JOIN sigs sb ON sb.doc_id = cand.doc_b
-         |  WHERE len(list_filter(range(1, 129), i -> sa.sig[i] = sb.sig[i])) >= 96),
+         |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2),
+         |chunks AS MATERIALIZED (
+         |  SELECT doc_id, ci, sig[ci*2+1]::BIGINT * 2147483648 + sig[ci*2+2] AS cv
+         |  FROM sigs CROSS JOIN (SELECT unnest(range(64)) AS ci)),
+         |cm AS MATERIALIZED (
+         |  SELECT c.doc_a, c.doc_b, count(*) AS cm
+         |  FROM cand2 c
+         |  JOIN chunks ca ON ca.doc_id = c.doc_a
+         |  JOIN chunks cb ON cb.doc_id = c.doc_b
+         |    AND cb.ci = ca.ci AND cb.cv = ca.cv
+         |  GROUP BY 1, 2
+         |  HAVING count(*) >= 32),
+         |pos AS MATERIALIZED (
+         |  SELECT doc_id, (i-1)//2 AS ci, i, sig[i] AS v
+         |  FROM sigs CROSS JOIN (SELECT unnest(range(1, 129)) AS i)),
+         |marginal AS MATERIALIZED (
+         |  SELECT doc_a, doc_b, cm FROM cm WHERE cm < 48),
+         |mm AS (
+         |  SELECT m.doc_a, m.doc_b, ca.ci
+         |  FROM marginal m
+         |  JOIN chunks ca ON ca.doc_id = m.doc_a
+         |  LEFT JOIN chunks cb ON cb.doc_id = m.doc_b
+         |    AND cb.ci = ca.ci AND cb.cv = ca.cv
+         |  WHERE cb.doc_id IS NULL),
+         |repair AS (
+         |  SELECT mm.doc_a, mm.doc_b, count(*) FILTER (WHERE pa.v = pb.v) AS r
+         |  FROM mm
+         |  JOIN pos pa ON pa.doc_id = mm.doc_a AND pa.ci = mm.ci
+         |  JOIN pos pb ON pb.doc_id = mm.doc_b AND pb.i = pa.i
+         |  GROUP BY 1, 2),
+         |est AS MATERIALIZED (
+         |  SELECT doc_a, doc_b FROM cm WHERE cm >= 48
+         |  UNION ALL
+         |  SELECT m.doc_a, m.doc_b
+         |  FROM marginal m
+         |  LEFT JOIN repair r ON r.doc_a = m.doc_a AND r.doc_b = m.doc_b
+         |  WHERE 2 * m.cm + coalesce(r.r, 0) >= 96),
+         |tokn AS MATERIALIZED (
+         |  SELECT doc_id, unnest(toks) AS t FROM reps),
+         |inter AS (
+         |  SELECT e.doc_a, e.doc_b, count(*) AS c
+         |  FROM est e
+         |  JOIN tokn ta ON ta.doc_id = e.doc_a
+         |  JOIN tokn tb ON tb.doc_id = e.doc_b AND tb.t = ta.t
+         |  GROUP BY 1, 2),
          |ver AS (
-         |  SELECT e.doc_a, e.doc_b FROM est e
-         |  JOIN reps a ON a.doc_id = e.doc_a
-         |  JOIN reps b ON b.doc_id = e.doc_b
-         |  WHERE len(list_intersect(a.toks, b.toks)) * 190 >= 90 * (a.n + b.n)),
+         |  SELECT i.doc_a, i.doc_b FROM inter i
+         |  JOIN reps a ON a.doc_id = i.doc_a
+         |  JOIN reps b ON b.doc_id = i.doc_b
+         |  WHERE i.c * 190 >= 90 * (a.n + b.n)),
          |sym AS (
          |  SELECT doc_a AS src, doc_b AS dst FROM ver
          |  UNION ALL SELECT doc_b, doc_a FROM ver),
