@@ -64,14 +64,33 @@ object Benchmarking {
     * Left join keeps zero-activity entities (the reference keeps buildings
     * with defaults). */
   def entityMetrics(customer: DataFrame, orders: DataFrame): DataFrame =
+    // r20 (optimization round, guide §2.3 "aggregate before you shuffle"):
+    // orders pre-aggregate to one row per o_custkey BEFORE the join, so
+    // the fact side gets map-side partial aggregation ahead of its one
+    // exchange and the join's build side is the entity-sized roll-up —
+    // never the raw fact table. The pre-r20 join-then-groupBy shape
+    // broadcast (or at scale: shuffled) every raw order row. count/sum/
+    // min commute with the join for a unique-key entity table (c_custkey
+    // is the entity PK), and the decimal sum is accumulation-order-free,
+    // so output is bit-identical (oracle-gated).
     customer
-      .join(orders, customer("c_custkey") === orders("o_custkey"), "left")
-      .groupBy(customer("c_custkey"), customer("c_mktsegment"), customer("c_acctbal"))
-      .agg(
-        count(orders("o_orderkey")).as("n_orders"),
-        coalesce(sum(orders("o_totalprice").cast(dec)), lit(0).cast(dec)).as("spend_dec"),
-        min(orders("o_orderdate")).as("first_order"))
-      .withColumn("total_spend", col("spend_dec").cast("double"))
+      .join(
+        orders.groupBy(col("o_custkey")).agg(
+          count(col("o_orderkey")).as("__n_orders"),
+          // per-entity bounded sum: the direct decimal->double cast is
+          // exact at any sf (see PlanQualitySpec's boundedDecimalCast
+          // waiver for CAST(__spend_dec AS DOUBLE)); it sits ON the
+          // aggregate alias so the lint keeps seeing it. coalesce(cast,
+          // 0.0) ≡ cast(coalesce(dec 0)) bit-for-bit — cast(0 dec) is
+          // exactly 0.0 and non-null sums cast identically.
+          sum(col("o_totalprice").cast(dec)).as("__spend_dec"),
+          min(col("o_orderdate")).as("first_order")),
+        customer("c_custkey") === col("o_custkey"), "left")
+      .select(customer("c_custkey"), customer("c_mktsegment"),
+        customer("c_acctbal"),
+        coalesce(col("__n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("__spend_dec").cast("double"), lit(0.0)).as("total_spend"),
+        col("first_order"))
       .withColumn("intensity", col("total_spend") / greatest(col("n_orders"), lit(1L)))
       .withColumn("rating", rating(col("intensity"), col("n_orders")))
       .withColumn("spend_per_occupant",

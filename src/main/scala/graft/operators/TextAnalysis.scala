@@ -110,13 +110,19 @@ object TextAnalysis {
     * greedy ≤4-char subword chunks (a fixed-width stand-in for BPE merges)
     * and non-space tokens. Pure regexp_extract_all expression work. */
   def regexTokenStats(documents: DataFrame): DataFrame =
+    // r20 (optimization round): regexp_count replaces
+    // size(regexp_extract_all(..)) — the same non-overlapping
+    // java.util.regex find() loop and therefore the same counts, but it
+    // never materializes the matched substrings (the extract_all form
+    // allocated an UTF8String array per row per pattern just to take its
+    // length). Values are unchanged (oracle-gated).
     byDoc(documents)
       .withColumn("n_alpha_runs",
-        size(regexp_extract_all(col("text"), lit("[a-z]+"), lit(0))).cast("long"))
+        regexp_count(col("text"), lit("[a-z]+")).cast("long"))
       .withColumn("n_bpe_chunks",
-        size(regexp_extract_all(col("text"), lit("[a-z]{1,4}"), lit(0))).cast("long"))
+        regexp_count(col("text"), lit("[a-z]{1,4}")).cast("long"))
       .withColumn("n_nonspace",
-        size(regexp_extract_all(col("text"), lit("[^ ]+"), lit(0))).cast("long"))
+        regexp_count(col("text"), lit("[^ ]+")).cast("long"))
       .select("doc_id", "n_alpha_runs", "n_bpe_chunks", "n_nonspace")
 
   /** Language ID by character-n-gram profile scoring: each candidate

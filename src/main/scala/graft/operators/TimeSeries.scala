@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.{Window, WindowSpec}
 import org.apache.spark.sql.types.DecimalType
@@ -95,27 +95,23 @@ object TimeSeries {
       .orderBy("user_id", "ts_us", "event_id")
   }
 
-  /** Exact windowed mean over a trailing N-row frame (min_periods=1). */
-  private def rollMean(n: Int): org.apache.spark.sql.Column = {
-    val w = keyOrder.rowsBetween(-(n - 1), Window.currentRow)
-    sum(col("value").cast(dec)).over(w).cast("double") /
-      count(lit(1)).over(w)
-  }
+  /** Exact windowed mean from the shared frame aggregates
+    * (min_periods=1): the same cast(sum)/cast(count) IEEE op chain as the
+    * pre-r20 per-column form, so values are bit-identical. */
+  private def rollMeanFrom(s1: Column, cnt: Column): Column =
+    s1.cast("double") / cnt
 
-  /** Exact windowed sample-std via the decimal sum/sum-of-squares identity;
-    * single-row frames yield 0 (reference fills std NaN with 0,
-    * pipeline_batch.py:107). */
-  private def rollStd(n: Int): org.apache.spark.sql.Column = {
-    val w   = keyOrder.rowsBetween(-(n - 1), Window.currentRow)
-    val s1  = sum(col("value").cast(dec)).over(w).cast("double")
-    val s2  = sum((col("value").cast(dec) * col("value").cast(dec))).over(w).cast("double")
-    val cnt = count(lit(1)).over(w)
+  /** Exact windowed sample-std via the decimal sum/sum-of-squares identity
+    * over the shared frame aggregates; single-row frames yield 0
+    * (reference fills std NaN with 0, pipeline_batch.py:107). Same op
+    * chain as the pre-r20 form — bit-identical values. */
+  private def rollStdFrom(s1d: Column, s2d: Column, cnt: Column): Column =
     coalesce(
       sqrt(greatest(
-        (s2 - s1 * s1 / cnt) / when(cnt > 1, cnt - 1),
+        (s2d.cast("double") - s1d.cast("double") * s1d.cast("double") / cnt)
+          / when(cnt > 1, cnt - 1),
         lit(0.0))),
       lit(0.0))
-  }
 
   /** Rolling features: trailing 3-row and 12-row mean/std per key
     * (reference: pipeline_batch.py:103-127 rolling 15-min/60-min stats). */
@@ -126,15 +122,38 @@ object TimeSeries {
     * that aggregate, re-sort or materialize the frame themselves (the
     * optimizer elides the sort under aggregation, but an eager
     * checkpoint/write would pay a useless global exchange+sort for rows
-    * whose order the consumer discards). */
-  def rollingFeaturesUnsorted(events: DataFrame): DataFrame =
+    * whose order the consumer discards).
+    *
+    * r20 (optimization round): every DISTINCT (aggregate, frame) pair is
+    * computed exactly once in ONE projection, so Catalyst plans a single
+    * Window operator carrying 6 aggregate columns. The pre-r20
+    * one-withColumn-per-feature form planned FOUR Window operators (one
+    * exchange, but four partition passes) and duplicated shared
+    * aggregates inside them — the dumped plan showed count(1) evaluated
+    * three times and sum(value_dec) twice per std column, 60 decimal
+    * frame-adds + 60 count-adds per row where 30 + 15 suffice. The
+    * mean/std expressions consume the shared aggregates through the
+    * identical IEEE op chain, so output is bit-identical (oracle-gated). */
+  def rollingFeaturesUnsorted(events: DataFrame): DataFrame = {
+    val vdec = col("value").cast(dec)
+    val w3 = keyOrder.rowsBetween(-2, Window.currentRow)
+    val w12 = keyOrder.rowsBetween(-11, Window.currentRow)
     events
-      .withColumn("mean_3", rollMean(3))
-      .withColumn("std_3", rollStd(3))
-      .withColumn("mean_12", rollMean(12))
-      .withColumn("std_12", rollStd(12))
-      .select("event_id", "user_id", "ts_us", "event_type", "value",
-        "mean_3", "std_3", "mean_12", "std_12")
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("event_type"), col("value"),
+        sum(vdec).over(w3).as("__s1_3"),
+        sum(vdec * vdec).over(w3).as("__s2_3"),
+        count(lit(1)).over(w3).as("__c_3"),
+        sum(vdec).over(w12).as("__s1_12"),
+        sum(vdec * vdec).over(w12).as("__s2_12"),
+        count(lit(1)).over(w12).as("__c_12"))
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("event_type"), col("value"),
+        rollMeanFrom(col("__s1_3"), col("__c_3")).as("mean_3"),
+        rollStdFrom(col("__s1_3"), col("__s2_3"), col("__c_3")).as("std_3"),
+        rollMeanFrom(col("__s1_12"), col("__c_12")).as("mean_12"),
+        rollStdFrom(col("__s1_12"), col("__s2_12"), col("__c_12")).as("std_12"))
+  }
 
   /** Lag-1 and rate-of-change features
     * (reference: pipeline_batch.py:131-140 shift(1) + diff()). */

@@ -441,16 +441,18 @@ class PlanQualitySpec extends AnyFunSuite {
     *
     *  - s1/s2: per-(entity, rule) z-score sufficient statistics over
     *    that entity's OWN readings (AnomalyRules.zscore).
-    *  - spend_dec: per-entity order spend (Benchmarking.entityMetrics);
-    *    orders-per-customer is constant across SF in the TPC-H model.
+    *  - __spend_dec: per-entity order spend (Benchmarking.entityMetrics,
+    *    the r20 pre-aggregate-before-join shape); orders-per-customer is
+    *    constant across SF in the TPC-H model.
     *    The CORPUS-scale re-roll-ups of these per-entity values are the
-    *    r18 decToDouble sites (Benchmarking.scala:142-147) — not waived.
+    *    r18 decToDouble sites (Benchmarking.scala decToDouble calls in
+    *    groupSummary/portfolioSummary) — not waived.
     *  - v_dec/vdec: per-(entity, resample-bucket) / per-session sums —
     *    windows of fixed span over one entity's readings.
     */
   private val boundedDecimalCastWaivers: Map[String, Set[String]] = {
     val zscoreStats = Set("CAST(s1 AS DOUBLE)", "CAST(s2 AS DOUBLE)")
-    val entitySpend = Set("CAST(spend_dec AS DOUBLE)")
+    val entitySpend = Set("CAST(__spend_dec AS DOUBLE)")
     Map(
       "ad_all_rules" -> zscoreStats,
       "ad_zscore" -> zscoreStats,
