@@ -38,11 +38,19 @@ object SparkEntry {
       IncrementalDedup.openSignatures(s, path)
     })
 
+  /** Corpus row count captured while building the session IVF index —
+    * index metadata a real ANN service knows, so the auto-dial probe
+    * (sim_ivf_auto) passes it instead of re-counting per invocation. */
+  private val embCountCache =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+
   private def ivfIndexFor(s: SparkSession, dir: String): Ivf.IvfIndex =
     ivfIndexCache.getOrElseUpdate(dir, {
       val emb = Tables.embeddings(s, dir).localCheckpoint(true)
+      val n = emb.count()
+      embCountCache.put(dir, n)
       val cells = math.max(2,
-        math.ceil(math.sqrt(emb.count().toDouble)).toInt)
+        math.ceil(math.sqrt(n.toDouble)).toInt)
       val cents = Ivf.kmeansCentroids(emb, cells, 8, inputMaterialized = true)
       val path = java.nio.file.Files
         .createTempDirectory("graft-ivf-index").toString
@@ -385,9 +393,12 @@ object SparkEntry {
     // background (AdaptiveAnn). Probe membership depends on the
     // escalation decision, so this is a rows+schema key (no SQL oracle);
     // AdaptiveAnnSpec pins the plan and the escalation contract.
-    "sim_ivf_auto" -> ((s, dir) =>
+    "sim_ivf_auto" -> ((s, dir) => {
+      val idx = ivfIndexFor(s, dir)
       operators.AdaptiveAnn.ivfTopKBatchAuto(Tables.embeddings(s, dir),
-        ivfIndexFor(s, dir).centroids, (0L until 64L), k = 5)),
+        idx.centroids, (0L until 64L), k = 5,
+        corpusSize = embCountCache.getOrElse(dir, 0L))
+    }),
     "ts_range_window" -> ((s, dir) =>
       TimeSeries.rangeFeatures(TimeSeries.base(s, dir))),
     "ts_asof" -> ((s, dir) =>

@@ -135,21 +135,27 @@ object AnnLsh {
       "queryIds must be distinct — duplicate ids would collapse into one group")
     import org.apache.spark.sql.expressions.Window
     val indexed = index(embeddings, tables, resolvePlanes(embeddings, planes, tables))
-    val queries = indexed.filter(col("vec_id").isin(queryIds: _*))
+    // ONE collect materializes the (bounded, batch-sized) query rows
+    // driver-side: the id-presence fail-fast (the Ivf.topKBatch
+    // contract — a silently-missing q_id group misaligns any consumer
+    // pairing answers with queries) reads the local rows, and the
+    // broadcast build below reads the resulting LocalRelation with no
+    // scan job. The pre-r20 shape paid an eager checkpoint job plus a
+    // count job per probe for the same bounded data (r20 optimization
+    // round).
+    val qDf = indexed.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("buckets").as("q_buckets"))
-      .localCheckpoint(true)
-    // fail fast on ids absent from the corpus (the Ivf.topKBatch
-    // contract): a silently-missing q_id group misaligns any consumer
-    // pairing answers with queries. Instant count — checkpointed frame.
-    if (queries.count() != queryIds.size) {
-      val missing = queryIds.toSet --
-        queries.select("q_id").collect().map(_.getLong(0)).toSet
+    val qRows = qDf.collect()
+    if (qRows.length != queryIds.size) {
+      val missing = queryIds.toSet -- qRows.map(_.getLong(0)).toSet
       throw new IllegalArgumentException(
         s"topKBatch: query ids not present in the corpus: " +
           s"${missing.toSeq.sorted.take(10).mkString(", ")}" +
           (if (missing.size > 10) s" (+${missing.size - 10} more)" else ""))
     }
+    val queries = indexed.sparkSession.createDataFrame(
+      java.util.Arrays.asList(qRows: _*), qDf.schema)
     val qb = queries.select(col("q_id"), col("q_emb"), col("q_buckets"),
       posexplode(col("q_buckets")).as(Seq("t", "bucket")))
     val cb = indexed.select(col("vec_id"), col("label"), col("embedding"),

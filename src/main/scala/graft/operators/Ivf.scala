@@ -317,25 +317,28 @@ object Ivf {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val assigned = withCell(embeddings, centroids)
-    val queries = assigned
+    // ONE collect materializes the (bounded, batch-sized) query vectors
+    // driver-side: the id-presence fail-fast (the topKIndexed contract —
+    // silently returning no rows for a mistyped id is indistinguishable
+    // from "no neighbors") reads the local rows, and both broadcast
+    // builds below read the resulting LocalRelation with no scan job at
+    // all. The pre-r20 shape paid an eager checkpoint job PLUS a count
+    // job per probe for the same bounded data (r20 optimization round;
+    // AdaptiveAnn's two-phase driver already collects batch results the
+    // same way).
+    val qDf = assigned
       .filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-      .localCheckpoint(true)
-    // fail fast on ids absent from the corpus — the same contract as
-    // topKIndexed's point probe: silently returning no rows for a
-    // mistyped id is indistinguishable from "no neighbors", and a
-    // service pairing batch answers with queries would misalign. The
-    // count is instant (checkpointed frame the two broadcasts need
-    // materialized anyway).
-    val found = queries.count()
-    if (found != queryIds.distinct.size) {
-      val missing = queryIds.distinct.toSet --
-        queries.select("q_id").collect().map(_.getLong(0)).toSet
+    val qRows = qDf.collect()
+    if (qRows.length != queryIds.distinct.size) {
+      val missing = queryIds.distinct.toSet -- qRows.map(_.getLong(0)).toSet
       throw new IllegalArgumentException(
         s"topKBatch: query ids not present in the corpus: " +
           s"${missing.toSeq.sorted.take(10).mkString(", ")}" +
           (if (missing.size > 10) s" (+${missing.size - 10} more)" else ""))
     }
+    val queries = spark.createDataFrame(
+      java.util.Arrays.asList(qRows: _*), qDf.schema)
     val centDf = centroids.zipWithIndex
       .map { case (c, i) => (i, c) }.toSeq.toDF("cell", "centroid")
     val cellRank = broadcast(queries).crossJoin(centDf)
