@@ -189,16 +189,16 @@ object SparkEntry {
     "mm_frames" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
       Multimodal.frameSample(
-        Multimodal.binaryColumns(Tables.documents(s, dir))).toDF()
+        Multimodal.binaryColumnsUnsorted(Tables.documents(s, dir))).toDF()
         .orderBy("doc_id", "frame_no")
     }),
     // cross-document repeated frames: only digests shuffle, never payloads
     "mm_frame_dedup" -> ((s, dir) =>
-      Multimodal.frameDedup(Multimodal.binaryColumns(Tables.documents(s, dir)))),
+      Multimodal.frameDedup(Multimodal.binaryColumnsUnsorted(Tables.documents(s, dir)))),
     // resize = adjacent-bin re-aggregation of the count histogram
     "mm_resize" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
-      val mm = Multimodal.binaryColumns(Tables.documents(s, dir))
+      val mm = Multimodal.binaryColumnsUnsorted(Tables.documents(s, dir))
       // raw integer bin counts straight from the decode batch — exact at
       // any document size (no float round-trip)
       val counts = Multimodal.extractFeatures(mm, 16).toDF()
@@ -305,7 +305,7 @@ object SparkEntry {
     // them exactly from the payload bytes at any document size
     "mm_features" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
-      val mm = Multimodal.binaryColumns(Tables.documents(s, dir))
+      val mm = Multimodal.binaryColumnsUnsorted(Tables.documents(s, dir))
       Multimodal.extractFeatures(mm, 16).toDF()
         .select(col("doc_id"), col("n_bytes"),
           md5(concat_ws(",", transform(col("counts"), c => c.cast("string")))

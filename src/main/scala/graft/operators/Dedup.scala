@@ -553,8 +553,10 @@ object Dedup {
     // (the MinHashLsh heap-derived budget): under it, candidates flow through
     // the verify without a pair shuffle; past it the shuffle join is the
     // 100-TB shape.
-    val stats = toks.agg(count(lit(1)), coalesce(sum(col("n")), lit(0L))).head()
-    val hashedBytes = stats.getLong(0) * 32L + stats.getLong(1) * 8L
+    // sizing aggregate + injectivity proof share ONE action (r20; they
+    // ran as two serial jobs before — MinHashLsh.verifyStats)
+    val (nDocsStat, nToksStat, injective) = MinHashLsh.verifyStats(toks)
+    val hashedBytes = nDocsStat * 32L + nToksStat * 8L
     val hashed = toks.select(col("doc_id"), col("n"),
       sort_array(org.apache.spark.sql.graft.ColumnBridge
         .tokenHashes64(col("toks"))).as("hsh"))
@@ -572,7 +574,7 @@ object Dedup {
           .sortedLongIntersectCount(col("hsh_a"), col("hsh_b"))
           .cast("long").as("n_common"))
       .filter(col("n_common") * lit(100L) >= lit(t100) * col("n_a"))
-    val verified = if (MinHashLsh.hashInjectiveOnVocab(toks)) {
+    val verified = if (injective) {
       // collision-free gram vocabulary (the always case): the hashed
       // count IS the gram intersection
       hashVerified

@@ -152,14 +152,25 @@ object Headline {
     val customer = Tables.customer(spark, dir)
     val nation   = broadcast(Tables.nation(spark, dir))
     val region   = broadcast(Tables.region(spark, dir))
+    // r20 (guide §2.3 "aggregate before you shuffle"): orders pre-roll to
+    // one (custkey, revenue, n) row BEFORE the customer join — map-side
+    // partial aggregation ahead of the fact side's exchange, so the join
+    // never carries raw order rows. Decimal addition is exact and
+    // order-free and counts re-sum, so the nation-level roll-up below is
+    // value-identical to aggregating the raw join (oracle-gated);
+    // decToDouble string-snaps the same numeric value whatever the
+    // intermediate decimal precision.
     orders
-      .join(customer, orders("o_custkey") === customer("c_custkey"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast(dec)).as("cust_rev"),
+        count(lit(1)).as("cust_n"))
+      .join(customer, col("o_custkey") === customer("c_custkey"))
       .join(nation, customer("c_nationkey") === nation("n_nationkey"))
       .join(region, nation("n_regionkey") === region("r_regionkey"))
       .groupBy(col("n_name"), col("r_name"))
       .agg(
-        sum(col("o_totalprice").cast(dec)).as("rev_dec"),
-        count(lit(1)).as("n_orders"))
+        sum(col("cust_rev")).as("rev_dec"),
+        sum(col("cust_n")).as("n_orders"))
       .select(col("n_name"), col("r_name"),
         // string-snapped: per-nation revenue is a corpus-scale roll-up
         graft.functions.ExactCast.decToDouble(col("rev_dec")).as("revenue"),

@@ -420,7 +420,13 @@ object MinHashLsh {
     * Expected collisions over a V-token vocabulary are ~V²/2⁶⁵ (≈ 5e-8
     * at V = 1M), so the check passes in practice; it exists so the
     * hashed fast path NEVER silently trades the exactness contract. */
-  private[graft] def hashInjectiveOnVocab(toks: DataFrame): Boolean = {
+  private[graft] def hashInjectiveOnVocab(toks: DataFrame): Boolean =
+    hashCollisionWitness(toks).count() == 0L
+
+  /** At most ONE row iff the engine-neutral 64-bit token hash has a
+    * collision over the corpus vocabulary of `toks` (the subtree behind
+    * [[hashInjectiveOnVocab]] and [[verifyStats]]). */
+  private def hashCollisionWitness(toks: DataFrame): DataFrame = {
     val pairs = toks
       .select(explode(arrays_zip(col("toks"),
         org.apache.spark.sql.graft.ColumnBridge.tokenHashes64(col("toks"))
@@ -444,7 +450,26 @@ object MinHashLsh {
       .groupBy(col("h"))
       .agg(min(col("w")).as("lo"), max(col("w")).as("hi"))
       .filter(col("lo") =!= col("hi"))
-      .limit(1).count() == 0L
+      .limit(1)
+  }
+
+  /** (docCount, tokenTotal, hashInjective) over a [[tokenize]] frame in
+    * ONE Spark action (r20 optimization round): the broadcast-sizing
+    * aggregate and the vocabulary-injectivity proof are the two
+    * plan-shaping decisions every hashed-verify pipeline takes before
+    * its main query, and they ran as two serial jobs — union them with
+    * a tag column so one job schedules both subtrees (they also overlap
+    * in-flight instead of serializing). Decision values are identical
+    * to the former toks.agg(...).head() + [[hashInjectiveOnVocab]]. */
+  private[graft] def verifyStats(toks: DataFrame): (Long, Long, Boolean) = {
+    val sizes = toks
+      .agg(count(lit(1)).as("a"), coalesce(sum(col("n")), lit(0L)).as("b"))
+      .select(lit(0L).as("tag"), col("a"), col("b"))
+    val collision = hashCollisionWitness(toks)
+      .select(lit(1L).as("tag"), lit(0L).as("a"), lit(0L).as("b"))
+    val rows = sizes.unionByName(collision).collect()
+    val s = rows.find(_.getLong(0) == 0L).get
+    (s.getLong(1), s.getLong(2), !rows.exists(_.getLong(0) == 1L))
   }
 
   /** [[exactPairs]] over a pre-tokenized [[tokenize]] frame, which the
@@ -485,10 +510,10 @@ object MinHashLsh {
     val sigs = signaturesFromToks(toks, k).localCheckpoint(false)
     val cand = bandedPairs(sigs, k, bands, maxBucket)
     // size the hashed-payload side: rows × (id + n + array header) +
-    // 8 B per token hash — one narrow aggregate over the checkpointed
-    // tokenization, driving the broadcast-vs-shuffle verify shape
-    val stats = toks.agg(count(lit(1)), coalesce(sum(col("n")), lit(0L))).head()
-    val hashedBytes = stats.getLong(0) * 32L + stats.getLong(1) * 8L
+    // 8 B per token hash — the sizing aggregate and the injectivity
+    // proof below share ONE action over the checkpointed tokenization
+    val (nDocs, nToks, injective) = verifyStats(toks)
+    val hashedBytes = nDocs * 32L + nToks * 8L
     val hashed = toks.select(col("doc_id"), col("n"),
       sort_array(org.apache.spark.sql.graft.ColumnBridge
         .tokenHashes64(col("toks"))).as("hsh"))
@@ -509,7 +534,7 @@ object MinHashLsh {
           .cast("long").as("hinter"))
       .filter(col("hinter") * lit(100L + t100)
         >= lit(t100) * (col("na") + col("nb")))
-    if (hashInjectiveOnVocab(toks)) {
+    if (injective) {
       // collision-free vocabulary (the always case): the hashed count IS
       // the token intersection — no string arrays ever enter a shuffle
       hashVerified

@@ -22,8 +22,21 @@ object Multimodal {
 
   /** Expression-level plumbing: binary payload + metadata + a stub scalar
     * feature, all engine-agnostic. The raw payload stays binary here (this
-    * is the frame `extractFeatures` consumes). */
+    * is the frame `extractFeatures` consumes). Presentation-sorted; the
+    * decode/sample pipelines consume [[binaryColumnsUnsorted]] instead —
+    * their mapPartitions stage is OPAQUE to Catalyst, so a sort below it
+    * cannot be elided and would globally exchange+sort the raw payload
+    * bytes (the exact heavy-payload shuffle the §8 design rule bans)
+    * just to feed an order-insensitive consumer (r20 finding: every
+    * mm_* key paid it). */
   def binaryColumns(documents: DataFrame): DataFrame =
+    binaryColumnsUnsorted(documents).orderBy("doc_id")
+
+  /** [[binaryColumns]] without the presentation sort — the form every
+    * decode/sample/dedup pipeline consumes: payloads stay in their scan
+    * partitions (no exchange carries media bytes), and consumers that
+    * need an output order sort their own (narrow) results. */
+  def binaryColumnsUnsorted(documents: DataFrame): DataFrame =
     documents
       .withColumn("payload", col("text").cast("binary"))
       .withColumn("n_bytes", octet_length(col("payload")).cast("long"))
@@ -32,13 +45,12 @@ object Multimodal {
       .withColumn("fake_feature", (col("n_bytes") % 7).cast("double") / 7.0)
       .select("doc_id", "payload", "n_bytes", "header_hex", "modality",
         "fake_feature")
-      .orderBy("doc_id")
 
   /** Query view (oracle-checked as mm_binary): the raw payload is projected
     * to its md5 digest so every output column is flat and comparable —
     * payload bytes themselves never need to leave the executors. */
   def binaryColumnsChecked(documents: DataFrame): DataFrame =
-    binaryColumns(documents)
+    binaryColumnsUnsorted(documents)
       .withColumn("payload_md5", md5(col("payload")))
       .select("doc_id", "payload_md5", "n_bytes", "header_hex", "modality",
         "fake_feature")
@@ -134,6 +146,7 @@ object Multimodal {
     media.select("doc_id", "payload").mapPartitions { rows =>
       val md = java.security.MessageDigest.getInstance("MD5")
       val hexDigits = "0123456789ABCDEF".toCharArray
+      val lowerHexDigits = "0123456789abcdef".toCharArray
       rows.flatMap { r =>
         val payload = r.getAs[Array[Byte]]("payload")
         val id = r.getAs[Long]("doc_id")
@@ -149,8 +162,19 @@ object Multimodal {
               i += 1
             }
             md.reset()
-            val hex = md.digest(windowHex).map("%02x".format(_)).mkString
-            Frame(id, no, off.toLong, hex)
+            // lowercase-hex render via the char table — the former
+            // per-byte "%02x".format built a java.util.Formatter per
+            // digest byte (r20; same output characters)
+            val dig = md.digest(windowHex)
+            val out = new Array[Char](dig.length * 2)
+            var j = 0
+            while (j < dig.length) {
+              val b = dig(j) & 0xff
+              out(j * 2) = lowerHexDigits(b >>> 4)
+              out(j * 2 + 1) = lowerHexDigits(b & 0xf)
+              j += 1
+            }
+            Frame(id, no, off.toLong, new String(out))
           }.toSeq
       }
     }

@@ -80,9 +80,12 @@ object TimeSeries {
     val frac = (col("ts_us") - col("__pt")).cast("double") /
       (col("__nt") - col("__pt")).cast("double")
     events
-      .withColumn("__raw", raw)
-      .withColumn("__pv", prevV).withColumn("__pt", prevT)
-      .withColumn("__nv", nextV).withColumn("__nt", nextT)
+      // all four window columns in ONE projection (r20): same partition
+      // + order, two frames → a single Window operator; the former
+      // one-withColumn-per-neighbour chain planned FOUR Window passes
+      .select(col("*"), raw.as("__raw"),
+        prevV.as("__pv"), prevT.as("__pt"),
+        nextV.as("__nv"), nextT.as("__nt"))
       .withColumn("value_interp",
         when(col("__raw").isNotNull, col("__raw"))
           .when(col("__pv").isNotNull && col("__nv").isNotNull,
