@@ -122,13 +122,22 @@ object Headline {
     * rows-only query — sketch estimates are engine-specific — with a
     * rank-error tolerance spec vs the exact percentiles). */
   def approxQuantiles(lineitem: DataFrame): DataFrame =
+    // r20: ONE sketch per group queried at three ranks, not three
+    // identical sketches — percentile_approx over an array of
+    // percentages builds a single QuantileSummaries per group (the
+    // update/merge passes are the aggregate's whole cost) and reads it
+    // at 0.5/0.9/0.99; the per-rank answers are exactly what three
+    // separately-built sketches over the same partitions return.
     lineitem
       .groupBy(col("l_returnflag"))
       .agg(
         count(lit(1)).as("n_rows"),
-        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50"),
-        percentile_approx(col("l_extendedprice"), lit(0.9), lit(10000)).as("p90"),
-        percentile_approx(col("l_extendedprice"), lit(0.99), lit(10000)).as("p99"))
+        percentile_approx(col("l_extendedprice"),
+          array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("ps"))
+      .select(col("l_returnflag"), col("n_rows"),
+        col("ps").getItem(0).as("p50"),
+        col("ps").getItem(1).as("p90"),
+        col("ps").getItem(2).as("p99"))
       .orderBy("l_returnflag")
 
   /** Coverage split via semi/anti joins: how many entities have activity
