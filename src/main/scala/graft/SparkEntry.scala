@@ -129,9 +129,15 @@ object SparkEntry {
       Alerts.summaryTopEntities(Pipeline.detectAllShared(s, dir), 10)),
     "al_summary_rules" -> ((s, dir) =>
       Alerts.summaryByRule(Pipeline.detectAllShared(s, dir))),
+    // the feature frame feeds BOTH join sides (the alert derivation and
+    // the overlay) — materialize it once so the rolling window computes
+    // one pass, not one per side (r20; the IsolationForest.scoreAll
+    // pattern). UNSORTED: the join re-shuffles both sides anyway and the
+    // key's own orderBy supplies the presentation order.
     "al_join_features" -> ((s, dir) => {
-      val features = TimeSeries.rollingFeatures(TimeSeries.base(s, dir))
-      Alerts.joinFeatures(AnomalyRules.thresholdAlerts(features), features)
+      val features = TimeSeries.rollingFeaturesUnsorted(TimeSeries.base(s, dir))
+        .localCheckpoint(true)
+      Alerts.joinFeatures(AnomalyRules.thresholdAlertsUnsorted(features), features)
     }),
     // --- dedup / similarity / text / multimodal (SURVEY §2: dd_/sim_/tx_/mm_) ---
     // NOTE: dd_ngram_jaccard / dd_embedding_exact (the deliberately-
