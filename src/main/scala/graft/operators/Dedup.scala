@@ -35,8 +35,11 @@ object Dedup {
     documents
       .withColumn("content_hash", md5(col("text").cast("binary")))
       .withColumn("norm_hash", normKey)
-      .withColumn("canonical_id", min(col("doc_id")).over(w))
-      .withColumn("n_copies", count(lit(1)).over(w))
+      // both window aggregates in ONE projection → one Window operator
+      // (r20; the withColumn chain planned two passes over the partition)
+      .select(col("doc_id"), col("content_hash"), col("norm_hash"),
+        min(col("doc_id")).over(w).as("canonical_id"),
+        count(lit(1)).over(w).as("n_copies"))
       .withColumn("is_duplicate", col("doc_id") =!= col("canonical_id"))
       .select("doc_id", "content_hash", "norm_hash", "canonical_id",
         "n_copies", "is_duplicate")
@@ -301,9 +304,13 @@ object Dedup {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     bucketRows
       .withColumn("m", count(lit(1)).over(wB))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("m"), col("t"))))
-      .withColumn("cum", sum(col("m") - lit(1L)).over(wV))
+      // rk and cum share the per-vector partition+order (frames differ)
+      // — one projection → one Window operator above the m window (r20)
+      .select(col("vec_id"), col("t"), col("bucket"),
+        row_number().over(
+          Window.partitionBy(col("vec_id")).orderBy(col("m"), col("t")))
+          .as("rk"),
+        sum(col("m") - lit(1L)).over(wV).as("cum"))
       .filter(col("rk") === 1 || col("cum") <= cap)
       .select("vec_id", "t", "bucket")
   }
@@ -684,9 +691,12 @@ object Dedup {
       posexplode(org.apache.spark.sql.graft.ColumnBridge
         .wordNGrams(col("text"), k)).as(Seq("pos", "gram")))
     val gramW = Window.partitionBy(col("gram"))
+    // min and max in ONE projection → one Window pass over the gram
+    // partition (r20; the withColumn chain planned two)
     val dupPos = grams
-      .withColumn("lo", min(col("doc_id")).over(gramW))
-      .withColumn("hi", max(col("doc_id")).over(gramW))
+      .select(col("doc_id"), col("pos"),
+        min(col("doc_id")).over(gramW).as("lo"),
+        max(col("doc_id")).over(gramW).as("hi"))
       .filter(col("lo") =!= col("hi"))
       .select(col("doc_id"), col("pos").cast("long").as("pos"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))

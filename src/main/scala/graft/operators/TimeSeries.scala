@@ -161,9 +161,13 @@ object TimeSeries {
   /** Lag-1 and rate-of-change features
     * (reference: pipeline_batch.py:131-140 shift(1) + diff()). */
   def lagDelta(events: DataFrame): DataFrame =
+    // lag computed ONCE in one projection, delta derived from it (r20;
+    // the withColumn chain planned two Window passes, each evaluating
+    // its own lag) — same values by definition
     events
-      .withColumn("value_lag1", lag(col("value"), 1).over(keyOrder))
-      .withColumn("delta", col("value") - lag(col("value"), 1).over(keyOrder))
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("value"),
+        lag(col("value"), 1).over(keyOrder).as("value_lag1"))
+      .withColumn("delta", col("value") - col("value_lag1"))
       .select("event_id", "user_id", "ts_us", "value", "value_lag1", "delta")
       .orderBy("user_id", "ts_us", "event_id")
 
@@ -174,11 +178,16 @@ object TimeSeries {
   def rangeFeatures(events: DataFrame, windowUs: Long = 900000000L): DataFrame = {
     val wr = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
       .rangeBetween(-windowUs, Window.currentRow)
+    // shared frame aggregates computed once in ONE projection (r20): the
+    // withColumn form planned two Window passes and evaluated count(1)
+    // three times; same cast(sum)/count op chain → bit-identical values
     events
-      .withColumn("mean_range",
-        sum(col("value").cast(dec)).over(wr).cast("double") / count(lit(1)).over(wr))
-      .withColumn("n_range", count(lit(1)).over(wr))
-      .select("event_id", "user_id", "ts_us", "value", "mean_range", "n_range")
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("value"),
+        sum(col("value").cast(dec)).over(wr).as("__s"),
+        count(lit(1)).over(wr).as("n_range"))
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("value"),
+        (col("__s").cast("double") / col("n_range")).as("mean_range"),
+        col("n_range"))
       .orderBy("user_id", "ts_us", "event_id")
   }
 
