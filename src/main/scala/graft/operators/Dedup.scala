@@ -492,7 +492,10 @@ object Dedup {
     val toks = Contamination.gramSets(documents, n)
       .select(col("doc_id"), array_sort(col("grams")).as("toks"))
       .withColumn("n", size(col("toks")).cast("long"))
-      .localCheckpoint(true)
+      // LAZY (r20): verifyStats below is the first action and
+      // materializes the tokenization inside its own job; the former
+      // eager checkpoint paid a standalone job for the same blocks
+      .localCheckpoint(false)
     // the whole candidate stage runs on xxhash64(gram) LONG keys, never
     // the ~30-char gram strings: same gram ⇒ same hash, so no candidate
     // is ever lost, and a (vanishingly rare) cross-gram collision only
@@ -635,7 +638,9 @@ object Dedup {
       .withColumn("rep_id",
         min(col("doc_id")).over(Window.partitionBy(col("norm_hash"))))
       .select("doc_id", "rep_id", "toks", "n")
-      .localCheckpoint(true)
+      // LAZY (r20): the banding guard inside exactPairsFromToks is the
+      // first action and materializes this frame in the same job
+      .localCheckpoint(false)
     val repToks = toks.filter(col("doc_id") === col("rep_id"))
       .select("doc_id", "toks", "n")
     val comps = ConnectedComponents.components(

@@ -278,7 +278,10 @@ object IsolationForest {
     // exchange+sort whose order neither fit (hash-ordered sample) nor
     // score (re-sorted output) uses. Measured 1.9 -> 1.1 s on this stage.
     val features = TimeSeries.rollingFeaturesUnsorted(TimeSeries.base(spark, dir))
-      .localCheckpoint(true)
+      // LAZY (r20): fit's training-sample collect is the first action
+      // and materializes the feature blocks in its own job; scoring
+      // re-reads the checkpointed RDD exactly as before
+      .localCheckpoint(false)
     // normal-only training (models.py:270: fit on fault_type == 'none');
     // the `error` event rows are this corpus's fault analog
     val model = fit(features, featureCols,

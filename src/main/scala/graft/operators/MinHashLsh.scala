@@ -81,7 +81,13 @@ object MinHashLsh {
       carry: Seq[String] = Nil): (DataFrame, Long, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val parts = bucketCols.map(col)
-    val src = rows.localCheckpoint(true)
+    // LAZY checkpoint (r20): the eager form ran a dedicated
+    // materialization job before the diagnostic aggregate — the
+    // overStats head() below is the first action and materializes the
+    // same blocks inside its own job; every later consumer (the
+    // window, both join sides, hub masks) reads the checkpointed RDD
+    // exactly as before
+    val src = rows.localCheckpoint(false)
     val overStats = src.groupBy(parts: _*).agg(count(lit(1)).as("m"))
       .filter(col("m") > maxBucket)
       .agg(count(lit(1)).as("n_over"),
@@ -297,7 +303,11 @@ object MinHashLsh {
     * over the checkpointed survivor rows). */
   private[graft] def candidatePairsUnsorted(documents: DataFrame, k: Int,
       bands: Int, threshold: Double, maxBucket: Int): DataFrame = {
-    val sigs = signatures(documents, k).localCheckpoint(true)
+    // LAZY (r20): the banding guard's first action materializes the
+    // signature blocks in the same job — one scheduler round-trip
+    // instead of a standalone checkpoint job; all downstream readers
+    // (banding, both estimate sides, the count) share the one RDD
+    val sigs = signatures(documents, k).localCheckpoint(false)
     val pairs = bandedPairs(sigs, k, bands, maxBucket)
     val sigBytes = sigs.count() * (32L + 8L * k)
     val sa = maybeBroadcast(
@@ -339,7 +349,7 @@ object MinHashLsh {
     // materialize the tokenization ONCE: it feeds the signature pass AND
     // both sides of the verify join, and each would otherwise re-run the
     // tokenize corpus scan on every action
-    exactPairsFromToks(tokenize(documents).localCheckpoint(true),
+    exactPairsFromToks(tokenize(documents).localCheckpoint(false),
       threshold, k, bands, maxBucket)
 
   /** Per-side byte budget under which a verify payload table (hashed
