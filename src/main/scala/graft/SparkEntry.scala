@@ -135,8 +135,10 @@ object SparkEntry {
     // pattern). UNSORTED: the join re-shuffles both sides anyway and the
     // key's own orderBy supplies the presentation order.
     "al_join_features" -> ((s, dir) => {
+      // LAZY: the broadcast build of the alerts side is the first action
+      // and materializes the feature blocks; the probe side reads them
       val features = TimeSeries.rollingFeaturesUnsorted(TimeSeries.base(s, dir))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       Alerts.joinFeatures(AnomalyRules.thresholdAlertsUnsorted(features), features)
     }),
     // --- dedup / similarity / text / multimodal (SURVEY §2: dd_/sim_/tx_/mm_) ---

@@ -645,8 +645,11 @@ object IncrementalDedup {
     * for ids the corpus has not seen. */
   def dedupAgainst(index: SigIndex, newDocs: DataFrame,
       threshold: Double = 0.9): DataFrame =
+    // LAZY (r20): the router's batch count inside dedupAgainstSigned is
+    // the first action and materializes the signed batch in its own job;
+    // every later reader (gate, probe, flag join) shares the blocks
     dedupAgainstSigned(index,
-      signed(newDocs, index.k, index.bands).localCheckpoint(true), threshold)
+      signed(newDocs, index.k, index.bands).localCheckpoint(false), threshold)
 
   /** [[dedupAgainst]] over an ALREADY-SIGNED, CHECKPOINTED batch — the
     * ingest loop signs once and shares the frame between the probe and
@@ -656,7 +659,11 @@ object IncrementalDedup {
       threshold: Double): DataFrame = {
     val spark = index.sigs.sparkSession
     val sp = IndexMeta.readDirMeta(spark, s"${index.path}/sigs")
-    val batchN = batch.count() // instant: checkpointed
+    // the materializing action of the (lazily checkpointed) signed
+    // batch: the count's job computes and caches the blocks every later
+    // reader shares (r20 — the former eager checkpoint paid a dedicated
+    // job for the same materialization)
+    val batchN = batch.count()
     // the base size comes from the build/compact-time row count in the
     // sidecar (partition counts may be pinned by the caller, so parts ×
     // rows-per-dir is unreliable); un-compacted deltas must be counted
