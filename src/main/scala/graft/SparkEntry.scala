@@ -102,26 +102,39 @@ object SparkEntry {
     "ad_oscillation" -> ((s, dir) => AnomalyRules.oscillation(TimeSeries.base(s, dir))),
     "ad_zscore" -> ((s, dir) => AnomalyRules.zscoreAlerts(TimeSeries.base(s, dir))),
     // --- alert store / query surface (SURVEY §2: al_*) ---
+    // r21: every al_* consumer that AGGREGATES or TakeOrdereds the alert
+    // stream composes the UNSORTED rule cores — the sorted public forms
+    // fed a rangepartitioning exchange + global sort that the consumer's
+    // aggregate/TakeOrderedAndProject immediately destroyed, and
+    // EliminateSorts does not remove an ordered EXCHANGE under an
+    // aggregate (plan diff: al_summary 4 → 3 exchanges, the range
+    // exchange+sort gone; same rows — counts and top-k are
+    // order-insensitive, oracle-gated). ad_threshold keeps the sorted
+    // form: its OUTPUT is the presentation-ordered alert stream.
     "al_filter" -> ((s, dir) =>
       Alerts.filterAlerts(
-        AnomalyRules.thresholdAlerts(TimeSeries.rollingFeatures(TimeSeries.base(s, dir))),
+        AnomalyRules.thresholdAlertsUnsorted(
+          TimeSeries.rollingFeaturesUnsorted(TimeSeries.base(s, dir))),
         1704844800000000L, 1705708800000000L, "high", 100)),
     "al_summary" -> ((s, dir) =>
       Alerts.summary(
-        AnomalyRules.thresholdAlerts(TimeSeries.rollingFeatures(TimeSeries.base(s, dir))))),
+        AnomalyRules.thresholdAlertsUnsorted(
+          TimeSeries.rollingFeaturesUnsorted(TimeSeries.base(s, dir))))),
     "al_daily" -> ((s, dir) =>
       Alerts.daily(
-        AnomalyRules.thresholdAlerts(TimeSeries.rollingFeatures(TimeSeries.base(s, dir))))),
+        AnomalyRules.thresholdAlertsUnsorted(
+          TimeSeries.rollingFeaturesUnsorted(TimeSeries.base(s, dir))))),
     "al_filter_rule" -> ((s, dir) => {
       val events = TimeSeries.base(s, dir)
       Alerts.filterAlerts(
-        Pipeline.detectAll(events, TimeSeries.rollingFeatures(events)),
+        Pipeline.detectAll(events, TimeSeries.rollingFeaturesUnsorted(events)),
         startUs = Some(1704844800000000L), endUs = Some(1705708800000000L),
         ruleName = Some("zscore"), limit = 1000)
     }),
     "al_summary_range" -> ((s, dir) =>
       Alerts.summary(
-        AnomalyRules.thresholdAlerts(TimeSeries.rollingFeatures(TimeSeries.base(s, dir))),
+        AnomalyRules.thresholdAlertsUnsorted(
+          TimeSeries.rollingFeaturesUnsorted(TimeSeries.base(s, dir))),
         1704844800000000L, 1705708800000000L)),
     // detectAllShared: ONE materialized events pass feeds all four rules
     // (the exchanges stay per-rule — r7 audit — but the scan is shared)

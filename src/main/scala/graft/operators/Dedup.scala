@@ -574,6 +574,12 @@ object Dedup {
       col("hsh").as("hsh_a"), col("n").as("n_a")), hashedBytes)
     val hb = MinHashLsh.maybeBroadcast(hashed.select(col("doc_id").as("doc_b"),
       col("hsh").as("hsh_b"), col("n").as("n_b")), hashedBytes)
+    // r21: per-row decision floor for the early-exit merge — the filter
+    // below keeps n_common iff n_common·100 ≥ τ₁₀₀·n_a, i.e. iff
+    // n_common ≥ ⌈τ₁₀₀·n_a/100⌉ (integral), so the kernel may bail once
+    // the remaining elements cannot reach that floor: survivor counts
+    // are bit-identical, non-survivors fail in both forms
+    val needC = expr(s"CAST((${t100} * n_a + 99) DIV 100 AS BIGINT)")
     val hashVerified = cand.join(ha, "doc_a").join(hb, "doc_b")
       // size prefilter ahead of the intersect kernel: A∩B ≤ |B|, so
       // containment ≥ τ needs |B|·100 ≥ τ₁₀₀·|A| — pairs the size gap
@@ -581,7 +587,7 @@ object Dedup {
       .filter(col("n_b") * lit(100L) >= lit(t100) * col("n_a"))
       .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"),
         org.apache.spark.sql.graft.ColumnBridge
-          .sortedLongIntersectCount(col("hsh_a"), col("hsh_b"))
+          .sortedLongIntersectCountMin(col("hsh_a"), col("hsh_b"), needC)
           .cast("long").as("n_common"))
       .filter(col("n_common") * lit(100L) >= lit(t100) * col("n_a"))
     val verified = if (injective) {

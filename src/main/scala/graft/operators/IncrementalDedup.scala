@@ -792,7 +792,8 @@ object IncrementalDedup {
         batchN * (48L + 8L * index.k)), "q_id")
       .withColumn("est",
         org.apache.spark.sql.graft.ColumnBridge
-          .matchCount(col("sig"), col("q_sig")).cast("double") / lit(index.k))
+          .matchCountMin(col("sig"), col("q_sig"),
+            MinHashLsh.estMinCount(index.k, threshold)).cast("double") / lit(index.k))
       .filter(col("est") >= threshold)
       .groupBy(col("q_id").as("doc_id"))
       .agg(min(col("c_id")).as("dup_of"), max(col("est")).as("match_est"))
@@ -842,7 +843,8 @@ object IncrementalDedup {
       .filter(agreeBits.bitwiseAND(earlierMask) === 0L)
       .withColumn("est",
         org.apache.spark.sql.graft.ColumnBridge
-          .matchCount(col("sig"), col("q_sig")).cast("double") / lit(index.k))
+          .matchCountMin(col("sig"), col("q_sig"),
+            MinHashLsh.estMinCount(index.k, threshold)).cast("double") / lit(index.k))
       .filter(col("est") >= threshold)
       .groupBy(col("q_id").as("doc_id"))
       .agg(min(col("c_id")).as("dup_of"), max(col("est")).as("match_est"))

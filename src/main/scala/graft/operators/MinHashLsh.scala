@@ -314,11 +314,20 @@ object MinHashLsh {
       sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), sigBytes)
     val sb = maybeBroadcast(
       sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), sigBytes)
+    // r21: the estimate kernel EARLY-EXITS once the remaining signature
+    // positions cannot reach the threshold's decision floor (the r20
+    // verdict's "prefix gate", generalized — the full estimate still
+    // decides every survivor). estMinCount is the smallest integer count
+    // whose IEEE quotient passes the filter, computed driver-side, so
+    // survivor estimates are bit-identical and non-survivors fail in
+    // both forms; on the j≈0.6 background that dominates the candidate
+    // stream at θ=0.95 the scan bails after ~18 of 128 positions.
     pairs
       .join(sa, "doc_a").join(sb, "doc_b")
       .withColumn("jaccard_est",
         org.apache.spark.sql.graft.ColumnBridge
-          .matchCount(col("sig_a"), col("sig_b")).cast("double") / lit(k))
+          .matchCountMin(col("sig_a"), col("sig_b"), estMinCount(k, threshold))
+          .cast("double") / lit(k))
       .filter(col("jaccard_est") >= threshold)
       .select("doc_a", "doc_b", "jaccard_est")
   }
@@ -417,6 +426,14 @@ object MinHashLsh {
       df
     }
   }
+
+  /** Smallest integer count c whose IEEE quotient c/k passes `>= θ` —
+    * the decision floor the early-exit estimate kernel
+    * (LongArrayMatchCountMin) bails against. Computed by direct search
+    * so the floor matches the DOUBLE filter `count/k >= θ` exactly,
+    * including any rounding at the boundary. */
+  private[graft] def estMinCount(k: Int, threshold: Double): Int =
+    (0 to k).find(c => c.toDouble / k >= threshold).getOrElse(k + 1)
 
   /** True iff the engine-neutral 64-bit token hash is INJECTIVE over the
     * corpus vocabulary of `toks`: every hash value maps back to exactly
@@ -531,6 +548,14 @@ object MinHashLsh {
       col("hsh").as("hsh_a"), col("n").as("na")), hashedBytes)
     val hb = maybeBroadcast(hashed.select(col("doc_id").as("doc_b"),
       col("hsh").as("hsh_b"), col("n").as("nb")), hashedBytes)
+    // r21: per-row decision floor for the early-exit merge — the filter
+    // below keeps hinter iff hinter·(100+θ₁₀₀) ≥ θ₁₀₀·(na+nb), i.e. iff
+    // hinter ≥ ⌈θ₁₀₀·(na+nb)/(100+θ₁₀₀)⌉ (hinter is integral), so the
+    // kernel may bail once the remaining elements cannot reach that
+    // floor: survivor counts are bit-identical, non-survivors fail in
+    // both forms (SortedLongArrayIntersectCountMin's contract)
+    val needJ = expr(s"CAST((${t100} * (na + nb) + ${t100 + 99L}) " +
+      s"DIV ${t100 + 100L} AS BIGINT)")
     val hashVerified = cand.join(ha, "doc_a").join(hb, "doc_b")
       // size-ratio prefilter: j ≥ θ forces 100·min(na,nb) ≥ θ₁₀₀·max —
       // a necessary condition of the exact predicate below, so the
@@ -540,7 +565,7 @@ object MinHashLsh {
         col("nb") * 100L >= lit(t100) * col("na"))
       .select(col("doc_a"), col("doc_b"), col("na"), col("nb"),
         org.apache.spark.sql.graft.ColumnBridge
-          .sortedLongIntersectCount(col("hsh_a"), col("hsh_b"))
+          .sortedLongIntersectCountMin(col("hsh_a"), col("hsh_b"), needJ)
           .cast("long").as("hinter"))
       .filter(col("hinter") * lit(100L + t100)
         >= lit(t100) * (col("na") + col("nb")))

@@ -44,7 +44,42 @@ object Pipeline {
     * (measured 1.5× slower at sf1). Row-identical to
     * `detectAll(events, rollingFeatures(events))`. */
   def detectAllShared(spark: SparkSession, dir: String): DataFrame = {
-    val events = TimeSeries.base(spark, dir).localCheckpoint(false)
+    // r21 (VERDICT r20 item 4, attempt 2): the checkpointed events frame
+    // is REPARTITIONED on user_id and SORTED (user_id, ts_us, event_id)
+    // BEFORE materialization. Dataset.localCheckpoint captures the
+    // physical plan's outputPartitioning/outputOrdering into the
+    // LogicalRDD, so every rule's window sees its distribution
+    // requirement already satisfied by the checkpoint: the rolling
+    // windows and oscillation need exactly this (partitioning, ordering)
+    // pair; consecutive's (user_id, exceeds)/(user_id, grp) windows are
+    // clustered by the user_id hash (subset property — no exchange, just
+    // an in-partition re-sort); zscore's groupBy(user_id) aggregates in
+    // ONE complete pass with no exchange. Net: the four per-rule
+    // exchanges of the r7–r20 plan collapse into the checkpoint's single
+    // exchange (ad_all_rules executed plan: 5 Exchange → 2 — the
+    // checkpoint's own hash exchange + the final presentation sort's
+    // range exchange; plans/r21/ad_all_rules_{before,after}.txt). The r20
+    // attempt failed because a bare repartition WITHOUT the checkpoint
+    // boundary let column pruning push branch projections below it and
+    // ReuseExchange never fired; the RDD boundary is opaque to pruning,
+    // so the partitioning survives into all four branches. Row-identical:
+    // repartition+sort only permutes input order, and every rule's
+    // windows/aggregates are keyed on the same user_id axis (oracle-gated).
+    // AQE is disabled for the checkpoint's own (scan→exchange→sort) plan:
+    // AdaptiveSparkPlanExec reports UnknownPartitioning before execution,
+    // so a checkpoint built under AQE LOSES the partitioning metadata the
+    // whole scheme exists to carry (measured: every branch re-exchanged).
+    // Conf-scoped save/restore, the Tables.tableAdaptive precedent; the
+    // downstream rule queries still plan under the session's AQE setting.
+    val adaptiveBefore = spark.conf.get("spark.sql.adaptive.enabled")
+    val events =
+      try {
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        TimeSeries.base(spark, dir)
+          .repartition(col("user_id"))
+          .sortWithinPartitions("user_id", "ts_us", "event_id")
+          .localCheckpoint(false)
+      } finally spark.conf.set("spark.sql.adaptive.enabled", adaptiveBefore)
     detectAll(events, TimeSeries.rollingFeaturesUnsorted(events))
   }
 

@@ -1,6 +1,6 @@
 package org.apache.spark.sql.graft
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType}
@@ -96,6 +96,19 @@ object ColumnBridge {
   /** long_array_match_count(a, b) as a Column. */
   def matchCount(a: Column, b: Column): Column =
     column(LongArrayMatchCount(expression(a), expression(b)))
+
+  /** long_array_match_count_min(a, b) as a Column — the early-exit
+    * estimate kernel. `minCount` is the smallest count that passes the
+    * caller's threshold filter; results below it are only guaranteed to
+    * stay below it (see LongArrayMatchCountMin's contract). */
+  def matchCountMin(a: Column, b: Column, minCount: Int): Column =
+    column(LongArrayMatchCountMin(expression(a), expression(b), minCount))
+
+  /** sorted_long_intersect_count_min(a, b, need) as a Column — the
+    * early-exit verify kernel; `need` is the per-row decision floor. */
+  def sortedLongIntersectCountMin(a: Column, b: Column, need: Column): Column =
+    column(SortedLongArrayIntersectCountMin(expression(a), expression(b),
+      expression(need)))
 
   /** sorted_intersect_count(a, b) as a Column. */
   def sortedIntersectCount(a: Column, b: Column): Column =
@@ -248,6 +261,87 @@ case class LongArrayMatchCount(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): LongArrayMatchCount =
+    copy(left = newLeft, right = newRight)
+}
+
+/** [[LongArrayMatchCount]] with an EARLY EXIT below a caller-proved
+  * decision floor — the r21 optimization-round form of the estimate
+  * kernel (the VERDICT r20 "signature-prefix gate", generalized: instead
+  * of gating on a fixed 32-hash prefix, the scan bails at the first
+  * position where the remaining elements can no longer reach
+  * `minCount` — the tightest zero-false-negative prefix there is).
+  *
+  * Contract: when the true match count is >= minCount the result is
+  * EXACTLY the true count (the early exit provably cannot fire on such
+  * a row); when it is below, the result is SOME value < minCount (the
+  * partial count at bail-out). Callers must therefore consume it only
+  * through a `>= minCount`-equivalent filter plus survivor values —
+  * which is precisely the estimate-threshold shape
+  * (`matchCount/k >= θ` with minCount = the smallest integer c where
+  * c/k >= θ): survivors keep bit-identical estimates, non-survivors are
+  * dropped either way. On a j≈0.6 background candidate at θ=0.95/k=128
+  * (allowed mismatches: 6) the expected scan is ~18 of 128 positions.
+  * Equivalence to the full kernel under the filter is property-specced
+  * (KernelPropertySpec). */
+case class LongArrayMatchCountMin(left: Expression, right: Expression,
+    minCount: Int)
+    extends BinaryExpression with ExpectsInputTypes {
+  import org.apache.spark.sql.catalyst.util.ArrayData
+  import org.apache.spark.sql.types._
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+
+  override def dataType: DataType = IntegerType
+
+  override def prettyName: String = "long_array_match_count_min"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    val maxMiss = n - minCount
+    if (maxMiss < 0) return 0 // can never reach minCount
+    var c = 0
+    var miss = 0
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i) && !y.isNullAt(i) && x.getLong(i) == y.getLong(i)) c += 1
+      else {
+        miss += 1
+        if (miss > maxMiss) return c // provably below minCount
+      }
+      i += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val c = ctx.freshName("c")
+      val miss = ctx.freshName("miss")
+      val maxMiss = ctx.freshName("maxMiss")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $c = 0;
+         |int $maxMiss = $n - $minCount;
+         |if ($maxMiss >= 0) {
+         |  int $miss = 0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if (!$a.isNullAt($i) && !$b.isNullAt($i)
+         |        && $a.getLong($i) == $b.getLong($i)) { $c++; }
+         |    else if (++$miss > $maxMiss) { break; }
+         |  }
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LongArrayMatchCountMin =
     copy(left = newLeft, right = newRight)
 }
 
@@ -492,6 +586,78 @@ case class SortedLongArrayIntersectCount(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): SortedLongArrayIntersectCount =
     copy(left = newLeft, right = newRight)
+}
+
+/** [[SortedLongArrayIntersectCount]] with an EARLY EXIT below a per-row
+  * decision floor `need` (third child, long) — the verify-stage twin of
+  * [[LongArrayMatchCountMin]]. The two-pointer merge bails at the first
+  * mismatch step where `count-so-far + min(remaining_a, remaining_b)`
+  * can no longer reach `need`.
+  *
+  * Contract: result == the true intersection count whenever that count
+  * is >= need; otherwise SOME value < need (the partial count at
+  * bail-out). Callers consume it only through a `>= need`-equivalent
+  * threshold filter plus survivor values — the exact Jaccard/containment
+  * verify shape, where need = ceil of the algebraic floor the filter
+  * encodes: survivor counts are bit-identical, non-survivors are dropped
+  * either way (property-specced in KernelPropertySpec). The bound check
+  * runs only on mismatch steps, so fully-matching (survivor) rows pay
+  * the plain merge. */
+case class SortedLongArrayIntersectCountMin(first: Expression,
+    second: Expression, third: Expression)
+    extends TernaryExpression with ExpectsInputTypes {
+  import org.apache.spark.sql.catalyst.util.ArrayData
+  import org.apache.spark.sql.types._
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType), LongType)
+
+  override def dataType: DataType = IntegerType
+
+  override def prettyName: String = "sorted_long_intersect_count_min"
+
+  override protected def nullSafeEval(a: Any, b: Any, needAny: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val need = needAny.asInstanceOf[Long]
+    val na = x.numElements(); val nb = y.numElements()
+    var i = 0; var j = 0; var c = 0
+    while (i < na && j < nb) {
+      val xv = x.getLong(i); val yv = y.getLong(j)
+      if (xv == yv) { c += 1; i += 1; j += 1 }
+      else {
+        if (xv < yv) i += 1 else j += 1
+        if (c + math.min(na - i, nb - j) < need) return c
+      }
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, needV) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val c = ctx.freshName("c"); val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+      s"""
+         |int $na = $a.numElements(); int $nb = $b.numElements();
+         |int $i = 0; int $j = 0; int $c = 0;
+         |while ($i < $na && $j < $nb) {
+         |  long $xv = $a.getLong($i); long $yv = $b.getLong($j);
+         |  if ($xv == $yv) { $c++; $i++; $j++; }
+         |  else {
+         |    if ($xv < $yv) $i++; else $j++;
+         |    if ($c + java.lang.Math.min($na - $i, $nb - $j) < $needV) break;
+         |  }
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): SortedLongArrayIntersectCountMin =
+    copy(first = newFirst, second = newSecond, third = newThird)
 }
 
 /** Native codegen expression: all random-hyperplane LSH bucket ids of an

@@ -379,6 +379,87 @@ class KernelPropertySpec extends AnyFunSuite {
     assert(bad.count() === 0)
   }
 
+  test("long_array_match_count_min: exact at/above the floor, below-floor below it") {
+    // random signature-ish arrays spanning the three regimes: clear
+    // matches (count >= minCount), boundary rows (count == minCount or
+    // minCount-1), and background rows (count far below) — the kernel's
+    // contract is: result == true count when true count >= minCount, and
+    // result < minCount otherwise, so a `>= minCount` filter plus
+    // survivor values is indistinguishable from the full kernel
+    val k = 128
+    for (minCount <- Seq(0, 1, 116, 122, 128, 129)) {
+      val cases = (1 to 600).map { i =>
+        val matchP = rnd.nextInt(3) match {
+          case 0 => 0.6      // background
+          case 1 => 0.96     // near-threshold
+          case _ => 1.0 - rnd.nextInt(8) / k.toDouble // boundary-exact
+        }
+        val a = Array.fill(k)(rnd.nextInt(1 << 20).toLong)
+        val b = a.zipWithIndex.map { case (v, j) =>
+          if (rnd.nextDouble() < matchP) v else v + 1 + rnd.nextInt(5) }
+        (i.toLong, a.toSeq, b.toSeq,
+          a.zip(b).count { case (x, y) => x == y })
+      }
+      val got = cases.toDF("id", "a", "b", "true_count")
+        .select(col("id"), col("true_count"),
+          ColumnBridge.matchCountMin(col("a"), col("b"), minCount).as("m"))
+        .collect()
+      got.foreach { r =>
+        val (id, tc, m) = (r.getLong(0), r.getInt(1), r.getInt(2))
+        if (tc >= minCount) assert(m === tc, s"id=$id minCount=$minCount")
+        else assert(m < minCount && m <= tc, s"id=$id minCount=$minCount tc=$tc m=$m")
+      }
+    }
+    // mismatched lengths: min-length prefix semantics like the full kernel
+    val short = Seq((1L, Seq(1L, 2L, 3L), Seq(1L, 2L, 3L, 4L, 5L)))
+      .toDF("id", "a", "b")
+    assert(short.select(ColumnBridge.matchCountMin(col("a"), col("b"), 3))
+      .head.getInt(0) === 3)
+  }
+
+  test("sorted_long_intersect_count_min: exact at/above need, below-need below it") {
+    val vals = (1L to 200L).toVector
+    val cases = (1 to 800).map { i =>
+      val a = rnd.shuffle(vals).take(1 + rnd.nextInt(60)).sorted
+      val b =
+        if (rnd.nextInt(3) == 0) a // identical: intersection = |a|
+        else rnd.shuffle(vals).take(1 + rnd.nextInt(60)).sorted
+      val tc = a.toSet.intersect(b.toSet).size
+      // need spans: trivially satisfied (0), boundary (tc, tc+1), high
+      val need = rnd.nextInt(4) match {
+        case 0 => 0L
+        case 1 => tc.toLong
+        case 2 => tc.toLong + 1L
+        case _ => rnd.nextInt(70).toLong
+      }
+      (i.toLong, a, b, tc, need)
+    }
+    val got = cases.toDF("id", "a", "b", "true_count", "need")
+      .select(col("id"), col("true_count"), col("need"),
+        ColumnBridge.sortedLongIntersectCountMin(col("a"), col("b"),
+          col("need")).as("m"))
+      .collect()
+    got.foreach { r =>
+      val (id, tc, need, m) =
+        (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3))
+      if (tc >= need) assert(m === tc, s"id=$id need=$need")
+      else assert(m < need && m <= tc, s"id=$id need=$need tc=$tc m=$m")
+    }
+  }
+
+  test("estMinCount is the exact integer floor of the double threshold filter") {
+    // the kernel floor must agree with the `count/k >= θ` IEEE filter for
+    // EVERY integer count, at every threshold the operators use (plus
+    // adversarial ones near representability boundaries)
+    for (k <- Seq(64, 128); t <- Seq(0.5, 0.8, 0.9, 0.95, 0.99, 1.0,
+        115.0 / 128.0, 116.0 / 128.0)) {
+      val mc = graft.operators.MinHashLsh.estMinCount(k, t)
+      (0 to k).foreach { c =>
+        assert((c >= mc) === (c.toDouble / k >= t), s"k=$k t=$t c=$c mc=$mc")
+      }
+    }
+  }
+
   test("embedding_lsh_buckets equals the plain-Scala reference") {
     def refBuckets(vec: Array[Float], tables: Int, planes: Int): Seq[Long] = {
       val iv = vec.map(x => math.floor(x.toDouble * 10000.0).toLong)
