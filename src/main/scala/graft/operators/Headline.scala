@@ -96,30 +96,29 @@ object Headline {
     val approx = lineitem.groupBy(col("l_returnflag")).agg(
       approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
       approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
-    // r20: BOTH exact sides from ONE scan + ONE distinct — each row
-    // explodes to its two (tag, key) pairs, the distinct collapses
-    // (flag, tag, key) with map-side partial dedup exactly as the two
-    // per-column distincts did, and a conditional count splits the tags
-    // back into columns. Same shuffled bytes as the former two-pipeline
-    // form, one lineitem scan instead of two, two exchanges instead of
-    // four, one join instead of two. isNotNull preserves countDistinct's
-    // null semantics (it excluded NULL keys; a bare distinct would count
-    // (flag, NULL) as a value); counts are identical by construction.
-    val exact = lineitem
-      .select(col("l_returnflag"), explode(array(
-        struct(lit("p").as("tag"), col("l_partkey").as("k")),
-        struct(lit("o").as("tag"), col("l_orderkey").as("k")))).as("tk"))
-      .select(col("l_returnflag"), col("tk.tag").as("tag"), col("tk.k").as("k"))
-      .filter(col("k").isNotNull).distinct()
-      .groupBy(col("l_returnflag"))
-      .agg(count(when(col("tag") === "p", 1)).as("exact_parts"),
-        count(when(col("tag") === "o", 1)).as("exact_orders"))
-    // left join from the approx frame: a group whose key columns are
-    // entirely NULL has no row on the pre-deduped exact side (its exact
-    // counts are 0) — an inner join would silently drop the whole output
+    // r21 (VERDICT r20 item 3, settled): the r20 fused explode form (both
+    // exact sides from one scan + one distinct) is REVERTED to the r19
+    // two-pipeline form. The fused form was kept in r20 on a
+    // control-normalized sf0.1 A/B while the driver's own bench read it
+    // worse (1.35→1.59 s); this round's interleaved A/B reads the split
+    // form faster at BOTH scales (sf1: 2.55→2.06 s min-of-legs, sf0.1:
+    // 1.79→1.36 s; controls q_approx_quantile flat, q_pricing_summary
+    // drifting less than the margin). The explode doubles scan-side rows
+    // and widens the distinct key to (flag, tag, k), which costs more
+    // than the saved second scan at every scale measured. isNotNull
+    // preserves countDistinct's null semantics (it excluded NULL keys; a
+    // bare distinct would count (flag, NULL) as a value).
+    def exact(c: String, as: String) =
+      lineitem.select(col("l_returnflag"), col(c))
+        .filter(col(c).isNotNull).distinct()
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as(as))
+    // left joins from the approx frame: a group whose key column is
+    // entirely NULL has no row on a pre-deduped exact side (its exact
+    // count is 0) — an inner join would silently drop the whole output
     // row, where the one-agg countDistinct form emitted it with 0
     approx
-      .join(exact, Seq("l_returnflag"), "left")
+      .join(exact("l_partkey", "exact_parts"), Seq("l_returnflag"), "left")
+      .join(exact("l_orderkey", "exact_orders"), Seq("l_returnflag"), "left")
       .select(col("l_returnflag"), col("approx_parts"),
         coalesce(col("exact_parts"), lit(0L)).as("exact_parts"),
         col("approx_orders"),

@@ -718,9 +718,14 @@ object IncrementalDedup {
         import spark.implicits._
         Seq.empty[(Long, Long, Double)].toDF("doc_id", "dup_of", "match_est")
       case _ =>
+        // r21: the probe-input row count is already known on every path
+        // (the ungated batch count, or the gate's own count) — pass it
+        // down so neither probe pays a per-invocation count() job for a
+        // number the router just computed
+        val probeN = gated.map(_._2).getOrElse(batchN)
         if (useStreamedProbe(batchN, corpusApprox))
-          streamedMatches(index, probeIn, threshold)
-        else prunedMatches(index, probeIn, sp, threshold)
+          streamedMatches(index, probeIn, threshold, probeN)
+        else prunedMatches(index, probeIn, sp, threshold, probeN)
     }
     // matches is at most batch-sized (one row per flagged new doc), so
     // the flag join broadcasts too instead of shuffling the batch
@@ -735,7 +740,7 @@ object IncrementalDedup {
     * independent of corpus size once the partition counts exceed the
     * batch footprint. */
   private[graft] def prunedMatches(index: SigIndex, batch: DataFrame, sp: Int,
-      threshold: Double): DataFrame = {
+      threshold: Double, knownBatchN: Long = -1L): DataFrame = {
     val spark = index.sigs.sparkSession
     val p = IndexMeta.readDirMeta(spark, s"${index.path}/buckets")
     // derived lazily from the checkpointed batch — a recompute is a
@@ -756,7 +761,9 @@ object IncrementalDedup {
     // re-running the pruned scan + bucket join — one scan execution per
     // probe, with no standalone checkpoint job (the r7 form re-executed
     // the scan; the recompute grew with corpus collision density)
-    val batchN = batch.count() // instant: checkpointed
+    // r21: callers that just counted the probe input pass it down; the
+    // fallback count stays for direct (spec) callers
+    val batchN = if (knownBatchN >= 0L) knownBatchN else batch.count()
     val cand = candidates(spark, index.path, batchB, pbs, delta,
         batchBRows = batchN * index.bands)
       .localCheckpoint(false)
@@ -821,7 +828,7 @@ object IncrementalDedup {
     * materialized candidate set is batch × collision density —
     * measured 139.6 s vs this path at a 100k × 400k probe, r14). */
   private[graft] def streamedMatches(index: SigIndex, batch: DataFrame,
-      threshold: Double): DataFrame = {
+      threshold: Double, knownBatchN: Long = -1L): DataFrame = {
     val bands = index.bands
     val batchB = batch.select(col("doc_id").as("q_id"), col("sig").as("q_sig"),
       col("bkts").as("q_bkts"), posexplode(col("bkts")).as(Seq("band", "bucket")))
@@ -834,10 +841,12 @@ object IncrementalDedup {
         lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
     val earlierMask = expr("shiftleft(CAST(1 AS BIGINT), band)") - lit(1L)
-    // batch.count() is instant — dedupAgainstSigned requires a
-    // materialized batch, and both direct spec callers checkpoint it
+    // r21: the count rides in from dedupAgainstSigned (it just computed
+    // it) — no per-probe count job; the fallback stays for direct (spec)
+    // callers, whose batches are checkpointed so it is near-instant
     val batchBytes =
-      batch.count() * bands * (8L * (index.k + bands) + 48L)
+      (if (knownBatchN >= 0L) knownBatchN else batch.count()) *
+        bands * (8L * (index.k + bands) + 48L)
     corpusB.join(MinHashLsh.maybeBroadcast(batchB, batchBytes),
         Seq("band", "bucket"))
       .filter(agreeBits.bitwiseAND(earlierMask) === 0L)
